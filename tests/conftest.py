@@ -1,0 +1,11 @@
+from __future__ import annotations
+
+import pytest
+
+from etl_olho_vivo_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="etl-olho-vivo-tests", cpus=8)
+    yield s

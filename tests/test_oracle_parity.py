@@ -1,0 +1,40 @@
+"""Every registry query must hash-match its DuckDB oracle — the same check
+the driver runs at sf0.01 (set SPARK_GRAFT_PARITY_SF to override)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etl_olho_vivo_spark import registry
+from tests.oracle_check import compare, duck_connection
+
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_DIR)
+    yield con
+    con.close()
+
+
+ORACLE_NAMES = sorted(registry.oracle_sql())
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_parity(spark, duck, name):
+    q = registry.REGISTRY[name]
+    spark_df = q.fn(spark, SF_DIR)
+    duck_df = duck.execute(q.oracle).df()
+    problems = compare(spark_df, duck_df)
+    assert not problems, f"{name}: " + " | ".join(problems)
+
+
+def test_all_queries_run(spark):
+    """Queries without oracles must still execute and return a DataFrame."""
+    for name, q in registry.REGISTRY.items():
+        df = q.fn(spark, SF_DIR)
+        assert df.columns, name
+        df.limit(1).collect()
