@@ -144,6 +144,45 @@ def _cleaned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return speed.cleaned_speeds(pos, tiebreakers=("event_id",))
 
 
+def _agg_exact(cleaned: DataFrame) -> DataFrame:
+    """The A1+A2 rollup with order-independent (integer-quantized) sums.
+
+    The adapter's coordinates lie exactly on a 1e-5-degree grid and
+    ``distancia`` has exactly 2 dp (reference F4 rounding), so quantizing to
+    integers before summing is lossless — and integer sums are bit-exact
+    regardless of partial-aggregation order, at any scale factor.  Mirrors
+    the ``_SQL_AGG_EXACT`` fragment below operation-for-operation.
+    """
+    from etl_olho_vivo_spark.schemas import AGG_KEYS
+
+    pxk = F.round((F.col("px") + 46.85) * 100000.0, 0).cast("long")
+    pyk = F.round((F.col("py") + 23.8) * 100000.0, 0).cast("long")
+    dc = F.round(F.col("distancia") * 100.0, 0).cast("long")
+    n = F.count(F.lit(1))
+    return cleaned.groupBy(*AGG_KEYS).agg(
+        (F.lit(-46.85) + (F.sum(pxk) / n) * F.lit(1e-5)).alias("px"),
+        (F.lit(-23.8) + (F.sum(pyk) / n) * F.lit(1e-5)).alias("py"),
+        # inputs are exact integers on both engines → the two divisions are
+        # IEEE exact-rounded on identical values: no rounding needed (and
+        # round() here would *create* cross-engine half-way mismatches)
+        ((F.sum(dc) / 100.0) / F.sum("tempo")).alias("velocidade_media"),
+        F.sum("tempo").alias("tempo"),
+        (F.sum(dc) / 100.0).alias("distancia"),
+    )
+
+
+_SQL_AGG_EXACT_MEASURES = """
+       -46.85 + (sum(CAST(round((px + 46.85) * 100000.0, 0) AS BIGINT))
+                 / count(*)) * 1e-5                       AS px,
+       -23.8 + (sum(CAST(round((py + 23.8) * 100000.0, 0) AS BIGINT))
+                / count(*)) * 1e-5                        AS py,
+       (sum(CAST(round(distancia * 100.0, 0) AS BIGINT)) / 100.0)
+             / sum(tempo)                                 AS velocidade_media,
+       sum(tempo)                                         AS tempo,
+       sum(CAST(round(distancia * 100.0, 0) AS BIGINT)) / 100.0 AS distancia
+"""
+
+
 # ---------------------------------------------------------------------------
 # Domain pipeline queries (SURVEY §2.2-§2.8 on the events stand-in)
 # ---------------------------------------------------------------------------
@@ -154,11 +193,7 @@ def _cleaned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""{_SQL_CLEANED}
 SELECT data, intervalo, letreiro, codigo_linha, sentido_linha, origem_linha,
        destino_linha, prefixo_veiculo,
-       round(avg(px), 6)                    AS px,
-       round(avg(py), 6)                    AS py,
-       round(sum(distancia) / sum(tempo), 6) AS velocidade_media,
-       sum(tempo)                           AS tempo,
-       round(sum(distancia), 4)             AS distancia
+       {_SQL_AGG_EXACT_MEASURES}
 FROM cleaned
 GROUP BY data, intervalo, letreiro, codigo_linha, sentido_linha,
          destino_linha, origem_linha, prefixo_veiculo, acessibilidade
@@ -167,10 +202,10 @@ GROUP BY data, intervalo, letreiro, codigo_linha, sentido_linha,
     "(ref etl-olho-vivo-velocidades-medias.py:89-158; A1+A2).",
 )
 def q_velocidades_agregadas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = speed.velocidades_agregadas(_cleaned_events(spark, sf_dir))
-    return _round_cols(
-        out, {"px": 6, "py": 6, "velocidade_media": 6, "distancia": 4}
-    )
+    from etl_olho_vivo_spark.schemas import VELOCIDADES_COLUMNS
+
+    agg = _agg_exact(_cleaned_events(spark, sf_dir))
+    return agg.select(*VELOCIDADES_COLUMNS)
 
 
 @register(
@@ -192,8 +227,10 @@ def q_lentidao(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""{_SQL_CLEANED}
 SELECT data, intervalo, letreiro, codigo_linha, sentido_linha, origem_linha,
        destino_linha, prefixo_veiculo,
-       round(avg(px), 6) AS px,
-       round(avg(py), 6) AS py,
+       -46.85 + (sum(CAST(round((px + 46.85) * 100000.0, 0) AS BIGINT))
+                 / count(*)) * 1e-5 AS px,
+       -23.8 + (sum(CAST(round((py + 23.8) * 100000.0, 0) AS BIGINT))
+                / count(*)) * 1e-5  AS py,
        acessibilidade
 FROM cleaned
 GROUP BY data, intervalo, letreiro, codigo_linha, sentido_linha,
@@ -202,8 +239,10 @@ GROUP BY data, intervalo, letreiro, codigo_linha, sentido_linha,
     doc="Mean position per interval with accessibility flag (ref :166; P8).",
 )
 def q_acessiveis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = speed.acessiveis(_cleaned_events(spark, sf_dir))
-    return _round_cols(out, {"px": 6, "py": 6})
+    from etl_olho_vivo_spark.schemas import ACESSIVEIS_COLUMNS
+
+    agg = _agg_exact(_cleaned_events(spark, sf_dir))
+    return agg.select(*ACESSIVEIS_COLUMNS)
 
 
 @register(
@@ -337,8 +376,15 @@ def q_flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_plugins()
     return {name: q.fn for name, q in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_plugins()
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+
+
+def _load_plugins() -> None:
+    """Import the sibling registry modules (they self-register)."""
+    import etl_olho_vivo_spark.registry_relational  # noqa: F401

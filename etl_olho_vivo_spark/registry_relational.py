@@ -1,0 +1,467 @@
+"""Relational operator surface — joins, top-k, rollup, set ops, windows.
+
+The reference has NO joins, set ops, or ranking (SURVEY §2.3/§2.6/§2.7) —
+the engine exposes them natively through Spark; these queries declare that
+surface to the driver with DuckDB oracles over the TPC-H-ish tables.
+
+Determinism notes:
+- all timestamp handling is epoch arithmetic (TZ-free on both engines);
+- ``l_quantity`` values are small integers stored as double → their sums
+  are exact in IEEE754 regardless of order (no rounding needed);
+- money sums are computed in integer cents (lossless for 2-dp money)
+  → order-independent, bit-exact at any scale;
+- every window/top-k ordering is total over its output columns —
+  (l_orderkey, l_linenumber) is NON-unique in the synthetic lineitem, so
+  orderings also include the remaining projected columns.
+
+Scale notes (100 TB):
+- dimension joins (region/nation/customer/supplier) are broadcast — no
+  shuffle of the fact table;
+- top-k per group is ``row_number`` over a hash-partitioned window, not a
+  global sort;
+- rollup/pivot are partial-aggregated before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_olho_vivo_spark.registry import register
+from etl_olho_vivo_spark.sources.tables import read_table
+
+# ---------------------------------------------------------------------------
+# TZ-free date helpers (mirror each other bit-for-bit)
+# ---------------------------------------------------------------------------
+
+
+def utc_date(c: F.Column) -> F.Column:
+    """DateType of a timestamp instant, in UTC, via epoch-day arithmetic."""
+    days = F.floor(F.unix_millis(c) / F.lit(86400000)).cast("int")
+    return F.date_add(F.to_date(F.lit("1970-01-01")), days)
+
+
+def _sql_utc_date(expr: str) -> str:
+    return f"(DATE '1970-01-01' + CAST(epoch_ms({expr}) // 86400000 AS INT))"
+
+
+def _epoch_ms_of(iso_day: str) -> int:
+    """Compile-time epoch millis of a UTC midnight (no runtime TZ anywhere)."""
+    import datetime as _dt
+
+    d = _dt.datetime.strptime(iso_day, "%Y-%m-%d").replace(
+        tzinfo=_dt.timezone.utc
+    )
+    return int(d.timestamp() * 1000)
+
+
+# ---------------------------------------------------------------------------
+# Exact money arithmetic: every money column in the synthetic tables has
+# exactly 2 decimals, so `round(x*100) :: BIGINT` is lossless.  Integer sums
+# are order-independent → bit-exact across engines at ANY scale (unlike
+# double sums, whose last-ulp depends on partial-aggregation order).
+# ---------------------------------------------------------------------------
+
+
+def _cents(c: F.Column) -> F.Column:
+    return F.round(c * 100, 0).cast("long")
+
+
+def _sql_cents(expr: str) -> str:
+    return f"CAST(round(({expr}) * 100, 0) AS BIGINT)"
+
+
+_CUTOFF = _epoch_ms_of("1998-09-02")
+
+
+@register(
+    "pricing_summary",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum({_sql_cents('l_extendedprice')}) / 100.0 AS sum_base_price,
+       sum({_sql_cents('l_extendedprice')} * {_sql_cents('1 - l_discount')})
+         / 10000.0 AS sum_disc_price,
+       round(sum(l_quantity) / count(*), 4) AS avg_qty,
+       round((sum({_sql_cents('l_extendedprice')}) / 100.0) / count(*), 4)
+         AS avg_price,
+       round((sum({_sql_cents('l_discount')}) / 100.0) / count(*), 6)
+         AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE epoch_ms(l_shipdate) <= {_CUTOFF}
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1-flavor pricing summary: multi-agg hash aggregate with "
+    "partial+final combine; filter pushed to the parquet scan.",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.unix_millis("l_shipdate") <= F.lit(_CUTOFF))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            (F.sum(_cents(F.col("l_extendedprice"))) / 100.0).alias(
+                "sum_base_price"
+            ),
+            (
+                F.sum(
+                    _cents(F.col("l_extendedprice"))
+                    * _cents(1 - F.col("l_discount"))
+                )
+                / 10000.0
+            ).alias("sum_disc_price"),
+            F.round(F.sum("l_quantity") / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.round(
+                (F.sum(_cents(F.col("l_extendedprice"))) / 100.0)
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_price"),
+            F.round(
+                (F.sum(_cents(F.col("l_discount"))) / 100.0) / F.count(F.lit(1)),
+                6,
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    f"""
+SELECT n.n_name AS nation, r.r_name AS region,
+       year({_sql_utc_date('o.o_orderdate')}) AS order_year,
+       sum({_sql_cents('l.l_extendedprice')} * {_sql_cents('1 - l.l_discount')})
+         / 10000.0 AS revenue,
+       count(DISTINCT o.o_orderkey) AS n_orders
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN nation n    ON c.c_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name, r.r_name, year({_sql_utc_date('o.o_orderdate')})
+""",
+    doc="Multi-way join (fact ⋈ 4 dims) with broadcast hints on every "
+    "dimension — zero fact-table shuffles for the join itself (SURVEY §2.3).",
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            F.year(utc_date(F.col("o_orderdate"))).alias("order_year"),
+        )
+        .agg(
+            (
+                F.sum(
+                    _cents(F.col("l_extendedprice"))
+                    * _cents(1 - F.col("l_discount"))
+                )
+                / 10000.0
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "top_orders_per_customer",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+""",
+    doc="Top-k per group via row_number window — hash-partitioned, no "
+    "global sort (SURVEY §2.6: the engine's top-k surface).",
+)
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    doc="Anti join (NOT EXISTS) — broadcast left-anti at dim scale, "
+    "shuffled-hash at fact scale (Catalyst/AQE decides).",
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "segment_order_counts",
+    """
+SELECT c.c_mktsegment AS mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_mktsegment
+""",
+    doc="Semi join (EXISTS) + aggregation.",
+)
+def q_segment_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "order_priority_pivot",
+    f"""
+SELECT o_orderstatus,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+       count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+       count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+       count(*) FILTER (WHERE o_orderpriority IN ('4-NOT SPECIFIED','5-LOW'))
+         AS low_or_unspec,
+       sum({_sql_cents('o_totalprice')}) / 100.0 AS total_value
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="Pivot as conditional aggregation (map-side combinable — scales "
+    "unlike a true transpose).",
+)
+def q_order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+
+    def cnt(cond):
+        return F.count(F.when(cond, F.lit(1)))
+
+    p = F.col("o_orderpriority")
+    return orders.groupBy("o_orderstatus").agg(
+        cnt(p == "1-URGENT").alias("urgent"),
+        cnt(p == "2-HIGH").alias("high"),
+        cnt(p == "3-MEDIUM").alias("medium"),
+        cnt(p.isin("4-NOT SPECIFIED", "5-LOW")).alias("low_or_unspec"),
+        (F.sum(_cents(F.col("o_totalprice"))) / 100.0).alias("total_value"),
+    )
+
+
+@register(
+    "lineitem_rollup",
+    """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty, count(*) AS n_items
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    doc="ROLLUP grouping sets (subtotals + grand total); quantity sums are "
+    "exact (small integers in doubles).",
+)
+def q_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "distinct_suppliers_per_part",
+    """
+SELECT l_partkey,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(*) AS n_lineitems,
+       sum(l_quantity) AS total_qty
+FROM lineitem GROUP BY l_partkey
+""",
+    doc="Distinct aggregation (expand + two-phase agg in Spark).",
+)
+def q_distinct_suppliers_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum("l_quantity").alias("total_qty"),
+    )
+
+
+@register(
+    "top10_expensive_items",
+    """
+SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey
+LIMIT 10
+""",
+    doc="Global ORDER BY ... LIMIT k — Spark executes as TakeOrderedAndProject "
+    "(per-partition heap + driver merge), never a full sort at scale.",
+)
+def q_top10_expensive_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber",
+            "l_partkey",
+        )
+        .limit(10)
+    )
+
+
+@register(
+    "set_ops_custkeys",
+    """
+SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_acctbal < 100
+""",
+    doc="Set operations (UNION via the IN-branch union, EXCEPT distinct) — "
+    "SURVEY §2.7: absent in the reference, native here.",
+)
+def q_set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    auto = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    low = cust.filter(F.col("c_acctbal") < 100).select("c_custkey")
+    return building.union(auto).exceptAll(low).distinct()
+
+
+@register(
+    "running_qty_per_supplier",
+    """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       sum(l_quantity) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY epoch_ms(l_shipdate), l_orderkey, l_linenumber,
+                  l_partkey, l_quantity, l_extendedprice
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+FROM lineitem
+""",
+    doc="Analytic frame (running sum, explicit ROWS frame + total ordering "
+    "tiebreak); quantity sums exact.",
+)
+def q_running_qty_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(
+            F.unix_millis("l_shipdate"), "l_orderkey", "l_linenumber",
+            "l_partkey", "l_quantity", "l_extendedprice",
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.sum("l_quantity").over(w).alias("running_qty"),
+    )
+
+
+@register(
+    "json_extract_events",
+    """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+""",
+    doc="JSON path extraction (F7 surface: the engine's JSON scalar "
+    "functions) + aggregation.",
+)
+def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select((k % 10).alias("k_mod"), "user_id")
+        .groupBy("k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+WITH gaps AS (
+  SELECT event_id, user_id, epoch_ms(ts) // 1000 AS s,
+         CASE WHEN epoch_ms(ts) // 1000
+                   - lag(epoch_ms(ts) // 1000)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT event_id, user_id,
+       sum(new_session) OVER (
+         PARTITION BY user_id ORDER BY s, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+FROM gaps
+""",
+    doc="Gap-based sessionization (30-min inactivity) as cumulative-sum "
+    "window — the batch twin of a session_window streaming op (SURVEY §2.9).",
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    s = F.expr("unix_millis(ts) div 1000")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_id", "user_id", s.alias("s"),
+        F.when(
+            ((s - F.lag(s, 1).over(w)) > 1800) | F.lag("ts", 1).over(w).isNull(),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return gaps.select(
+        "event_id", "user_id",
+        F.sum("new_session").over(w2).alias("session_idx"),
+    )
+
+
+@register(
+    "dedup_events_exact",
+    """
+SELECT user_id, event_type,
+       min(event_id) AS first_event_id,
+       count(*) AS n_dupes
+FROM events GROUP BY user_id, event_type
+""",
+    doc="Exact deduplication: canonical-representative per key "
+    "(groupBy+min — the scalable form of dropDuplicates; SURVEY §2.11).",
+)
+def q_dedup_events_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.count(F.lit(1)).alias("n_dupes"),
+    )

@@ -33,6 +33,10 @@ TABLE_NAMES = [
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table with a normalized schema."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # µs-timestamp columns (orders/lineitem) must resolve as TIMESTAMP
+    # instants (stored micros = UTC epoch, same as DuckDB's epoch_ms), not
+    # TIMESTAMP_NTZ — keeps every epoch extraction session-TZ-free.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _TS_COLS.get(name, []):
         if dict(df.dtypes).get(c) == "bigint":
