@@ -1,0 +1,156 @@
+"""Deduplication operators: exact, MinHash-LSH near-dup, SimHash.
+
+Scale design (the 100 TB story):
+- signatures (shingles → MinHash → band keys) are computed **per row with
+  array higher-order functions** — no explode, no shuffle, pure map;
+- the only shuffles are (1) the LSH band self-join on ``(band, band_sig)``
+  — candidate generation touches just B small keys per doc, never the
+  O(n²) cross product — and (2) the final verify join, which is bounded by
+  the candidate count;
+- band keys are near-uniform (md5-derived), so the band join is skew-free;
+  a hot band (e.g. boilerplate) is exactly what AQE skew-split handles.
+
+MinHash-LSH follows the classic banding construction (Broder; Leskovec et
+al., "Mining of Massive Datasets" ch.3) — K hashes, B bands × r rows:
+P(candidate) = 1 − (1 − J^r)^B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_olho_vivo_spark.functions.hashing import (
+    P,
+    shingle3_expr,
+    spark_token_hash,
+)
+
+NUM_HASHES = 8
+ROWS_PER_BAND = 2
+NUM_BANDS = NUM_HASHES // ROWS_PER_BAND
+SIMHASH_BITS = 16
+
+
+def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Keep the first row (min ``order_col``) per exact key — the scalable
+    groupBy form of ``dropDuplicates`` with a deterministic survivor."""
+    return df.groupBy(*keys).agg(
+        F.min(order_col).alias("keep_" + order_col),
+        F.count(F.lit(1)).alias("n_dupes"),
+    )
+
+
+def _shingles_expr(text: str) -> str:
+    """Spark SQL expr: distinct word-3-gram shingle hashes of ``text``.
+
+    Spark SQL has no let-binding, so the token-hash array expression is
+    inlined at each element_at site — still a pure per-row map.
+    """
+    wh = f"transform(split({text}, ' '), w -> {spark_token_hash('w')})"
+    sh = shingle3_expr(
+        f"element_at({wh}, i + 1)",
+        f"element_at({wh}, i + 2)",
+        f"element_at({wh}, i + 3)",
+    )
+    inner = (
+        f"array_distinct(transform("
+        f"sequence(0, size(split({text}, ' ')) - 3), i -> {sh}))"
+    )
+    return (
+        f"CASE WHEN size(split({text}, ' ')) >= 3 THEN {inner} "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+
+
+def with_shingles(
+    df: DataFrame, text: str = "text", out: str = "sh"
+) -> DataFrame:
+    """Distinct word-3-gram shingle hashes per document (array column)."""
+    return df.withColumn(out, F.expr(_shingles_expr(text)))
+
+
+def minhash_signature(
+    df: DataFrame,
+    text: str = "text",
+    num_hashes: int = NUM_HASHES,
+    out: str = "minhash",
+) -> DataFrame:
+    """K-element MinHash signature per document (array<bigint>)."""
+    sig = (
+        f"transform(sequence(0, {num_hashes - 1}), k -> "
+        f"array_min(transform(sh, s -> (s * (2 * k + 1) + (12345 * k + 1)) % {P})))"
+    )
+    return (
+        with_shingles(df, text)
+        .filter(F.size("sh") > 0)
+        .withColumn(out, F.expr(sig))
+    )
+
+
+def lsh_bands(df: DataFrame, sig_col: str = "minhash") -> DataFrame:
+    """Explode the signature into (band, band_sig-string) keys."""
+    bands = (
+        f"transform(sequence(0, {NUM_BANDS - 1}), b -> "
+        f"struct(b AS band, array_join(transform("
+        f"slice({sig_col}, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}), "
+        f"x -> CAST(x AS STRING)), '_') AS band_sig))"
+    )
+    return df.select(
+        "doc_id", "sh", F.explode(F.expr(bands)).alias("bk")
+    ).select("doc_id", "sh", "bk.band", "bk.band_sig")
+
+
+def candidate_pairs(banded: DataFrame) -> DataFrame:
+    """Docs sharing any (band, band_sig) key — the LSH candidate set."""
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), "band", "band_sig",
+        F.col("sh").alias("sh_a"),
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), "band", "band_sig",
+        F.col("sh").alias("sh_b"),
+    )
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def near_duplicates(
+    df: DataFrame, text: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Returns (doc_a, doc_b, jaccard ≥ threshold).  Jaccard is an int/int
+    ratio over distinct shingle sets — engine-exact.
+    """
+    sig = minhash_signature(df, text)
+    pairs = candidate_pairs(lsh_bands(sig))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+    """Frequency-weighted SimHash over md5-derived token hashes.
+
+    bit_j = sign(Σ_tokens (±1 depending on bit j of h(w))); the token
+    multiset (with multiplicity) is used, so repeated words weigh more.
+    """
+    wh = f"transform(split({text}, ' '), w -> {spark_token_hash('w')})"
+    terms = []
+    for j in range(bits):
+        w = 2**j
+        bit_sum = (
+            f"aggregate({wh}, 0, (acc, x) -> acc + "
+            f"(CASE WHEN (x div {w}) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN ({bit_sum}) > 0 THEN {w} ELSE 0 END)")
+    return df.withColumn("simhash", F.expr(" + ".join(terms)))

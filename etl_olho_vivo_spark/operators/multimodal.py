@@ -1,0 +1,109 @@
+"""Multimodal columns: opaque binary media + typed metadata (SURVEY §2.11).
+
+Design for 100 TB of mixed media:
+- media bytes live in a ``BinaryType`` column (Parquet handles binary
+  natively, with page-level compression);
+- typed metadata travels alongside in a struct column so filters/pruning
+  (``media_meta.media_type = 'image/png'``) never touch the bytes;
+- decode / feature-extraction is the one legitimately-Python stage, so it
+  runs as ``mapInPandas`` — Arrow-batched, one Python worker per task,
+  vectorized within the batch.  Partition count controls decode
+  parallelism; the schema out of the UDF is explicit.
+
+The actual codec is STUBBED (no image/audio libraries in this container):
+``decode_media`` computes deterministic fake features (byte stats) with the
+exact batch shape, schema, and Arrow plumbing a real decoder would use —
+swap ``_fake_decode`` for PIL/libav and nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("fake_width", T.IntegerType()),
+        T.StructField("fake_height", T.IntegerType()),
+    ]
+)
+
+
+def attach_media(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize a binary media column + typed metadata struct.
+
+    (Here the "media" is the utf-8 bytes of the text — the container has no
+    real media; the column types and layout are the real design.)
+    """
+    return df.withColumns(
+        {
+            "media": F.encode(F.col(text_col), "UTF-8"),
+            "media_meta": F.struct(
+                F.lit("text/plain").alias("media_type"),
+                F.octet_length(F.col(text_col)).alias("n_bytes"),
+            ),
+        }
+    )
+
+
+def _fake_decode(media: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in for a real codec.
+
+    A real implementation would be::
+
+        img = PIL.Image.open(io.BytesIO(media))   # needs pillow
+        return img.width, img.height, ...
+
+    which is unavailable here — so features are exact byte statistics
+    (deterministic, oracle-checkable through the Arrow boundary).
+    """
+    n = len(media)
+    checksum = sum(media) % 2147483647
+    return n, checksum, checksum % 640, checksum % 480
+
+
+def decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched decode/feature-extract over the binary column.
+
+    The shipped closure must be fully self-contained: Spark's Python
+    workers do not have this package on their ``sys.path`` (the driver
+    controls the session), so referencing module globals from ``batches``
+    would make cloudpickle serialize them by reference and fail with
+    ``ModuleNotFoundError`` on the worker.  Hence the codec is inlined.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_decode(media: bytes) -> tuple[int, int, int, int]:
+            # inlined _fake_decode (keep the two in sync)
+            n = len(media)
+            checksum = sum(media) % 2147483647
+            return n, checksum, checksum % 640, checksum % 480
+
+        for pdf in it:
+            feats = [fake_decode(m) for m in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": pd.Series(
+                        [f[0] for f in feats], dtype="int32"
+                    ),
+                    "checksum": pd.Series(
+                        [f[1] for f in feats], dtype="int64"
+                    ),
+                    "fake_width": pd.Series(
+                        [f[2] for f in feats], dtype="int32"
+                    ),
+                    "fake_height": pd.Series(
+                        [f[3] for f in feats], dtype="int32"
+                    ),
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(batches, DECODED_SCHEMA)

@@ -1,0 +1,107 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §2.11).
+
+Everything here is JVM-side Column expressions over token arrays —
+``split`` once, then higher-order functions (``transform``/``filter``/
+``aggregate``) that run inside whole-stage codegen.  No Python UDFs, no
+shuffles: these are per-row map operators that scale linearly with the
+scan at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_olho_vivo_spark.functions.hashing import MIX, P, spark_token_hash
+
+# Marker lexicons for the language-ID heuristic (tiny built-in profiles; a
+# production build would load real n-gram profiles as a broadcast dim).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "la", "de", "y"),
+    "fr": ("le", "la", "de", "et"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "in", "to")
+
+
+def tokens(text: str = "text") -> Column:
+    """Whitespace tokenization (single-space corpus → plain split)."""
+    return F.split(F.col(text), " ")
+
+
+def token_count(text: str = "text") -> Column:
+    return F.size(tokens(text))
+
+
+def regex_token_count(text: str = "text", pattern: str = "[a-z]+") -> Column:
+    """BPE-ish token proxy: count of maximal ``[a-z]+`` runs (identical
+    regex semantics in Spark/RE2 dialects for this simple class)."""
+    return F.expr(f"size(regexp_extract_all({text}, '{pattern}', 0))")
+
+
+def _in_list(var: str, words: tuple[str, ...]) -> str:
+    return " OR ".join(f"{var} = '{w}'" for w in words)
+
+
+def stopword_count(text: str = "text") -> Column:
+    return F.expr(
+        f"size(filter(split({text}, ' '), w -> {_in_list('w', STOPWORDS)}))"
+    )
+
+
+def quality_features(df: DataFrame, text: str = "text") -> DataFrame:
+    """Length / word-length / stopword-ratio quality features + a combined
+    score.  All ratios are int/int divisions (exact-rounded, engine-stable).
+    """
+    n_tok = token_count(text)
+    n_char = F.length(F.col(text))
+    # single-space corpus: total word chars = n_char - (n_tok - 1)
+    avg_word_len = (n_char - (n_tok - F.lit(1))) / n_tok
+    stop_ratio = stopword_count(text) / n_tok
+    score = F.lit(0.4) * stop_ratio + F.lit(0.6) * (
+        F.lit(1.0) - F.lit(1.0) / avg_word_len
+    )
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "n_chars_m": n_char,
+            "avg_word_len": avg_word_len,
+            "stopword_ratio": stop_ratio,
+            "quality_score": score,
+        }
+    )
+
+
+def lang_guess(text: str = "text") -> Column:
+    """Marker-word language ID: argmax of per-language marker hits with a
+    fixed evaluation order (en > de > es > fr > und on ties)."""
+    counts = {
+        lang: F.expr(
+            f"size(filter(split({text}, ' '), w -> {_in_list('w', ws)}))"
+        )
+        for lang, ws in LANG_MARKERS.items()
+    }
+    best = F.greatest(*counts.values())
+    out = F.lit("und")
+    # reversed so earlier languages win ties via later when() precedence
+    for lang in reversed(list(LANG_MARKERS)):
+        out = F.when((counts[lang] == best) & (best > 0), lang).otherwise(out)
+    return out
+
+
+def fingerprint_rolling(text: str = "text") -> Column:
+    """Order-sensitive document fingerprint: left-fold polynomial rolling
+    hash over md5-derived token hashes, mod P (64-bit-safe:
+    acc < P ≈ 2^32, acc·MIX + h < 4.3e15 < 2^63)."""
+    return F.expr(
+        f"aggregate(transform(split({text}, ' '), "
+        f"w -> {spark_token_hash('w')}), "
+        f"CAST(0 AS BIGINT), (acc, x) -> (acc * {MIX} + x) % {P})"
+    )
+
+
+def fingerprint_md5(text: str = "text") -> Column:
+    """Whole-document content fingerprint (md5-derived 32-bit int)."""
+    return F.expr(spark_token_hash(text))

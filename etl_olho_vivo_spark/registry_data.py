@@ -1,0 +1,450 @@
+"""Data-pipeline operator surface: dedup, similarity search, text analysis,
+multimodal — the beyond-reference operators (SURVEY §2.11, BASELINE.json
+north star), each oracle-checked where SQL-expressible.
+
+All hashes are md5-derived (identical in both engines, see
+functions/hashing.py); all ratios are int/int; float-derived scores are
+rounded before they order or appear in output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_olho_vivo_spark.functions.hashing import (
+    MIX,
+    P,
+    duck_token_hash,
+    shingle3_expr,
+)
+from etl_olho_vivo_spark.operators import dedup, multimodal, similarity, textops
+from etl_olho_vivo_spark.registry import register
+from etl_olho_vivo_spark.sources.tables import read_table
+
+# ---------------------------------------------------------------------------
+# DuckDB fragments mirroring the Spark operator expressions
+# ---------------------------------------------------------------------------
+
+_D_WH = f"list_transform(string_split(text, ' '), w -> {duck_token_hash('w')})"
+
+_D_SHINGLES = (
+    f"CASE WHEN len(wh) >= 3 THEN list_distinct(list_transform("
+    f"range(0, len(wh) - 2), i -> "
+    f"{shingle3_expr('wh[i+1]', 'wh[i+2]', 'wh[i+3]')})) "
+    f"ELSE CAST([] AS BIGINT[]) END"
+)
+
+
+def _d_minhash(k: int) -> str:
+    return (
+        f"list_min(list_transform(sh, s -> "
+        f"(s * {2 * k + 1} + {12345 * k + 1}) % {P}))"
+    )
+
+
+def _d_stopfilter(words: tuple[str, ...]) -> str:
+    cond = " OR ".join(f"w = '{w}'" for w in words)
+    return f"len(list_filter(string_split(text, ' '), w -> {cond}))"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_token_stats",
+    """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(regexp_extract_all(text, '[a-z]+')) AS n_regex_tokens,
+       length(text) AS n_chars_measured
+FROM documents
+""",
+    doc="Token counting: whitespace split + regex-run tokenizer "
+    "(BPE-ish proxy). Pure per-row map.",
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textops.token_count().alias("n_tokens"),
+        textops.regex_token_count().alias("n_regex_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+@register(
+    "doc_quality",
+    f"""
+SELECT doc_id, n_tokens, avg_word_len, stopword_ratio,
+       0.4 * stopword_ratio + 0.6 * (1.0 - 1.0 / avg_word_len)
+         AS quality_score
+FROM (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         (length(text) - (len(string_split(text, ' ')) - 1))
+           / len(string_split(text, ' ')) AS avg_word_len,
+         {_d_stopfilter(textops.STOPWORDS)}
+           / len(string_split(text, ' ')) AS stopword_ratio
+  FROM documents
+)
+""",
+    doc="Quality scoring: length/word-length/stopword-ratio features; all "
+    "ratios int/int (engine-exact).",
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return textops.quality_features(d).select(
+        "doc_id", "n_tokens", "avg_word_len", "stopword_ratio",
+        "quality_score",
+    )
+
+
+def _d_lang_sql() -> str:
+    counts = {
+        lang: _d_stopfilter(ws) for lang, ws in textops.LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(counts.values()) + ")"
+    whens = " ".join(
+        f"WHEN ({counts[lang]}) = ({best}) AND ({best}) > 0 THEN '{lang}'"
+        for lang in textops.LANG_MARKERS
+    )
+    return f"SELECT doc_id, lang, CASE {whens} ELSE 'und' END AS lang_guess FROM documents"
+
+
+@register(
+    "doc_lang_id",
+    _d_lang_sql(),
+    doc="Language ID: marker-lexicon argmax heuristic (fixed priority on "
+    "ties). Production would swap in char-n-gram profiles as a broadcast "
+    "dim; the operator shape is identical.",
+)
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", textops.lang_guess().alias("lang_guess"))
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+SELECT doc_id,
+       list_reduce({_D_WH}, (acc, x) -> (acc * {MIX} + x) % {P})
+         AS fp_rolling,
+       {duck_token_hash('text')} AS fp_md5
+FROM documents
+""",
+    doc="Document fingerprinting: order-sensitive rolling polynomial hash "
+    "over token hashes + whole-text md5 fingerprint.  (Spark's fold seeds "
+    "acc=0 and h<P, so step 1 yields h1 — identical to DuckDB's "
+    "first-element-seeded list_reduce.)",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textops.fingerprint_rolling().alias("fp_rolling"),
+        textops.fingerprint_md5().alias("fp_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_dedup_exact",
+    f"""
+SELECT fp_md5, min(doc_id) AS keep_doc_id, count(*) AS n_dupes
+FROM (SELECT doc_id, {duck_token_hash('text')} AS fp_md5 FROM documents)
+GROUP BY fp_md5
+""",
+    doc="Exact content dedup: hash-groupBy on a content fingerprint with "
+    "deterministic survivor (min doc_id). One shuffle on a uniform key.",
+)
+def q_docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", textops.fingerprint_md5().alias("fp_md5"))
+    return dedup.exact_dedup(fp, ["fp_md5"], "doc_id").select(
+        "fp_md5",
+        F.col("keep_doc_id").alias("keep_doc_id"),
+        "n_dupes",
+    )
+
+
+def _d_minhash_sql() -> str:
+    mh = ",\n    ".join(
+        f"{_d_minhash(k)} AS mh{k}" for k in range(dedup.NUM_HASHES)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, CAST(mh{2 * b} AS VARCHAR) || '_' || "
+        f"CAST(mh{2 * b + 1} AS VARCHAR) AS band_sig FROM sig"
+        for b in range(dedup.NUM_BANDS)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, {_D_WH} AS wh FROM documents),
+shs AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM docs),
+sig AS (
+  SELECT doc_id, sh,
+    {mh}
+  FROM shs WHERE len(sh) > 0
+),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.sh, sb.sh))
+           / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+           AS jaccard
+  FROM cand c
+  JOIN shs sa ON sa.doc_id = c.doc_a
+  JOIN shs sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+
+
+@register(
+    "minhash_near_dups",
+    _d_minhash_sql(),
+    doc="Near-dedup via MinHash-LSH: 3-gram shingles → 8-hash signature → "
+    "4 bands × 2 rows banding join → exact-Jaccard verify ≥ 0.5 "
+    "(Broder banding; MMDS ch.3). Candidate generation is the band join — "
+    "never an O(n²) cross product.",
+)
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.near_duplicates(d, threshold=0.5)
+
+
+def _d_simhash_sql() -> str:
+    terms = []
+    for j in range(dedup.SIMHASH_BITS):
+        w = 2**j
+        s = (
+            f"CAST(list_sum(list_transform(wh, x -> "
+            f"CASE WHEN (x // {w}) % 2 = 1 THEN 1 ELSE -1 END)) AS BIGINT)"
+        )
+        terms.append(f"(CASE WHEN ({s}) > 0 THEN {w} ELSE 0 END)")
+    return (
+        f"SELECT doc_id, {' + '.join(terms)} AS simhash "
+        f"FROM (SELECT doc_id, {_D_WH} AS wh FROM documents)"
+    )
+
+
+@register(
+    "doc_simhash",
+    _d_simhash_sql(),
+    doc="SimHash (16-bit, frequency-weighted) per document — near-dup "
+    "sketch whose hamming distance bounds cosine token-similarity.",
+)
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.simhash(d).select("doc_id", "simhash")
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+WITH t AS (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN len(wh) >= 2 THEN list_distinct(list_transform(
+           range(0, len(wh) - 1),
+           i -> (wh[i+1] * {MIX} + wh[i+2]) % {P}))
+         ELSE CAST([] AS BIGINT[]) END AS bg
+  FROM (SELECT doc_id, source, n_chars, {_D_WH} AS wh FROM documents)
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.bg, b.bg))
+           / (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg)))
+           AS jaccard
+  FROM t a JOIN t b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+   AND abs(a.n_chars - b.n_chars) <= 20
+) WHERE jaccard >= 0.3
+""",
+    doc="n-gram (word-bigram) Jaccard near-dup with blocking on "
+    "(source, |Δn_chars| ≤ 20) — the blocked-join pattern that keeps "
+    "pairwise similarity tractable at scale.",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    wh = f"transform(split(text, ' '), w -> {dedup.spark_token_hash('w')})"
+    bg = (
+        f"CASE WHEN size(split(text, ' ')) >= 2 THEN array_distinct("
+        f"transform(sequence(0, size(split(text, ' ')) - 2), "
+        f"i -> (element_at({wh}, i + 1) * {MIX} + element_at({wh}, i + 2)) % {P}"
+        f")) ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    t = d.select("doc_id", "source", "n_chars", F.expr(bg).alias("bg"))
+    a = t.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"),
+        F.col("n_chars").alias("nc_a"), F.col("bg").alias("bg_a"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"),
+        F.col("n_chars").alias("nc_b"), F.col("bg").alias("bg_b"),
+    )
+    inter = F.size(F.array_intersect("bg_a", "bg_b"))
+    union = F.size("bg_a") + F.size("bg_b") - inter
+    return (
+        a.join(
+            b,
+            (F.col("src_a") == F.col("src_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 20),
+        )
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= 0.3)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_D_DOT = (
+    "list_sum(list_transform(range(0, len({a})), "
+    "i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)))"
+)
+
+
+@register(
+    "embedding_cosine_topk",
+    f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label, cos_sim FROM (
+  SELECT e.vec_id, e.label,
+         round({_D_DOT.format(a='e.embedding', b='q.qe')}
+           / (sqrt({_D_DOT.format(a='e.embedding', b='e.embedding')})
+              * sqrt({_D_DOT.format(a='q.qe', b='q.qe')})), 6) AS cos_sim
+  FROM embeddings e, q WHERE e.vec_id <> 0
+)
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
+    doc="Brute-force cosine top-k (the ANN correctness baseline): broadcast "
+    "query vector, JVM-side zip_with/aggregate fold, TakeOrdered(k) — one "
+    "scan, no shuffle.",
+)
+def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, query_vec_id=0, k=10)
+
+
+_D_QUANT = (
+    "list_transform({a}, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) "
+    "AS BIGINT))"
+)
+
+
+@register(
+    "ivf_topk",
+    f"""
+WITH v AS (
+  SELECT vec_id, label, {_D_QUANT.format(a='embedding')} AS qv
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cell_id, qv AS qc FROM v WHERE vec_id < 8),
+d AS (
+  SELECT v.vec_id, v.label, v.qv, c.cell_id,
+         CAST(list_sum(list_transform(range(0, len(v.qv)),
+           i -> (v.qv[i+1] - c.qc[i+1]) * (v.qv[i+1] - c.qc[i+1])))
+           AS BIGINT) AS dist
+  FROM v, c
+),
+a AS (
+  SELECT vec_id, label, qv, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cell_id) AS rn FROM d
+  ) WHERE rn = 1
+),
+q AS (SELECT cell_id AS q_cell, qv AS q_qv FROM a WHERE vec_id = 0)
+SELECT a.vec_id, a.label, a.cell_id,
+       CAST(list_sum(list_transform(range(0, len(a.qv)),
+         i -> a.qv[i+1] * q.q_qv[i+1])) AS BIGINT) AS dot_q
+FROM a, q
+WHERE a.cell_id = q.q_cell AND a.vec_id <> 0
+ORDER BY dot_q DESC, a.vec_id
+LIMIT 10
+""",
+    doc="IVF ANN top-k: integer-quantized coarse quantizer (exact argmin "
+    "cell assignment), probe the query's cell only, rank by exact integer "
+    "dot — the scale path that cuts the scan by the cell count.",
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, query_vec_id=0, k=10, n_cells=8)
+
+
+@register(
+    "ivf_cells",
+    f"""
+WITH v AS (
+  SELECT vec_id, label, {_D_QUANT.format(a='embedding')} AS qv
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cell_id, qv AS qc FROM v WHERE vec_id < 8),
+d AS (
+  SELECT v.vec_id, c.cell_id,
+         CAST(list_sum(list_transform(range(0, len(v.qv)),
+           i -> (v.qv[i+1] - c.qc[i+1]) * (v.qv[i+1] - c.qc[i+1])))
+           AS BIGINT) AS dist
+  FROM v, c
+)
+SELECT cell_id, count(*) AS n_vectors FROM (
+  SELECT vec_id, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cell_id) AS rn FROM d
+  ) WHERE rn = 1
+) GROUP BY cell_id
+""",
+    doc="IVF cell histogram — partition-balance diagnostics for the ANN "
+    "index (skewed cells → probe imbalance).",
+)
+def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        similarity.ivf_assign(emb, n_cells=8)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_decode",
+    """
+SELECT doc_id,
+       CAST(strlen(text) AS INT) AS n_bytes,
+       CAST(list_sum(list_transform(range(0, strlen(text)),
+         i -> ascii(substring(text, i + 1, 1)))) % 2147483647 AS BIGINT)
+         AS checksum,
+       CAST(CAST(list_sum(list_transform(range(0, strlen(text)),
+         i -> ascii(substring(text, i + 1, 1)))) % 2147483647 AS BIGINT)
+         % 640 AS INT) AS fake_width,
+       CAST(CAST(list_sum(list_transform(range(0, strlen(text)),
+         i -> ascii(substring(text, i + 1, 1)))) % 2147483647 AS BIGINT)
+         % 480 AS INT) AS fake_height
+FROM documents
+""",
+    doc="Multimodal plumbing: binary media column + metadata struct, decoded "
+    "via Arrow-batched mapInPandas (stubbed codec — byte stats stand in for "
+    "real decode; swap _fake_decode for PIL/libav unchanged).  The oracle "
+    "recomputes the byte stats in SQL, validating the Python/Arrow boundary.",
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return multimodal.decode_media(multimodal.attach_media(d))
