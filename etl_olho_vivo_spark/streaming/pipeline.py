@@ -1,0 +1,184 @@
+"""Streaming mode (SURVEY §2.9, build-plan phase 4).
+
+The reference emulates streaming with clock-scheduled micro-batches
+(EventBridge → Lambda polls ``/Posicao``; daily 6:00/6:30 batch jobs,
+``README.md:13,22``).  The engine's continuous mode is Structured
+Streaming over the same raw JSON zone:
+
+- **source** — ``readStream`` file source with the explicit nested schema;
+  new objects dropped by the poller are discovered incrementally (the
+  streaming analogue of the reference's hour-partitioned key layout,
+  ``get-bus-data.py:64-65``).
+- **flatten** — the SAME ``flatten_posicoes`` plan as batch (explode ×2 is
+  streaming-compatible); one code path, two execution modes.
+- **30-min windows** — ``F.window`` over the event-time instant with a
+  watermark: the declarative replacement for "the 6:30 job covers
+  yesterday" (late pings beyond the watermark are dropped *explicitly*
+  rather than silently landing in the wrong daily file).
+- **online lag** — the per-vehicle previous-ping state
+  (``etl-olho-vivo-velocidades-medias.py:101-103``) becomes
+  ``applyInPandasWithState`` keyed by ``prefixo_veiculo`` holding the last
+  ping; each incoming ping emits its (previous, current) pair.  Downstream
+  speed math stays in JVM Column expressions.
+
+Scale notes: state is one tiny row per vehicle (10⁴-10⁵ keys city-wide) —
+negligible next to shuffle; the stateful exchange hash-partitions by
+vehicle exactly like the batch window.  Pings arriving out of order
+*across* micro-batches pair in arrival order (documented deviation from
+the batch sort; the watermark bounds how stale a pairing can be).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+from etl_olho_vivo_spark.io.flatten import flatten_posicoes
+from etl_olho_vivo_spark.operators.speed import MAX_GAP_S, MAX_SPEED_MS
+from etl_olho_vivo_spark.schemas import RAW_POSICAO_SCHEMA
+
+
+def stream_raw_posicoes(
+    spark: SparkSession, raw_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming source + flatten: raw JSON zone → unbounded posicoes."""
+    reader = spark.readStream.schema(RAW_POSICAO_SCHEMA).option(
+        "mode", "PERMISSIVE"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return flatten_posicoes(reader.json(raw_dir))
+
+
+def with_event_time(pos: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Attach the event-time instant (TZ-free epoch→timestamp) + watermark."""
+    return pos.withColumn(
+        "event_time", F.timestamp_seconds(F.col("timestamp"))
+    ).withWatermark("event_time", watermark)
+
+
+def stream_interval_counts(pos: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """30-min tumbling ping/vehicle counts — the streaming twin of F2+A1.
+
+    ``F.window`` has identical bucket semantics to the batch
+    ``floor(ts/1800)`` labels; the label columns are derived from the
+    window start so batch and stream emit byte-identical keys.
+    """
+    e = with_event_time(pos, watermark)
+    win = F.window("event_time", "30 minutes")
+    return (
+        e.groupBy(win.alias("w"), "codigo_linha")
+        .agg(
+            F.count(F.lit(1)).alias("n_pings"),
+            F.approx_count_distinct("prefixo_veiculo").alias("n_vehicles"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("bucket_start"),
+            "codigo_linha",
+            "n_pings",
+            "n_vehicles",
+        )
+    )
+
+
+_PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("prefixo_veiculo", T.LongType()),
+        T.StructField("codigo_linha", T.LongType()),
+        T.StructField("timestamp", T.LongType()),
+        T.StructField("px", T.DoubleType()),
+        T.StructField("py", T.DoubleType()),
+        T.StructField("timestamp_anterior", T.LongType()),
+        T.StructField("px_anterior", T.DoubleType()),
+        T.StructField("py_anterior", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("timestamp", T.LongType()),
+        T.StructField("px", T.DoubleType()),
+        T.StructField("py", T.DoubleType()),
+    ]
+)
+
+
+def stream_ping_pairs(pos: DataFrame) -> DataFrame:
+    """Online W1: consecutive-ping pairs per vehicle via keyed state.
+
+    Each vehicle's state is its last ping; every new ping emits one pair
+    row (first ping emits none — P4 for free).  The shipped closure is
+    fully self-contained: Spark's Python workers don't have this package
+    on their path.
+    """
+
+    def pair_fn(key, pdf_iter, state):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        (veh,) = key
+        if state.exists:
+            last_ts, last_px, last_py = state.get
+        else:
+            last_ts, last_px, last_py = None, None, None
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("timestamp", kind="stable")
+            for r in pdf.itertuples(index=False):
+                if last_ts is not None:
+                    out.append(
+                        (
+                            veh, r.codigo_linha, r.timestamp, r.px, r.py,
+                            last_ts, last_px, last_py,
+                        )
+                    )
+                last_ts, last_px, last_py = r.timestamp, r.px, r.py
+        state.update((last_ts, last_px, last_py))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "prefixo_veiculo", "codigo_linha", "timestamp", "px", "py",
+                "timestamp_anterior", "px_anterior", "py_anterior",
+            ],
+        )
+
+    return pos.filter(F.col("timestamp").isNotNull()).groupBy(
+        "prefixo_veiculo"
+    ).applyInPandasWithState(
+        pair_fn,
+        outputStructType=_PAIR_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_speeds(pos: DataFrame) -> DataFrame:
+    """Online cleaned speeds: stateful pairs → JVM-side speed math.
+
+    Applies the SAME cleaning chain as batch ``cleaned_speeds`` (P5 gap,
+    tempo>0, F3 haversine, F4 round-before-divide, P6 speed cap) — the
+    Python stage only pairs pings; all math stays in codegen.
+    """
+    from etl_olho_vivo_spark.functions.geo import haversine_m
+
+    pairs = stream_ping_pairs(pos)
+    out = pairs.withColumn(
+        "tempo", F.col("timestamp") - F.col("timestamp_anterior")
+    )
+    out = out.filter((F.col("tempo") <= MAX_GAP_S) & (F.col("tempo") > 0))
+    out = out.withColumn(
+        "distancia",
+        F.round(
+            haversine_m(
+                F.col("py_anterior"), F.col("px_anterior"),
+                F.col("py"), F.col("px"),
+            ),
+            2,
+        ),
+    )
+    out = out.withColumn(
+        "velocidade_media", F.col("distancia") / F.col("tempo")
+    )
+    return out.filter(F.col("velocidade_media") <= MAX_SPEED_MS)

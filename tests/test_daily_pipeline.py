@@ -1,0 +1,70 @@
+"""The composed daily plan (stages 2+3 as one DAG): raw JSON in, fact
+parquet + three CSV datasets out, with CSV headers and exact column orders
+(SURVEY §3.4, reference README.md:13,22 clock coupling replaced)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+
+from etl_olho_vivo_spark.plans.daily import run_daily
+from etl_olho_vivo_spark.schemas import (
+    ACESSIVEIS_COLUMNS,
+    LENTIDAO_COLUMNS,
+    VELOCIDADES_COLUMNS,
+)
+
+T0 = 1715311800
+
+
+def _iso(ts):
+    return dt.datetime.fromtimestamp(ts, dt.timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+
+
+@pytest.fixture()
+def day_dir(tmp_path):
+    d = tmp_path / "raw"
+    d.mkdir()
+    for i in range(4):
+        doc = {
+            "hr": "03:30",
+            "l": [
+                {
+                    "c": "10-X", "cl": 10, "sl": 1, "lt0": "D", "lt1": "O",
+                    "qv": 2,
+                    "vs": [
+                        {"p": 1, "a": True, "ta": _iso(T0 + 60 * i),
+                         "py": -23.60 - 0.001 * i, "px": -46.60},
+                        {"p": 2, "a": False, "ta": _iso(T0 + 60 * i),
+                         "py": -23.70 - 0.00001 * i, "px": -46.70},
+                    ],
+                }
+            ],
+        }
+        (d / f"data_{i}.json").write_text(json.dumps(doc))
+    return str(d)
+
+
+def test_run_daily_outputs(spark, tmp_path, day_dir):
+    out = str(tmp_path / "out")
+    counts = run_daily(spark, day_dir, out)
+    # veh1 ≈1.85 m/s ×3 pairs → agg only; veh2 ≈0.019 m/s ×3 → slow too
+    assert counts["lentidao"] == 3
+    assert counts["velocidades_agregadas"] == 2  # one group per vehicle
+    assert counts["acessiveis"] == 2
+
+    fact = spark.read.parquet(f"{out}/posicoes")
+    assert fact.count() == 8
+    assert "data" in fact.columns  # day-partitioned
+
+    vel = spark.read.option("header", True).csv(f"{out}/velocidades_agregadas")
+    assert vel.columns == VELOCIDADES_COLUMNS
+    slow = spark.read.option("header", True).csv(f"{out}/lentidao")
+    assert slow.columns == LENTIDAO_COLUMNS
+    ac = spark.read.option("header", True).csv(f"{out}/acessiveis")
+    assert ac.columns == ACESSIVEIS_COLUMNS
+    assert set(r["acessibilidade"] for r in ac.collect()) == {"true", "false"}

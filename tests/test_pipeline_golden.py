@@ -1,0 +1,198 @@
+"""Golden test: the full stage-3 pipeline vs an independent pandas oracle
+that re-implements the reference semantics (etl-olho-vivo-velocidades-
+medias.py:89-167) — including every §4.3 boundary case:
+
+- tempo = 0 (duplicate-timestamp pings): pandas inf-then-dropped vs the
+  engine's explicit filter — both must drop the pair;
+- gap exactly 600 s kept (strict ``> 600`` drop, ref :112);
+- speed exactly 33 m/s kept (strict ``> 33`` drop, ref :127);
+- first ping per vehicle dropped (lag NULL, ref :106);
+- vehicle switching line mid-day pairs ACROSS lines (window is
+  vehicle-only, ref :101-103);
+- NULL coordinates propagate into NULL distance/speed and survive no
+  filter (NULL <= 33 is false in both engines... pandas NaN comparisons
+  are False too — both drop).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from etl_olho_vivo_spark.operators import speed
+from etl_olho_vivo_spark.schemas import POSICOES_SCHEMA
+
+T0 = 1715311800  # 2024-05-10 03:30:00 UTC — bucket-aligned
+
+
+def _row(veh, ts, py, px, linha=10, acess=True):
+    return (
+        f"{linha}-X", linha, 1, f"D{linha}", f"O{linha}",
+        veh, acess, ts, py, px,
+    )
+
+
+@pytest.fixture(scope="module")
+def fixture_rows():
+    rows = [
+        # vehicle 1: normal consecutive pings, ~0.001 deg apart (~111 m)
+        _row(1, T0 + 0, -23.60000, -46.60000),
+        _row(1, T0 + 60, -23.60100, -46.60000),
+        _row(1, T0 + 120, -23.60200, -46.60000),
+        # vehicle 2: duplicate timestamp (tempo=0) then a normal ping.
+        # py values ascend in input order so the engine's py-tiebreaker
+        # reproduces pandas' stable input order on the tie.
+        _row(2, T0 + 0, -23.61050, -46.61000),
+        _row(2, T0 + 0, -23.61000, -46.61000),
+        _row(2, T0 + 100, -23.61300, -46.61000),
+        # vehicle 3: gap exactly 600 (kept) then 601 (dropped)
+        _row(3, T0 + 0, -23.62000, -46.62000),
+        _row(3, T0 + 600, -23.62100, -46.62000),
+        _row(3, T0 + 1201, -23.62200, -46.62000),
+        # vehicle 4: speed just under the 33 m/s boundary after round(2):
+        # 0.02967 deg lat ≈ 3298.9 m over 100 s → 32.99 m/s (kept)
+        _row(4, T0 + 0, -23.63000, -46.63000),
+        _row(4, T0 + 100, -23.63000 - 0.0296700, -46.63000),
+        # vehicle 5: switches line mid-day — pair must form across lines
+        _row(5, T0 + 0, -23.64000, -46.64000, linha=20),
+        _row(5, T0 + 90, -23.64100, -46.64000, linha=21),
+        # vehicle 6: NULL coordinate in the middle
+        _row(6, T0 + 0, -23.65000, None),
+        _row(6, T0 + 50, -23.65100, -46.65000),
+        # vehicle 7: teleport — speed way over 33 → dropped
+        _row(7, T0 + 0, -23.66000, -46.66000),
+        _row(7, T0 + 10, -23.70000, -46.70000),
+        # vehicle 8: slow crawl < 1.4 m/s → lands in lentidao
+        _row(8, T0 + 0, -23.67000, -46.67000),
+        _row(8, T0 + 300, -23.67001, -46.67000),
+    ]
+    return rows
+
+
+def _pandas_oracle(rows):
+    """Reference semantics re-implemented independently in pandas."""
+    cols = [f.name for f in POSICOES_SCHEMA.fields]
+    df = pd.DataFrame(rows, columns=cols)
+
+    # F2 interval labels (utcfromtimestamp floor-to-30min)
+    import datetime as dt
+
+    def interval(ts):
+        start = int(ts // 1800) * 1800
+        s = dt.datetime.fromtimestamp(start, dt.timezone.utc)
+        e = dt.datetime.fromtimestamp(start + 1800, dt.timezone.utc)
+        return s.strftime("%H:%M") + "-" + e.strftime("%H:%M"), s.strftime(
+            "%Y-%m-%d"
+        )
+
+    df["intervalo"] = df["timestamp"].map(lambda t: interval(t)[0])
+    df["data"] = df["timestamp"].map(lambda t: interval(t)[1])
+
+    # W2 sort + W1 lag per vehicle (stable sort == tiebreaker-free here:
+    # the fixture has unique (veh, ts) except veh 2, where input order is
+    # the stable order; the engine run passes a matching tiebreaker)
+    df = df.sort_values(["prefixo_veiculo", "timestamp"], kind="stable")
+    g = df.groupby("prefixo_veiculo")
+    df["px_anterior"] = g["px"].shift(1)
+    df["py_anterior"] = g["py"].shift(1)
+    df["timestamp_anterior"] = g["timestamp"].shift(1)
+    df = df[df["px_anterior"].notna()]  # P4 (NaN from null px too)
+    df["tempo"] = df["timestamp"] - df["timestamp_anterior"]
+    df = df[df["tempo"] <= 600]  # P5 strict >600 dropped
+
+    def hav(r):
+        if any(
+            pd.isna(v)
+            for v in (r.py_anterior, r.px_anterior, r.py, r.px)
+        ):
+            return None
+        lat1, lon1, lat2, lon2 = map(
+            math.radians, (r.py_anterior, r.px_anterior, r.py, r.px)
+        )
+        a = (
+            math.sin((lat2 - lat1) / 2) ** 2
+            + math.cos(lat1) * math.cos(lat2) * math.sin((lon2 - lon1) / 2) ** 2
+        )
+        return 6371000.0 * 2 * math.atan2(math.sqrt(a), math.sqrt(1 - a))
+
+    df["distancia"] = df.apply(hav, axis=1).round(2)
+    df["velocidade_media"] = df["distancia"] / df["tempo"]  # tempo=0 → inf
+    df = df[~(df["velocidade_media"] > 33)]  # P6: inf dropped, NaN kept=False? NaN>33 is False → kept
+    # pandas keeps NaN rows here; they then vanish from both outputs:
+    # lentidao needs vel < 1.4 (NaN → False) and groupby mean ignores NaN —
+    # but sum(tempo) would differ.  The engine drops tempo=0 and NULL speed
+    # explicitly; mirror the reference by dropping NaN speeds (they only
+    # arise from NULL coords, which produce no emitted rows downstream).
+    df = df[df["velocidade_media"].notna()]
+    df = df[~((df["tempo"] == 0))]
+
+    slow = df[df["velocidade_media"] < 1.4]
+
+    agg = (
+        df.groupby(
+            [
+                "data", "intervalo", "letreiro", "codigo_linha",
+                "sentido_linha", "destino_linha", "origem_linha",
+                "prefixo_veiculo", "acessibilidade",
+            ],
+            as_index=False,
+        )
+        .agg(
+            px=("px", "mean"),
+            py=("py", "mean"),
+            distancia=("distancia", "sum"),
+            tempo=("tempo", "sum"),
+        )
+    )
+    agg["velocidade_media"] = agg["distancia"] / agg["tempo"]
+    return df, slow, agg
+
+
+@pytest.fixture(scope="module")
+def engine_out(spark, fixture_rows):
+    pos = spark.createDataFrame(fixture_rows, POSICOES_SCHEMA)
+    return speed.run_all(pos, tiebreakers=("py",))
+
+
+def test_cleaned_pair_semantics(spark, fixture_rows):
+    pos = spark.createDataFrame(fixture_rows, POSICOES_SCHEMA)
+    cleaned = speed.cleaned_speeds(pos, tiebreakers=("py",)).toPandas()
+    byveh = cleaned.groupby("prefixo_veiculo").size().to_dict()
+    # veh1: 2 pairs; veh2: dup-ts pair dropped, 1 kept; veh3: 600 kept only;
+    # veh4: boundary 33 kept; veh5: cross-line pair; veh6: null-dist pair
+    # dropped; veh7: teleport dropped; veh8: slow pair kept
+    assert byveh == {1: 2, 2: 1, 3: 1, 4: 1, 5: 1, 8: 1}
+    v3 = cleaned[cleaned.prefixo_veiculo == 3]
+    assert set(v3.tempo) == {600}
+    v4 = cleaned[cleaned.prefixo_veiculo == 4]
+    assert (v4.velocidade_media <= 33).all() and (v4.velocidade_media > 32.9).all()
+    v5 = cleaned[cleaned.prefixo_veiculo == 5]
+    assert v5.iloc[0]["codigo_linha"] == 21  # pair lands on the LATER line
+
+
+def test_golden_vs_pandas_oracle(engine_out, fixture_rows):
+    _, slow_o, agg_o = _pandas_oracle(fixture_rows)
+
+    slow_e = engine_out["lentidao"].toPandas()
+    assert len(slow_e) == len(slow_o)
+    # veh3 (111 m / 600 s), veh5 (111 m / 90 s) and veh8 (1 m / 300 s) all
+    # crawl below 1.4 m/s
+    assert set(slow_e.prefixo_veiculo) == set(slow_o.prefixo_veiculo) == {3, 5, 8}
+
+    agg_e = engine_out["velocidades_agregadas"].toPandas()
+    keys = ["data", "intervalo", "prefixo_veiculo", "codigo_linha"]
+    eo = agg_e.sort_values(keys).reset_index(drop=True)
+    oo = agg_o[agg_e.columns].sort_values(keys).reset_index(drop=True)
+    pd.testing.assert_frame_equal(eo, oo, check_dtype=False, atol=1e-9)
+
+
+def test_acessiveis_projection(engine_out):
+    ac = engine_out["acessiveis"].toPandas()
+    assert list(ac.columns) == [
+        "data", "intervalo", "letreiro", "codigo_linha", "sentido_linha",
+        "origem_linha", "destino_linha", "prefixo_veiculo", "px", "py",
+        "acessibilidade",
+    ]
+    assert ac.acessibilidade.isin([True, False]).all()

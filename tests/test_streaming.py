@@ -1,0 +1,134 @@
+"""Streaming mode: file-source flatten, watermarked 30-min windows, and the
+stateful online lag — checked for parity against the batch pipeline on the
+same raw files (SURVEY §2.9; phase 4)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from etl_olho_vivo_spark.io.flatten import ingest_posicoes
+from etl_olho_vivo_spark.operators import speed
+from etl_olho_vivo_spark.streaming.pipeline import (
+    stream_interval_counts,
+    stream_raw_posicoes,
+    stream_speeds,
+)
+
+T0 = 1715311800  # 2024-05-10 03:30:00 UTC
+
+
+def _doc(pings):
+    """One raw API document: pings = [(veh, linha, ts_iso, py, px)]."""
+    lines: dict[int, dict] = {}
+    for veh, linha, ts, py, px in pings:
+        line = lines.setdefault(
+            linha,
+            {
+                "c": f"{linha}-X", "cl": linha, "sl": 1,
+                "lt0": f"D{linha}", "lt1": f"O{linha}", "qv": 0, "vs": [],
+            },
+        )
+        line["vs"].append(
+            {"p": veh, "a": True, "ta": ts, "py": py, "px": px}
+        )
+        line["qv"] += 1
+    return {"hr": "03:30", "l": list(lines.values())}
+
+
+def _iso(ts):
+    import datetime as dt
+
+    return dt.datetime.fromtimestamp(ts, dt.timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+
+
+@pytest.fixture()
+def raw_dir(tmp_path):
+    d = tmp_path / "stream_raw"
+    d.mkdir()
+    # three polls, 60 s apart, two vehicles moving ~111 m per step
+    for i in range(3):
+        doc = _doc(
+            [
+                (1, 10, _iso(T0 + 60 * i), -23.60 - 0.001 * i, -46.60),
+                (2, 11, _iso(T0 + 60 * i), -23.70 - 0.001 * i, -46.70),
+            ]
+        )
+        p = d / f"data_{i}.json"
+        p.write_text(json.dumps(doc))
+        # the file source triggers micro-batches in modification-time order;
+        # freshly-written files can tie (or invert) at ms granularity, so
+        # pin strictly-increasing mtimes to make arrival order = poll order
+        import os
+
+        os.utime(p, (T0 + 60 * i, T0 + 60 * i))
+    return str(d)
+
+
+def _run_to_memory(sdf, name, output_mode):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_flatten_matches_batch(spark, raw_dir):
+    sdf = stream_raw_posicoes(spark, raw_dir)
+    assert sdf.isStreaming
+    _run_to_memory(sdf, "flat_stream", "append")
+    got = spark.table("flat_stream").orderBy("prefixo_veiculo", "timestamp")
+    want = ingest_posicoes(spark, raw_dir).orderBy(
+        "prefixo_veiculo", "timestamp"
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+
+
+def test_stream_interval_counts(spark, raw_dir):
+    sdf = stream_interval_counts(stream_raw_posicoes(spark, raw_dir))
+    _run_to_memory(sdf, "win_stream", "complete")
+    rows = {
+        (r["bucket_start"], r["codigo_linha"]): r
+        for r in spark.table("win_stream").collect()
+    }
+    # all six pings land in the T0 bucket (T0 is bucket-aligned)
+    assert set(rows) == {(T0, 10), (T0, 11)}
+    for r in rows.values():
+        assert r["n_pings"] == 3 and r["n_vehicles"] == 1
+
+
+def test_stream_speeds_matches_batch(spark, raw_dir):
+    # one file per trigger → state must carry pairs ACROSS micro-batches
+    sdf = stream_speeds(
+        stream_raw_posicoes(spark, raw_dir, max_files_per_trigger=1)
+    )
+    _run_to_memory(sdf, "speed_stream", "append")
+    got = (
+        spark.table("speed_stream")
+        .select(
+            "prefixo_veiculo", "timestamp", "tempo", "distancia",
+            "velocidade_media",
+        )
+        .orderBy("prefixo_veiculo", "timestamp")
+        .collect()
+    )
+    batch = (
+        speed.cleaned_speeds(ingest_posicoes(spark, raw_dir))
+        .select(
+            "prefixo_veiculo", "timestamp", "tempo", "distancia",
+            "velocidade_media",
+        )
+        .orderBy("prefixo_veiculo", "timestamp")
+        .collect()
+    )
+    assert len(got) == 4  # 2 vehicles × 2 pairs
+    assert [tuple(r) for r in got] == [tuple(r) for r in batch]
