@@ -47,6 +47,7 @@ def main() -> None:
 
     read_table(spark, sf_dir, "events").count()
 
+    registry.queries()  # loads the plugin registries into REGISTRY
     timings: dict[str, float] = {}
     for name, q in registry.REGISTRY.items():
         df = q.fn(spark, sf_dir)

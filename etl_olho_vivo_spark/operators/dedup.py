@@ -41,33 +41,39 @@ def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     )
 
 
-def _shingles_expr(text: str) -> str:
-    """Spark SQL expr: distinct word-3-gram shingle hashes of ``text``.
+def with_token_hashes(
+    df: DataFrame, text: str = "text", out: str = "wh"
+) -> DataFrame:
+    """Materialize the per-token md5-hash array ONCE as a column.
 
-    Spark SQL has no let-binding, so the token-hash array expression is
-    inlined at each element_at site — still a pure per-row map.
+    Performance-critical: the naive formulation inlines the whole
+    ``transform(split(text), w -> md5(w))`` array at every ``element_at``
+    site inside a per-index lambda, and Spark re-evaluates the inner
+    ``transform`` on each outer-lambda invocation — O(tokens²) md5 calls
+    per document (measured 156 s for 5k docs at sf0.1).  Materialized as
+    its own projection the array is computed once per row; Catalyst's
+    CollapseProject will not inline it back because a non-cheap alias
+    referenced more than once is never duplicated.
     """
     wh = f"transform(split({text}, ' '), w -> {spark_token_hash('w')})"
-    sh = shingle3_expr(
-        f"element_at({wh}, i + 1)",
-        f"element_at({wh}, i + 2)",
-        f"element_at({wh}, i + 3)",
-    )
-    inner = (
-        f"array_distinct(transform("
-        f"sequence(0, size(split({text}, ' ')) - 3), i -> {sh}))"
-    )
-    return (
-        f"CASE WHEN size(split({text}, ' ')) >= 3 THEN {inner} "
-        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
-    )
+    return df.withColumn(out, F.expr(wh))
 
 
 def with_shingles(
     df: DataFrame, text: str = "text", out: str = "sh"
 ) -> DataFrame:
     """Distinct word-3-gram shingle hashes per document (array column)."""
-    return df.withColumn(out, F.expr(_shingles_expr(text)))
+    sh = shingle3_expr("wh[i]", "wh[i + 1]", "wh[i + 2]")
+    expr = (
+        f"CASE WHEN size(wh) >= 3 THEN "
+        f"array_distinct(transform(sequence(0, size(wh) - 3), i -> {sh})) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    return (
+        with_token_hashes(df, text)
+        .withColumn(out, F.expr(expr))
+        .drop("wh")
+    )
 
 
 def minhash_signature(
@@ -76,16 +82,21 @@ def minhash_signature(
     num_hashes: int = NUM_HASHES,
     out: str = "minhash",
 ) -> DataFrame:
-    """K-element MinHash signature per document (array<bigint>)."""
+    """K-element MinHash signature per document (array<bigint>).
+
+    Documents too short to shingle are pruned BEFORE any hash compute with
+    a cheap predicate on the raw text.  Filtering on ``size(sh) > 0``
+    *after* would be catastrophic: predicate pushdown substitutes the full
+    shingle expression (token-hash array inlined at every element access)
+    into the filter condition, re-evaluating the md5 transform per element
+    — O(tokens²) per row (measured 40× slowdown at sf0.1).
+    """
     sig = (
         f"transform(sequence(0, {num_hashes - 1}), k -> "
         f"array_min(transform(sh, s -> (s * (2 * k + 1) + (12345 * k + 1)) % {P})))"
     )
-    return (
-        with_shingles(df, text)
-        .filter(F.size("sh") > 0)
-        .withColumn(out, F.expr(sig))
-    )
+    pre = df.filter(F.size(F.split(F.col(text), " ")) >= 3)
+    return with_shingles(pre, text).withColumn(out, F.expr(sig))
 
 
 def lsh_bands(df: DataFrame, sig_col: str = "minhash") -> DataFrame:
@@ -143,14 +154,21 @@ def simhash(df: DataFrame, text: str = "text", bits: int = SIMHASH_BITS) -> Data
 
     bit_j = sign(Σ_tokens (±1 depending on bit j of h(w))); the token
     multiset (with multiplicity) is used, so repeated words weigh more.
+
+    The token-hash array is materialized once (``with_token_hashes``) so
+    the 16 per-bit folds are 16 linear passes over a computed array, not
+    16 full re-tokenize+md5 passes.
     """
-    wh = f"transform(split({text}, ' '), w -> {spark_token_hash('w')})"
     terms = []
     for j in range(bits):
         w = 2**j
         bit_sum = (
-            f"aggregate({wh}, 0, (acc, x) -> acc + "
+            f"aggregate(wh, 0, (acc, x) -> acc + "
             f"(CASE WHEN (x div {w}) % 2 = 1 THEN 1 ELSE -1 END))"
         )
         terms.append(f"(CASE WHEN ({bit_sum}) > 0 THEN {w} ELSE 0 END)")
-    return df.withColumn("simhash", F.expr(" + ".join(terms)))
+    return (
+        with_token_hashes(df, text)
+        .withColumn("simhash", F.expr(" + ".join(terms)))
+        .drop("wh")
+    )

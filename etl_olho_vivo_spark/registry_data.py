@@ -276,34 +276,56 @@ SELECT doc_a, doc_b, jaccard FROM (
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    wh = f"transform(split(text, ' '), w -> {dedup.spark_token_hash('w')})"
+    # token-hash array materialized once (see dedup.with_token_hashes —
+    # inlining it per element access is O(tokens²) md5 calls per doc)
     bg = (
-        f"CASE WHEN size(split(text, ' ')) >= 2 THEN array_distinct("
-        f"transform(sequence(0, size(split(text, ' ')) - 2), "
-        f"i -> (element_at({wh}, i + 1) * {MIX} + element_at({wh}, i + 2)) % {P}"
+        f"CASE WHEN size(wh) >= 2 THEN array_distinct("
+        f"transform(sequence(0, size(wh) - 2), "
+        f"i -> (wh[i] * {MIX} + wh[i + 1]) % {P}"
         f")) ELSE CAST(array() AS ARRAY<BIGINT>) END"
     )
-    t = d.select("doc_id", "source", "n_chars", F.expr(bg).alias("bg"))
+    t = dedup.with_token_hashes(
+        d.select("doc_id", "source", "n_chars", "text")
+    ).select("doc_id", "source", "n_chars", F.expr(bg).alias("bg"))
+    # Equi-join on (source, 20-char length bucket) with neighbor-bucket
+    # expansion on one side: |Δn_chars| ≤ 20 implies bucket distance ≤ 1,
+    # so exploding side A to {b-1, b, b+1} finds every qualifying pair
+    # exactly once (each pair meets at the single key k = B's bucket).
+    # Joining only on `source` (few distinct values) would hash the whole
+    # corpus onto a handful of reducers — this keys the shuffle on a
+    # fine-grained uniform key instead, the shape that survives 100 TB.
+    bucket = F.floor(F.col("n_chars") / 20)
     a = t.select(
-        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"),
-        F.col("n_chars").alias("nc_a"), F.col("bg").alias("bg_a"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("source"),
+        F.col("n_chars").alias("nc_a"),
+        F.col("bg").alias("bg_a"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bucket"),
     )
     b = t.select(
-        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"),
-        F.col("n_chars").alias("nc_b"), F.col("bg").alias("bg_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("source"),
+        F.col("n_chars").alias("nc_b"),
+        F.col("bg").alias("bg_b"),
+        bucket.alias("bucket"),
     )
     inter = F.size(F.array_intersect("bg_a", "bg_b"))
     union = F.size("bg_a") + F.size("bg_b") - inter
+    # threshold test in integer form: J = i/(na+nb-i) >= 0.3  ⇔
+    # 13·i >= 3·(na+nb)  — evaluates the array_intersect ONCE per pair
+    # (a filter on the jaccard column would be pushed below the projection
+    # with the intersect expression substituted into it, recomputing the
+    # intersection 2-3× per joined row)
+    na_nb = F.size("bg_a") + F.size("bg_b")
+    keep = (F.lit(13) * inter >= F.lit(3) * na_nb) & (na_nb > 0)
     return (
-        a.join(
-            b,
-            (F.col("src_a") == F.col("src_b"))
-            & (F.col("doc_a") < F.col("doc_b"))
-            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 20),
+        a.join(b, ["source", "bucket"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 20)
         )
-        .withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= 0.3)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(keep)
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
     )
 
 
