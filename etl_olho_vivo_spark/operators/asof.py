@@ -1,0 +1,65 @@
+"""As-of (point-in-time) join — a custom operator Spark lacks natively.
+
+For each left row, find the most recent right row with the same key and
+``right.ts <= left.ts`` (inclusive).  The classic use is enriching a fact
+stream with the latest state of a slowly-changing source (quotes→trades,
+sensor-last-reading, campaign-state at click time).
+
+Scale design (SURVEY §2.11 pattern): implemented as **union + one keyed
+window**, NOT a range join —
+
+- a range-predicate join (``l.ts >= r.ts``) explodes to O(|L|·|R|) per
+  key before picking the max; the union form is O(|L|+|R|) rows through
+  ONE hash shuffle on the key, then a linear sorted scan per partition;
+- ordering ``(ts, is_left, tiebreak)`` puts right rows before left rows
+  on equal timestamps, which yields exactly the inclusive as-of
+  semantics of DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts`` (the oracle
+  used to certify this operator);
+- ``last(..., ignorenulls=True)`` with an UNBOUNDED PRECEDING frame is
+  the running "latest right seen so far" — whole-stage-codegen window
+  aggregation, no Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    ts: str,
+    right_cols: Sequence[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Enrich ``left`` with the latest ``right_cols`` as-of each left row.
+
+    ``left`` and ``right`` must both carry the key column(s) ``on`` and the
+    (numeric or timestamp) ``ts`` column; ``right_cols`` are taken from
+    ``right`` and appear NULL where no right row precedes the left row.
+    ``tiebreak`` orders right rows sharing (key, ts); the latest wins.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lhs = left.withColumn("__is_l", F.lit(1))
+    for c in right_cols:
+        lhs = lhs.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    rhs = right.select(
+        *keys, ts, *right_cols, F.lit(0).alias("__is_l")
+    )
+    u = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    order = [F.col(ts), F.col("__is_l")]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in right_cols:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.filter(F.col("__is_l") == 1).drop("__is_l")

@@ -100,7 +100,11 @@ def minhash_signature(
 
 
 def lsh_bands(df: DataFrame, sig_col: str = "minhash") -> DataFrame:
-    """Explode the signature into (band, band_sig-string) keys."""
+    """Explode the signature into slim (doc_id, band, band_sig) key rows.
+
+    Deliberately does NOT carry the shingle array: the band self-join
+    should shuffle ~40-byte key rows, not text-sized shingle payloads.
+    """
     bands = (
         f"transform(sequence(0, {NUM_BANDS - 1}), b -> "
         f"struct(b AS band, array_join(transform("
@@ -108,42 +112,54 @@ def lsh_bands(df: DataFrame, sig_col: str = "minhash") -> DataFrame:
         f"x -> CAST(x AS STRING)), '_') AS band_sig))"
     )
     return df.select(
-        "doc_id", "sh", F.explode(F.expr(bands)).alias("bk")
-    ).select("doc_id", "sh", "bk.band", "bk.band_sig")
+        "doc_id", F.explode(F.expr(bands)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_sig")
 
 
 def candidate_pairs(banded: DataFrame) -> DataFrame:
-    """Docs sharing any (band, band_sig) key — the LSH candidate set."""
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), "band", "band_sig",
-        F.col("sh").alias("sh_a"),
-    )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), "band", "band_sig",
-        F.col("sh").alias("sh_b"),
-    )
+    """Doc-id pairs sharing any (band, band_sig) key — the LSH candidates."""
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
     return (
         a.join(b, ["band", "band_sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
 def near_duplicates(
-    df: DataFrame, text: str = "text", threshold: float = 0.5
+    df: DataFrame,
+    text: str = "text",
+    threshold: float = 0.5,
+    persist: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
 
     Returns (doc_a, doc_b, jaccard ≥ threshold).  Jaccard is an int/int
     ratio over distinct shingle sets — engine-exact.
+
+    The signature frame is the **signature store**: persisted once
+    (MEMORY_AND_DISK) and consumed three times — band generation plus both
+    sides of the verify join.  Without it the whole text-scan + md5 +
+    shingle pipeline runs once per consumer (measured 4 full scans in the
+    unpersisted plan); at 100 TB signatures are ~1% of corpus size, so
+    this trades a tiny cache for 3 redundant scans of the corpus.
     """
-    sig = minhash_signature(df, text)
+    sig = minhash_signature(df, text).select("doc_id", "sh", "minhash")
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = candidate_pairs(lsh_bands(sig))
+    sh_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        pairs.withColumn("jaccard", inter / union)
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -11,11 +11,11 @@ Re-expresses stage 3 of the reference
                                          │     └─ acessiveis (P8)
 
 Scale notes (100 TB):
-- exactly two shuffles: hash-by-``prefixo_veiculo`` for the lag window and
-  hash-by-9-keys for the aggregation.  Since ``prefixo_veiculo`` is a prefix
-  of the agg key set *including* the window key, Catalyst cannot reuse the
-  exchange (agg keys ≠ window key), but partial aggregation halves the
-  second shuffle's volume automatically.
+- exactly ONE shuffle: hash-by-``prefixo_veiculo`` for the lag window.
+  The downstream 9-key aggregation includes ``prefixo_veiculo``, and a
+  hash-partitioning on a subset key already co-locates every superset-key
+  group, so Catalyst elides the aggregation exchange entirely
+  (verified by tests/test_plans.py::test_flagship_shuffles_exactly_once).
 - vehicle cardinality is high (10⁴–10⁵ vehicles for a city; far more for a
   fleet-of-cities corpus) and pings-per-vehicle is bounded (~1 per 2 min),
   so the window partitions are small and skew-free by construction.

@@ -1,0 +1,263 @@
+"""Extended relational + vector surface: as-of join, semi join, cube,
+exact quantiles, cell-blocked embedding near-dup, tf-idf.
+
+Same determinism discipline as the sibling registries: integer/cents
+arithmetic wherever a value is aggregated, rounding before anything
+transcendental-derived is ordered or emitted, total orderings with unique
+tiebreakers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_olho_vivo_spark.operators.asof import asof_join
+from etl_olho_vivo_spark.operators.similarity import ivf_assign
+from etl_olho_vivo_spark.registry import register
+from etl_olho_vivo_spark.sources.tables import read_table
+
+
+@register(
+    "asof_click_view",
+    """
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+       v.event_id AS view_event_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+""",
+    doc="As-of join: each click enriched with the user's most recent "
+    "prior-or-simultaneous view.  Engine implements it as union + one "
+    "keyed window (O(L+R), single shuffle — operators/asof.py); the "
+    "oracle certifies the semantics against DuckDB's native ASOF JOIN.",
+)
+def q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", ts_us.alias("ts_us")
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id"),
+        ts_us.alias("ts_us"),
+        F.col("event_id").alias("view_event_id"),
+        ts_us.alias("view_ts_us"),
+    )
+    out = asof_join(
+        clicks,
+        views,
+        on="user_id",
+        ts="ts_us",
+        right_cols=["view_event_id", "view_ts_us"],
+        tiebreak="view_event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "view_event_id",
+        (F.col("ts_us") - F.col("view_ts_us")).alias("lag_us"),
+    )
+
+
+@register(
+    "orders_with_recent_lineitem",
+    """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND epoch_ms(l.l_shipdate) >= 896659200000
+)
+""",
+    doc="LEFT SEMI join (EXISTS): orders with any lineitem shipped on/after "
+    "1998-06-01.  Semi joins never duplicate or widen the probe side — at "
+    "scale the build side is only (orderkey) after pushdown.",
+)
+def q_orders_with_recent_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(
+        spark, sf_dir, "lineitem",
+        ts_ms_filter=("l_shipdate", ">=", 896659200000),
+    )
+    return o.join(
+        li, o.o_orderkey == li.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "lineitem_cube",
+    """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS revenue_cents,
+       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    doc="CUBE over (returnflag, linestatus): all four grouping sets in one "
+    "pass (partial-aggregated before the exchange).  Money summed in "
+    "integer cents — order-independent, bit-exact at any scale.",
+)
+def q_lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("revenue_cents"),
+            F.grouping_id().alias("gid"),
+        )
+        .select("l_returnflag", "l_linestatus", "n", "revenue_cents", "gid")
+    )
+
+
+@register(
+    "quantity_quantiles",
+    """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+       round(quantile_cont(l_quantity, 0.5), 6)  AS q50,
+       round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+       round(quantile_cont(l_quantity, 0.95), 6) AS q95
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Exact interpolated quantiles per group (SQL PERCENTILE_CONT "
+    "semantics in both engines).  The exact form sorts within each group; "
+    "the documented scale path swaps in approx_percentile (t-digest) when "
+    "a group no longer fits a partition.",
+)
+def q_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    qs = {"q25": 0.25, "q50": 0.5, "q75": 0.75, "q95": 0.95}
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_quantity, {p})"), 6).alias(name)
+            for name, p in qs.items()
+        ]
+    )
+
+
+_D_QUANT = (
+    "list_transform({a}, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) "
+    "AS BIGINT))"
+)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    f"""
+WITH v AS (
+  SELECT vec_id, label, {_D_QUANT.format(a='embedding')} AS qv
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cell_id, qv AS qc FROM v WHERE vec_id < 8),
+d AS (
+  SELECT v.vec_id, v.label, v.qv, c.cell_id,
+         CAST(list_sum(list_transform(range(0, len(v.qv)),
+           i -> (v.qv[i+1] - c.qc[i+1]) * (v.qv[i+1] - c.qc[i+1])))
+           AS BIGINT) AS dist
+  FROM v, c
+),
+a AS (
+  SELECT vec_id, label, qv, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cell_id) AS rn FROM d
+  ) WHERE rn = 1
+),
+p AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cell_id,
+         round(
+           CAST(list_sum(list_transform(range(0, len(x.qv)),
+             i -> x.qv[i+1] * y.qv[i+1])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(range(0, len(x.qv)),
+                i -> x.qv[i+1] * x.qv[i+1])) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(range(0, len(y.qv)),
+                i -> y.qv[i+1] * y.qv[i+1])) AS DOUBLE))), 6) AS cos_sim
+  FROM a x JOIN a y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+)
+SELECT vec_a, vec_b, cell_id, cos_sim FROM p WHERE cos_sim >= 0.4
+""",
+    doc="Embedding-cosine near-dup: candidate pairs restricted to the same "
+    "IVF cell (the blocking that avoids the O(n²) cross product at scale), "
+    "exact integer dot products on quantized components, cosine rounded "
+    "then thresholded.  Threshold 0.4 suits the synthetic near-orthogonal "
+    "vectors; real corpora use 0.9+ with the identical plan.",
+)
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, n_cells=8)
+    x = assigned.select(
+        F.col("vec_id").alias("vec_a"), F.col("cell_id"),
+        F.col("qv").alias("qa"),
+    )
+    y = assigned.select(
+        F.col("vec_id").alias("vec_b"), F.col("cell_id"),
+        F.col("qv").alias("qb"),
+    )
+    dot = "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (s, v) -> s + v)"
+    na = "aggregate(zip_with(qa, qa, (x, y) -> x * y), CAST(0 AS BIGINT), (s, v) -> s + v)"
+    nb = "aggregate(zip_with(qb, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (s, v) -> s + v)"
+    cos = F.round(
+        F.expr(f"CAST({dot} AS DOUBLE)")
+        / (F.sqrt(F.expr(f"CAST({na} AS DOUBLE)")) * F.sqrt(F.expr(f"CAST({nb} AS DOUBLE)"))),
+        6,
+    )
+    return (
+        x.join(y, ["cell_id"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.4)
+        .select("vec_a", "vec_b", "cell_id", "cos_sim")
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+) WHERE rn <= 3
+""",
+    doc="tf-idf top-3 terms per document: explode → tf groupBy → df groupBy "
+    "→ broadcast idf join → per-doc top-k window.  idf is rounded before "
+    "ranking (ln is transcendental); ties break on term for a total order.",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # tiny scalar; at scale use a broadcast agg instead
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )

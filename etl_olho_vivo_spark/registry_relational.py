@@ -96,10 +96,13 @@ GROUP BY l_returnflag, l_linestatus
     "partial+final combine; filter pushed to the parquet scan.",
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem")
+    # the shipdate cutoff rides into the scan as a raw-column PushedFilter
+    # (read_table predicates the nanos BIGINT before timestamp conversion)
+    li = read_table(
+        spark, sf_dir, "lineitem", ts_ms_filter=("l_shipdate", "<=", _CUTOFF)
+    )
     return (
-        li.filter(F.unix_millis("l_shipdate") <= F.lit(_CUTOFF))
-        .groupBy("l_returnflag", "l_linestatus")
+        li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
             (F.sum(_cents(F.col("l_extendedprice"))) / 100.0).alias(

@@ -30,15 +30,41 @@ TABLE_NAMES = [
 ]
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic table with a normalized schema."""
+def read_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_ms_filter: tuple[str, str, int] | None = None,
+) -> DataFrame:
+    """Read one synthetic table with a normalized schema.
+
+    ``ts_ms_filter=(col, op, epoch_ms)`` (op ∈ ``<=``/``>=``) applies a
+    time-range predicate **on the raw nanos BIGINT column before the
+    timestamp conversion** — a comparison on the converted column is a
+    function of the scan column and can never reach the parquet reader,
+    while the raw-column comparison shows up in ``PushedFilters`` and
+    skips whole row groups via column statistics.  Millisecond semantics
+    match ``unix_millis(converted) op epoch_ms`` exactly:
+    ``ms <= C  ⇔  ns <= C·10⁶ + 999999`` and ``ms >= C  ⇔  ns >= C·10⁶``.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # µs-timestamp columns (orders/lineitem) must resolve as TIMESTAMP
     # instants (stored micros = UTC epoch, same as DuckDB's epoch_ms), not
     # TIMESTAMP_NTZ — keeps every epoch extraction session-TZ-free.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in _TS_COLS.get(name, []):
-        if dict(df.dtypes).get(c) == "bigint":
+    is_ns = {
+        c: dict(df.dtypes).get(c) == "bigint" for c in _TS_COLS.get(name, [])
+    }
+    if ts_ms_filter is not None:
+        c, op, ms = ts_ms_filter
+        if is_ns.get(c):
+            bound = ms * 1_000_000 + (999_999 if op == "<=" else 0)
+            df = df.filter(F.col(c) <= bound if op == "<=" else F.col(c) >= bound)
+        else:
+            expr = F.unix_millis(F.col(c))
+            df = df.filter(expr <= ms if op == "<=" else expr >= ms)
+    for c, ns in is_ns.items():
+        if ns:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
     return df

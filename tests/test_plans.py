@@ -1,0 +1,112 @@
+"""Physical-plan shape assertions — the 100 TB design contract.
+
+Correctness tests prove the values; these prove the plan would survive a
+1000-executor scale-up: filters reach the parquet scan, small dimensions
+broadcast, top-k never global-sorts, Python appears only where Arrow
+batching is intentional, and the flagship pipeline shuffles exactly twice.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_olho_vivo_spark import registry
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _load():
+    registry.queries()
+
+
+def _plan(spark, name: str) -> str:
+    df = registry.REGISTRY[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters: [" in plan
+    # the shipdate bound must be INSIDE the pushed-filter list, not only a
+    # post-scan Filter node
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed, pushed
+
+
+def test_pricing_summary_prunes_columns(spark):
+    plan = _plan(spark, "pricing_summary")
+    read_schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    # 6 needed columns, not all 11
+    assert "l_partkey" not in read_schema
+    assert "l_suppkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _plan(spark, "revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    # nation/region dims must never drive a sort-merge exchange
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_semi_join_is_semi(spark):
+    plan = _plan(spark, "orders_with_recent_lineitem")
+    assert "LeftSemi" in plan
+    # the shipdate bound must appear in SOME scan's pushed-filter list
+    pushed_blocks = [
+        seg.split("]", 1)[0] for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any("l_shipdate" in p for p in pushed_blocks), pushed_blocks
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    plan = _plan(spark, "top10_expensive_items")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cosine_topk_broadcasts_query_vector(spark):
+    plan = _plan(spark, "embedding_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_python_in_jvm_only_queries(spark):
+    """Every query except the intentional Arrow decode stays JVM-side."""
+    for name in registry.REGISTRY:
+        if name == "multimodal_decode":
+            continue
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+
+
+def test_multimodal_decode_is_arrow_batched(spark):
+    plan = _plan(spark, "multimodal_decode")
+    # mapInPandas (Arrow), never row-at-a-time pickling
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_flagship_shuffles_exactly_once(spark):
+    """velocidades_agregadas shuffles ONCE: the window's
+    hashpartitioning(prefixo_veiculo) also satisfies the 9-key aggregation
+    distribution (the vehicle is one of the agg keys, and clustering by a
+    subset key co-locates every superset-key group), so Catalyst elides
+    the second exchange entirely."""
+    plan = _plan(spark, "velocidades_agregadas")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}"
+
+
+def test_minhash_signature_store_is_cached(spark):
+    """The LSH pipeline consumes the signature frame three times (bands +
+    both verify sides); the signature store must be a persisted
+    InMemoryRelation so the text scan + md5 + shingle compute runs ONCE,
+    not once per consumer."""
+    df = registry.REGISTRY["minhash_near_dups"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # (each InMemoryTableScan textually reprints the cached relation's
+    # FileScan, so the FileScan string count is not the physical scan count)
+    assert plan.count("InMemoryTableScan") >= 3, plan[:1500]
