@@ -217,6 +217,109 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "clicks_near_signup",
+    """
+SELECT s.event_id AS signup_id, s.user_id,
+       count(c.event_id) AS n_clicks_1h,
+       coalesce(min(abs(epoch_us(s.ts) - epoch_us(c.ts))), -1)
+         AS nearest_click_us
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON s.user_id = c.user_id
+ AND abs(epoch_us(s.ts) - epoch_us(c.ts)) <= 3600000000
+GROUP BY s.event_id, s.user_id
+""",
+    doc="Range join (equi key + time-band predicate): clicks within ±1 h "
+    "of each signup.  The engine buckets timestamps into 1-h blocks and "
+    "explodes the probe side to its 3 neighbor blocks, turning the range "
+    "predicate into an equi-join on (user, block) + residual filter — the "
+    "banding that keeps a range join shuffle-friendly at 100 TB (a naive "
+    "range theta-join degenerates to per-key cross products).",
+)
+def q_clicks_near_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    block = F.floor(ts_us / 3600000000)
+    signups = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id", ts_us.alias("s_us")
+    )
+    s = signups.select(
+        "signup_id",
+        "user_id",
+        "s_us",
+        F.explode(
+            F.array(
+                F.floor(F.col("s_us") / 3600000000) - 1,
+                F.floor(F.col("s_us") / 3600000000),
+                F.floor(F.col("s_us") / 3600000000) + 1,
+            )
+        ).alias("block"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), ts_us.alias("c_us"), block.alias("block")
+    )
+    # inner banding join: each in-range click meets its signup in exactly
+    # one block (|Δt| ≤ 1h ⇒ |Δblock| ≤ 1); then LEFT-join the aggregate
+    # back onto the signup spine so zero-match signups still emit a row
+    matches = (
+        s.join(c, ["user_id", "block"])
+        .filter(F.abs(F.col("s_us") - F.col("c_us")) <= 3600000000)
+        .groupBy("signup_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks_1h"),
+            F.min(F.abs(F.col("s_us") - F.col("c_us"))).alias(
+                "nearest_click_us"
+            ),
+        )
+    )
+    return signups.join(matches, "signup_id", "left").select(
+        "signup_id",
+        "user_id",
+        F.coalesce("n_clicks_1h", F.lit(0)).alias("n_clicks_1h"),
+        F.coalesce("nearest_click_us", F.lit(-1)).alias("nearest_click_us"),
+    )
+
+
+@register(
+    "session_window_stats",
+    """
+WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS s FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN s - lag(s) OVER w >= 1800
+                   OR lag(s) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY s, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(s) AS session_start_s, max(s) AS session_last_s,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+""",
+    doc="session_window (native Spark streaming-capable operator) certified "
+    "against the gaps-and-islands SQL construction: sessions merge while "
+    "consecutive gaps are < 30 min; output is per-session bounds + count.",
+)
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    s = F.expr("unix_micros(ts) div 1000000")
+    t = e.select("user_id", s.alias("s"), F.timestamp_seconds(s).alias("ts_s"))
+    return (
+        t.groupBy("user_id", F.session_window("ts_s", "30 minutes"))
+        .agg(
+            F.min("s").alias("session_start_s"),
+            F.max("s").alias("session_last_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start_s", "session_last_s", "n_events")
+    )
+
+
+@register(
     "tfidf_top_terms",
     """
 WITH tok AS (
