@@ -47,9 +47,16 @@ def asof_join(
     lhs = left.withColumn("__is_l", F.lit(1))
     for c in right_cols:
         lhs = lhs.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    rhs = right.select(
-        *keys, ts, *right_cols, F.lit(0).alias("__is_l")
+    rhs_cols = list(right_cols)
+    extra_tiebreak = (
+        tiebreak is not None
+        and tiebreak not in rhs_cols
+        and tiebreak not in keys
+        and tiebreak != ts
     )
+    if extra_tiebreak:
+        rhs_cols.append(tiebreak)
+    rhs = right.select(*keys, ts, *rhs_cols, F.lit(0).alias("__is_l"))
     u = lhs.unionByName(rhs, allowMissingColumns=True)
 
     order = [F.col(ts), F.col("__is_l")]
@@ -62,4 +69,7 @@ def asof_join(
     )
     for c in right_cols:
         u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.filter(F.col("__is_l") == 1).drop("__is_l")
+    out = u.filter(F.col("__is_l") == 1).drop("__is_l")
+    if extra_tiebreak and tiebreak not in left.columns:
+        out = out.drop(tiebreak)
+    return out

@@ -107,3 +107,114 @@ def decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "media").mapInPandas(batches, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField(
+            "media_meta",
+            T.StructType(
+                [
+                    T.StructField("media_type", T.StringType()),
+                    T.StructField("n_bytes", T.IntegerType()),
+                    T.StructField("target_w", T.IntegerType()),
+                    T.StructField("target_h", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Binary→binary transform with metadata update (the image-resize shape).
+
+    A real codec would decode, resample, and re-encode; the stub truncates
+    or pads the byte stream to ``width·height`` deterministically, keeping
+    the exact contract a real resize has: binary in, binary out, metadata
+    struct updated, schema explicit, Arrow-batched, partition-parallel.
+    The closure is self-contained (workers lack this package).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+
+        def fake_resize(media: bytes) -> bytes:
+            if len(media) >= target:
+                return bytes(media[:target])
+            return bytes(media) + b"\x00" * (target - len(media))
+
+        for pdf in it:
+            resized = [fake_resize(m) for m in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "media": resized,
+                    "media_meta": [
+                        {
+                            "media_type": "image/raw",
+                            "n_bytes": len(m),
+                            "target_w": width,
+                            "target_h": height,
+                        }
+                        for m in resized
+                    ],
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("n_frames_total", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_size: int = 16,
+    stride: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per sampled frame — the video frame-sampling fan-out shape.
+
+    The stub treats the byte stream as ``frame_size``-byte frames and emits
+    every ``stride``-th one.  A real implementation swaps the slicing for a
+    container demuxer; the fan-out (one input row → N output rows through
+    ``mapInPandas``), the explicit schema, and the frame indexing carry
+    over unchanged.  At 100 TB the output row count dominates — sampled
+    frames, never all frames.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames, totals = [], [], [], []
+            for doc_id, media in zip(
+                pdf[id_col].astype("int64"), pdf["media"]
+            ):
+                m = bytes(media)
+                n_total = max(0, len(m) // frame_size)
+                for i in range(0, n_total, stride):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(m[i * frame_size:(i + 1) * frame_size])
+                    totals.append(n_total)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype="object"),
+                    "n_frames_total": pd.Series(totals, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(batches, FRAME_SCHEMA)

@@ -155,7 +155,7 @@ WITH v AS (
   SELECT vec_id, label, {_D_QUANT.format(a='embedding')} AS qv
   FROM embeddings
 ),
-c AS (SELECT vec_id AS cell_id, qv AS qc FROM v WHERE vec_id < 8),
+c AS (SELECT vec_id AS cell_id, qv AS qc FROM v WHERE vec_id < 16),
 d AS (
   SELECT v.vec_id, v.label, v.qv, c.cell_id,
          CAST(list_sum(list_transform(range(0, len(v.qv)),
@@ -189,8 +189,12 @@ SELECT vec_a, vec_b, cell_id, cos_sim FROM p WHERE cos_sim >= 0.4
     "vectors; real corpora use 0.9+ with the identical plan.",
 )
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
     emb = read_table(spark, sf_dir, "embeddings")
-    assigned = ivf_assign(emb, n_cells=8)
+    # 16 cells: within-cell pair count (the quadratic term) scales ~1/cells;
+    # persist so both self-join sides reuse one assignment pass
+    assigned = ivf_assign(emb, n_cells=16).persist(StorageLevel.MEMORY_AND_DISK)
     x = assigned.select(
         F.col("vec_id").alias("vec_a"), F.col("cell_id"),
         F.col("qv").alias("qa"),

@@ -1,0 +1,157 @@
+"""Direct unit tests for the beyond-reference operators (SURVEY §2.11):
+known-answer MinHash/LSH behavior, as-of join edge cases, multimodal
+binary plumbing (decode / resize / frame-sample shapes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_olho_vivo_spark.operators import dedup, multimodal
+from etl_olho_vivo_spark.operators.asof import asof_join
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different content with no shared shingles here"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "ab"),                                           # < 3 tokens
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(spark, docs):
+    from etl_olho_vivo_spark.operators import textops
+
+    fp = docs.select("doc_id", textops.fingerprint_md5().alias("fp"))
+    out = dedup.exact_dedup(fp, ["fp"], "doc_id")
+    groups = {r["keep_doc_id"]: r["n_dupes"] for r in out.collect()}
+    assert groups[1] == 2           # docs 1 and 4 collapse, survivor = min id
+    assert groups[2] == groups[3] == groups[5] == 1
+
+
+def test_minhash_finds_near_dup_not_distinct(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.near_duplicates(docs, threshold=0.3).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0   # identical
+    assert (1, 2) in pairs and 0.3 <= pairs[(1, 2)] < 1.0
+    assert not any(3 in p for p in pairs)             # disjoint content
+    assert not any(5 in p for p in pairs)             # unshingleable
+
+
+def test_minhash_identical_docs_identical_signatures(spark, docs):
+    sig = {
+        r["doc_id"]: tuple(r["minhash"])
+        for r in dedup.minhash_signature(docs).collect()
+    }
+    assert sig[1] == sig[4]
+    assert sig[1] != sig[3]
+    assert 5 not in sig  # too short to shingle
+
+
+def test_simhash_close_for_near_dups(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert sh[1] == sh[4]
+    assert ham(sh[1], sh[2]) <= ham(sh[1], sh[3])
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_edges(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "l1"), (1, 200, "l2"), (2, 50, "l3")],
+        ["k", "ts", "lv"],
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "r_at_100"), (1, 150, "r_at_150"), (3, 10, "r_other")],
+        ["k", "ts", "rv"],
+    )
+    out = {
+        r["lv"]: r["rv"]
+        for r in asof_join(
+            left, right, on="k", ts="ts", right_cols=["rv"]
+        ).collect()
+    }
+    assert out["l1"] == "r_at_100"   # inclusive: equal ts matches
+    assert out["l2"] == "r_at_150"   # latest preceding, not first
+    assert out["l3"] is None         # no right row for key 2
+
+
+def test_asof_join_tiebreak_picks_latest(spark):
+    left = spark.createDataFrame([(1, 100, "l")], ["k", "ts", "lv"])
+    right = spark.createDataFrame(
+        [(1, 100, 1, "first"), (1, 100, 2, "second")],
+        ["k", "ts", "seq", "rv"],
+    )
+    out = asof_join(
+        left, right, on="k", ts="ts", right_cols=["rv"], tiebreak="seq"
+    ).collect()
+    assert out[0]["rv"] == "second"
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [(1, "abcdefgh" * 10), (2, "xy"), (3, "")]
+    return multimodal.attach_media(
+        spark.createDataFrame(rows, ["doc_id", "text"])
+    )
+
+
+def test_attach_media_types(media_df):
+    dt = dict(media_df.dtypes)
+    assert dt["media"] == "binary"
+    assert dt["media_meta"].startswith("struct<media_type:string")
+    metas = {r["doc_id"]: r["media_meta"] for r in media_df.collect()}
+    assert metas[1]["n_bytes"] == 80 and metas[3]["n_bytes"] == 0
+
+
+def test_decode_media_batch(media_df):
+    out = {r["doc_id"]: r for r in multimodal.decode_media(media_df).collect()}
+    assert out[1]["n_bytes"] == 80
+    assert out[1]["checksum"] == sum(b"abcdefgh" * 10)
+    assert out[3]["n_bytes"] == 0 and out[3]["checksum"] == 0
+
+
+def test_resize_media_truncates_and_pads(media_df):
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.resize_media(media_df, width=4, height=4).collect()
+    }
+    assert len(out[1]["media"]) == 16           # truncated
+    assert bytes(out[2]["media"]) == b"xy" + b"\x00" * 14  # padded
+    assert out[1]["media_meta"]["target_w"] == 4
+    assert out[1]["media_meta"]["media_type"] == "image/raw"
+
+
+def test_sample_frames_fanout(media_df):
+    out = multimodal.sample_frames(
+        media_df, frame_size=8, stride=2
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 80 bytes → 10 frames → sampled idx 0,2,4,6,8
+    assert [r["frame_idx"] for r in sorted(by_doc[1], key=lambda r: r["frame_idx"])] == [0, 2, 4, 6, 8]
+    assert all(r["n_frames_total"] == 10 for r in by_doc[1])
+    assert bytes(by_doc[1][0]["frame"]) == b"abcdefgh"
+    # docs 2 (2 bytes) and 3 (0 bytes) yield no complete frame
+    assert 2 not in by_doc and 3 not in by_doc
