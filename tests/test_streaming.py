@@ -106,6 +106,58 @@ def test_stream_interval_counts(spark, raw_dir):
         assert r["n_pings"] == 3 and r["n_vehicles"] == 1
 
 
+def test_chained_stateful_speed_window_agg(spark, tmp_path):
+    """Two stateful operators chained in ONE streaming query: the
+    applyInPandasWithState online lag feeding a watermarked 30-min window
+    aggregation.  The window emits (append mode) once the watermark —
+    advanced by a later file in a later micro-batch — passes its end."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "chain_raw"
+    d.mkdir()
+    # The watermark tracker sits downstream of the cleaning filters, so it
+    # only observes SURVIVING pairs — trailing pings must keep gaps ≤ 600 s
+    # to carry the watermark past the window end.  Two extra beats: one to
+    # push the watermark beyond T0+1800, one more because eviction uses the
+    # batch-START watermark (one batch of lag) and availableNow runs no
+    # final flush batch.
+    stamps = [T0 + 60 * i for i in range(5)] + [
+        T0 + 840, T0 + 1440, T0 + 2040, T0 + 2640
+    ]
+    for i, ts in enumerate(stamps):
+        doc = _doc([(1, 10, _iso(ts), -23.60 - 0.0001 * i, -46.60)])
+        p = d / f"data_{i}.json"
+        p.write_text(json.dumps(doc))
+        os.utime(p, (ts, ts))
+
+    speeds = stream_speeds(
+        stream_raw_posicoes(spark, str(d), max_files_per_trigger=1)
+    )
+    agg = (
+        speeds.withColumn(
+            "event_time", F.timestamp_seconds(F.col("timestamp"))
+        )
+        .withWatermark("event_time", "10 seconds")
+        .groupBy(F.window("event_time", "30 minutes"), "codigo_linha")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            F.unix_timestamp("window.start").alias("bucket_start"),
+            "codigo_linha",
+            "n_pairs",
+        )
+    )
+    _run_to_memory(agg, "chain_agg", "append")
+    rows = spark.table("chain_agg").collect()
+    # window [T0, T0+1800) holds 6 pairs (4 one-minute beats + the 840 and
+    # 1440 pings at exactly-600 s gaps); it closes once the 2040 ping has
+    # advanced the watermark and the 2640 batch performs the eviction
+    assert [(r["bucket_start"], r["codigo_linha"], r["n_pairs"]) for r in rows] == [
+        (T0, 10, 6)
+    ]
+
+
 def test_stream_speeds_matches_batch(spark, raw_dir):
     # one file per trigger → state must carry pairs ACROSS micro-batches
     sdf = stream_speeds(
