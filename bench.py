@@ -41,11 +41,14 @@ def main() -> None:
 
     spark = get_spark(app_name="etl-olho-vivo-bench")
 
-    # Warm up the JVM / parquet footers so per-query times measure the
-    # queries, not session bootstrap.
+    # Warm up the JVM / parquet footers / noop-write machinery so per-query
+    # times measure the queries, not session or first-job bootstrap.
     from etl_olho_vivo_spark.sources.tables import read_table
 
     read_table(spark, sf_dir, "events").count()
+    read_table(spark, sf_dir, "events").limit(10).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     registry.queries()  # loads the plugin registries into REGISTRY
     timings: dict[str, float] = {}

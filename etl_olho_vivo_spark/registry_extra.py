@@ -324,6 +324,82 @@ def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_event_type_stats",
+    """
+SELECT event_type, count(*) AS n, sum(CAST(round(value * 10000, 0) AS BIGINT))
+         AS value_e4, min(event_id) AS first_event
+FROM events GROUP BY event_type
+""",
+    doc="Salted two-phase aggregation over a 5-key (maximally skewed) "
+    "group-by: partial agg on (key, hash-salt) spreads each hot key over "
+    "16 reducers, the final agg recombines — exact for algebraic "
+    "aggregates, and the oracle (a plain GROUP BY) proves it.",
+)
+def q_salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_olho_vivo_spark.operators.skew import salted_agg
+
+    e = read_table(spark, sf_dir, "events")
+    v_e4 = F.round(F.col("value") * 10000, 0).cast("long")
+    return salted_agg(
+        e,
+        keys=["event_type"],
+        aggs={
+            "n": ("sum", F.count(F.lit(1))),
+            "value_e4": ("sum", F.sum(v_e4)),
+            "first_event": ("min", F.min("event_id")),
+        },
+        n_salts=16,
+        salt_source="event_id",
+    )
+
+
+@register(
+    "scalar_function_surface",
+    """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       length(p_name) AS name_len,
+       substring(p_name, 1, 5) AS name_head,
+       replace(p_name, ' ', '_') AS name_snake,
+       coalesce(regexp_extract(p_name, '([a-z]+)$', 1), '') AS last_word,
+       len(string_split(p_name, ' ')) AS n_words,
+       list_sort(string_split(p_name, ' '))[1] AS first_word_sorted,
+       array_to_string(list_reverse(string_split(p_name, ' ')), '|')
+         AS words_reversed,
+       CAST(round(p_retailprice * 100, 0) AS BIGINT) % 97 AS price_mod,
+       CASE WHEN p_size >= 25 THEN 'large'
+            WHEN p_size >= 10 THEN 'medium' ELSE 'small' END AS size_class
+FROM part
+""",
+    doc="Scalar-function breadth (SURVEY §2.8 beyond the reference's "
+    "minimal set): string case/length/substring/replace, regex extraction, "
+    "split + array sort/reverse/join, modular money arithmetic, CASE "
+    "bucketing — all whole-stage-codegen Column expressions.",
+)
+def q_scalar_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+        F.size(words).alias("n_words"),
+        F.sort_array(words)[0].alias("first_word_sorted"),
+        F.array_join(F.reverse(words), "|").alias("words_reversed"),
+        (F.round(F.col("p_retailprice") * 100, 0).cast("long") % 97).alias(
+            "price_mod"
+        ),
+        F.when(F.col("p_size") >= 25, "large")
+        .when(F.col("p_size") >= 10, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+    )
+
+
+@register(
     "tfidf_top_terms",
     """
 WITH tok AS (

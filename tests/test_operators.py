@@ -104,6 +104,52 @@ def test_asof_join_tiebreak_picks_latest(spark):
 
 
 # ---------------------------------------------------------------------------
+# skew
+# ---------------------------------------------------------------------------
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    from etl_olho_vivo_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", float(i)) for i in range(1000)],
+        ["id", "k", "v"],
+    )
+    got = {
+        r["k"]: (r["n"], r["v_sum"], r["id_min"])
+        for r in salted_agg(
+            df,
+            keys=["k"],
+            aggs={
+                "n": ("sum", F.count(F.lit(1))),
+                "v_sum": ("sum", F.sum("v")),
+                "id_min": ("min", F.min("id")),
+            },
+            salt_source="id",
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["v_sum"], r["id_min"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("v_sum"),
+            F.min("id").alias("id_min"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_agg_requires_deterministic_salt(spark):
+    from etl_olho_vivo_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame([(1, "a")], ["id", "k"])
+    with pytest.raises(ValueError, match="salt_source"):
+        salted_agg(df, keys=["k"], aggs={"n": ("sum", F.count(F.lit(1)))})
+
+
+# ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
 
