@@ -22,6 +22,43 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    salt_source: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant shuffle join: salt the big side, replicate the small.
+
+    A sort-merge/shuffle-hash join on a Zipf-heavy key sends every row of a
+    hot key to one reducer.  Salting appends a deterministic ``__salt`` ∈
+    [0, n_salts) to the big side's key and cross-replicates the small side
+    over all salts, so each hot key spreads across ``n_salts`` reducers.
+    Exact for any join type that only matches on ``on`` (the replicated
+    small rows differ only in ``__salt``, and each big row joins exactly
+    its own salt).  Use when the small side is too big to broadcast but
+    far smaller than the big side; with broadcastable dims prefer
+    ``F.broadcast``, and note AQE's skew-join splitting handles moderate
+    skew without rewrites — this is for the pathological tail.
+    """
+    if salt_source is None:
+        raise ValueError("salt_source column is required (deterministic salt)")
+    salted_big = big.withColumn(
+        "__salt", (F.abs(F.hash(F.col(salt_source))) % n_salts)
+    )
+    replicated = small.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
+    )
+    # shuffle_merge hint: keep this a real exchange-based join in the demo
+    # (a broadcastable `small` would otherwise make salting decorative).
+    return salted_big.join(
+        replicated.hint("shuffle_merge"), [*on, "__salt"], how
+    ).drop("__salt")
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],

@@ -390,3 +390,4 @@ def _load_plugins() -> None:
     import etl_olho_vivo_spark.registry_data  # noqa: F401
     import etl_olho_vivo_spark.registry_extra  # noqa: F401
     import etl_olho_vivo_spark.registry_relational  # noqa: F401
+    import etl_olho_vivo_spark.registry_scale  # noqa: F401

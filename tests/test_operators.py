@@ -141,6 +141,41 @@ def test_salted_agg_equals_plain_groupby(spark):
     assert got == want
 
 
+def test_salted_join_equals_plain_join(spark):
+    from etl_olho_vivo_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold") for i in range(500)], ["id", "k"]
+    )
+    dim = spark.createDataFrame([("hot", 1), ("cold", 2)], ["k", "w"])
+    got = sorted(
+        (r["id"], r["k"], r["w"])
+        for r in salted_join(
+            big, dim, on=["k"], n_salts=4, salt_source="id"
+        ).collect()
+    )
+    want = sorted(
+        (r["id"], r["k"], r["w"]) for r in big.join(dim, "k").collect()
+    )
+    assert got == want
+    # no row duplication from the dim replication
+    assert len(got) == 500
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from etl_olho_vivo_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "k"])
+    dim = spark.createDataFrame([("a", 10)], ["k", "w"])
+    rows = {
+        r["k"]: r["w"]
+        for r in salted_join(
+            big, dim, on=["k"], n_salts=3, salt_source="id", how="left"
+        ).collect()
+    }
+    assert rows == {"a": 10, "b": None}
+
+
 def test_salted_agg_requires_deterministic_salt(spark):
     from etl_olho_vivo_spark.operators.skew import salted_agg
 
