@@ -9,6 +9,7 @@ batching is intentional, and the flagship pipeline shuffles exactly twice.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from etl_olho_vivo_spark import registry
 
@@ -98,6 +99,50 @@ def test_flagship_shuffles_exactly_once(spark):
     plan = _plan(spark, "velocidades_agregadas")
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}"
+
+
+def test_window_suite_shuffles_once(spark):
+    """Two window specs share the o_custkey partitioning → one Exchange."""
+    plan = _plan(spark, "window_rank_suite")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+
+
+def test_salted_join_is_shuffle_join(spark):
+    """The salted demo must exercise the exchange path (a broadcast would
+    make the salting decorative)."""
+    plan = _plan(spark, "salted_skew_join_events")
+    assert "SortMergeJoin" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Bucketed-bucketed equi-join on the bucket key is exchange-free —
+    the write-once shuffle contract that makes repeated 100 TB fact-fact
+    joins affordable."""
+    from etl_olho_vivo_spark.io.bucketing import read_bucketed, write_bucketed
+    from etl_olho_vivo_spark.sources.tables import read_table
+
+    orders = read_table(spark, SF, "orders")
+    li = read_table(spark, SF, "lineitem")
+    write_bucketed(
+        orders, "b_orders", ["o_orderkey"], 8, path=str(tmp_path / "bo")
+    )
+    write_bucketed(
+        li, "b_lineitem", ["l_orderkey"], 8, path=str(tmp_path / "bl")
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = read_bucketed(spark, "b_orders").join(
+            read_bucketed(spark, "b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
 def test_minhash_signature_store_is_cached(spark):
