@@ -75,9 +75,10 @@ def flatten_posicoes(raw: DataFrame) -> DataFrame:
     and lines with NULL/empty ``vs`` — exactly the rows the reference's
     for-loops never visit.
     """
+    if "_corrupt_record" in raw.columns:
+        raw = raw.filter(F.col("_corrupt_record").isNull())
     return (
-        raw.filter(F.col("_corrupt_record").isNull())
-        .select(F.explode("l").alias("line"))
+        raw.select(F.explode("l").alias("line"))
         .select("line.*", F.explode("line.vs").alias("v"))
         .select(
             F.col("c").alias("letreiro"),
