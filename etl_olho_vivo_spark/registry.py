@@ -389,5 +389,6 @@ def _load_plugins() -> None:
     """Import the sibling registry modules (they self-register)."""
     import etl_olho_vivo_spark.registry_data  # noqa: F401
     import etl_olho_vivo_spark.registry_extra  # noqa: F401
+    import etl_olho_vivo_spark.registry_ingest  # noqa: F401
     import etl_olho_vivo_spark.registry_relational  # noqa: F401
     import etl_olho_vivo_spark.registry_scale  # noqa: F401

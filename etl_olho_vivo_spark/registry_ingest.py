@@ -1,0 +1,217 @@
+"""Ingestion-edge + compaction + streaming-parity queries.
+
+Four surfaces a 100 TB pipeline exercises constantly, each with the
+strongest check it admits:
+
+- ``olhovivo_source_scan`` — the custom Python DataSource (SURVEY §2.1 S1,
+  ``sources/olhovivo_api.py``) scanned end-to-end through the stage-2
+  flatten, hash-checked against a DuckDB ``range()`` twin of the
+  deterministic offline fetcher.  The *data source itself* is under the
+  oracle, not just the transforms downstream of it.
+- ``latest_event_per_user`` — CDC/snapshot compaction ("latest record
+  wins").  Implemented as a single-pass ``max_by`` aggregate (mergeable
+  partial state, map-side combine) rather than a row_number window: at
+  100 TB the window plan must fully sort every partition of the fact,
+  while the aggregate ships one candidate row per key per map task.
+- ``doc_editdist_near_dup`` — string-similarity near-dup via blocked
+  Levenshtein: candidate pairs only *within* a (lang, source) block, so
+  the join is key-equi (shuffle-partitionable) and never a cross product;
+  the quadratic edit-distance only runs inside blocks.  Complements the
+  dedup suite (exact / MinHash / SimHash / n-gram Jaccard / embedding).
+- ``streaming_interval_counts`` — Structured Streaming parity: the events
+  fact replayed through ``readStream`` (file source, availableNow) into a
+  complete-mode 30-min windowed aggregate; the final result equals the
+  batch aggregation, so even the *streaming* path is oracle-checked
+  (complete mode emits final totals — no watermark-truncated windows).
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_olho_vivo_spark.registry import register
+from etl_olho_vivo_spark.sources.tables import read_table
+
+_STREAM_SEQ = itertools.count()
+
+
+@register(
+    "olhovivo_source_scan",
+    """
+WITH g AS (
+  SELECT poll, li, vi,
+         7 * 100000 + li AS cl,
+         (7 * 100000 + li) * 100 + vi AS vid,
+         (poll * 997 + vi * 31 + li * 7) % 30000 AS step
+  FROM range(0, 4) p(poll), range(0, 3) l(li), range(0, 5) v(vi)
+)
+SELECT CAST(1000 + li AS VARCHAR) || '-' || CAST(10 + li % 90 AS VARCHAR)
+         AS letreiro,
+       cl AS codigo_linha,
+       CAST((li % 2) + 1 AS INT) AS sentido_linha,
+       'DEST_' || CAST(li AS VARCHAR) AS destino_linha,
+       'ORIG_' || CAST(li AS VARCHAR) AS origem_linha,
+       vid AS prefixo_veiculo,
+       (vid % 10) < 7 AS acessibilidade,
+       1704067200 + poll * 30 - (vi % 30) AS "timestamp",
+       -23.8 + step * 1e-5 AS py,
+       -46.85 + ((step * 7919) % 30000) * 1e-5 AS px
+FROM g
+""",
+    doc="S1 REST source as a first-class scan: spark.read.format('olhovivo') "
+    "(4 polls × 3 lines × 5 vehicles, seed 7) → flatten_posicoes.  The "
+    "oracle regenerates the deterministic offline fetcher in pure SQL "
+    "(range() cross products + the same integer arithmetic), so the custom "
+    "DataSource, its partition fan-out, AND the ISO8601→epoch flatten are "
+    "all under the value-hash.  Doubles match bit-for-bit because both "
+    "sides compute `-23.8 + int*1e-5` as one IEEE exact-rounded expression.",
+)
+def q_olhovivo_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_olho_vivo_spark.io.flatten import flatten_posicoes
+    from etl_olho_vivo_spark.sources.olhovivo_api import register as register_source
+
+    register_source(spark)
+    raw = (
+        spark.read.format("olhovivo")
+        .options(polls=4, lines=3, vehicles=5, seed=7)
+        .load()
+    )
+    return flatten_posicoes(raw)
+
+
+@register(
+    "latest_event_per_user",
+    """
+SELECT user_id,
+       event_id   AS last_event_id,
+       event_type AS last_event_type,
+       epoch_ms(ts) AS last_ts_ms,
+       value      AS last_value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    doc="CDC snapshot compaction (latest record per key): Spark side is a "
+    "single-pass max_by aggregate keyed on (ts, event_id) — mergeable "
+    "partial state, so each map task ships ONE candidate per key and no "
+    "full sort ever happens (the row_number-window plan the oracle uses "
+    "would sort the whole 100 TB fact).  Tiebreak on event_id makes the "
+    "winner unique and engine-independent.",
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    payload = F.struct("event_id", "event_type", "ts", "value")
+    return (
+        e.groupBy("user_id")
+        .agg(F.max_by(payload, ordkey).alias("last"))
+        .select(
+            "user_id",
+            F.col("last.event_id").alias("last_event_id"),
+            F.col("last.event_type").alias("last_event_type"),
+            F.unix_millis(F.col("last.ts")).alias("last_ts_ms"),
+            F.col("last.value").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "doc_editdist_near_dup",
+    """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS prefix_dist
+FROM documents a JOIN documents b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 20
+""",
+    doc="Blocked edit-distance near-dup: candidates only within a "
+    "(lang, source) block — an equi-join the planner shuffle-partitions by "
+    "block key, never a cross product — then Levenshtein on a 40-char "
+    "prefix verifies.  The quadratic distance runs only inside blocks; at "
+    "100 TB the block key is the unit of skew control (add a length band "
+    "to split an oversized block).  Completes the dedup family: exact / "
+    "MinHash / SimHash / n-gram Jaccard / embedding-cosine / edit-distance.",
+)
+def q_doc_editdist_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    a = d.select(
+        F.col("lang"), F.col("source"),
+        F.col("doc_id").alias("doc_a"),
+        F.substring("text", 1, 40).alias("pa"),
+    )
+    b = d.select(
+        F.col("lang"), F.col("source"),
+        F.col("doc_id").alias("doc_b"),
+        F.substring("text", 1, 40).alias("pb"),
+    )
+    dist = F.levenshtein("pa", "pb")
+    return (
+        a.join(b, on=["lang", "source"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(dist <= 20)
+        .select("doc_a", "doc_b", dist.alias("prefix_dist"))
+    )
+
+
+@register(
+    "streaming_interval_counts",
+    """
+WITH t AS (SELECT (epoch_ms(ts) // 1000 // 1800) * 1800 AS bucket_start,
+                  event_type
+           FROM events)
+SELECT bucket_start, event_type, count(*) AS n_events
+FROM t GROUP BY 1, 2
+""",
+    doc="Structured Streaming under the oracle: the events fact replayed "
+    "through a readStream file source (Trigger.AvailableNow) into a "
+    "complete-mode 30-min F.window aggregate on a memory sink.  Complete "
+    "mode emits final totals for every window, so the streamed result "
+    "equals the batch groupBy bit-for-bit — proving the streaming path "
+    "(source discovery, incremental state, window assignment) computes "
+    "the same answer as batch, the engine's single-code-path claim.",
+)
+def q_streaming_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    src = os.path.join(sf_dir, "events.parquet")
+    batch_schema = spark.read.parquet(src).schema
+    # The file-stream source monitors a *directory*; stage the single-file
+    # table behind one (symlink — no data copy, same as a real landing zone).
+    stage = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(os.path.abspath(src), os.path.join(stage, "events.parquet"))
+    stream = spark.readStream.schema(batch_schema).parquet(stage)
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in batch_schema)
+    if ts_type.get("ts") == "bigint":  # TIMESTAMP(NANOS) read as nanos
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    agg = (
+        stream.groupBy(
+            F.window("ts", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    name = f"streaming_interval_counts_{next(_STREAM_SEQ)}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sic_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)

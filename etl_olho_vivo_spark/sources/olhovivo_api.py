@@ -217,6 +217,37 @@ class OlhoVivoStreamReader(SimpleDataSourceStreamReader):
         return iter(rows)
 
 
+def register(spark) -> None:
+    """Register the source, shipping this package to Python workers.
+
+    The pickled DataSource class is resolved *by module path* inside
+    Spark's Python runner processes, which do not share the driver's
+    ``sys.path`` — exactly like executors on a real cluster.  Shipping the
+    package as a zip via ``addPyFile`` is the programmatic equivalent of
+    ``spark-submit --py-files`` and makes registration location-independent.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import etl_olho_vivo_spark
+
+    if not getattr(spark, "_olhovivo_pkg_shipped", False):
+        pkg_dir = os.path.dirname(os.path.abspath(etl_olho_vivo_spark.__file__))
+        zip_base = os.path.join(
+            tempfile.mkdtemp(prefix="eov_pyfiles_"), "etl_olho_vivo_spark_pkg"
+        )
+        zip_path = shutil.make_archive(
+            zip_base,
+            "zip",
+            root_dir=os.path.dirname(pkg_dir),
+            base_dir="etl_olho_vivo_spark",
+        )
+        spark.sparkContext.addPyFile(zip_path)
+        spark._olhovivo_pkg_shipped = True
+    spark.dataSource.register(OlhoVivoDataSource)
+
+
 class OlhoVivoDataSource(DataSource):
     """``spark.read.format("olhovivo")`` / ``spark.readStream.format(...)``."""
 
