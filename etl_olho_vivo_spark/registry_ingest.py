@@ -131,20 +131,27 @@ FROM documents a JOIN documents b
 WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 20
 """,
     doc="Blocked edit-distance near-dup: candidates only within a "
-    "(lang, source) block — an equi-join the planner shuffle-partitions by "
-    "block key, never a cross product — then Levenshtein on a 40-char "
-    "prefix verifies.  The quadratic distance runs only inside blocks; at "
-    "100 TB the block key is the unit of skew control (add a length band "
-    "to split an oversized block).  Completes the dedup family: exact / "
-    "MinHash / SimHash / n-gram Jaccard / embedding-cosine / edit-distance.",
+    "(lang, source) block — an equi-join shuffle-partitioned by block key, "
+    "never a cross product — then Levenshtein on a 40-char prefix "
+    "verifies.  Two plan decisions are load-bearing: (1) shuffle_hash, "
+    "not broadcast — broadcasting the whole corpus to every executor is "
+    "exactly what cannot happen at 100 TB; (2) repartition(n, block) pins "
+    "the exchange so AQE's size-based coalescing cannot collapse a "
+    "compute-bound stage (the shuffled rows are tiny but each output "
+    "partition does O(block²) DP work — byte counts misjudge it; measured "
+    "4× on local[32]).  Skew control = the block key itself: split an "
+    "oversized block by adding a length band.  Completes the dedup "
+    "family: exact / MinHash / SimHash / n-gram Jaccard / "
+    "embedding-cosine / edit-distance.",
 )
 def q_doc_editdist_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     a = d.select(
         F.col("lang"), F.col("source"),
         F.col("doc_id").alias("doc_a"),
         F.substring("text", 1, 40).alias("pa"),
-    )
+    ).repartition(par, "lang", "source")
     b = d.select(
         F.col("lang"), F.col("source"),
         F.col("doc_id").alias("doc_b"),
@@ -152,7 +159,8 @@ def q_doc_editdist_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dist = F.levenshtein("pa", "pb")
     return (
-        a.join(b, on=["lang", "source"])
+        a.hint("shuffle_hash")
+        .join(b, on=["lang", "source"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(dist <= 20)
         .select("doc_a", "doc_b", dist.alias("prefix_dist"))
