@@ -284,8 +284,14 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"i -> (wh[i] * {MIX} + wh[i + 1]) % {P}"
         f")) ELSE CAST(array() AS ARRAY<BIGINT>) END"
     )
+    # Spread the md5 token-hashing across cores before the array work —
+    # a single-file scan is one input split, and the hash+bigram transform
+    # is the compute-heavy stage, not the join.
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     t = dedup.with_token_hashes(
-        d.select("doc_id", "source", "n_chars", "text")
+        d.select("doc_id", "source", "n_chars", "text").repartition(
+            par, "doc_id"
+        )
     ).select("doc_id", "source", "n_chars", F.expr(bg).alias("bg"))
     # Equi-join on (source, 20-char length bucket) with neighbor-bucket
     # expansion on one side: |Δn_chars| ≤ 20 implies bucket distance ≤ 1,
@@ -318,8 +324,14 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intersection 2-3× per joined row)
     na_nb = F.size("bg_a") + F.size("bg_b")
     keep = (F.lit(13) * inter >= F.lit(3) * na_nb) & (na_nb > 0)
+    # Pin the exchange: the pair stage shuffles few bytes but does
+    # O(block²) array-intersect work per partition, so AQE's size-based
+    # coalescing would collapse it to one task (same rationale as
+    # registry_ingest.q_doc_editdist_near_dup); shuffle_hash keeps the
+    # broadcast-of-the-corpus plan off the table at real scale.
+    a = a.repartition(par, "source", "bucket")
     return (
-        a.join(b, ["source", "bucket"])
+        a.hint("shuffle_hash").join(b, ["source", "bucket"])
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 20)
