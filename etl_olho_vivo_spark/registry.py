@@ -178,7 +178,7 @@ _SQL_AGG_EXACT_MEASURES = """
                 / count(*)) * 1e-5                        AS py,
        (sum(CAST(round(distancia * 100.0, 0) AS BIGINT)) / 100.0)
              / sum(tempo)                                 AS velocidade_media,
-       sum(tempo)                                         AS tempo,
+       CAST(sum(tempo) AS BIGINT)                         AS tempo,
        sum(CAST(round(distancia * 100.0, 0) AS BIGINT)) / 100.0 AS distancia
 """
 

@@ -93,7 +93,8 @@ def q_orders_with_recent_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
     """
 SELECT l_returnflag, l_linestatus,
        count(*) AS n,
-       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS revenue_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
        GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -326,7 +327,8 @@ def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "salted_event_type_stats",
     """
-SELECT event_type, count(*) AS n, sum(CAST(round(value * 10000, 0) AS BIGINT))
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT)
          AS value_e4, min(event_id) AS first_event
 FROM events GROUP BY event_type
 """,

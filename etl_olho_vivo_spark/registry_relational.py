@@ -419,9 +419,10 @@ WITH gaps AS (
   FROM events
 )
 SELECT event_id, user_id,
-       sum(new_session) OVER (
+       CAST(sum(new_session) OVER (
          PARTITION BY user_id ORDER BY s, event_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS session_idx
 FROM gaps
 """,
     doc="Gap-based sessionization (30-min inactivity) as cumulative-sum "

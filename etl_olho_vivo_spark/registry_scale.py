@@ -40,9 +40,9 @@ SELECT o_custkey, o_orderkey,
        ntile(4) OVER wu AS quartile,
        lead(o_orderkey) OVER wu AS next_ok,
        first_value(o_orderkey) OVER wu AS top_ok,
-       sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
          OVER (wu ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS running_cents,
+         AS BIGINT) AS running_cents,
        rank() OVER wp AS prio_rank,
        dense_rank() OVER wp AS prio_dense,
        round(percent_rank() OVER wp, 6) AS prio_pctrank,
@@ -144,7 +144,8 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT l_returnflag, l_linestatus,
        count(*) AS n,
-       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS revenue_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
        GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -180,7 +181,8 @@ WITH dim AS (
 )
 SELECT e.event_type, d.type_len,
        count(*) AS n,
-       sum(CAST(round(e.value * 10000, 0) AS BIGINT)) AS value_e4
+       CAST(sum(CAST(round(e.value * 10000, 0) AS BIGINT)) AS BIGINT)
+         AS value_e4
 FROM events e JOIN dim d USING (event_type)
 GROUP BY e.event_type, d.type_len
 """,

@@ -48,6 +48,15 @@ def compare(spark_df, duck_df: pd.DataFrame) -> list[str]:
         return problems
     for col in sp.columns:
         a, b = sp[col], du[col]
+        # The driver's value-hash is dtype-sensitive: DuckDB's
+        # sum(BIGINT) -> HUGEINT materializes as float64 in pandas while
+        # Spark emits int64, hashing differently over equal values.
+        # Flag kind-level dtype divergence (int vs float) as a failure.
+        if {a.dtype.kind, b.dtype.kind} == {"i", "f"}:
+            problems.append(
+                f"col {col}: dtype mismatch spark={a.dtype} duck={b.dtype}"
+                " (driver hash would differ)"
+            )
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             aa, bb = a.astype(float), b.astype(float)
             both_nan = aa.isna() & bb.isna()
