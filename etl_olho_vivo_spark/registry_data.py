@@ -54,51 +54,51 @@ def _d_stopfilter(words: tuple[str, ...]) -> str:
 
 
 @register(
-    "doc_token_stats",
-    """
-SELECT doc_id,
-       len(string_split(text, ' ')) AS n_tokens,
-       len(regexp_extract_all(text, '[a-z]+')) AS n_regex_tokens,
-       length(text) AS n_chars_measured
-FROM documents
-""",
-    doc="Token counting: whitespace split + regex-run tokenizer "
-    "(BPE-ish proxy). Pure per-row map.",
-)
-def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        textops.token_count().alias("n_tokens"),
-        textops.regex_token_count().alias("n_regex_tokens"),
-        F.length("text").alias("n_chars_measured"),
-    )
-
-
-@register(
-    "doc_quality",
+    "doc_text_profile",
     f"""
-SELECT doc_id, n_tokens, avg_word_len, stopword_ratio,
+SELECT doc_id, n_tokens, n_regex_tokens, n_chars, avg_word_len,
+       stopword_ratio,
        0.4 * stopword_ratio + 0.6 * (1.0 - 1.0 / avg_word_len)
-         AS quality_score
+         AS quality_score,
+       fp_rolling, fp_md5
 FROM (
   SELECT doc_id,
          len(string_split(text, ' ')) AS n_tokens,
+         len(regexp_extract_all(text, '[a-z]+')) AS n_regex_tokens,
+         length(text) AS n_chars,
          (length(text) - (len(string_split(text, ' ')) - 1))
            / len(string_split(text, ' ')) AS avg_word_len,
          {_d_stopfilter(textops.STOPWORDS)}
-           / len(string_split(text, ' ')) AS stopword_ratio
+           / len(string_split(text, ' ')) AS stopword_ratio,
+         list_reduce({_D_WH}, (acc, x) -> (acc * {MIX} + x) % {P})
+           AS fp_rolling,
+         {duck_token_hash('text')} AS fp_md5
   FROM documents
 )
 """,
-    doc="Quality scoring: length/word-length/stopword-ratio features; all "
-    "ratios int/int (engine-exact).",
+    doc="Single-scan per-document text profile: token counting "
+    "(whitespace split + regex-run BPE-ish proxy), quality scoring "
+    "(length / word-length / stopword-ratio features, all int/int "
+    "ratios), and document fingerprinting (order-sensitive rolling "
+    "polynomial hash over token hashes + whole-text md5).  One wide "
+    "Column projection — at 100 TB this is the shape you want: every "
+    "per-row text feature computed in one pass over the corpus instead "
+    "of one scan per feature family.  (Spark's fold seeds acc=0 and "
+    "h<P, so step 1 yields h1 — identical to DuckDB's "
+    "first-element-seeded list_reduce.)",
 )
-def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return textops.quality_features(d).select(
-        "doc_id", "n_tokens", "avg_word_len", "stopword_ratio",
+        "doc_id",
+        "n_tokens",
+        textops.regex_token_count().alias("n_regex_tokens"),
+        F.col("n_chars_m").alias("n_chars"),
+        "avg_word_len",
+        "stopword_ratio",
         "quality_score",
+        textops.fingerprint_rolling().alias("fp_rolling"),
+        textops.fingerprint_md5().alias("fp_md5"),
     )
 
 
@@ -124,29 +124,6 @@ def _d_lang_sql() -> str:
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return d.select("doc_id", "lang", textops.lang_guess().alias("lang_guess"))
-
-
-@register(
-    "doc_fingerprint",
-    f"""
-SELECT doc_id,
-       list_reduce({_D_WH}, (acc, x) -> (acc * {MIX} + x) % {P})
-         AS fp_rolling,
-       {duck_token_hash('text')} AS fp_md5
-FROM documents
-""",
-    doc="Document fingerprinting: order-sensitive rolling polynomial hash "
-    "over token hashes + whole-text md5 fingerprint.  (Spark's fold seeds "
-    "acc=0 and h<P, so step 1 yields h1 — identical to DuckDB's "
-    "first-element-seeded list_reduce.)",
-)
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        textops.fingerprint_rolling().alias("fp_rolling"),
-        textops.fingerprint_md5().alias("fp_md5"),
-    )
 
 
 # ---------------------------------------------------------------------------

@@ -88,33 +88,60 @@ def q_orders_with_recent_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("o_orderkey", "o_custkey", "o_totalprice")
 
 
-@register(
-    "lineitem_cube",
-    """
-SELECT l_returnflag, l_linestatus,
+_GB_EXT_MEASURES = """
        count(*) AS n,
        CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
          AS revenue_cents,
        GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+"""
+
+
+@register(
+    "groupby_extensions",
+    f"""
+SELECT 'cube' AS mode, l_returnflag, l_linestatus, {_GB_EXT_MEASURES}
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'rollup' AS mode, l_returnflag, l_linestatus, {_GB_EXT_MEASURES}
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'gsets' AS mode, l_returnflag, l_linestatus, {_GB_EXT_MEASURES}
 FROM lineitem
-GROUP BY CUBE (l_returnflag, l_linestatus)
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """,
-    doc="CUBE over (returnflag, linestatus): all four grouping sets in one "
-    "pass (partial-aggregated before the exchange).  Money summed in "
-    "integer cents — order-independent, bit-exact at any scale.",
+    doc="The full GROUP BY extension surface in one tagged union: CUBE "
+    "(all four grouping sets), ROLLUP (hierarchy subtotals), and an "
+    "asymmetric explicit GROUPING SETS, each with grouping_id to "
+    "disambiguate NULL-as-group from NULL-as-value.  Every branch "
+    "partial-aggregates before its single exchange (Spark Expand feeds "
+    "one hash-agg per branch).  Money summed in integer cents — "
+    "order-independent, bit-exact at any scale.",
 )
-def q_lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_groupby_extensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
+
+    def measures(grouped, mode: str) -> DataFrame:
+        return grouped.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(cents).alias("revenue_cents"),
             F.grouping_id().alias("gid"),
+        ).select(
+            F.lit(mode).alias("mode"),
+            "l_returnflag", "l_linestatus", "n", "revenue_cents", "gid",
         )
-        .select("l_returnflag", "l_linestatus", "n", "revenue_cents", "gid")
+
+    cube = measures(li.cube("l_returnflag", "l_linestatus"), "cube")
+    rollup = measures(li.rollup("l_returnflag", "l_linestatus"), "rollup")
+    gsets = measures(
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        ),
+        "gsets",
     )
+    return cube.unionAll(rollup).unionAll(gsets)
 
 
 @register(
@@ -372,16 +399,22 @@ SELECT p_partkey,
        CASE WHEN p_size >= 25 THEN 'large'
             WHEN p_size >= 10 THEN 'medium' ELSE 'small' END AS size_class
 FROM part
+WHERE substr(md5(CAST(p_partkey AS VARCHAR)), 1, 2) < '40'
 """,
     doc="Scalar-function breadth (SURVEY §2.8 beyond the reference's "
     "minimal set): string case/length/substring/replace, regex extraction, "
     "split + array sort/reverse/join, modular money arithmetic, CASE "
-    "bucketing — all whole-stage-codegen Column expressions.",
+    "bucketing — all whole-stage-codegen Column expressions.  The WHERE "
+    "clause is deterministic md5-prefix universe sampling (~25%%): unlike "
+    "TABLESAMPLE/rand() the sample is reproducible across engines, "
+    "retries, and partitionings (critical for 100 TB re-runs), and it is "
+    "a scan-level filter — no shuffle, no extra pass.",
 )
 def q_scalar_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = read_table(spark, sf_dir, "part")
     words = F.split("p_name", " ")
-    return p.select(
+    sample = F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 2)
+    return p.filter(sample < "40").select(
         "p_partkey",
         F.upper("p_name").alias("name_upper"),
         F.length("p_name").alias("name_len"),

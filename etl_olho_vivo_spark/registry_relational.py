@@ -273,24 +273,6 @@ def q_order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "lineitem_rollup",
-    """
-SELECT l_returnflag, l_linestatus,
-       sum(l_quantity) AS sum_qty, count(*) AS n_items
-FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-""",
-    doc="ROLLUP grouping sets (subtotals + grand total); quantity sums are "
-    "exact (small integers in doubles).",
-)
-def q_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum("l_quantity").alias("sum_qty"),
-        F.count(F.lit(1)).alias("n_items"),
-    )
-
-
-@register(
     "distinct_suppliers_per_part",
     """
 SELECT l_partkey,

@@ -84,28 +84,6 @@ def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "md5_sample_lineitem",
-    """
-SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
-FROM lineitem
-WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) < '0d'
-""",
-    doc="Deterministic universe sampling (~5%%): md5-prefix predicate on "
-    "the clustering key.  Unlike TABLESAMPLE/rand(), the sample is "
-    "reproducible across engines, retries, and partitionings (critical "
-    "for 100 TB re-runs), and sampling on l_orderkey keeps every line of "
-    "a sampled order together (cluster sampling).  The predicate is a "
-    "scan-level filter — no shuffle, no extra pass.",
-)
-def q_md5_sample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem")
-    bucket = F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 2)
-    return li.filter(bucket < "0d").select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
-    )
-
-
-@register(
     "approx_distinct_users",
     """
 SELECT event_type,
@@ -136,40 +114,6 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= 0.10 * F.col("n_users_exact")
             ).alias("approx_within_10pct"),
         )
-    )
-
-
-@register(
-    "grouping_sets_revenue",
-    """
-SELECT l_returnflag, l_linestatus,
-       count(*) AS n,
-       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
-         AS revenue_cents,
-       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
-FROM lineitem
-GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-""",
-    doc="Explicit GROUPING SETS (asymmetric — not the full cube): "
-    "detail + returnflag subtotal + grand total in one pass, partial-"
-    "aggregated before a single exchange.  grouping_id disambiguates "
-    "NULL-as-group from NULL-as-value.",
-)
-def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-    return (
-        li.groupingSets(
-            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
-            "l_returnflag",
-            "l_linestatus",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(cents).alias("revenue_cents"),
-            F.grouping_id().alias("gid"),
-        )
-        .select("l_returnflag", "l_linestatus", "n", "revenue_cents", "gid")
     )
 
 
