@@ -36,15 +36,25 @@ def salted_join(
     hot key to one reducer.  Salting appends a deterministic ``__salt`` ∈
     [0, n_salts) to the big side's key and cross-replicates the small side
     over all salts, so each hot key spreads across ``n_salts`` reducers.
-    Exact for any join type that only matches on ``on`` (the replicated
-    small rows differ only in ``__salt``, and each big row joins exactly
-    its own salt).  Use when the small side is too big to broadcast but
-    far smaller than the big side; with broadcastable dims prefer
-    ``F.broadcast``, and note AQE's skew-join splitting handles moderate
-    skew without rewrites — this is for the pathological tail.
+    Exact for inner/left-flavored joins (each big row joins exactly its own
+    salt; the replicated small rows differ only in ``__salt``).  NOT valid
+    for right/full outer joins: an unmatched small-side row would surface
+    once per salt (n_salts duplicates), so those types are rejected.  Use
+    when the small side is too big to broadcast but far smaller than the
+    big side; with broadcastable dims prefer ``F.broadcast``, and note
+    AQE's skew-join splitting handles moderate skew without rewrites —
+    this is for the pathological tail.
     """
     if salt_source is None:
         raise ValueError("salt_source column is required (deterministic salt)")
+    exact_types = {"inner", "left", "leftouter", "left_outer",
+                   "left_semi", "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in exact_types:
+        raise ValueError(
+            f"salted_join is only exact for {sorted(exact_types)} joins; "
+            f"got how={how!r} (unmatched replicated small-side rows would "
+            "duplicate once per salt)"
+        )
     salted_big = big.withColumn(
         "__salt", (F.abs(F.hash(F.col(salt_source))) % n_salts)
     )

@@ -41,7 +41,12 @@ def run_daily(
     if write_fact:
         write_posicoes_parquet(pos, f"{out_dir}/posicoes")
 
-    cleaned = speed.cleaned_speeds(pos).persist(StorageLevel.MEMORY_AND_DISK)
+    # Deterministic lag ordering on duplicate (vehicle, timestamp) pings:
+    # tiebreak on natural columns so re-runs and retries produce identical
+    # pairs regardless of file/split order (speed.py determinism note).
+    cleaned = speed.cleaned_speeds(
+        pos, tiebreakers=("codigo_linha", "py", "px")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         datasets: dict[str, DataFrame] = {
             "lentidao": speed.lentidao(cleaned),

@@ -186,6 +186,7 @@ FROM t GROUP BY 1, 2
 )
 def q_streaming_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import shutil
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
@@ -194,32 +195,45 @@ def q_streaming_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The file-stream source monitors a *directory*; stage the single-file
     # table behind one (symlink — no data copy, same as a real landing zone).
     stage = tempfile.mkdtemp(prefix="stream_events_")
-    os.symlink(os.path.abspath(src), os.path.join(stage, "events.parquet"))
-    stream = spark.readStream.schema(batch_schema).parquet(stage)
-    ts_type = dict((f.name, f.dataType.simpleString()) for f in batch_schema)
-    if ts_type.get("ts") == "bigint":  # TIMESTAMP(NANOS) read as nanos
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    agg = (
-        stream.groupBy(
-            F.window("ts", "30 minutes").alias("w"), "event_type"
-        )
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            F.unix_timestamp("w.start").alias("bucket_start"),
-            "event_type",
-            "n_events",
-        )
-    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sic_")
     name = f"streaming_interval_counts_{next(_STREAM_SEQ)}"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sic_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return spark.table(name)
+    try:
+        os.symlink(os.path.abspath(src), os.path.join(stage, "events.parquet"))
+        stream = spark.readStream.schema(batch_schema).parquet(stage)
+        ts_type = dict(
+            (f.name, f.dataType.simpleString()) for f in batch_schema
+        )
+        if ts_type.get("ts") == "bigint":  # TIMESTAMP(NANOS) read as nanos
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        agg = (
+            stream.groupBy(
+                F.window("ts", "30 minutes").alias("w"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.unix_timestamp("w.start").alias("bucket_start"),
+                "event_type",
+                "n_events",
+            )
+        )
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        # Detach the (tiny) window-count result from the memory sink so the
+        # per-run sink table and temp dirs can be dropped immediately — this
+        # driver materialization is a parity-check convenience; production
+        # streams write to files (see streaming/pipeline.py).
+        result = spark.table(name)
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

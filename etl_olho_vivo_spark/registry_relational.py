@@ -330,7 +330,10 @@ def q_set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     auto = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
     low = cust.filter(F.col("c_acctbal") < 100).select("c_custkey")
-    return building.union(auto).exceptAll(low).distinct()
+    # subtract() is SQL EXCEPT (distinct semantics) regardless of input
+    # multiplicity; exceptAll().distinct() would leave survivors when the
+    # left side carries duplicates of a partially-subtracted key.
+    return building.union(auto).subtract(low)
 
 
 @register(

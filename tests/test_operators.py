@@ -184,6 +184,18 @@ def test_salted_agg_requires_deterministic_salt(spark):
         salted_agg(df, keys=["k"], aggs={"n": ("sum", F.count(F.lit(1)))})
 
 
+def test_salted_join_rejects_outer_types(spark):
+    # Right/full outer would emit each unmatched replicated small-side row
+    # once per salt — the rewrite is only exact for inner/left flavors.
+    from etl_olho_vivo_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "a")], ["id", "k"])
+    dim = spark.createDataFrame([("a", 10), ("z", 99)], ["k", "w"])
+    for how in ("right", "full", "outer", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="only exact"):
+            salted_join(big, dim, on=["k"], n_salts=3, salt_source="id", how=how)
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
