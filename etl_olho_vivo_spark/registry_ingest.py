@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_olho_vivo_spark.registry import register
+from etl_olho_vivo_spark.sources.events_adapter import POSICOES_FROM_EVENTS_SQL
 from etl_olho_vivo_spark.sources.tables import read_table
 
 _STREAM_SEQ = itertools.count()
@@ -231,6 +232,81 @@ def q_streaming_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-run sink table and temp dirs can be dropped immediately — this
         # driver materialization is a parity-check convenience; production
         # streams write to files (see streaming/pipeline.py).
+        result = spark.table(name)
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@register(
+    "streaming_lag_parity",
+    f"""
+WITH pos AS ({POSICOES_FROM_EVENTS_SQL}),
+lagged AS (
+  SELECT prefixo_veiculo, codigo_linha, "timestamp", px, py, event_id,
+         lag("timestamp") OVER w AS timestamp_anterior,
+         lag(px) OVER w AS px_anterior,
+         lag(py) OVER w AS py_anterior
+  FROM pos
+  WINDOW w AS (PARTITION BY prefixo_veiculo ORDER BY "timestamp", event_id)
+)
+SELECT prefixo_veiculo, codigo_linha, "timestamp", px, py, event_id,
+       timestamp_anterior, px_anterior, py_anterior
+FROM lagged WHERE timestamp_anterior IS NOT NULL
+""",
+    doc="The stateful streaming lag under the oracle: the events fact "
+    "replayed through readStream -> posicoes adapter -> "
+    "applyInPandasWithState keyed ping-pairing "
+    "(streaming/pipeline.py:stream_ping_pairs), checked against the batch "
+    "lag window twin in DuckDB.  A single availableNow micro-batch with "
+    "an (timestamp, event_id) in-batch sort makes the arrival order equal "
+    "the batch ORDER BY, so the online per-vehicle state machine emits "
+    "exactly the batch lag pairs — value-hash parity for the custom "
+    "stateful operator, not just the built-in windowed agg.",
+)
+def q_streaming_lag_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from etl_olho_vivo_spark.sources.events_adapter import posicoes_project
+    from etl_olho_vivo_spark.streaming.pipeline import stream_ping_pairs
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    src = os.path.join(sf_dir, "events.parquet")
+    batch_schema = spark.read.parquet(src).schema
+    stage = tempfile.mkdtemp(prefix="stream_lag_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_slp_")
+    name = f"streaming_lag_parity_{next(_STREAM_SEQ)}"
+    try:
+        os.symlink(os.path.abspath(src), os.path.join(stage, "events.parquet"))
+        stream = spark.readStream.schema(batch_schema).parquet(stage)
+        ts_type = dict(
+            (f.name, f.dataType.simpleString()) for f in batch_schema
+        )
+        if ts_type.get("ts") == "bigint":  # TIMESTAMP(NANOS) read as nanos
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        pos = posicoes_project(stream).select(
+            # slim the stateful exchange: only what pairing + parity needs
+            "prefixo_veiculo", "codigo_linha", "timestamp", "px", "py",
+            "event_id",
+        )
+        pairs = stream_ping_pairs(
+            pos, tiebreakers=("event_id",), carry=("event_id",)
+        )
+        query = (
+            pairs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
         result = spark.table(name)
         return spark.createDataFrame(result.collect(), result.schema)
     finally:

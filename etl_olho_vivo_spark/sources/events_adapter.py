@@ -34,7 +34,16 @@ LON_PRIME = 7919           # decorrelates px from py
 
 def posicoes_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map the ``events`` parquet at ``sf_dir`` into a posicoes DataFrame."""
-    e = read_table(spark, sf_dir, "events")
+    return posicoes_project(read_table(spark, sf_dir, "events"))
+
+
+def posicoes_project(e: DataFrame) -> DataFrame:
+    """The adapter projection on any events-shaped frame (batch or stream).
+
+    Streaming-safe: every column is a pure per-row expression, so the same
+    plan fragment runs under ``readStream`` for the streaming parity
+    queries.
+    """
     cl = (F.col("user_id") % 20).cast("long")
     return e.select(
         F.concat(

@@ -105,14 +105,26 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def stream_ping_pairs(pos: DataFrame) -> DataFrame:
+def stream_ping_pairs(
+    pos: DataFrame,
+    tiebreakers: tuple[str, ...] = (),
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """Online W1: consecutive-ping pairs per vehicle via keyed state.
 
     Each vehicle's state is its last ping; every new ping emits one pair
-    row (first ping emits none — P4 for free).  The shipped closure is
-    fully self-contained: Spark's Python workers don't have this package
-    on their path.
+    row (first ping emits none — P4 for free).  ``tiebreakers`` orders
+    equal-timestamp pings deterministically *within* a micro-batch (the
+    batch window's ORDER BY twin; cross-batch arrival order stands, see
+    module docstring).  ``carry`` columns from ``pos`` pass through onto
+    each emitted pair row (e.g. a row-identity column for parity checks).
+    The shipped closure is fully self-contained: Spark's Python workers
+    don't have this package on their path.
     """
+    carry_fields = [pos.schema[c] for c in carry]
+    out_schema = T.StructType([*_PAIR_SCHEMA.fields, *carry_fields])
+    sort_keys = ["timestamp", *tiebreakers]
+    carry_cols = list(carry)
 
     def pair_fn(key, pdf_iter, state):
         import pandas as pd  # noqa: PLC0415 — worker-side import
@@ -122,15 +134,23 @@ def stream_ping_pairs(pos: DataFrame) -> DataFrame:
             last_ts, last_px, last_py = state.get
         else:
             last_ts, last_px, last_py = None, None, None
+        # One global in-batch sort: chunk-local sorting would leak Arrow
+        # batch boundaries into the pairing order on equal timestamps.
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        pdf = (
+            pd.concat(chunks).sort_values(sort_keys, kind="stable")
+            if chunks
+            else None
+        )
         out = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("timestamp", kind="stable")
+        if pdf is not None:
             for r in pdf.itertuples(index=False):
                 if last_ts is not None:
                     out.append(
                         (
                             veh, r.codigo_linha, r.timestamp, r.px, r.py,
                             last_ts, last_px, last_py,
+                            *[getattr(r, c) for c in carry_cols],
                         )
                     )
                 last_ts, last_px, last_py = r.timestamp, r.px, r.py
@@ -140,6 +160,7 @@ def stream_ping_pairs(pos: DataFrame) -> DataFrame:
             columns=[
                 "prefixo_veiculo", "codigo_linha", "timestamp", "px", "py",
                 "timestamp_anterior", "px_anterior", "py_anterior",
+                *carry_cols,
             ],
         )
 
@@ -147,7 +168,7 @@ def stream_ping_pairs(pos: DataFrame) -> DataFrame:
         "prefixo_veiculo"
     ).applyInPandasWithState(
         pair_fn,
-        outputStructType=_PAIR_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
