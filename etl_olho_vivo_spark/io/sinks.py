@@ -41,3 +41,50 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     """S9: derived dataset → CSV with header (ref ``:20-24``)."""
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_raw_json(df: DataFrame, path: str, poll_epoch=None) -> None:
+    """S3: raw landing zone — ``year=/month=/day=/hour=`` JSON objects.
+
+    The engine twin of the reference poller's S3 put
+    (``get-bus-data.py:26-49,64-65``: one JSON document per poll under
+    ``posicoes/year=YYYY/month=MM/day=DD/hour=HH/``).  Deviation: the
+    reference derives the partition from ``utcnow()`` at write time, so
+    replaying a poll lands it in a *different* partition; here the
+    partition time defaults to the document's own newest capture instant
+    (max vehicle ``ta``), making re-writes idempotent — same input, same
+    layout, forever.  Pass ``poll_epoch`` (epoch-seconds Column) to
+    override, e.g. with an ingestion-time column from the stream source.
+
+    All partition math is TZ-free epoch/calendar arithmetic; values are
+    zero-padded to match the reference's lexicographic key layout.
+    """
+    from etl_olho_vivo_spark.io.flatten import iso8601_to_epoch
+
+    if poll_epoch is None:
+        poll_epoch = F.array_max(
+            F.transform(
+                F.flatten(F.col("l.vs")), lambda v: iso8601_to_epoch(v["ta"])
+            )
+        )
+    days = poll_epoch.cast("long") / F.lit(86400)
+    d = F.date_add(F.lit("1970-01-01").cast("date"), F.floor(days).cast("int"))
+    out = (
+        df.withColumn("__e", poll_epoch.cast("long"))
+        .withColumn("year", F.format_string("%04d", F.year(d)))
+        .withColumn("month", F.format_string("%02d", F.month(d)))
+        .withColumn("day", F.format_string("%02d", F.dayofmonth(d)))
+        .withColumn(
+            "hour",
+            F.format_string(
+                "%02d", ((F.col("__e") % 86400) / 3600).cast("int")
+            ),
+        )
+        .drop("__e")
+    )
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("year", "month", "day", "hour")
+        .json(path)
+    )

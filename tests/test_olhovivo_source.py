@@ -51,6 +51,44 @@ def test_batch_flattens_through_stage2(spark):
     assert all(-47.0 < r["px"] < -46.0 for r in out)
 
 
+def test_raw_json_sink_roundtrip(spark, tmp_path):
+    """S3 write side: poll source → raw landing zone → stage-2 flatten
+    must equal flattening the source directly (the poller-replacement
+    loop is closed end-to-end)."""
+    import os
+
+    from etl_olho_vivo_spark.io.flatten import read_raw_posicoes
+    from etl_olho_vivo_spark.io.sinks import write_raw_json
+
+    raw = (
+        spark.read.format("olhovivo").options(polls=3, lines=2, vehicles=4).load()
+    )
+    zone = str(tmp_path / "raw_zone")
+    write_raw_json(raw, zone)
+
+    # reference layout: year=/month=/day=/hour= zero-padded partitions
+    parts = []
+    for root, _dirs, files in os.walk(zone):
+        parts += [os.path.join(root, f) for f in files if f.endswith(".json")]
+    assert parts, "no JSON objects written"
+    rel = os.path.relpath(parts[0], zone).split(os.sep)
+    assert rel[0].startswith("year=") and rel[1].startswith("month=")
+    assert rel[2].startswith("day=") and rel[3].startswith("hour=")
+    assert len(rel[1]) == len("month=") + 2  # zero-padded
+
+    back = flatten_posicoes(read_raw_posicoes(spark, zone))
+    direct = flatten_posicoes(raw)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    # idempotent replay: partition time derives from the data, not the
+    # wall clock, so a second write lands in the same layout
+    write_raw_json(raw, zone)
+    back2 = flatten_posicoes(read_raw_posicoes(spark, zone))
+    assert back2.count() == direct.count()
+
+
 def test_live_mode_is_gated_not_broken(spark):
     df = spark.read.format("olhovivo").options(mode="live", api_token="x").load()
     with pytest.raises(Exception) as exc_info:
