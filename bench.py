@@ -49,6 +49,14 @@ def main() -> None:
     read_table(spark, sf_dir, "events").limit(10).write.format(
         "noop"
     ).mode("overwrite").save()
+    # Warm the Python-DataSource path too (package zip ship + Python worker
+    # spin-up is one-time session bootstrap, not per-query cost).
+    from etl_olho_vivo_spark.sources.olhovivo_api import register as _reg_ov
+
+    _reg_ov(spark)
+    spark.read.format("olhovivo").options(
+        polls=1, lines=1, vehicles=1
+    ).load().write.format("noop").mode("overwrite").save()
 
     registry.queries()  # loads the plugin registries into REGISTRY
     timings: dict[str, float] = {}

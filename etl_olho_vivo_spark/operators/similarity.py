@@ -81,30 +81,133 @@ def cosine_topk(
     )
 
 
-def ivf_assign(emb: DataFrame, n_cells: int = 8) -> DataFrame:
+def ivf_assign(
+    emb: DataFrame, n_cells: int = 8, centroids: DataFrame | None = None
+) -> DataFrame:
     """Assign every vector to its nearest coarse centroid.
 
-    Centroids are the first ``n_cells`` vectors (deterministic seeding — a
-    production build would run k-means||; the assignment machinery is
-    identical).  Exact integer distances + (dist, cell_id) ordering make
-    the argmin fully deterministic.
+    Default centroids are the first ``n_cells`` vectors — deterministic
+    demo seeding that the SQL oracles can replicate verbatim; pass the
+    ``kmeans_centroids`` result for the production-quality quantizer (the
+    assignment machinery is identical either way).  Exact integer
+    distances + (dist, cell_id) ordering make the argmin fully
+    deterministic.
     """
-    cents = emb.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell_id"),
-        F.expr(_quantize("embedding")).alias("qc"),
-    )
+    if centroids is None:
+        centroids = emb.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell_id"),
+            F.expr(_quantize("embedding")).alias("qc"),
+        )
     vecs = emb.select(
         "vec_id", "label", F.expr(_quantize("embedding")).alias("qv")
     )
     dist = F.expr(_l2sq_int("qv", "qc"))
     w = Window.partitionBy("vec_id").orderBy("dist", "cell_id")
     return (
-        vecs.crossJoin(F.broadcast(cents))
+        vecs.crossJoin(F.broadcast(centroids))
         .select("vec_id", "label", "qv", "cell_id", dist.alias("dist"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "label", "cell_id", "qv")
     )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_cells: int = 8,
+    rounds: int = 2,
+    oversample: int = 4,
+    refine_iters: int = 1,
+) -> DataFrame:
+    """Deterministic k-means|| seeding + Lloyd refinement for the IVF
+    coarse quantizer.
+
+    Shape mirrors k-means|| (Bahmani et al., VLDB'12): ``rounds`` full
+    scans each add ``oversample * n_cells`` candidates chosen by squared
+    distance to the current candidate set — deterministic top-l by
+    (d² DESC, vec_id) instead of the paper's d²-proportional random draw,
+    so re-runs and task retries produce identical centroids (the same
+    reason the engine never salts with rand()).  The tiny candidate pool
+    is reduced driver-side by farthest-point traversal, then
+    ``refine_iters`` distributed Lloyd steps recompute integer-quantized
+    component means.
+
+    Scale shape: every distributed step is one scan over the vectors plus
+    a broadcast of at most ``1 + rounds * oversample * n_cells`` quantized
+    vectors; driver state is that same tiny pool.  Nothing scales with n.
+    """
+    spark = emb.sparkSession
+    vecs = emb.select(
+        "vec_id", F.expr(_quantize("embedding")).alias("qv")
+    ).persist()
+    try:
+        first = vecs.orderBy("vec_id").limit(1).collect()[0]
+        pool: list[tuple[int, list[int]]] = [(first["vec_id"], list(first["qv"]))]
+        l = oversample * n_cells
+        for _ in range(rounds):
+            cand = spark.createDataFrame(
+                [(i, q) for i, q in pool], ["cid", "qc"]
+            )
+            dist = F.expr(_l2sq_int("qv", "qc"))
+            far = (
+                vecs.crossJoin(F.broadcast(cand))
+                .groupBy("vec_id")
+                .agg(F.min(dist).alias("d2"), F.first("qv").alias("qv"))
+                .orderBy(F.desc("d2"), "vec_id")
+                .limit(l)
+                .collect()
+            )
+            seen = {i for i, _ in pool}
+            pool += [
+                (r["vec_id"], list(r["qv"]))
+                for r in far
+                if r["vec_id"] not in seen and r["d2"] > 0
+            ]
+        # farthest-point reduction of the tiny pool (driver-side, O(pool²·d))
+        chosen = [pool[0]]
+        rest = pool[1:]
+        while len(chosen) < n_cells and rest:
+            best = max(
+                rest,
+                key=lambda c: (
+                    min(
+                        sum((a - b) * (a - b) for a, b in zip(c[1], s[1]))
+                        for s in chosen
+                    ),
+                    -c[0],
+                ),
+            )
+            chosen.append(best)
+            rest.remove(best)
+        dim = len(chosen[0][1])
+        cents = [(cell, q) for cell, (_, q) in enumerate(chosen)]
+        for _ in range(refine_iters):
+            cdf = spark.createDataFrame(cents, ["cell_id", "qc"])
+            dist = F.expr(_l2sq_int("qv", "qc"))
+            w = Window.partitionBy("vec_id").orderBy("dist", "cell_id")
+            assigned = (
+                vecs.crossJoin(F.broadcast(cdf))
+                .select("vec_id", "qv", "cell_id", dist.alias("dist"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+            )
+            # per-component integer means in ONE groupBy (d fixed & small —
+            # no posexplode shuffle of n·d rows)
+            means = assigned.groupBy("cell_id").agg(
+                *[
+                    F.round(F.avg(F.col("qv")[i]), 0)
+                    .cast("long")
+                    .alias(f"c{i}")
+                    for i in range(dim)
+                ]
+            )
+            cents = [
+                (r["cell_id"], [r[f"c{i}"] for i in range(dim)])
+                for r in means.collect()
+            ]
+        return spark.createDataFrame(cents, ["cell_id", "qc"])
+    finally:
+        vecs.unpersist()
 
 
 def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 10, n_cells: int = 8) -> DataFrame:

@@ -245,7 +245,9 @@ def register(spark) -> None:
         )
         spark.sparkContext.addPyFile(zip_path)
         spark._olhovivo_pkg_shipped = True
-    spark.dataSource.register(OlhoVivoDataSource)
+    if not getattr(spark, "_olhovivo_registered", False):
+        spark.dataSource.register(OlhoVivoDataSource)
+        spark._olhovivo_registered = True
 
 
 class OlhoVivoDataSource(DataSource):

@@ -197,6 +197,70 @@ def test_salted_join_rejects_outer_types(spark):
 
 
 # ---------------------------------------------------------------------------
+# similarity: k-means|| IVF seeding
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    from etl_olho_vivo_spark.sources.tables import read_table
+
+    return read_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+
+def _sse(spark, emb, centroids):
+    from etl_olho_vivo_spark.operators.similarity import ivf_assign, _l2sq_int
+
+    assigned = ivf_assign(emb, centroids=centroids)
+    cents = centroids.withColumnRenamed("cell_id", "c2")
+    return (
+        assigned.join(F.broadcast(cents), F.col("cell_id") == F.col("c2"))
+        .select(F.expr(_l2sq_int("qv", "qc")).alias("d2"))
+        .agg(F.sum("d2"))
+        .collect()[0][0]
+    )
+
+
+def test_kmeans_centroids_deterministic(spark, embeddings):
+    from etl_olho_vivo_spark.operators.similarity import kmeans_centroids
+
+    a = kmeans_centroids(embeddings, n_cells=4, rounds=2)
+    b = kmeans_centroids(embeddings, n_cells=4, rounds=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_kmeans_assignment_partitions_all_vectors(spark, embeddings):
+    from etl_olho_vivo_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(embeddings, n_cells=4, rounds=2)
+    assigned = ivf_assign(embeddings, centroids=cents)
+    n = embeddings.count()
+    assert assigned.count() == n                       # every vector, once
+    assert assigned.select("vec_id").distinct().count() == n
+    n_cells_used = assigned.select("cell_id").distinct().count()
+    assert 1 < n_cells_used <= 4                       # real spread
+
+
+def test_kmeans_beats_naive_seeding(spark, embeddings):
+    """The refined quantizer should cluster at least as tightly as the
+    demo first-n seeding (that is its entire reason to exist)."""
+    from etl_olho_vivo_spark.operators.similarity import (
+        _quantize,
+        kmeans_centroids,
+    )
+
+    naive = embeddings.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell_id"),
+        F.expr(_quantize("embedding")).alias("qc"),
+    )
+    kpp = kmeans_centroids(embeddings, n_cells=4, rounds=2, refine_iters=2)
+    assert _sse(spark, embeddings, kpp) < _sse(spark, embeddings, naive)
+
+
+# ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
 
