@@ -145,6 +145,32 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_doc_text_profile_is_shuffle_free(spark):
+    """The merged per-document text profile is a pure per-row projection —
+    one scan, zero exchanges (one pass over the corpus at any scale)."""
+    plan = _plan(spark, "doc_text_profile")
+    assert "Exchange" not in plan, plan[:1500]
+    assert plan.count("FileScan") == 1
+
+
+def test_scalar_surface_sample_is_scan_level(spark):
+    """The md5-prefix universe sample must be a scan-level Filter (no
+    shuffle, no extra pass), and the projection must not widen the read."""
+    plan = _plan(spark, "scalar_function_surface")
+    assert "Exchange" not in plan, plan[:1500]
+    read_schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "p_container" not in read_schema  # unused column pruned
+
+
+def test_groupby_extensions_partial_aggregates(spark):
+    """Each GROUP BY extension branch expands then partial-aggregates
+    before its single exchange; the union itself adds no shuffle."""
+    plan = _plan(spark, "groupby_extensions")
+    assert plan.count("Expand") == 3
+    # one exchange per branch (cube/rollup/gsets), nothing for the union
+    assert plan.count("Exchange hashpartitioning") == 3, plan[:2000]
+
+
 def test_minhash_signature_store_is_cached(spark):
     """The LSH pipeline consumes the signature frame three times (bands +
     both verify sides); the signature store must be a persisted
