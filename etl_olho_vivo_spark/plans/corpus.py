@@ -1,0 +1,113 @@
+"""The composed LLM training-corpus pipeline — the ``plans/daily.py``
+analogue for the beyond-reference operator families (SURVEY §2.11): one
+DAG from a raw document table to a cleaned, deduplicated, quality-gated
+corpus, with per-stage accounting.
+
+    documents ─ profile (ONE scan: tokens, quality, lang, fingerprint)
+                  ├─ language filter            (per-row predicate)
+                  ├─ exact dedup                (fingerprint groupBy)
+                  ├─ MinHash-LSH near-dup drop  (banded join, no O(n²))
+                  ├─ quality gate               (per-row predicate)
+                  └─ parquet, partitioned by detected language
+
+Scale notes (the 100 TB story):
+- every per-row feature (token counts, quality score, language guess,
+  fingerprints) is computed in ONE pass over the corpus via the wide
+  profile projection — adding a feature never adds a scan;
+- the profile frame is persisted once and feeds every stage count plus
+  the survivor joins (MEMORY_AND_DISK: at scale it spills, never
+  recomputes the text scan);
+- exact dedup is one uniform hash shuffle on the md5 fingerprint; the
+  survivor set comes back as a ``left_semi`` join on (fingerprint,
+  doc_id) — no full-row shuffle of the corpus;
+- near-dup removal reuses the banded MinHash-LSH pipeline
+  (``operators/dedup.py``): candidate generation shuffles slim band-key
+  rows, verification is bounded by the candidate count, and the drop
+  list is an anti-join — the corpus itself is never self-joined;
+- pair→drop resolution is edge-greedy (every verified pair drops its
+  larger doc_id).  In a chain a~b~c this removes b AND c where full
+  connected-components would keep c — deliberately the conservative
+  (over-removal) side, and it needs no iterative union-find stage; swap
+  in a connected-components pass if recall of borderline docs matters
+  more than a single-join drop list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from etl_olho_vivo_spark.operators import dedup, textops
+from etl_olho_vivo_spark.sources.tables import read_table
+
+
+def document_profile(d: DataFrame) -> DataFrame:
+    """All per-row corpus features in one wide projection (single scan)."""
+    return textops.quality_features(d).withColumns(
+        {
+            "lang_guess": textops.lang_guess(),
+            "fp_md5": textops.fingerprint_md5(),
+        }
+    )
+
+
+def run_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    keep_langs: tuple[str, ...] = ("en", "de", "es", "fr"),
+    min_tokens: int = 5,
+    min_quality: float = 0.0,
+    jaccard_threshold: float = 0.6,
+) -> dict[str, int]:
+    """Documents table → cleaned corpus parquet.  Returns per-stage counts.
+
+    Stage order puts the cheap per-row predicates before the shuffling
+    dedup stages so the band join and fingerprint groupBy only ever see
+    rows that could survive — at 100 TB the language gate alone typically
+    drops a large fraction of a crawl before anything shuffles.
+    """
+    prof = document_profile(read_table(spark, sf_dir, "documents")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        stats = {"input": prof.count()}
+
+        kept = prof.filter(
+            F.col("lang_guess").isin(*keep_langs)
+            & (F.col("n_tokens") >= min_tokens)
+        )
+        stats["lang_and_length"] = kept.count()
+
+        # exact dedup: deterministic survivor (min doc_id) per fingerprint
+        survivors = dedup.exact_dedup(kept, ["fp_md5"], "doc_id").select(
+            "fp_md5", F.col("keep_doc_id").alias("doc_id")
+        )
+        kept = kept.join(survivors, ["fp_md5", "doc_id"], "left_semi")
+        stats["exact_dedup"] = kept.count()
+
+        # near-dup removal: every verified pair drops its larger doc_id
+        pairs = dedup.near_duplicates(
+            kept.select("doc_id", "text"), threshold=jaccard_threshold
+        )
+        drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        kept = kept.join(drops, "doc_id", "left_anti")
+        stats["near_dedup"] = kept.count()
+
+        kept = kept.filter(F.col("quality_score") >= min_quality)
+        stats["quality"] = kept.count()
+
+        (
+            kept.select(
+                "doc_id", "text", "lang", "source", "lang_guess",
+                "n_tokens", "quality_score", "fp_md5",
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("lang_guess")
+            .parquet(out_dir)
+        )
+        return stats
+    finally:
+        prof.unpersist()

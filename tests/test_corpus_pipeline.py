@@ -1,0 +1,95 @@
+"""The composed corpus pipeline (plans/corpus.py): every stage must drop
+exactly the rows it claims to, and the written corpus must round-trip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def corpus_out(spark, tmp_path_factory):
+    from etl_olho_vivo_spark.plans.corpus import run_corpus
+
+    out = str(tmp_path_factory.mktemp("corpus") / "clean")
+    stats = run_corpus(
+        spark,
+        "/root/testdata/sf0.001",
+        out,
+        min_tokens=3,
+        jaccard_threshold=0.5,
+    )
+    return out, stats
+
+
+def test_stage_counts_monotone(corpus_out):
+    _, stats = corpus_out
+    order = ["input", "lang_and_length", "exact_dedup", "near_dedup", "quality"]
+    assert list(stats) == order
+    vals = [stats[k] for k in order]
+    assert vals == sorted(vals, reverse=True)
+    assert stats["input"] > 0 and stats["quality"] > 0
+
+
+def test_written_corpus_matches_final_count(spark, corpus_out):
+    out, stats = corpus_out
+    back = spark.read.parquet(out)
+    assert back.count() == stats["quality"]
+    # partitioned by detected language, every kept doc has one
+    assert "lang_guess" in back.columns
+    assert back.filter(F.col("lang_guess").isNull()).count() == 0
+
+
+def test_no_exact_duplicates_survive(spark, corpus_out):
+    out, _ = corpus_out
+    back = spark.read.parquet(out)
+    n_fp = back.select("fp_md5").distinct().count()
+    assert n_fp == back.count()
+
+
+def test_synthetic_stages(spark, tmp_path):
+    """Known-answer run: language gate, exact dup, near dup, quality gate
+    each remove exactly the planted rows."""
+    from etl_olho_vivo_spark.plans.corpus import run_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "to find some interesting things in the forest near the river"
+    )
+    near = base.replace("river", "creek")
+    rows = [
+        (1, base, "en", "web"),
+        (2, base, "en", "web"),          # exact dup of 1 → dropped
+        (3, near, "en", "web"),          # near dup of 1 → dropped
+        (4, "der hund und die katze sind mit einem vogel im haus", "de", "web"),
+        (5, "xq zz", "en", "web"),       # too short → dropped
+        (6, "el perro y el gato con un pájaro en la casa grande", "es", "web"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    df = df.withColumn("n_chars", F.length("text"))
+
+    import etl_olho_vivo_spark.plans.corpus as corpus_mod
+
+    orig = corpus_mod.read_table
+    corpus_mod.read_table = lambda _s, _d, _n: df
+    try:
+        stats = run_corpus(
+            spark,
+            sf_dir="unused",
+            out_dir=str(tmp_path / "out"),
+            keep_langs=("en", "de", "es"),
+            min_tokens=3,
+            jaccard_threshold=0.5,
+        )
+    finally:
+        corpus_mod.read_table = orig
+
+    assert stats == {
+        "input": 6,
+        "lang_and_length": 5,   # 5 dropped (too short)
+        "exact_dedup": 4,       # 2 dropped (dup of 1)
+        "near_dedup": 3,        # 3 dropped (near-dup of 1)
+        "quality": 3,
+    }
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r["doc_id"] for r in back.collect()) == [1, 4, 6]
