@@ -165,6 +165,87 @@ def near_duplicates(
     )
 
 
+def write_signature_store(
+    df: DataFrame, path: str, text: str = "text", n_buckets: int = 32
+) -> None:
+    """Persist the MinHash signature store as parquet, bucketed by doc_id.
+
+    The 100 TB dedup story is incremental: a new crawl batch must dedup
+    against the existing corpus WITHOUT rescanning or re-hashing it.
+    Signatures are ~1% of corpus size; materializing them once turns
+    every later batch's dedup into (batch-signature compute) + (band join
+    against the store).  ``doc_id``-bucketing keeps the verify join's
+    store side pre-shuffled on disk.
+    """
+    sig = minhash_signature(df, text).select("doc_id", "sh", "minhash")
+    (
+        sig.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id")
+        .option("path", path)
+        .saveAsTable(_store_table(path))
+    )
+
+
+def _store_table(path: str) -> str:
+    # content-derived, session-stable name (Python's hash() is seed-random)
+    import hashlib
+
+    return "sigstore_" + hashlib.md5(path.encode()).hexdigest()[:12]
+
+
+def read_signature_store(spark, path: str) -> DataFrame:
+    """Read a signature store written by ``write_signature_store``."""
+    return spark.table(_store_table(path))
+
+
+def incremental_near_duplicates(
+    new_docs: DataFrame,
+    store: DataFrame,
+    text: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and an existing signature store.
+
+    Only the new batch is tokenized/hashed; the store contributes its
+    precomputed (doc_id, sh, minhash) rows.  Candidate generation is the
+    banded join of new-batch band keys against store band keys — cost
+    scales with the batch, not the corpus.  Returns
+    (doc_new, doc_old, jaccard ≥ threshold); resolve drops on the caller's
+    policy (typically: drop doc_new, the corpus row wins).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    new_sig = (
+        minhash_signature(new_docs, text)
+        .select("doc_id", "sh", "minhash")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    new_bands = lsh_bands(new_sig).withColumnRenamed("doc_id", "doc_new")
+    old_bands = lsh_bands(store).withColumnRenamed("doc_id", "doc_old")
+    pairs = (
+        new_bands.join(old_bands, ["band", "band_sig"])
+        .select("doc_new", "doc_old")
+        .dropDuplicates(["doc_new", "doc_old"])
+    )
+    sh_new = new_sig.select(
+        F.col("doc_id").alias("doc_new"), F.col("sh").alias("sh_a")
+    )
+    sh_old = store.select(
+        F.col("doc_id").alias("doc_old"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(sh_new, "doc_new")
+        .join(sh_old, "doc_old")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_new", "doc_old", "jaccard")
+    )
+
+
 def simhash(df: DataFrame, text: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
     """Frequency-weighted SimHash over md5-derived token hashes.
 

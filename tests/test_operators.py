@@ -196,6 +196,41 @@ def test_salted_join_rejects_outer_types(spark):
             salted_join(big, dim, on=["k"], n_salts=3, salt_source="id", how=how)
 
 
+def test_incremental_near_dup_against_store(spark, docs, tmp_path):
+    """New-batch dedup against a persisted signature store: only the new
+    batch is hashed; known near-dup must surface, disjoint docs must not."""
+    from etl_olho_vivo_spark.operators.dedup import (
+        incremental_near_duplicates,
+        read_signature_store,
+        write_signature_store,
+    )
+
+    store_path = str(tmp_path / "sigstore")
+    write_signature_store(docs, store_path)
+    store = read_signature_store(spark, store_path)
+    # store skips un-shingleable docs (< 3 tokens), keeps the rest
+    assert sorted(r["doc_id"] for r in store.select("doc_id").collect()) == [
+        1, 2, 3, 4,
+    ]
+
+    new = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),  # = doc 1/4
+            (101, "utterly unrelated text about spark and parquet files"),
+        ],
+        ["doc_id", "text"],
+    )
+    try:
+        hits = incremental_near_duplicates(new, store, threshold=0.5)
+        got = {(r["doc_new"], r["doc_old"]) for r in hits.collect()}
+        assert (100, 1) in got and (100, 4) in got
+        assert all(dn != 101 for dn, _ in got)
+    finally:
+        from etl_olho_vivo_spark.operators.dedup import _store_table
+
+        spark.sql(f"DROP TABLE IF EXISTS {_store_table(store_path)}")
+
+
 # ---------------------------------------------------------------------------
 # similarity: k-means|| IVF seeding
 # ---------------------------------------------------------------------------
