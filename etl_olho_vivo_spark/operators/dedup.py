@@ -246,6 +246,65 @@ def incremental_near_duplicates(
     )
 
 
+def simhash_near_dups(
+    df: DataFrame,
+    text: str = "text",
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Doc pairs with Hamming(simhash_a, simhash_b) ≤ ``max_hamming``.
+
+    Blocking is the pigeonhole construction (Manku et al., WWW'07 —
+    "Detecting Near-Duplicates for Web Crawling"): split the b-bit hash
+    into ``n_bands`` contiguous segments; any pair within Hamming
+    ≤ n_bands − 1 must agree exactly on at least one segment, so
+    candidates come from equi-joins on (band, segment) keys — never a
+    cross product, and the segment keys are near-uniform.  Verification
+    is exact: ``bit_count(a XOR b) ≤ max_hamming``.
+
+    ``max_hamming`` must be < ``n_bands`` or the pigeonhole guarantee
+    breaks (a qualifying pair could differ in every segment) — rejected
+    loudly rather than silently losing recall.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_bands > max_hamming "
+            f"(got {n_bands}): with fewer bands a qualifying pair can "
+            "differ in every segment and would be missed"
+        )
+    if bits % n_bands:
+        raise ValueError(f"bits={bits} not divisible by n_bands={n_bands}")
+    w = bits // n_bands
+    sims = simhash(df, text, bits).select("doc_id", "simhash")
+    seg = (
+        f"transform(sequence(0, {n_bands - 1}), b -> "
+        f"struct(b AS band, (simhash div CAST(pow(2, b * {w}) AS BIGINT)) "
+        f"% {2 ** w} AS seg))"
+    )
+    banded = sims.select(
+        "doc_id", F.explode(F.expr(seg)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.seg")
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "seg")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "seg")
+    pairs = (
+        a.join(b, ["band", "seg"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sim_a = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    sim_b = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    hamming = F.bit_count(F.expr("ha ^ hb"))
+    return (
+        pairs.join(sim_a, "doc_a")
+        .join(sim_b, "doc_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash(df: DataFrame, text: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
     """Frequency-weighted SimHash over md5-derived token hashes.
 

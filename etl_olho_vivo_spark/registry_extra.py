@@ -460,18 +460,24 @@ SELECT doc_id, term, tfidf FROM (
 )
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    n_docs = d.count()  # tiny scalar; at scale use a broadcast agg instead
+    # corpus size as a broadcast 1-row aggregate — stays lazy inside the
+    # plan (no separate driver-side count() action/scan)
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df_), "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
     return (

@@ -196,6 +196,23 @@ def test_salted_join_rejects_outer_types(spark):
             salted_join(big, dim, on=["k"], n_salts=3, salt_source="id", how=how)
 
 
+def test_simhash_near_dups_banded(spark, docs):
+    """Identical docs pair at hamming 0; a disjoint doc never survives the
+    exact verify; invalid band configs are rejected loudly."""
+    from etl_olho_vivo_spark.operators.dedup import simhash_near_dups
+
+    hits = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dups(docs, max_hamming=3).collect()
+    }
+    assert hits[(1, 4)] == 0                      # exact dup → hamming 0
+    assert all(3 not in p for p in hits)          # disjoint content excluded
+    assert all(h <= 3 for h in hits.values())
+
+    with pytest.raises(ValueError, match="n_bands"):
+        simhash_near_dups(docs, max_hamming=4, n_bands=4)
+
+
 def test_incremental_near_dup_against_store(spark, docs, tmp_path):
     """New-batch dedup against a persisted signature store: only the new
     batch is hashed; known near-dup must surface, disjoint docs must not."""
