@@ -105,3 +105,69 @@ def fingerprint_rolling(text: str = "text") -> Column:
 def fingerprint_md5(text: str = "text") -> Column:
     """Whole-document content fingerprint (md5-derived 32-bit int)."""
     return F.expr(spark_token_hash(text))
+
+
+# Redaction patterns: anchored to token shapes, longest-match first so a
+# URL containing an email-like path is not double-redacted.
+_REDACTIONS: tuple[tuple[str, str], ...] = (
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def redact(text: str = "text") -> Column:
+    """PII scrubbing: URLs, emails, phone-shaped digit runs → typed
+    placeholders.  A chain of ``regexp_replace`` Column expressions —
+    whole-stage codegen, no UDF; order matters (URL before email so
+    ``http://a.b/c@d.e`` collapses to one ``<URL>``)."""
+    out = F.col(text)
+    for pattern, token in _REDACTIONS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def chunk_docs(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    text: str = "text",
+) -> DataFrame:
+    """Split documents into token-window chunks with optional overlap —
+    the sequence-packing precursor every training pipeline needs.
+
+    Pure Column plan: tokenize once, explode a computed chunk-index
+    sequence, slice the token array per chunk, rejoin.  Chunk starts step
+    by ``max_tokens − overlap``; the last chunk may be short; documents
+    shorter than ``max_tokens`` yield themselves as chunk 0.  Output is
+    (original columns minus ``text``) + (chunk_id, chunk_text, n_tokens),
+    deterministic for any partitioning.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"need 0 <= overlap < max_tokens, got {overlap}")
+    step = max_tokens - overlap
+    toks = df.withColumn("__toks", F.split(F.col(text), " "))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("__toks") - F.lit(overlap)) / F.lit(step)),
+    )
+    out_cols = [c for c in df.columns if c != text]
+    return (
+        toks.withColumn(
+            "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+        )
+        .withColumn(
+            "__chunk",
+            F.slice(
+                "__toks",
+                F.col("chunk_id") * step + 1,
+                F.lit(max_tokens),
+            ),
+        )
+        .select(
+            *out_cols,
+            "chunk_id",
+            F.array_join("__chunk", " ").alias("chunk_text"),
+            F.size("__chunk").alias("n_tokens"),
+        )
+    )

@@ -196,6 +196,46 @@ def test_salted_join_rejects_outer_types(spark):
             salted_join(big, dim, on=["k"], n_salts=3, salt_source="id", how=how)
 
 
+def test_chunk_docs_windows(spark):
+    from etl_olho_vivo_spark.operators.textops import chunk_docs
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b")],
+        ["doc_id", "text"],
+    )
+    out = chunk_docs(df, max_tokens=4, overlap=1)
+    rows = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in out.collect()
+    }
+    # 10 tokens, window 4, step 3 → chunks at 0/3/6, all full width
+    assert rows[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert rows[(1, 1)] == ("t3 t4 t5 t6", 4)   # 1-token overlap
+    assert rows[(1, 2)] == ("t6 t7 t8 t9", 4)
+    assert (1, 3) not in rows
+    # short doc yields itself as chunk 0
+    assert rows[(2, 0)] == ("a b", 2)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_docs(df, max_tokens=4, overlap=4)
+
+
+def test_redact_pii(spark):
+    from etl_olho_vivo_spark.operators.textops import redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or visit https://a.io/c@d.e today"),
+            (2, "call +1 (555) 123-4567 now"),
+            (3, "clean text with no pii at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["red"] for r in df.select("doc_id", redact().alias("red")).collect()}
+    assert got[1] == "contact <EMAIL> or visit <URL> today"
+    assert got[2] == "call <PHONE> now"
+    assert got[3] == "clean text with no pii at all"
+
+
 def test_simhash_near_dups_banded(spark, docs):
     """Identical docs pair at hamming 0; a disjoint doc never survives the
     exact verify; invalid band configs are rejected loudly."""
