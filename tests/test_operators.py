@@ -219,6 +219,38 @@ def test_chunk_docs_windows(spark):
         chunk_docs(df, max_tokens=4, overlap=4)
 
 
+def test_stratified_sample_deterministic_quotas(spark):
+    from etl_olho_vivo_spark.operators.textops import stratified_sample
+
+    rows = [(i, "web" if i % 2 else "books") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = stratified_sample(
+        df, {"web": 0.5, "books": 0.1}, strata_col="source", id_col="doc_id"
+    )
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # md5 is uniform: 1000 candidates per stratum, quota ±10%
+    assert 400 <= by_src["web"] <= 600
+    assert 60 <= by_src["books"] <= 160
+    # deterministic: the same rows survive a re-run
+    again = stratified_sample(
+        df, {"web": 0.5, "books": 0.1}, strata_col="source", id_col="doc_id"
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # unknown strata drop by default (explicit mixture)
+    extra = spark.createDataFrame([(9999, "forum")], ["doc_id", "source"])
+    assert (
+        stratified_sample(
+            extra, {"web": 0.5}, strata_col="source", id_col="doc_id"
+        ).count()
+        == 0
+    )
+
+
 def test_redact_pii(spark):
     from etl_olho_vivo_spark.operators.textops import redact
 
