@@ -9,7 +9,7 @@ scan at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_olho_vivo_spark.functions.hashing import MIX, P, spark_token_hash
@@ -125,6 +125,58 @@ def redact(text: str = "text") -> Column:
     for pattern, token in _REDACTIONS:
         out = F.regexp_replace(out, pattern, token)
     return out
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget: int,
+    shard_col: str,
+    order_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
+    tokens_col: str = "n_tokens",
+    text_col: str = "chunk_text",
+) -> DataFrame:
+    """Pack chunks into fixed-token-budget training sequences.
+
+    Sequential-fill packing: within each shard (the parallelism unit —
+    e.g. a source or a hash bucket), chunks are laid out in a
+    deterministic total order and a pack boundary is drawn every
+    ``budget`` tokens of the running sum; a chunk belongs to the pack its
+    *first* token falls in.  A pack can therefore overflow by at most
+    (max chunk − 1) tokens — the standard approximation that keeps
+    packing a single window + groupBy instead of an inherently sequential
+    first-fit recurrence (which cannot be expressed as a parallel scan).
+    Callers that need a hard cap set ``budget' = budget − max_chunk + 1``.
+
+    Output: one row per (shard, pack_id) with the concatenated text, the
+    chunk count, and the exact token total.
+    """
+    w = Window.partitionBy(shard_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    cum = F.sum(tokens_col).over(w)
+    start = (cum - F.col(tokens_col)).cast("long")
+    packed = chunks.withColumn("pack_id", F.floor(start / budget))
+    return (
+        packed.groupBy(shard_col, "pack_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                *[F.col(c) for c in order_cols],
+                                F.col(text_col).alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                " ",
+            ).alias("seq_text"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(tokens_col).cast("long").alias("n_tokens"),
+        )
+    )
 
 
 def stratified_sample(

@@ -219,6 +219,35 @@ def test_chunk_docs_windows(spark):
         chunk_docs(df, max_tokens=4, overlap=4)
 
 
+def test_pack_chunks_sequential_fill(spark):
+    from etl_olho_vivo_spark.operators.textops import pack_chunks
+
+    rows = [
+        # (doc_id, chunk_id, chunk_text, n_tokens) in one shard
+        (1, 0, "a a a", 3),
+        (1, 1, "b b b", 3),
+        (2, 0, "c c c c", 4),   # starts at offset 6 → pack 0 (overflows)
+        (3, 0, "d d", 2),       # starts at offset 10 → pack 1
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "chunk_id", "chunk_text", "n_tokens"]
+    ).withColumn("shard", F.lit("s0"))
+    out = {
+        r["pack_id"]: (r["seq_text"], r["n_chunks"], r["n_tokens"])
+        for r in pack_chunks(df, budget=8, shard_col="shard").collect()
+    }
+    # pack 0: chunks starting at offsets 0, 3, 6 — overflow ≤ max_chunk−1
+    assert out[0] == ("a a a b b b c c c c", 3, 10)
+    assert out[1] == ("d d", 1, 2)
+    # deterministic order inside the pack regardless of input order
+    shuffled = df.orderBy(F.desc("doc_id"))
+    out2 = {
+        r["pack_id"]: r["seq_text"]
+        for r in pack_chunks(shuffled, budget=8, shard_col="shard").collect()
+    }
+    assert out2[0] == out[0][0]
+
+
 def test_stratified_sample_deterministic_quotas(spark):
     from etl_olho_vivo_spark.operators.textops import stratified_sample
 
