@@ -60,6 +60,7 @@ def run_corpus(
     min_tokens: int = 5,
     min_quality: float = 0.0,
     jaccard_threshold: float = 0.6,
+    redact_pii: bool = False,
 ) -> dict[str, int]:
     """Documents table → cleaned corpus parquet.  Returns per-stage counts.
 
@@ -67,10 +68,14 @@ def run_corpus(
     dedup stages so the band join and fingerprint groupBy only ever see
     rows that could survive — at 100 TB the language gate alone typically
     drops a large fraction of a crawl before anything shuffles.
+    ``redact_pii`` scrubs URLs/emails/phones BEFORE profiling, so
+    fingerprints (and therefore dedup) act on the text that will actually
+    ship.
     """
-    prof = document_profile(read_table(spark, sf_dir, "documents")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    d = read_table(spark, sf_dir, "documents")
+    if redact_pii:
+        d = d.withColumn("text", textops.redact("text"))
+    prof = document_profile(d).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         stats = {"input": prof.count()}
 

@@ -93,3 +93,33 @@ def test_synthetic_stages(spark, tmp_path):
     }
     back = spark.read.parquet(str(tmp_path / "out"))
     assert sorted(r["doc_id"] for r in back.collect()) == [1, 4, 6]
+
+
+def test_redaction_unifies_dedup(spark, tmp_path):
+    """With redact_pii, docs differing only in scrubbed PII become exact
+    duplicates — fingerprinting must run on the shipped text."""
+    from etl_olho_vivo_spark.plans.corpus import run_corpus
+
+    body = "please contact {} for all the further interesting details today"
+    rows = [
+        (1, body.format("alice@a.com"), "en", "web"),
+        (2, body.format("bob@b.org"), "en", "web"),  # dup after redaction
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    df = df.withColumn("n_chars", F.length("text"))
+
+    import etl_olho_vivo_spark.plans.corpus as corpus_mod
+
+    orig = corpus_mod.read_table
+    corpus_mod.read_table = lambda _s, _d, _n: df
+    try:
+        stats = run_corpus(
+            spark, "unused", str(tmp_path / "red"),
+            keep_langs=("en",), min_tokens=3, redact_pii=True,
+        )
+    finally:
+        corpus_mod.read_table = orig
+    assert stats["exact_dedup"] == 1
+    back = spark.read.parquet(str(tmp_path / "red"))
+    texts = [r["text"] for r in back.collect()]
+    assert texts == [body.format("<EMAIL>")]

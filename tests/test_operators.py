@@ -248,6 +248,45 @@ def test_pack_chunks_sequential_fill(spark):
     assert out2[0] == out[0][0]
 
 
+def test_chunk_docs_reconstruction_property(spark):
+    """Property (hypothesis): for any doc length / window / overlap,
+    dropping each chunk's leading `overlap` tokens (except chunk 0) and
+    concatenating reconstructs the document exactly — no token lost, none
+    duplicated."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from etl_olho_vivo_spark.operators.textops import chunk_docs
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        n=st.integers(min_value=1, max_value=40),
+        max_tokens=st.integers(min_value=2, max_value=12),
+        overlap=st.integers(min_value=0, max_value=11),
+    )
+    def prop(n, max_tokens, overlap):
+        if overlap >= max_tokens:
+            return
+        text = " ".join(f"w{i}" for i in range(n))
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        chunks = sorted(
+            (r["chunk_id"], r["chunk_text"], r["n_tokens"])
+            for r in chunk_docs(df, max_tokens, overlap).collect()
+        )
+        assert all(sz <= max_tokens for _, _, sz in chunks)
+        rebuilt: list[str] = []
+        for cid, ctext, _sz in chunks:
+            toks = ctext.split(" ")
+            rebuilt += toks if cid == 0 else toks[overlap:]
+        assert rebuilt == text.split(" ")
+
+    prop()
+
+
 def test_stratified_sample_deterministic_quotas(spark):
     from etl_olho_vivo_spark.operators.textops import stratified_sample
 
