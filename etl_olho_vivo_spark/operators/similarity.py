@@ -210,19 +210,44 @@ def kmeans_centroids(
         vecs.unpersist()
 
 
-def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 10, n_cells: int = 8) -> DataFrame:
-    """ANN top-k: probe only the query's IVF cell, rank by exact integer
-    dot product (descending), vec_id tiebreak."""
-    assigned = ivf_assign(emb, n_cells)
-    qcell = assigned.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("cell_id").alias("q_cell"), F.col("qv").alias("q_qv")
-    )
-    cand = (
-        assigned.filter(F.col("vec_id") != query_vec_id)
-        .join(
-            F.broadcast(qcell),
-            F.col("cell_id") == F.col("q_cell"),
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 1,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """ANN top-k: probe the ``n_probe`` IVF cells nearest the query, rank
+    candidates by exact integer dot product (descending), vec_id tiebreak.
+
+    ``n_probe`` is the standard IVF recall knob: 1 scans only the query's
+    own cell (fastest, lowest recall); ``n_cells`` degenerates to exact
+    search over every cell.  Cell selection ranks centroid distances in a
+    tiny broadcast-side window — the candidate scan stays proportional to
+    the probed fraction of the corpus.
+    """
+    if centroids is None:
+        centroids = emb.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell_id"),
+            F.expr(_quantize("embedding")).alias("qc"),
         )
+    assigned = ivf_assign(emb, n_cells, centroids)
+    qv = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.expr(_quantize("embedding")).alias("q_qv")
+    )
+    # rank ALL centroids by distance to the query (n_cells rows — tiny),
+    # keep the n_probe nearest as the probe set
+    cdist = F.expr(_l2sq_int("qc", "q_qv"))
+    probe = (
+        centroids.crossJoin(F.broadcast(qv))
+        .select("cell_id", "q_qv", cdist.alias("cd"))
+        .orderBy("cd", "cell_id")
+        .limit(n_probe)
+        .select(F.col("cell_id").alias("q_cell"), "q_qv")
+    )
+    cand = assigned.filter(F.col("vec_id") != query_vec_id).join(
+        F.broadcast(probe), F.col("cell_id") == F.col("q_cell")
     )
     dot = F.expr(_dot_int("qv", "q_qv"))
     return (

@@ -436,6 +436,49 @@ def test_kmeans_assignment_partitions_all_vectors(spark, embeddings):
     assert 1 < n_cells_used <= 4                       # real spread
 
 
+def test_ivf_multiprobe_recall(spark, embeddings):
+    """n_probe is the recall dial: probing every cell must equal exact
+    integer-dot search; a 1-probe result is a subset of the same ranking."""
+    from etl_olho_vivo_spark.operators.similarity import (
+        _dot_int,
+        _quantize,
+        ivf_topk,
+    )
+
+    n_cells, k = 4, 10
+    full = ivf_topk(
+        embeddings, query_vec_id=0, k=k, n_cells=n_cells, n_probe=n_cells
+    )
+    # exact baseline: integer dot against every other vector
+    qv = embeddings.filter(F.col("vec_id") == 0).select(
+        F.expr(_quantize("embedding")).alias("q_qv")
+    )
+    exact = (
+        embeddings.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.expr(
+                _dot_int(_quantize("embedding"), "q_qv")
+            ).alias("dot_q"),
+        )
+        .orderBy(F.col("dot_q").desc(), "vec_id")
+        .limit(k)
+    )
+    assert [
+        (r["vec_id"], r["dot_q"]) for r in full.collect()
+    ] == [(r["vec_id"], r["dot_q"]) for r in exact.collect()]
+
+    one = ivf_topk(embeddings, query_vec_id=0, k=k, n_cells=n_cells, n_probe=1)
+    one_rows = one.collect()
+    assert 0 < len(one_rows) <= k
+    # 1-probe scans exactly one cell, and its candidates can never beat
+    # the exact winner
+    assert len({r["cell_id"] for r in one_rows}) == 1
+    best_exact = exact.collect()[0]["dot_q"]
+    assert all(r["dot_q"] <= best_exact for r in one_rows)
+
+
 def test_kmeans_beats_naive_seeding(spark, embeddings):
     """The refined quantizer should cluster at least as tightly as the
     demo first-n seeding (that is its entire reason to exist)."""
