@@ -35,14 +35,24 @@ def asof_join(
     ts: str,
     right_cols: Sequence[str],
     tiebreak: str | None = None,
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """Enrich ``left`` with the latest ``right_cols`` as-of each left row.
+    """Enrich ``left`` with ``right_cols`` from the as-of right row.
 
-    ``left`` and ``right`` must both carry the key column(s) ``on`` and the
-    (numeric or timestamp) ``ts`` column; ``right_cols`` are taken from
-    ``right`` and appear NULL where no right row precedes the left row.
-    ``tiebreak`` orders right rows sharing (key, ts); the latest wins.
+    ``direction="backward"`` (default) takes the latest right row with
+    ``right.ts <= left.ts``; ``"forward"`` takes the earliest right row
+    with ``right.ts >= left.ts`` — both inclusive, both the union+window
+    plan (never a range join).  ``tolerance`` bounds the staleness: a
+    match farther than ``tolerance`` in ``ts`` units is nulled out, the
+    pandas ``merge_asof`` semantics.  ``left`` and ``right`` must both
+    carry the key column(s) ``on`` and the (numeric or timestamp) ``ts``
+    column; ``right_cols`` appear NULL where no qualifying right row
+    exists.  ``tiebreak`` orders right rows sharing (key, ts); backward
+    takes the last such row, forward the first.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     lhs = left.withColumn("__is_l", F.lit(1))
     for c in right_cols:
@@ -57,19 +67,41 @@ def asof_join(
     if extra_tiebreak:
         rhs_cols.append(tiebreak)
     rhs = right.select(*keys, ts, *rhs_cols, F.lit(0).alias("__is_l"))
+    if tolerance is not None:
+        rhs = rhs.withColumn("__r_ts", F.col(ts))
     u = lhs.unionByName(rhs, allowMissingColumns=True)
 
-    order = [F.col(ts), F.col("__is_l")]
+    if direction == "backward":
+        # right rows sort BEFORE left on equal ts → inclusive match;
+        # running last(ignorenulls) = latest right seen so far
+        order = [F.col(ts), F.col("__is_l")]
+        frame = (Window.unboundedPreceding, Window.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    else:
+        # left rows sort BEFORE right on equal ts → inclusive match;
+        # first(ignorenulls) over the following frame = earliest right
+        order = [F.col(ts), F.col("__is_l").desc()]
+        frame = (Window.currentRow, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
     if tiebreak is not None:
-        order.append(F.col(tiebreak))
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    for c in right_cols:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        order.append(
+            F.col(tiebreak) if direction == "backward" else F.col(tiebreak).asc()
+        )
+    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(*frame)
+    enriched = list(right_cols) + (["__r_ts"] if tolerance is not None else [])
+    for c in enriched:
+        u = u.withColumn(c, pick(c).over(w))
     out = u.filter(F.col("__is_l") == 1).drop("__is_l")
+    if tolerance is not None:
+        gap = (
+            F.col(ts) - F.col("__r_ts")
+            if direction == "backward"
+            else F.col("__r_ts") - F.col(ts)
+        )
+        keep = F.col("__r_ts").isNotNull() & (gap <= tolerance)
+        for c in right_cols:
+            out = out.withColumn(c, F.when(keep, F.col(c)))
+        out = out.drop("__r_ts")
     if extra_tiebreak and tiebreak not in left.columns:
         out = out.drop(tiebreak)
     return out

@@ -91,6 +91,46 @@ def test_asof_join_edges(spark):
     assert out["l3"] is None         # no right row for key 2
 
 
+def test_asof_join_forward_direction(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "l1"), (1, 160, "l2"), (1, 300, "l3")],
+        ["k", "ts", "lv"],
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "r_at_100"), (1, 150, "r_at_150"), (1, 250, "r_at_250")],
+        ["k", "ts", "rv"],
+    )
+    out = {
+        r["lv"]: r["rv"]
+        for r in asof_join(
+            left, right, on="k", ts="ts", right_cols=["rv"],
+            direction="forward",
+        ).collect()
+    }
+    assert out["l1"] == "r_at_100"   # inclusive on equal ts
+    assert out["l2"] == "r_at_250"   # earliest following, not latest
+    assert out["l3"] is None         # nothing after 300
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="k", ts="ts", right_cols=["rv"],
+                  direction="nearest")
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "fresh"), (1, 800, "stale")], ["k", "ts", "lv"]
+    )
+    right = spark.createDataFrame([(1, 90, "r90")], ["k", "ts", "rv"])
+    out = {
+        r["lv"]: r["rv"]
+        for r in asof_join(
+            left, right, on="k", ts="ts", right_cols=["rv"], tolerance=60
+        ).collect()
+    }
+    assert out["fresh"] == "r90"     # 10 apart, within tolerance
+    assert out["stale"] is None      # 710 apart, nulled out
+
+
 def test_asof_join_tiebreak_picks_latest(spark):
     left = spark.createDataFrame([(1, 100, "l")], ["k", "ts", "lv"])
     right = spark.createDataFrame(
