@@ -106,6 +106,74 @@ def test_stream_interval_counts(spark, raw_dir):
         assert r["n_pings"] == 3 and r["n_vehicles"] == 1
 
 
+def test_watermark_drops_late_pings(spark, tmp_path):
+    """Append mode + watermark across a checkpointed restart: once a
+    window is finalized, a late ping for it is dropped EXPLICITLY (the
+    declarative replacement for 'the 6:30 job covers yesterday' — late
+    data never lands in an already-emitted bucket, and never duplicates
+    it).  The restart models the real case: late data arriving after the
+    job that finalized the window.  (Within a single run, Spark's late
+    filter uses the previous batch's committed watermark, so same-run
+    stragglers one batch behind can still land — the checkpoint boundary
+    is where the guarantee is exact.)"""
+    import json as _json
+    import os
+
+    d = tmp_path / "late_raw"
+    d.mkdir()
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        sdf = stream_interval_counts(
+            stream_raw_posicoes(spark, str(d)), watermark="1 hour"
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q
+
+    # run 1: one ping in bucket A (T0) and one 2 h later — watermark ends
+    # at T0+1h, past bucket A's end, so A is finalized and emitted
+    f0 = d / "data_0.json"
+    f0.write_text(
+        _json.dumps(_doc([(1, 10, _iso(T0), -23.60, -46.60),
+                          (1, 10, _iso(T0 + 7200), -23.61, -46.60)]))
+    )
+    os.utime(f0, (T0, T0))
+    run_once()
+
+    # run 2 (restart from checkpoint): a LATE ping for bucket A + a fresh
+    # one keeping the 2 h bucket open
+    f1 = d / "data_1.json"
+    f1.write_text(
+        _json.dumps(_doc([(2, 10, _iso(T0 + 60), -23.70, -46.70),
+                          (1, 10, _iso(T0 + 7260), -23.62, -46.60)]))
+    )
+    os.utime(f1, (T0 + 1, T0 + 1))
+    q2 = run_once()
+
+    dropped = sum(
+        so["numRowsDroppedByWatermark"]
+        for p in q2.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert dropped == 1  # the late ping, counted by the engine itself
+    rows = {
+        (r["bucket_start"], r["codigo_linha"]): r["n_pings"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # bucket A emitted exactly once, with only the on-time ping; the
+    # still-open 2 h bucket has not emitted
+    assert rows == {(T0, 10): 1}
+
+
 def test_chained_stateful_speed_window_agg(spark, tmp_path):
     """Two stateful operators chained in ONE streaming query: the
     applyInPandasWithState online lag feeding a watermarked 30-min window
