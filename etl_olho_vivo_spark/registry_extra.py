@@ -112,36 +112,35 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     doc="The full GROUP BY extension surface in one tagged union: CUBE "
     "(all four grouping sets), ROLLUP (hierarchy subtotals), and an "
     "asymmetric explicit GROUPING SETS, each with grouping_id to "
-    "disambiguate NULL-as-group from NULL-as-value.  Every branch "
-    "partial-aggregates before its single exchange (Spark Expand feeds "
-    "one hash-agg per branch).  Money summed in integer cents — "
-    "order-independent, bit-exact at any scale.",
+    "disambiguate NULL-as-group from NULL-as-value.  Physically ONE cube "
+    "aggregation (one scan, one Expand, one partial-aggregated exchange): "
+    "every ROLLUP/GROUPING SETS set is a subset of the cube's sets — "
+    "gid ∈ {0:(f,l), 1:(f), 2:(l), 3:()} — so the three branches are an "
+    "explode of per-row mode tags over the tiny cube RESULT, not "
+    "re-scans and not a self-union (whose analyzer dedup re-aliases "
+    "later branches and defeats cache reuse; the oracle keeps three "
+    "literal GROUP BY clauses — same values).  Money summed in integer "
+    "cents — order-independent, bit-exact at any scale.",
 )
 def q_groupby_extensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-
-    def measures(grouped, mode: str) -> DataFrame:
-        return grouped.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(cents).alias("revenue_cents"),
-            F.grouping_id().alias("gid"),
-        ).select(
-            F.lit(mode).alias("mode"),
-            "l_returnflag", "l_linestatus", "n", "revenue_cents", "gid",
-        )
-
-    cube = measures(li.cube("l_returnflag", "l_linestatus"), "cube")
-    rollup = measures(li.rollup("l_returnflag", "l_linestatus"), "rollup")
-    gsets = measures(
-        li.groupingSets(
-            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
-            "l_returnflag",
-            "l_linestatus",
-        ),
-        "gsets",
+    cube = li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("revenue_cents"),
+        F.grouping_id().alias("gid"),
     )
-    return cube.unionAll(rollup).unionAll(gsets)
+    # ROLLUP(f,l) = sets {(f,l),(f),()} = gid {0,1,3}; the asymmetric
+    # GROUPING SETS here names the same three sets.  gid=2 ((l) alone)
+    # belongs to the cube only.
+    modes = F.when(
+        F.col("gid").isin(0, 1, 3),
+        F.array(F.lit("cube"), F.lit("rollup"), F.lit("gsets")),
+    ).otherwise(F.array(F.lit("cube")))
+    return cube.select(
+        F.explode(modes).alias("mode"),
+        "l_returnflag", "l_linestatus", "n", "revenue_cents", "gid",
+    )
 
 
 @register(

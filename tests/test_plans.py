@@ -162,13 +162,16 @@ def test_scalar_surface_sample_is_scan_level(spark):
     assert "p_container" not in read_schema  # unused column pruned
 
 
-def test_groupby_extensions_partial_aggregates(spark):
-    """Each GROUP BY extension branch expands then partial-aggregates
-    before its single exchange; the union itself adds no shuffle."""
+def test_groupby_extensions_single_cube_aggregation(spark):
+    """All three GROUP BY extension branches come from ONE cube
+    aggregation — one scan, one Expand, one partial-aggregated exchange;
+    rollup/gsets materialize as an explode of mode tags over the tiny
+    cube result, never a re-scan or self-union."""
     plan = _plan(spark, "groupby_extensions")
-    assert plan.count("Expand") == 3
-    # one exchange per branch (cube/rollup/gsets), nothing for the union
-    assert plan.count("Exchange hashpartitioning") == 3, plan[:2000]
+    assert plan.count("FileScan") == 1, plan[:2000]
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Generate explode" in plan
 
 
 def test_minhash_signature_store_is_cached(spark):
