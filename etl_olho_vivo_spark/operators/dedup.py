@@ -165,6 +165,69 @@ def near_duplicates(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, component).
+
+    The component label is the MIN doc_id reachable through the pair
+    graph — the canonical "cluster survivor" convention.  Iterative
+    hash-min label propagation: each round pushes every node's current
+    label across its edges and keeps the minimum (one join + one
+    groupBy per round, both hash-shuffles on doc_id); rounds needed =
+    graph diameter, and near-dup clusters are shallow (pairs chain
+    through shared content), so convergence is typically 2-4 rounds.
+    Deterministic: min() over integers, no seeds.  Raises if the graph
+    hasn't converged after ``max_iter`` rounds rather than returning a
+    silently-wrong clustering.
+
+    This is the exact resolution whose cheap approximation is the corpus
+    pipeline's edge-greedy drop (plans/corpus.py): greedy keeps a doc
+    that is only *transitively* near another survivor, components does
+    not.
+    """
+    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("comp", F.col("node")).persist()
+    both = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    try:
+        prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        for _ in range(max_iter):
+            msgs = both.join(
+                labels, both.src == labels.node
+            ).select(F.col("dst").alias("node"), "comp")
+            new_labels = (
+                labels.select("node", "comp")
+                .union(msgs)
+                .groupBy("node")
+                .agg(F.min("comp").alias("comp"))
+                .persist()
+            )
+            new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
+            labels.unpersist()
+            labels = new_labels
+            if new_sum == prev_sum:  # min-labels are monotone ↓: fixpoint
+                return labels.select(
+                    F.col("node").alias("doc_id"), F.col("comp").alias("component")
+                )
+            prev_sum = new_sum
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter — raise it)"
+        )
+    finally:
+        both.unpersist()
+
+
 def write_signature_store(
     df: DataFrame, path: str, text: str = "text", n_buckets: int = 32
 ) -> None:

@@ -24,12 +24,13 @@ Scale notes (the 100 TB story):
   (``operators/dedup.py``): candidate generation shuffles slim band-key
   rows, verification is bounded by the candidate count, and the drop
   list is an anti-join — the corpus itself is never self-joined;
-- pair→drop resolution is edge-greedy (every verified pair drops its
-  larger doc_id).  In a chain a~b~c this removes b AND c where full
-  connected-components would keep c — deliberately the conservative
-  (over-removal) side, and it needs no iterative union-find stage; swap
-  in a connected-components pass if recall of borderline docs matters
-  more than a single-join drop list.
+- pair→drop resolution defaults to edge-greedy (every verified pair
+  drops its larger doc_id): one join, no iteration, but a doc that is
+  only *transitively* near a survivor can slip through.
+  ``dedup_resolution="components"`` swaps in the exact clustering
+  (``dedup.connected_components`` hash-min label propagation, one
+  join+groupBy per round, diameter rounds) and keeps each cluster's min
+  doc_id — its drop set is always a superset of greedy's.
 """
 
 from __future__ import annotations
@@ -61,6 +62,7 @@ def run_corpus(
     min_quality: float = 0.0,
     jaccard_threshold: float = 0.6,
     redact_pii: bool = False,
+    dedup_resolution: str = "greedy",
 ) -> dict[str, int]:
     """Documents table → cleaned corpus parquet.  Returns per-stage counts.
 
@@ -92,11 +94,26 @@ def run_corpus(
         kept = kept.join(survivors, ["fp_md5", "doc_id"], "left_semi")
         stats["exact_dedup"] = kept.count()
 
-        # near-dup removal: every verified pair drops its larger doc_id
+        # near-dup removal; two resolutions of the pair graph:
+        # - greedy: every verified pair drops its larger doc_id (single
+        #   join, no iteration; can keep transitively-near docs)
+        # - components: connected-components clustering, keep each
+        #   cluster's min doc_id (exact; drops a superset of greedy)
         pairs = dedup.near_duplicates(
             kept.select("doc_id", "text"), threshold=jaccard_threshold
         )
-        drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        if dedup_resolution == "components":
+            comp = dedup.connected_components(pairs)
+            drops = comp.filter(
+                F.col("doc_id") != F.col("component")
+            ).select("doc_id")
+        elif dedup_resolution == "greedy":
+            drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        else:
+            raise ValueError(
+                f"dedup_resolution must be greedy|components, got "
+                f"{dedup_resolution!r}"
+            )
         kept = kept.join(drops, "doc_id", "left_anti")
         stats["near_dedup"] = kept.count()
 

@@ -95,6 +95,27 @@ def test_synthetic_stages(spark, tmp_path):
     assert sorted(r["doc_id"] for r in back.collect()) == [1, 4, 6]
 
 
+def test_components_resolution_drops_superset_of_greedy(spark, tmp_path):
+    """Every greedy-dropped doc (a pair's doc_b, > doc_a >= cluster min)
+    is non-minimal in its component, so the components drop set contains
+    the greedy one."""
+    from etl_olho_vivo_spark.plans.corpus import run_corpus
+
+    kw = dict(spark=spark, sf_dir="/root/testdata/sf0.001",
+              min_tokens=3, jaccard_threshold=0.5)
+    g = run_corpus(out_dir=str(tmp_path / "g"), **kw)
+    c = run_corpus(
+        out_dir=str(tmp_path / "c"), dedup_resolution="components", **kw
+    )
+    assert c["near_dedup"] <= g["near_dedup"]
+    kept_g = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "g")).collect()}
+    kept_c = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "c")).collect()}
+    assert kept_c <= kept_g
+
+    with pytest.raises(ValueError, match="dedup_resolution"):
+        run_corpus(out_dir=str(tmp_path / "x"), dedup_resolution="nope", **kw)
+
+
 def test_redaction_unifies_dedup(spark, tmp_path):
     """With redact_pii, docs differing only in scrubbed PII become exact
     duplicates — fingerprinting must run on the shipped text."""

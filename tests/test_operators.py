@@ -376,6 +376,38 @@ def test_redact_pii(spark):
     assert got[3] == "clean text with no pii at all"
 
 
+def test_connected_components_chains_and_islands(spark):
+    from etl_olho_vivo_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        ["doc_a", "doc_b"],
+    )
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_vs_edge_greedy(spark):
+    """Pairs (2,3) and (1,3): edge-greedy drops only doc 3 (the doc_b of
+    both pairs), keeping 1 AND 2 even though they are transitively near;
+    components puts all three in one cluster with survivor 1."""
+    from etl_olho_vivo_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(2, 3), (1, 3)], ["doc_a", "doc_b"])
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1}
+    greedy_drops = {r["doc_b"] for r in pairs.select("doc_b").collect()}
+    assert greedy_drops == {3}          # greedy keeps 2 — the blind spot
+    cc_drops = {d for d, c in comp.items() if d != c}
+    assert cc_drops == {2, 3}
+
+
 def test_simhash_near_dups_banded(spark, docs):
     """Identical docs pair at hamming 0; a disjoint doc never survives the
     exact verify; invalid band configs are rejected loudly."""
