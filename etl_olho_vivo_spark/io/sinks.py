@@ -43,7 +43,9 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     out.write.mode("overwrite").option("header", True).csv(path)
 
 
-def write_raw_json(df: DataFrame, path: str, poll_epoch=None) -> None:
+def write_raw_json(
+    df: DataFrame, path: str, poll_epoch=None, mode: str = "overwrite"
+) -> None:
     """S3: raw landing zone — ``year=/month=/day=/hour=`` JSON objects.
 
     The engine twin of the reference poller's S3 put
@@ -58,6 +60,10 @@ def write_raw_json(df: DataFrame, path: str, poll_epoch=None) -> None:
 
     All partition math is TZ-free epoch/calendar arithmetic; values are
     zero-padded to match the reference's lexicographic key layout.
+    ``mode="overwrite"`` (batch replay: dynamic overwrite of only the
+    partitions present); ``mode="append"`` for the streaming ingestion
+    loop (foreachBatch), where consecutive micro-batches share an hour
+    partition and must accumulate.
     """
     from etl_olho_vivo_spark.io.flatten import iso8601_to_epoch
 
@@ -83,7 +89,7 @@ def write_raw_json(df: DataFrame, path: str, poll_epoch=None) -> None:
         .drop("__e")
     )
     (
-        out.write.mode("overwrite")
+        out.write.mode(mode)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("year", "month", "day", "hour")
         .json(path)

@@ -99,6 +99,45 @@ def test_live_mode_is_gated_not_broken(spark):
     assert "mode=live" in msg or "olhovivo auth failed" in msg or "requests" in msg
 
 
+def test_stream_to_raw_zone_ingestion_loop(spark, tmp_path):
+    """The full continuous-ingestion replacement for the reference's
+    EventBridge+Lambda poller: olhovivo readStream → foreachBatch raw
+    JSON sink (append) → schema-first read → flatten.  Every polled ping
+    lands in the zone exactly once."""
+    from etl_olho_vivo_spark.io.flatten import read_raw_posicoes
+    from etl_olho_vivo_spark.io.sinks import write_raw_json
+
+    zone = str(tmp_path / "zone")
+    q = (
+        spark.readStream.format("olhovivo")
+        .options(lines=2, vehicles=3, max_polls=3)
+        .load()
+        .writeStream.foreachBatch(
+            lambda batch, _id: write_raw_json(batch, zone, mode="append")
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        pos = None
+        while time.time() < deadline:
+            try:
+                pos = flatten_posicoes(read_raw_posicoes(spark, zone))
+                if pos.count() >= 3 * 2 * 3:
+                    break
+            except Exception:
+                pass  # zone not created yet
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    pos = flatten_posicoes(read_raw_posicoes(spark, zone))
+    assert pos.count() == 3 * 2 * 3
+    # one ping per (poll, line, vehicle) — nothing duplicated by the sink
+    assert pos.select("prefixo_veiculo", "timestamp").distinct().count() == 3 * 2 * 3
+
+
 def test_stream_reads_polls_in_order(spark, tmp_path):
     q = (
         spark.readStream.format("olhovivo")
