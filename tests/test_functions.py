@@ -104,3 +104,48 @@ def test_interval_labels_byte_parity(spark):
     # midnight wrap spot-check
     wrap = [r for r in got if r["ts"] == 1715385599][0]
     assert wrap["label"] == "23:30-00:00"
+
+
+# ---------------------------------------------------------------------------
+# single-pass table profiling
+# ---------------------------------------------------------------------------
+
+
+def test_profile_table_single_pass(spark):
+    from etl_olho_vivo_spark.functions.profile import profile_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.5, [1, 2]),
+            (2, "b", None, [3]),
+            (3, None, 2.5, None),
+            (4, "b", 3.5, [1]),
+        ],
+        ["id", "s", "x", "arr"],
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(prof) == {"id", "s", "x", "arr"}
+    assert all(r["n_rows"] == 4 for r in prof.values())
+    assert prof["id"]["n_nulls"] == 0 and prof["id"]["approx_distinct"] == 4
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["approx_distinct"] == 2
+    assert prof["s"]["min_str"] == "a" and prof["s"]["max_str"] == "b"
+    assert prof["x"]["min_str"] == "1.5" and prof["x"]["max_str"] == "3.5"
+    # complex type: accounted, but no total order → null min/max
+    assert prof["arr"]["n_nulls"] == 1
+    assert prof["arr"]["min_str"] is None
+    # ONE job, one scan: the profile plan reads the source exactly once
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_profile_table_on_driver_table(spark):
+    from etl_olho_vivo_spark.functions.profile import profile_table
+    from etl_olho_vivo_spark.sources.tables import read_table
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents")
+    prof = {r["column"]: r for r in profile_table(d).collect()}
+    n = d.count()
+    assert prof["doc_id"]["n_rows"] == n
+    assert prof["doc_id"]["n_nulls"] == 0
+    # HLL at rsd=0.05 lands within 15% of exact on doc_id
+    assert abs(prof["doc_id"]["approx_distinct"] - n) <= 0.15 * n
