@@ -149,3 +149,27 @@ def test_profile_table_on_driver_table(spark):
     assert prof["doc_id"]["n_nulls"] == 0
     # HLL at rsd=0.05 lands within 15% of exact on doc_id
     assert abs(prof["doc_id"]["approx_distinct"] - n) <= 0.15 * n
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """The documented scale path for quantity_quantiles: t-digest
+    approx_percentile must track the exact per-group percentile within
+    the sketch's rank-error bound on the driver table."""
+    from etl_olho_vivo_spark.sources.tables import read_table
+
+    li = read_table(spark, "/root/testdata/sf0.01", "lineitem")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("exact"),
+            F.expr("approx_percentile(l_quantity, 0.5, 1000)").alias("approx"),
+            F.max("l_quantity").alias("hi"),
+            F.min("l_quantity").alias("lo"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        # rank error 1/1000 over a bounded domain → value error well
+        # within 5% of the group's range
+        assert abs(r["approx"] - r["exact"]) <= 0.05 * (r["hi"] - r["lo"]), r
