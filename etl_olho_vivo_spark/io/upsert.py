@@ -42,6 +42,14 @@ def upsert_partitioned(
     ``keys`` identify a row; the row with the greatest ``version_col``
     wins (updates win ties).  ``partition_col`` must be the table's
     partition column and present in ``updates``.
+
+    CONTRACT: ``partition_col`` must be stable per key (derived from the
+    key, or immutable — e.g. an event's day).  An update that MOVES a
+    key to a different partition would leave the key's old row behind:
+    plain parquet has no delete vectors, and finding the old row would
+    mean scanning every partition — exactly the cost this function
+    exists to avoid.  Use a table format (Delta/Iceberg) if keys
+    migrate across partitions.
     """
     touched = [
         r[0] for r in updates.select(partition_col).distinct().collect()
@@ -61,7 +69,14 @@ def upsert_partitioned(
         merged_in = existing.unionByName(
             updates.withColumn("__src", F.lit(1))
         )
-    except AnalysisException:  # PATH_NOT_FOUND — first write, nothing to merge
+    except AnalysisException as e:
+        # ONLY a missing path means "first write".  Any other analysis
+        # error (schema drift, missing column) must surface — swallowing
+        # it would overwrite touched partitions with the bare updates,
+        # silently deleting existing rows.
+        cond = getattr(e, "getCondition", lambda: None)() or str(e)
+        if "PATH_NOT_FOUND" not in cond:
+            raise
         merged_in = updates.withColumn("__src", F.lit(1))
     payload = F.struct(*[F.col(c) for c in cols])
     rank = F.struct(F.col(version_col), F.col("__src"))

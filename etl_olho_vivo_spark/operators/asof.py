@@ -15,9 +15,10 @@ window**, NOT a range join —
   on equal timestamps, which yields exactly the inclusive as-of
   semantics of DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts`` (the oracle
   used to certify this operator);
-- ``last(..., ignorenulls=True)`` with an UNBOUNDED PRECEDING frame is
-  the running "latest right seen so far" — whole-stage-codegen window
-  aggregation, no Python.
+- ``last(<right-row struct>, ignorenulls=True)`` with an UNBOUNDED
+  PRECEDING frame is the running "latest right ROW seen so far" (one
+  struct, row-atomic — value columns never mix across right rows) —
+  whole-stage-codegen window aggregation, no Python.
 """
 
 from __future__ import annotations
@@ -67,41 +68,53 @@ def asof_join(
     if extra_tiebreak:
         rhs_cols.append(tiebreak)
     rhs = right.select(*keys, ts, *rhs_cols, F.lit(0).alias("__is_l"))
-    if tolerance is not None:
-        rhs = rhs.withColumn("__r_ts", F.col(ts))
     u = lhs.unionByName(rhs, allowMissingColumns=True)
+    # The matched right row travels as ONE struct (row-atomic, like a real
+    # as-of join): picking each value column independently with
+    # ignorenulls would let a value from an OLDER right row pair with the
+    # newest row's timestamp — wrong staleness under `tolerance`, and
+    # per-column forward-fill rather than as-of semantics.
+    u = u.withColumn(
+        "__r",
+        F.when(
+            F.col("__is_l") == 0,
+            F.struct(
+                F.col(ts).alias("__r_ts"),
+                *[F.col(c) for c in right_cols],
+            ),
+        ),
+    )
 
     if direction == "backward":
         # right rows sort BEFORE left on equal ts → inclusive match;
-        # running last(ignorenulls) = latest right seen so far
+        # running last(ignorenulls) = latest right row seen so far
         order = [F.col(ts), F.col("__is_l")]
         frame = (Window.unboundedPreceding, Window.currentRow)
-        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+        pick = F.last("__r", ignorenulls=True)
     else:
         # left rows sort BEFORE right on equal ts → inclusive match;
-        # first(ignorenulls) over the following frame = earliest right
+        # first(ignorenulls) over the following frame = earliest right row
         order = [F.col(ts), F.col("__is_l").desc()]
         frame = (Window.currentRow, Window.unboundedFollowing)
-        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+        pick = F.first("__r", ignorenulls=True)
     if tiebreak is not None:
         order.append(
             F.col(tiebreak) if direction == "backward" else F.col(tiebreak).asc()
         )
     w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(*frame)
-    enriched = list(right_cols) + (["__r_ts"] if tolerance is not None else [])
-    for c in enriched:
-        u = u.withColumn(c, pick(c).over(w))
+    u = u.withColumn("__r", pick.over(w))
     out = u.filter(F.col("__is_l") == 1).drop("__is_l")
+    keep = F.col("__r").isNotNull()
     if tolerance is not None:
-        gap = (
-            F.col(ts) - F.col("__r_ts")
-            if direction == "backward"
-            else F.col("__r_ts") - F.col(ts)
-        )
-        keep = F.col("__r_ts").isNotNull() & (gap <= tolerance)
-        for c in right_cols:
-            out = out.withColumn(c, F.when(keep, F.col(c)))
-        out = out.drop("__r_ts")
+        # cast("double") is TZ-free epoch seconds for TimestampType and
+        # the identity for numeric ts — interval arithmetic never appears
+        ts_d = F.col(ts).cast("double")
+        r_ts_d = F.col("__r.__r_ts").cast("double")
+        gap = ts_d - r_ts_d if direction == "backward" else r_ts_d - ts_d
+        keep = keep & (gap <= tolerance)
+    for c in right_cols:
+        out = out.withColumn(c, F.when(keep, F.col(f"__r.{c}")))
+    out = out.drop("__r")
     if extra_tiebreak and tiebreak not in left.columns:
         out = out.drop(tiebreak)
     return out

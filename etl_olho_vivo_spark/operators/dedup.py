@@ -216,15 +216,20 @@ def connected_components(
             labels.unpersist()
             labels = new_labels
             if new_sum == prev_sum:  # min-labels are monotone ↓: fixpoint
+                # materialize (bounded by the pair graph's node count)
+                # so the iteration cache can be released — returning the
+                # persisted frame itself would pin it forever
                 return labels.select(
-                    F.col("node").alias("doc_id"), F.col("comp").alias("component")
-                )
+                    F.col("node").alias("doc_id"),
+                    F.col("comp").alias("component"),
+                ).localCheckpoint(eager=True)
             prev_sum = new_sum
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(graph diameter exceeds max_iter — raise it)"
         )
     finally:
+        labels.unpersist()
         both.unpersist()
 
 
@@ -268,6 +273,7 @@ def incremental_near_duplicates(
     store: DataFrame,
     text: str = "text",
     threshold: float = 0.5,
+    persist: bool = True,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and an existing signature store.
 
@@ -277,14 +283,19 @@ def incremental_near_duplicates(
     scales with the batch, not the corpus.  Returns
     (doc_new, doc_old, jaccard ≥ threshold); resolve drops on the caller's
     policy (typically: drop doc_new, the corpus row wins).
-    """
-    from pyspark.storagelevel import StorageLevel
 
-    new_sig = (
-        minhash_signature(new_docs, text)
-        .select("doc_id", "sh", "minhash")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    ``persist`` mirrors ``near_duplicates``: the batch-signature frame is
+    cached for its two consumers (band keys + verify side) with session
+    lifetime — Spark evicts LRU under pressure, or pass ``persist=False``
+    to trade one extra signature compute for zero cache footprint.
+    """
+    new_sig = minhash_signature(new_docs, text).select(
+        "doc_id", "sh", "minhash"
     )
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        new_sig = new_sig.persist(StorageLevel.MEMORY_AND_DISK)
     new_bands = lsh_bands(new_sig).withColumnRenamed("doc_id", "doc_new")
     old_bands = lsh_bands(store).withColumnRenamed("doc_id", "doc_old")
     pairs = (
@@ -313,7 +324,7 @@ def simhash_near_dups(
     df: DataFrame,
     text: str = "text",
     max_hamming: int = 3,
-    bits: int = SIMHASH_BITS,
+    bits: int = 32,
     n_bands: int = 4,
 ) -> DataFrame:
     """Doc pairs with Hamming(simhash_a, simhash_b) ≤ ``max_hamming``.
@@ -323,8 +334,16 @@ def simhash_near_dups(
     into ``n_bands`` contiguous segments; any pair within Hamming
     ≤ n_bands − 1 must agree exactly on at least one segment, so
     candidates come from equi-joins on (band, segment) keys — never a
-    cross product, and the segment keys are near-uniform.  Verification
-    is exact: ``bit_count(a XOR b) ≤ max_hamming``.
+    cross product.  Verification is exact:
+    ``bit_count(a XOR b) ≤ max_hamming``.
+
+    Scale note — segment width is the capacity dial: random (non-near)
+    docs collide in a band with probability 2^-(bits/n_bands), so
+    candidate volume is ~n²·n_bands/2^(bits/n_bands); keep
+    ``bits/n_bands ≳ log2(n)`` (the default 32/4 = 8-bit segments are
+    fine to ~10⁴ docs; web scale wants a 64-bit simhash — this engine's
+    token hashes are 32-bit, so 32 is the honest ceiling here, Manku's
+    64-bit variant needs a wider base hash).
 
     ``max_hamming`` must be < ``n_bands`` or the pigeonhole guarantee
     breaks (a qualifying pair could differ in every segment) — rejected

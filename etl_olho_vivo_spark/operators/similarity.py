@@ -81,6 +81,16 @@ def cosine_topk(
     )
 
 
+def _default_centroids(emb: DataFrame, n_cells: int) -> DataFrame:
+    """Demo seeding: the first ``n_cells`` vectors, quantized — the form
+    the SQL oracles replicate verbatim.  Single definition so assignment
+    and probe selection can never desynchronize."""
+    return emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"),
+        F.expr(_quantize("embedding")).alias("qc"),
+    )
+
+
 def ivf_assign(
     emb: DataFrame, n_cells: int = 8, centroids: DataFrame | None = None
 ) -> DataFrame:
@@ -94,10 +104,7 @@ def ivf_assign(
     deterministic.
     """
     if centroids is None:
-        centroids = emb.filter(F.col("vec_id") < n_cells).select(
-            F.col("vec_id").alias("cell_id"),
-            F.expr(_quantize("embedding")).alias("qc"),
-        )
+        centroids = _default_centroids(emb, n_cells)
     vecs = emb.select(
         "vec_id", "label", F.expr(_quantize("embedding")).alias("qv")
     )
@@ -228,10 +235,7 @@ def ivf_topk(
     the probed fraction of the corpus.
     """
     if centroids is None:
-        centroids = emb.filter(F.col("vec_id") < n_cells).select(
-            F.col("vec_id").alias("cell_id"),
-            F.expr(_quantize("embedding")).alias("qc"),
-        )
+        centroids = _default_centroids(emb, n_cells)
     assigned = ivf_assign(emb, n_cells, centroids)
     qv = emb.filter(F.col("vec_id") == query_vec_id).select(
         F.expr(_quantize("embedding")).alias("q_qv")

@@ -116,6 +116,43 @@ def test_asof_join_forward_direction(spark):
                   direction="nearest")
 
 
+def test_asof_join_is_row_atomic(spark):
+    """A NULL value on the LATEST right row must surface as NULL — not be
+    forward-filled from an older right row (per-column fill would pair an
+    old value with the new row's freshness)."""
+    left = spark.createDataFrame([(1, 100, "l")], ["k", "ts", "lv"])
+    right = spark.createDataFrame(
+        [(1, 50, "old"), (1, 90, None)], ["k", "ts", "rv"]
+    )
+    out = asof_join(left, right, on="k", ts="ts", right_cols=["rv"]).collect()
+    assert out[0]["rv"] is None
+
+    # and under tolerance, the old row's value must not ride the newest
+    # row's timestamp past the staleness gate
+    out2 = asof_join(
+        left, right, on="k", ts="ts", right_cols=["rv"], tolerance=20
+    ).collect()
+    assert out2[0]["rv"] is None
+
+
+def test_asof_join_tolerance_timestamp_ts(spark):
+    """tolerance must work when ts is a TimestampType (docstring contract)
+    — gap math is epoch seconds, never interval arithmetic."""
+    left = spark.createDataFrame(
+        [(1, 100.0, "fresh"), (1, 800.0, "stale")], ["k", "sec", "lv"]
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "lv")
+    right = spark.createDataFrame([(1, 90.0, "r90")], ["k", "sec", "rv"]).select(
+        "k", F.timestamp_seconds("sec").alias("ts"), "rv"
+    )
+    out = {
+        r["lv"]: r["rv"]
+        for r in asof_join(
+            left, right, on="k", ts="ts", right_cols=["rv"], tolerance=60
+        ).collect()
+    }
+    assert out == {"fresh": "r90", "stale": None}
+
+
 def test_asof_join_tolerance(spark):
     left = spark.createDataFrame(
         [(1, 100, "fresh"), (1, 800, "stale")], ["k", "ts", "lv"]

@@ -76,6 +76,24 @@ def test_upsert_ties_prefer_update_and_idempotent(spark, table):
     assert _snapshot(spark, table) == first
 
 
+def test_upsert_schema_drift_raises_not_wipes(spark, table):
+    """An update frame with a column the table lacks must surface the
+    analysis error — NOT be treated as a first write (which would
+    replace touched partitions with only the update rows)."""
+    from pyspark.errors import AnalysisException
+
+    updates = spark.createDataFrame(
+        [(1, "a1", 2, "d1", "extra")], ["k", "v", "ver", "day", "new_col"]
+    )
+    before = _snapshot(spark, table)
+    with pytest.raises(AnalysisException):
+        upsert_partitioned(
+            spark, table, updates, keys=["k"], version_col="ver",
+            partition_col="day",
+        )
+    assert _snapshot(spark, table) == before  # untouched
+
+
 def test_upsert_into_empty_path(spark, tmp_path):
     path = str(tmp_path / "fresh")
     updates = spark.createDataFrame(
