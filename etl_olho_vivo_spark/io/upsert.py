@@ -60,23 +60,40 @@ def upsert_partitioned(
 
     cols = updates.columns
     try:
+        existing_raw = spark.read.parquet(path)
+    except AnalysisException as e:
+        # ONLY "no table yet" means first write: a missing path, or an
+        # empty directory left by a died-before-commit first attempt
+        # (Spark creates the dir before committing files — the rerun
+        # must self-heal, not fail until someone deletes it).  Any other
+        # analysis error must surface — swallowing it would overwrite
+        # touched partitions with the bare updates.
+        cond = getattr(e, "getCondition", lambda: None)() or str(e)
+        if not any(
+            c in cond for c in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+        ):
+            raise
+        existing_raw = None
+    if existing_raw is not None:
+        # schema drift must fail LOUDLY in both directions: extra update
+        # columns break the select below, and a column the table has but
+        # the updates lack would otherwise be silently erased from every
+        # rewritten partition (even on rows the batch never touched).
+        lost = set(existing_raw.columns) - set(cols)
+        if lost:
+            raise ValueError(
+                f"updates are missing table column(s) {sorted(lost)}; "
+                "merging would erase them from every rewritten partition"
+            )
         existing = (
-            spark.read.parquet(path)
-            .filter(F.col(partition_col).isin(touched))
+            existing_raw.filter(F.col(partition_col).isin(touched))
             .select(*cols)
             .withColumn("__src", F.lit(0))
         )
         merged_in = existing.unionByName(
             updates.withColumn("__src", F.lit(1))
         )
-    except AnalysisException as e:
-        # ONLY a missing path means "first write".  Any other analysis
-        # error (schema drift, missing column) must surface — swallowing
-        # it would overwrite touched partitions with the bare updates,
-        # silently deleting existing rows.
-        cond = getattr(e, "getCondition", lambda: None)() or str(e)
-        if "PATH_NOT_FOUND" not in cond:
-            raise
+    else:
         merged_in = updates.withColumn("__src", F.lit(1))
     payload = F.struct(*[F.col(c) for c in cols])
     rank = F.struct(F.col(version_col), F.col("__src"))

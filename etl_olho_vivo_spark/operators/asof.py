@@ -106,11 +106,19 @@ def asof_join(
     out = u.filter(F.col("__is_l") == 1).drop("__is_l")
     keep = F.col("__r").isNotNull()
     if tolerance is not None:
-        # cast("double") is TZ-free epoch seconds for TimestampType and
-        # the identity for numeric ts — interval arithmetic never appears
-        ts_d = F.col(ts).cast("double")
-        r_ts_d = F.col("__r.__r_ts").cast("double")
-        gap = ts_d - r_ts_d if direction == "backward" else r_ts_d - ts_d
+        # TimestampType subtraction yields an interval (not comparable to
+        # an int), so timestamps go through a TZ-free epoch-seconds cast;
+        # numeric ts keeps EXACT native subtraction — a double cast would
+        # round 64-bit values above 2^53 (e.g. epoch nanos) and misjudge
+        # gaps near the tolerance bound.
+        is_ts = left.schema[ts].dataType.typeName().startswith("timestamp")
+        ts_v = F.col(ts).cast("double") if is_ts else F.col(ts)
+        r_ts_v = (
+            F.col("__r.__r_ts").cast("double")
+            if is_ts
+            else F.col("__r.__r_ts")
+        )
+        gap = ts_v - r_ts_v if direction == "backward" else r_ts_v - ts_v
         keep = keep & (gap <= tolerance)
     for c in right_cols:
         out = out.withColumn(c, F.when(keep, F.col(f"__r.{c}")))

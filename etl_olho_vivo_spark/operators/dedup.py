@@ -29,7 +29,8 @@ from etl_olho_vivo_spark.functions.hashing import (
 NUM_HASHES = 8
 ROWS_PER_BAND = 2
 NUM_BANDS = NUM_HASHES // ROWS_PER_BAND
-SIMHASH_BITS = 16
+SIMHASH_BITS = 16            # fingerprint width (matched by the SQL oracle)
+SIMHASH_NEAR_DUP_BITS = 32   # pairing width: segments must track log2(n)
 
 
 def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
@@ -324,7 +325,7 @@ def simhash_near_dups(
     df: DataFrame,
     text: str = "text",
     max_hamming: int = 3,
-    bits: int = 32,
+    bits: int = SIMHASH_NEAR_DUP_BITS,
     n_bands: int = 4,
 ) -> DataFrame:
     """Doc pairs with Hamming(simhash_a, simhash_b) ≤ ``max_hamming``.

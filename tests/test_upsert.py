@@ -94,6 +94,39 @@ def test_upsert_schema_drift_raises_not_wipes(spark, table):
     assert _snapshot(spark, table) == before  # untouched
 
 
+def test_upsert_missing_column_raises_not_erases(spark, tmp_path):
+    """Updates LACKING a column the table has must raise — merging would
+    silently erase that column from every rewritten partition."""
+    path = str(tmp_path / "wide")
+    spark.createDataFrame(
+        [(1, "a", "keep-me", 1, "d1")], ["k", "v", "note", "ver", "day"]
+    ).write.partitionBy("day").parquet(path)
+    updates = spark.createDataFrame(
+        [(1, "a1", 2, "d1")], ["k", "v", "ver", "day"]  # no 'note'
+    )
+    with pytest.raises(ValueError, match="note"):
+        upsert_partitioned(
+            spark, path, updates, keys=["k"], version_col="ver",
+            partition_col="day",
+        )
+    assert spark.read.parquet(path).collect()[0]["note"] == "keep-me"
+
+
+def test_upsert_into_empty_directory_self_heals(spark, tmp_path):
+    """An existing-but-empty target dir (a first write that died before
+    committing files) must behave like a first write, not fail forever."""
+    path = tmp_path / "emptydir"
+    path.mkdir()
+    updates = spark.createDataFrame(
+        [(1, "a", 1, "d1")], ["k", "v", "ver", "day"]
+    )
+    upsert_partitioned(
+        spark, str(path), updates, keys=["k"], version_col="ver",
+        partition_col="day",
+    )
+    assert _snapshot(spark, str(path)) == {1: ("a", 1, "d1")}
+
+
 def test_upsert_into_empty_path(spark, tmp_path):
     path = str(tmp_path / "fresh")
     updates = spark.createDataFrame(
