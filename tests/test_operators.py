@@ -497,6 +497,42 @@ def test_incremental_near_dup_against_store(spark, docs, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {_store_table(store_path)}")
 
 
+def test_resample_grid_ffill_and_gaps(spark):
+    from etl_olho_vivo_spark.operators.resample import resample
+
+    df = spark.createDataFrame(
+        [
+            ("A", 100, 1.0),
+            ("A", 130, 2.0),
+            ("A", 290, 3.0),
+            ("B", 65, 9.0),
+        ],
+        ["veh", "ts", "x"],
+    )
+    out = {
+        (r["veh"], r["ts"]): r["x"]
+        for r in resample(df, ["veh"], "ts", 60, ["x"]).collect()
+    }
+    # grid aligned down to step multiples, per key's own span
+    assert out == {
+        ("A", 60): None,     # before first observation
+        ("A", 120): 1.0,     # ffill from ts=100
+        ("A", 180): 2.0,     # ffill from ts=130
+        ("A", 240): 2.0,     # still ts=130 (110 stale)
+        ("B", 60): None,
+    }
+    # tolerance turns stale carries into visible gaps
+    tol = {
+        (r["veh"], r["ts"]): r["x"]
+        for r in resample(df, ["veh"], "ts", 60, ["x"], tolerance=100).collect()
+    }
+    assert tol[("A", 240)] is None
+    assert tol[("A", 180)] == 2.0
+
+    with pytest.raises(ValueError, match="step"):
+        resample(df, ["veh"], "ts", 0, ["x"])
+
+
 # ---------------------------------------------------------------------------
 # similarity: k-means|| IVF seeding
 # ---------------------------------------------------------------------------
