@@ -63,6 +63,7 @@ def run_corpus(
     jaccard_threshold: float = 0.6,
     redact_pii: bool = False,
     dedup_resolution: str = "greedy",
+    pack: tuple[int, int, int] | None = None,
 ) -> dict[str, int]:
     """Documents table → cleaned corpus parquet.  Returns per-stage counts.
 
@@ -72,7 +73,11 @@ def run_corpus(
     drops a large fraction of a crawl before anything shuffles.
     ``redact_pii`` scrubs URLs/emails/phones BEFORE profiling, so
     fingerprints (and therefore dedup) act on the text that will actually
-    ship.
+    ship.  ``pack=(max_tokens, overlap, budget)`` additionally emits
+    packed training sequences at ``<out_dir>_packed``: survivors are
+    chunked into token windows and sequentially packed per source shard
+    (operators/textops.py: chunk_docs + pack_chunks) — the corpus's
+    last mile from documents to fixed-budget model inputs.
     """
     d = read_table(spark, sf_dir, "documents")
     if redact_pii:
@@ -130,6 +135,17 @@ def run_corpus(
             .partitionBy("lang_guess")
             .parquet(out_dir)
         )
+
+        if pack is not None:
+            max_tokens, overlap, budget = pack
+            chunks = textops.chunk_docs(
+                kept.select("doc_id", "source", "text"), max_tokens, overlap
+            )
+            packed = textops.pack_chunks(
+                chunks, budget=budget, shard_col="source"
+            )
+            packed.write.mode("overwrite").parquet(out_dir + "_packed")
+            stats["packed_sequences"] = packed.count()
         return stats
     finally:
         prof.unpersist()

@@ -95,6 +95,28 @@ def test_synthetic_stages(spark, tmp_path):
     assert sorted(r["doc_id"] for r in back.collect()) == [1, 4, 6]
 
 
+def test_pack_stage_emits_training_sequences(spark, tmp_path):
+    """pack=(max_tokens, overlap, budget) writes packed sequences whose
+    token totals conserve the surviving corpus (overlap=0) and respect
+    the budget + max_chunk - 1 overflow bound."""
+    from etl_olho_vivo_spark.plans.corpus import run_corpus
+
+    out = str(tmp_path / "clean")
+    stats = run_corpus(
+        spark, "/root/testdata/sf0.001", out,
+        min_tokens=3, jaccard_threshold=0.5, pack=(16, 0, 64),
+    )
+    assert stats["packed_sequences"] > 0
+    packed = spark.read.parquet(out + "_packed")
+    survivors = spark.read.parquet(out)
+    total_doc_tokens = survivors.agg(
+        F.sum(F.size(F.split("text", " ")))
+    ).collect()[0][0]
+    total_packed = packed.agg(F.sum("n_tokens")).collect()[0][0]
+    assert total_packed == total_doc_tokens          # nothing lost/duped
+    assert packed.agg(F.max("n_tokens")).collect()[0][0] <= 64 + 16 - 1
+
+
 def test_components_resolution_drops_superset_of_greedy(spark, tmp_path):
     """Every greedy-dropped doc (a pair's doc_b, > doc_a >= cluster min)
     is non-minimal in its component, so the components drop set contains

@@ -174,6 +174,23 @@ def test_groupby_extensions_single_cube_aggregation(spark):
     assert "Generate explode" in plan
 
 
+def test_resample_is_linear_no_range_join(spark):
+    """The grid fill must stay union+window — a range-predicate join
+    (grid.ts >= obs.ts) would explode to |grid|·|obs| per key."""
+    from etl_olho_vivo_spark.operators.resample import resample
+    from etl_olho_vivo_spark.sources.tables import read_table
+
+    e = read_table(spark, SF, "events").select(
+        "user_id", F.expr("unix_millis(ts) div 1000").alias("t"), "value"
+    )
+    out = resample(e, ["user_id"], "t", 1800, ["value"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan  # no join at all: union + window
+    assert plan.count("Window") >= 1
+
+
 def test_minhash_signature_store_is_cached(spark):
     """The LSH pipeline consumes the signature frame three times (bands +
     both verify sides); the signature store must be a persisted
