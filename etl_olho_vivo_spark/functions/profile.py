@@ -28,10 +28,21 @@ def profile_table(df: DataFrame, rsd: float = 0.05) -> DataFrame:
     simple = {"string", "boolean", "int", "bigint", "smallint", "tinyint",
               "float", "double", "decimal", "date", "timestamp",
               "timestamp_ntz"}
+    if len(set(df.columns)) != len(df.columns):
+        dupes = sorted(
+            {c for c in df.columns if df.columns.count(c) > 1}
+        )
+        raise ValueError(
+            f"duplicate column name(s) {dupes}: alias them before "
+            "profiling (references would be ambiguous)"
+        )
+    dtypes = dict(df.dtypes)  # built once; names are unique (checked)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in df.columns:
-        dtype = dict(df.dtypes)[c].split("(")[0]
-        col = F.col(c)
+        dtype = dtypes[c].split("(")[0]
+        # backticked reference: a dot in the name must not parse as a
+        # struct-field access (df[c] and bare F.col both would)
+        col = F.col("`" + c.replace("`", "``") + "`")
         probe = col if dtype in simple else col.cast("string")
         aggs += [
             F.sum(col.isNull().cast("long")).alias(f"__nulls_{c}"),
@@ -53,10 +64,12 @@ def profile_table(df: DataFrame, rsd: float = 0.05) -> DataFrame:
             F.struct(
                 F.lit(c).alias("column"),
                 F.col("__n").alias("n_rows"),
-                F.col(f"__nulls_{c}").alias("n_nulls"),
-                F.col(f"__dist_{c}").alias("approx_distinct"),
-                F.col(f"__min_{c}").alias("min_str"),
-                F.col(f"__max_{c}").alias("max_str"),
+                # backticked: a dot in the source column name must not
+                # read as a struct-field access on the derived alias
+                F.col(f"`__nulls_{c}`").alias("n_nulls"),
+                F.col(f"`__dist_{c}`").alias("approx_distinct"),
+                F.col(f"`__min_{c}`").alias("min_str"),
+                F.col(f"`__max_{c}`").alias("max_str"),
             )
             for c in df.columns
         ]

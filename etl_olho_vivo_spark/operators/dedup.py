@@ -157,13 +157,18 @@ def near_duplicates(
     sh_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    out = (
         pairs.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    # expose the cache handle: a caller that materializes the pairs
+    # (e.g. plans/corpus.py checkpoints its drop list) can release the
+    # signature store instead of pinning it for the session
+    out.sig_store = sig if persist else None
+    return out
 
 
 def connected_components(

@@ -83,6 +83,7 @@ def run_corpus(
     if redact_pii:
         d = d.withColumn("text", textops.redact("text"))
     prof = document_profile(d).persist(StorageLevel.MEMORY_AND_DISK)
+    survived = None
     try:
         stats = {"input": prof.count()}
 
@@ -119,19 +120,32 @@ def run_corpus(
                 f"dedup_resolution must be greedy|components, got "
                 f"{dedup_resolution!r}"
             )
-        kept = kept.join(drops, "doc_id", "left_anti")
+        # materialize the (small) drop list once so the LSH band +
+        # verify joins never re-execute, then release the signature
+        # store near_duplicates cached for them
+        drops = drops.localCheckpoint(eager=True)
+        sig_store = getattr(pairs, "sig_store", None)
+        if sig_store is not None:
+            sig_store.unpersist()
+        kept = kept.join(drops, "doc_id", "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        survived = kept  # handle for the finally-unpersist
         stats["near_dedup"] = kept.count()
 
         kept = kept.filter(F.col("quality_score") >= min_quality)
         stats["quality"] = kept.count()
 
+        # plain overwrite (NOT dynamic partition overwrite): this is a
+        # full corpus rebuild, and dynamic mode would leave a stale
+        # lang_guess partition behind whenever a language present in a
+        # previous run has no survivors in this one
         (
             kept.select(
                 "doc_id", "text", "lang", "source", "lang_guess",
                 "n_tokens", "quality_score", "fp_md5",
             )
             .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("lang_guess")
             .parquet(out_dir)
         )
@@ -145,7 +159,13 @@ def run_corpus(
                 chunks, budget=budget, shard_col="source"
             )
             packed.write.mode("overwrite").parquet(out_dir + "_packed")
-            stats["packed_sequences"] = packed.count()
+            # count the WRITTEN parquet — recounting `packed` would
+            # re-execute the whole chunk+pack pipeline
+            stats["packed_sequences"] = spark.read.parquet(
+                out_dir + "_packed"
+            ).count()
         return stats
     finally:
         prof.unpersist()
+        if survived is not None:
+            survived.unpersist()

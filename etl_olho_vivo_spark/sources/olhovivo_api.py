@@ -121,10 +121,16 @@ def _live_poll(options: dict):
     if not token:
         raise ValueError("mode=live requires the api_token option")
     session = requests.Session()
-    auth = session.post(f"{base}/Login/Autenticar?token={token}")
+    # explicit (connect, read) timeouts: requests has NO default timeout,
+    # and a stalled endpoint would otherwise hang the task — or, in
+    # streaming mode (where read() runs on the driver), the whole query
+    timeout = (10, 30)
+    auth = session.post(
+        f"{base}/Login/Autenticar?token={token}", timeout=timeout
+    )
     if auth.status_code != 200 or auth.text.strip() != "true":
         raise RuntimeError(f"olhovivo auth failed: HTTP {auth.status_code}")
-    resp = session.get(f"{base}/Posicao")
+    resp = session.get(f"{base}/Posicao", timeout=timeout)
     resp.raise_for_status()
     doc = resp.json()
     return (
@@ -158,6 +164,13 @@ class OlhoVivoBatchReader(DataSourceReader):
         self.options = options
 
     def partitions(self):
+        if self.options.get("mode", "offline") == "live":
+            # live polls are one instant of ephemeral state: N parallel
+            # partitions would mean N concurrent logins fetching the SAME
+            # moment (near-duplicate pings masquerading as distinct
+            # polls, different on every task retry).  One partition per
+            # live read; cadence lives with the scheduler/stream.
+            return [_PollPartition(0)]
         return [
             _PollPartition(i)
             for i in range(_int_opt(self.options, "polls", 1))
@@ -203,6 +216,18 @@ class OlhoVivoStreamReader(SimpleDataSourceStreamReader):
         return iter([row]), {"poll": poll + 1}
 
     def readBetweenOffsets(self, start: dict, end: dict):
+        if self.options.get("mode", "offline") == "live":
+            # A live REST poll is ephemeral — the data for a past offset
+            # no longer exists, so deterministic replay is IMPOSSIBLE.
+            # Failing loudly beats silently fabricating positions; the
+            # replayable log for live data is the raw landing zone
+            # (write_raw_json via foreachBatch), not the API.
+            raise RuntimeError(
+                "mode=live cannot replay past offsets: the API serves "
+                "only the current instant. Recover live streams from the "
+                "raw JSON landing zone (io.sinks.write_raw_json + "
+                "io.flatten.read_raw_posicoes) instead."
+            )
         rows = []
         for poll in range(int(start["poll"]), int(end["poll"])):
             rows.append(

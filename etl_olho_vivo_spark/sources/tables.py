@@ -58,6 +58,11 @@ def read_table(
     }
     if ts_ms_filter is not None:
         c, op, ms = ts_ms_filter
+        if op not in ("<=", ">="):
+            raise ValueError(
+                f"ts_ms_filter op must be '<=' or '>=', got {op!r} "
+                "(anything else would silently apply the wrong bound)"
+            )
         if is_ns.get(c):
             bound = ms * 1_000_000 + (999_999 if op == "<=" else 0)
             df = df.filter(F.col(c) <= bound if op == "<=" else F.col(c) >= bound)

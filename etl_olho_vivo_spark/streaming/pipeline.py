@@ -44,8 +44,14 @@ def stream_raw_posicoes(
     spark: SparkSession, raw_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """Streaming source + flatten: raw JSON zone → unbounded posicoes."""
-    reader = spark.readStream.schema(RAW_POSICAO_SCHEMA).option(
-        "mode", "PERMISSIVE"
+    reader = (
+        spark.readStream.schema(RAW_POSICAO_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        # pin the quarantine column explicitly (same as the batch reader,
+        # io/flatten.py): a session-level columnNameOfCorruptRecord
+        # override would otherwise send corrupt payloads to a column the
+        # schema lacks, turning them into silent all-null rows
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -175,16 +181,21 @@ def stream_ping_pairs(
     )
 
 
-def stream_speeds(pos: DataFrame) -> DataFrame:
+def stream_speeds(
+    pos: DataFrame, tiebreakers: tuple[str, ...] = ()
+) -> DataFrame:
     """Online cleaned speeds: stateful pairs → JVM-side speed math.
 
     Applies the SAME cleaning chain as batch ``cleaned_speeds`` (P5 gap,
     tempo>0, F3 haversine, F4 round-before-divide, P6 speed cap) — the
     Python stage only pairs pings; all math stays in codegen.
+    ``tiebreakers`` orders equal-timestamp pings deterministically within
+    a micro-batch (the streaming twin of the batch path's tiebreakers in
+    ``plans/daily.py``).
     """
     from etl_olho_vivo_spark.functions.geo import haversine_m
 
-    pairs = stream_ping_pairs(pos)
+    pairs = stream_ping_pairs(pos, tiebreakers=tiebreakers)
     out = pairs.withColumn(
         "tempo", F.col("timestamp") - F.col("timestamp_anterior")
     )

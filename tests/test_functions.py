@@ -173,3 +173,17 @@ def test_approx_percentile_tracks_exact(spark):
         # rank error 1/1000 over a bounded domain → value error well
         # within 5% of the group's range
         assert abs(r["approx"] - r["exact"]) <= 0.05 * (r["hi"] - r["lo"]), r
+
+
+def test_profile_table_dotted_and_duplicate_columns(spark):
+    from etl_olho_vivo_spark.functions.profile import profile_table
+
+    dotted = spark.createDataFrame([(1, "x")], ["id", "a.b"])
+    prof = {r["column"]: r for r in profile_table(dotted).collect()}
+    assert prof["a.b"]["n_nulls"] == 0 and prof["a.b"]["min_str"] == "x"
+
+    dup = spark.createDataFrame([(1, 2)], ["k", "k"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate"):
+        profile_table(dup)
