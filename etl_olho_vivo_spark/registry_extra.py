@@ -318,7 +318,7 @@ WITH t AS (
   SELECT user_id, event_id, epoch_us(ts) // 1000000 AS s FROM events
 ),
 flagged AS (
-  SELECT *, CASE WHEN s - lag(s) OVER w >= 1800
+  SELECT *, CASE WHEN s - lag(s) OVER w > 1800
                    OR lag(s) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
   FROM t WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
 ),
@@ -333,7 +333,11 @@ FROM sess GROUP BY user_id, session_id
 """,
     doc="session_window (native Spark streaming-capable operator) certified "
     "against the gaps-and-islands SQL construction: sessions merge while "
-    "consecutive gaps are < 30 min; output is per-session bounds + count.",
+    "consecutive gaps are <= 30 min — session_window's bound is INCLUSIVE "
+    "(an event at exactly lastEvent+gap merges; verified empirically, and "
+    "caught by the sf0.1 sweep where one exact-1800s gap exists) — so the "
+    "oracle splits strictly on gap > 1800.  Output is per-session bounds "
+    "+ count.",
 )
 def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events")
