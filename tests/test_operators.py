@@ -91,6 +91,116 @@ def test_asof_join_edges(spark):
     assert out["l3"] is None         # no right row for key 2
 
 
+def test_asof_join_matches_pandas_merge_asof_property(spark):
+    """Property (hypothesis): on random keyed series, asof_join equals
+    pandas.merge_asof for both directions and arbitrary tolerance —
+    the independent reference implementation of as-of semantics."""
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        lts=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 100)),
+            min_size=1, max_size=15, unique=True,
+        ),
+        rts=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 100)),
+            min_size=1, max_size=15, unique=True,
+        ),
+        direction=st.sampled_from(["backward", "forward"]),
+        tolerance=st.one_of(st.none(), st.integers(1, 50)),
+    )
+    def prop(lts, rts, direction, tolerance):
+        # unique (key, ts) on the right → no tiebreak ambiguity
+        lpd = pd.DataFrame(lts, columns=["k", "ts"]).sort_values("ts")
+        rpd = (
+            pd.DataFrame(rts, columns=["k", "ts"])
+            .drop_duplicates(["k", "ts"])
+            .sort_values("ts")
+        )
+        rpd["rv"] = rpd["k"] * 1000 + rpd["ts"]
+        want = pd.merge_asof(
+            lpd, rpd, on="ts", by="k", direction=direction,
+            tolerance=tolerance,
+        )
+        got = asof_join(
+            spark.createDataFrame(lpd),
+            spark.createDataFrame(rpd),
+            on="k", ts="ts", right_cols=["rv"],
+            direction=direction, tolerance=tolerance,
+        ).toPandas()
+        w = {(r.k, r.ts): r.rv for r in want.itertuples()}
+        g = {(r.k, r.ts): r.rv for r in got.itertuples()}
+        assert set(w) == set(g)
+        for key in w:
+            wv, gv = w[key], g[key]
+            assert (pd.isna(wv) and pd.isna(gv)) or wv == gv, (key, wv, gv)
+
+    prop()
+
+
+def test_salted_agg_equals_groupby_property(spark):
+    """Property (hypothesis): salted two-phase aggregation is exact for
+    algebraic aggregates on arbitrarily skewed random data."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from etl_olho_vivo_spark.operators.skew import salted_agg
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 1),            # maximally skewed key space
+                st.integers(-1000, 1000),
+            ),
+            min_size=1, max_size=40,
+        ),
+        n_salts=st.sampled_from([1, 3, 16]),
+    )
+    def prop(rows, n_salts):
+        df = spark.createDataFrame(
+            [(k, v, i) for i, (k, v) in enumerate(rows)], ["k", "v", "rid"]
+        )
+        got = {
+            r["k"]: (r["n"], r["sv"], r["mx"])
+            for r in salted_agg(
+                df,
+                keys=["k"],
+                aggs={
+                    "n": ("sum", F.count(F.lit(1))),
+                    "sv": ("sum", F.sum("v")),
+                    "mx": ("max", F.max("v")),
+                },
+                n_salts=n_salts,
+                salt_source="rid",
+            ).collect()
+        }
+        want = {
+            r["k"]: (r["n"], r["sv"], r["mx"])
+            for r in df.groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("sv"),
+                F.max("v").alias("mx"),
+            )
+            .collect()
+        }
+        assert got == want
+
+    prop()
+
+
 def test_asof_join_forward_direction(spark):
     left = spark.createDataFrame(
         [(1, 100, "l1"), (1, 160, "l2"), (1, 300, "l3")],
