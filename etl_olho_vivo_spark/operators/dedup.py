@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from etl_olho_vivo_spark.functions.hashing import (
     P,
+    minhash_perm_expr,
     shingle3_expr,
     spark_token_hash,
 )
@@ -92,10 +93,14 @@ def minhash_signature(
     into the filter condition, re-evaluating the md5 transform per element
     — O(tokens²) per row (measured 40× slowdown at sf0.1).
     """
-    sig = (
-        f"transform(sequence(0, {num_hashes - 1}), k -> "
-        f"array_min(transform(sh, s -> (s * (2 * k + 1) + (12345 * k + 1)) % {P})))"
+    # per-k expressions from the ONE shared permutation definition
+    # (functions/hashing.py emits both engines' forms — inlining the
+    # formula here is how Spark/DuckDB minhash parity would drift)
+    mins = ", ".join(
+        f"array_min(transform(sh, s -> {minhash_perm_expr('s', k)}))"
+        for k in range(num_hashes)
     )
+    sig = f"array({mins})"
     pre = df.filter(F.size(F.split(F.col(text), " ")) >= 3)
     return with_shingles(pre, text).withColumn(out, F.expr(sig))
 

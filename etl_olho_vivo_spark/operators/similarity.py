@@ -39,6 +39,16 @@ def _quantize(a: str) -> str:
     )
 
 
+def duck_quantize_expr(a: str) -> str:
+    """The DuckDB twin of ``_quantize`` — ONE definition of the
+    quantization grid for both engines (oracles import this instead of
+    restating the formula, so the grid cannot drift)."""
+    return (
+        f"list_transform({a}, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}, "
+        f"0) AS BIGINT))"
+    )
+
+
 def _dot_int(a: str, b: str) -> str:
     """Exact integer dot product of two quantized vectors."""
     return (

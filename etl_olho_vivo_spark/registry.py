@@ -55,16 +55,6 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-def _round_cols(df: DataFrame, cols: dict[str, int]) -> DataFrame:
-    """Round the named double columns (parity guard for aggregated floats)."""
-    return df.select(
-        *[
-            F.round(F.col(c), cols[c]).alias(c) if c in cols else F.col(c)
-            for c in df.columns
-        ]
-    )
-
-
 # ---------------------------------------------------------------------------
 # Shared SQL fragments (mirror the Column expressions in functions/ exactly —
 # same operation order, so doubles match bit-for-bit).

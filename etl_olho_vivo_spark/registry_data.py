@@ -16,6 +16,7 @@ from etl_olho_vivo_spark.functions.hashing import (
     MIX,
     P,
     duck_token_hash,
+    minhash_perm_expr,
     shingle3_expr,
 )
 from etl_olho_vivo_spark.operators import dedup, multimodal, similarity, textops
@@ -37,10 +38,9 @@ _D_SHINGLES = (
 
 
 def _d_minhash(k: int) -> str:
-    return (
-        f"list_min(list_transform(sh, s -> "
-        f"(s * {2 * k + 1} + {12345 * k + 1}) % {P}))"
-    )
+    # same shared permutation definition the Spark side uses
+    # (functions/hashing.minhash_perm_expr) — one formula, two engines
+    return f"list_min(list_transform(sh, s -> {minhash_perm_expr('s', k)}))"
 
 
 def _d_stopfilter(words: tuple[str, ...]) -> str:
@@ -245,11 +245,15 @@ SELECT doc_a, doc_b, jaccard FROM (
   FROM t a JOIN t b
     ON a.source = b.source AND a.doc_id < b.doc_id
    AND abs(a.n_chars - b.n_chars) <= 20
+   AND len(a.bg) + len(b.bg) > 0
 ) WHERE jaccard >= 0.3
 """,
     doc="n-gram (word-bigram) Jaccard near-dup with blocking on "
     "(source, |Δn_chars| ≤ 20) — the blocked-join pattern that keeps "
-    "pairwise similarity tractable at scale.",
+    "pairwise similarity tractable at scale.  Both sides guard "
+    "empty-bigram pairs explicitly: without it DuckDB's 0/0 = NaN "
+    "compares GREATER than the threshold and a degenerate pair would "
+    "diverge the engines.",
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
@@ -265,11 +269,20 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a single-file scan is one input split, and the hash+bigram transform
     # is the compute-heavy stage, not the join.
     par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    t = dedup.with_token_hashes(
-        d.select("doc_id", "source", "n_chars", "text").repartition(
-            par, "doc_id"
+    # persisted like the MinHash signature store: both self-join sides
+    # consume t, and without the cache each branch re-runs the md5
+    # token hashing + bigram transform (the compute-heavy stage)
+    from pyspark.storagelevel import StorageLevel
+
+    t = (
+        dedup.with_token_hashes(
+            d.select("doc_id", "source", "n_chars", "text").repartition(
+                par, "doc_id"
+            )
         )
-    ).select("doc_id", "source", "n_chars", F.expr(bg).alias("bg"))
+        .select("doc_id", "source", "n_chars", F.expr(bg).alias("bg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # Equi-join on (source, 20-char length bucket) with neighbor-bucket
     # expansion on one side: |Δn_chars| ≤ 20 implies bucket distance ≤ 1,
     # so exploding side A to {b-1, b, b+1} finds every qualifying pair
@@ -351,10 +364,8 @@ def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, query_vec_id=0, k=10)
 
 
-_D_QUANT = (
-    "list_transform({a}, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) "
-    "AS BIGINT))"
-)
+# quantization oracle fragment from the ONE shared grid definition
+_D_QUANT = "(" + similarity.duck_quantize_expr("{a}") + ")"
 
 
 @register(

@@ -169,10 +169,10 @@ def q_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_D_QUANT = (
-    "list_transform({a}, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) "
-    "AS BIGINT))"
-)
+# quantization oracle fragment from the ONE shared grid definition
+from etl_olho_vivo_spark.operators.similarity import duck_quantize_expr
+
+_D_QUANT = "(" + duck_quantize_expr("{a}") + ")"
 
 
 @register(

@@ -168,6 +168,69 @@ def q_doc_editdist_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    build,
+    output_mode: str,
+) -> DataFrame:
+    """Shared parity-query harness: replay the events parquet through a
+    readStream file source, run ``build(stream_df)``, collect the memory
+    sink via Arrow, clean up every per-run resource.
+
+    One definition for every streaming parity query — the staging
+    symlink, nanos-ts fixup, sink lifecycle, and cleanup ordering must
+    not drift between them.
+    """
+    import os
+    import shutil
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    src = os.path.join(sf_dir, "events.parquet")
+    batch_schema = spark.read.parquet(src).schema
+    # The file-stream source monitors a *directory*; stage the single-file
+    # table behind one (symlink — no data copy, same as a real landing zone).
+    stage = tempfile.mkdtemp(prefix=f"stream_{prefix}_")
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{prefix}_")
+    name = f"{prefix}_{next(_STREAM_SEQ)}"
+    try:
+        os.symlink(os.path.abspath(src), os.path.join(stage, "events.parquet"))
+        stream = spark.readStream.schema(batch_schema).parquet(stage)
+        ts_type = dict(
+            (f.name, f.dataType.simpleString()) for f in batch_schema
+        )
+        if ts_type.get("ts") == "bigint":  # TIMESTAMP(NANOS) read as nanos
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        query = (
+            build(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        # Detach the (tiny) result from the memory sink so the per-run
+        # sink table and temp dirs can be dropped immediately — this
+        # driver materialization is a parity-check convenience; production
+        # streams write to files (see streaming/pipeline.py).  Arrow
+        # round-trip, not collect(): localizing thousands of Row objects
+        # costs ~1.4 s in driver pickling; toPandas/createDataFrame moves
+        # the same rows as Arrow batches (~4x faster here).
+        result = spark.table(name)
+        return spark.createDataFrame(result.toPandas(), result.schema)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+
 @register(
     "streaming_interval_counts",
     """
@@ -186,29 +249,8 @@ FROM t GROUP BY 1, 2
     "the same answer as batch, the engine's single-code-path claim.",
 )
 def q_streaming_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    src = os.path.join(sf_dir, "events.parquet")
-    batch_schema = spark.read.parquet(src).schema
-    # The file-stream source monitors a *directory*; stage the single-file
-    # table behind one (symlink — no data copy, same as a real landing zone).
-    stage = tempfile.mkdtemp(prefix="stream_events_")
-    ckpt = tempfile.mkdtemp(prefix="ckpt_sic_")
-    name = f"streaming_interval_counts_{next(_STREAM_SEQ)}"
-    try:
-        os.symlink(os.path.abspath(src), os.path.join(stage, "events.parquet"))
-        stream = spark.readStream.schema(batch_schema).parquet(stage)
-        ts_type = dict(
-            (f.name, f.dataType.simpleString()) for f in batch_schema
-        )
-        if ts_type.get("ts") == "bigint":  # TIMESTAMP(NANOS) read as nanos
-            stream = stream.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-        agg = (
+    def build(stream: DataFrame) -> DataFrame:
+        return (
             stream.groupBy(
                 F.window("ts", "30 minutes").alias("w"), "event_type"
             )
@@ -219,28 +261,10 @@ def q_streaming_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_events",
             )
         )
-        query = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-        # Detach the (tiny) window-count result from the memory sink so the
-        # per-run sink table and temp dirs can be dropped immediately — this
-        # driver materialization is a parity-check convenience; production
-        # streams write to files (see streaming/pipeline.py).
-        result = spark.table(name)
-        # Arrow round-trip, not collect(): localizing thousands of Row
-        # objects costs ~1.4 s in driver pickling; toPandas/createDataFrame
-        # moves the same rows as Arrow batches (~4x faster here).
-        return spark.createDataFrame(result.toPandas(), result.schema)
-    finally:
-        spark.catalog.dropTempView(name)
-        shutil.rmtree(stage, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
+
+    return _run_events_stream(
+        spark, sf_dir, "streaming_interval_counts", build, "complete"
+    )
 
 
 @register(
@@ -270,52 +294,19 @@ FROM lagged WHERE timestamp_anterior IS NOT NULL
     "stateful operator, not just the built-in windowed agg.",
 )
 def q_streaming_lag_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-
     from etl_olho_vivo_spark.sources.events_adapter import posicoes_project
     from etl_olho_vivo_spark.streaming.pipeline import stream_ping_pairs
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    src = os.path.join(sf_dir, "events.parquet")
-    batch_schema = spark.read.parquet(src).schema
-    stage = tempfile.mkdtemp(prefix="stream_lag_")
-    ckpt = tempfile.mkdtemp(prefix="ckpt_slp_")
-    name = f"streaming_lag_parity_{next(_STREAM_SEQ)}"
-    try:
-        os.symlink(os.path.abspath(src), os.path.join(stage, "events.parquet"))
-        stream = spark.readStream.schema(batch_schema).parquet(stage)
-        ts_type = dict(
-            (f.name, f.dataType.simpleString()) for f in batch_schema
-        )
-        if ts_type.get("ts") == "bigint":  # TIMESTAMP(NANOS) read as nanos
-            stream = stream.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+    def build(stream: DataFrame) -> DataFrame:
         pos = posicoes_project(stream).select(
             # slim the stateful exchange: only what pairing + parity needs
             "prefixo_veiculo", "codigo_linha", "timestamp", "px", "py",
             "event_id",
         )
-        pairs = stream_ping_pairs(
+        return stream_ping_pairs(
             pos, tiebreakers=("event_id",), carry=("event_id",)
         )
-        query = (
-            pairs.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-        result = spark.table(name)
-        # Arrow round-trip, not collect(): localizing thousands of Row
-        # objects costs ~1.4 s in driver pickling; toPandas/createDataFrame
-        # moves the same rows as Arrow batches (~4x faster here).
-        return spark.createDataFrame(result.toPandas(), result.schema)
-    finally:
-        spark.catalog.dropTempView(name)
-        shutil.rmtree(stage, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
+
+    return _run_events_stream(
+        spark, sf_dir, "streaming_lag_parity", build, "append"
+    )

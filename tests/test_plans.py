@@ -45,9 +45,13 @@ def test_pricing_summary_prunes_columns(spark):
 
 
 def test_dimension_joins_broadcast(spark):
+    """nation/region (true dims) broadcast; orders/customer (fact-sized)
+    go through hash-partitioned shuffle joins — broadcasting a fact is
+    the plan that dies first at 100 TB."""
     plan = _plan(spark, "revenue_by_nation")
-    assert "BroadcastHashJoin" in plan
-    # nation/region dims must never drive a sort-merge exchange
+    assert plan.count("BroadcastHashJoin") == 2, plan[:2000]
+    assert "ShuffledHashJoin" in plan
+    # no sort-merge: the hint keeps the fact joins hash-based
     assert plan.count("SortMergeJoin") == 0
 
 
