@@ -17,8 +17,13 @@ P(candidate) = 1 − (1 − J^r)^B.
 
 from __future__ import annotations
 
+from typing import TYPE_CHECKING
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from etl_olho_vivo_spark.caching import CacheBag
 
 from etl_olho_vivo_spark.functions.hashing import (
     P,
@@ -135,10 +140,12 @@ def candidate_pairs(banded: DataFrame) -> DataFrame:
 
 
 def near_duplicates(
-    df: DataFrame,
+    df: DataFrame | None = None,
     text: str = "text",
     threshold: float = 0.5,
     persist: bool = True,
+    sig: DataFrame | None = None,
+    caches: "CacheBag | None" = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -151,29 +158,42 @@ def near_duplicates(
     shingle pipeline runs once per consumer (measured 4 full scans in the
     unpersisted plan); at 100 TB signatures are ~1% of corpus size, so
     this trades a tiny cache for 3 redundant scans of the corpus.
-    """
-    sig = minhash_signature(df, text).select("doc_id", "sh", "minhash")
-    if persist:
-        from pyspark.storagelevel import StorageLevel
 
-        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    Cache lifecycle: pass ``caches`` (a ``caching.CacheBag``) to own the
+    signature cache's release — the caller unpersists after materializing
+    the pairs.  Without a bag the cache has session lifetime (LRU-bounded).
+    Alternatively pass a precomputed ``sig`` frame — (doc_id, sh, minhash),
+    e.g. a slice of one shared ``minhash_signature`` pass or a
+    ``read_signature_store`` frame — and no cache is created here at all
+    (the caller owns the signature relation's lifetime).
+    """
+    if sig is None:
+        if df is None:
+            raise ValueError("near_duplicates needs df or a precomputed sig")
+        sig = minhash_signature(df, text).select("doc_id", "sh", "minhash")
+        if persist:
+            sig = _persist(sig, caches)
     pairs = candidate_pairs(lsh_bands(sig))
     sh_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    out = (
+    return (
         pairs.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    # expose the cache handle: a caller that materializes the pairs
-    # (e.g. plans/corpus.py checkpoints its drop list) can release the
-    # signature store instead of pinning it for the session
-    out.sig_store = sig if persist else None
-    return out
+
+
+def _persist(df: DataFrame, caches) -> DataFrame:
+    """Persist MEMORY_AND_DISK, tracked in ``caches`` when provided."""
+    if caches is not None:
+        return caches.add(df)
+    from pyspark.storagelevel import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def connected_components(
@@ -191,9 +211,13 @@ def connected_components(
     groupBy per round, both hash-shuffles on doc_id); rounds needed =
     graph diameter, and near-dup clusters are shallow (pairs chain
     through shared content), so convergence is typically 2-4 rounds.
-    Deterministic: min() over integers, no seeds.  Raises if the graph
-    hasn't converged after ``max_iter`` rounds rather than returning a
-    silently-wrong clustering.
+    Deterministic: min() over any orderable id type, no seeds.  Works
+    for string ids too: the fixpoint is detected by joining old/new
+    labels and counting changed rows (an earlier sum()-based check was
+    numeric-only and would NULL out — declaring false convergence — on
+    non-numeric ids).  Raises if the graph hasn't converged after
+    ``max_iter`` rounds rather than returning a silently-wrong
+    clustering.
 
     This is the exact resolution whose cheap approximation is the corpus
     pipeline's edge-greedy drop (plans/corpus.py): greedy keeps a doc
@@ -211,7 +235,6 @@ def connected_components(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
     try:
-        prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
         for _ in range(max_iter):
             msgs = both.join(
                 labels, both.src == labels.node
@@ -223,10 +246,21 @@ def connected_components(
                 .agg(F.min("comp").alias("comp"))
                 .persist()
             )
-            new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
+            # fixpoint = zero rows whose label moved this round.  The
+            # comparison is a node-keyed join of two persisted frames
+            # (both already hash-partitioned by node) and is label-type
+            # agnostic — unlike a sum()-based checksum, which is NULL
+            # for string ids and would falsely declare convergence.
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
             labels.unpersist()
             labels = new_labels
-            if new_sum == prev_sum:  # min-labels are monotone ↓: fixpoint
+            if changed == 0:  # min-labels are monotone ↓: fixpoint
                 # materialize (bounded by the pair graph's node count)
                 # so the iteration cache can be released — returning the
                 # persisted frame itself would pin it forever
@@ -234,7 +268,6 @@ def connected_components(
                     F.col("node").alias("doc_id"),
                     F.col("comp").alias("component"),
                 ).localCheckpoint(eager=True)
-            prev_sum = new_sum
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(graph diameter exceeds max_iter — raise it)"
@@ -280,11 +313,13 @@ def read_signature_store(spark, path: str) -> DataFrame:
 
 
 def incremental_near_duplicates(
-    new_docs: DataFrame,
-    store: DataFrame,
+    new_docs: DataFrame | None = None,
+    store: DataFrame | None = None,
     text: str = "text",
     threshold: float = 0.5,
     persist: bool = True,
+    new_sig: DataFrame | None = None,
+    caches: "CacheBag | None" = None,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and an existing signature store.
 
@@ -295,18 +330,24 @@ def incremental_near_duplicates(
     (doc_new, doc_old, jaccard ≥ threshold); resolve drops on the caller's
     policy (typically: drop doc_new, the corpus row wins).
 
-    ``persist`` mirrors ``near_duplicates``: the batch-signature frame is
-    cached for its two consumers (band keys + verify side) with session
-    lifetime — Spark evicts LRU under pressure, or pass ``persist=False``
-    to trade one extra signature compute for zero cache footprint.
+    Cache lifecycle mirrors ``near_duplicates``: the batch-signature frame
+    feeds two consumers (band keys + verify side), so it is persisted;
+    pass ``caches`` to own its release, or a precomputed ``new_sig``
+    (doc_id, sh, minhash) to skip both the signature compute and the
+    cache entirely.
     """
-    new_sig = minhash_signature(new_docs, text).select(
-        "doc_id", "sh", "minhash"
-    )
-    if persist:
-        from pyspark.storagelevel import StorageLevel
-
-        new_sig = new_sig.persist(StorageLevel.MEMORY_AND_DISK)
+    if store is None:
+        raise ValueError("incremental_near_duplicates needs a store frame")
+    if new_sig is None:
+        if new_docs is None:
+            raise ValueError(
+                "incremental_near_duplicates needs new_docs or new_sig"
+            )
+        new_sig = minhash_signature(new_docs, text).select(
+            "doc_id", "sh", "minhash"
+        )
+        if persist:
+            new_sig = _persist(new_sig, caches)
     new_bands = lsh_bands(new_sig).withColumnRenamed("doc_id", "doc_new")
     old_bands = lsh_bands(store).withColumnRenamed("doc_id", "doc_old")
     pairs = (

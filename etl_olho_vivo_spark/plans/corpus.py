@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from etl_olho_vivo_spark.caching import CacheBag
 from etl_olho_vivo_spark.operators import dedup, textops
 from etl_olho_vivo_spark.sources.tables import read_table
 
@@ -105,8 +106,11 @@ def run_corpus(
         #   join, no iteration; can keep transitively-near docs)
         # - components: connected-components clustering, keep each
         #   cluster's min doc_id (exact; drops a superset of greedy)
+        sig_caches = CacheBag()
         pairs = dedup.near_duplicates(
-            kept.select("doc_id", "text"), threshold=jaccard_threshold
+            kept.select("doc_id", "text"),
+            threshold=jaccard_threshold,
+            caches=sig_caches,
         )
         if dedup_resolution == "components":
             comp = dedup.connected_components(pairs)
@@ -124,9 +128,7 @@ def run_corpus(
         # verify joins never re-execute, then release the signature
         # store near_duplicates cached for them
         drops = drops.localCheckpoint(eager=True)
-        sig_store = getattr(pairs, "sig_store", None)
-        if sig_store is not None:
-            sig_store.unpersist()
+        sig_caches.release()
         kept = kept.join(drops, "doc_id", "left_anti").persist(
             StorageLevel.MEMORY_AND_DISK
         )

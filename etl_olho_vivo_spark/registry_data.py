@@ -173,17 +173,36 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 2 = b.doc_id % 2
+),
+cand_inc AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
 ),
 scored AS (
   SELECT c.doc_a, c.doc_b,
+         CASE WHEN c.doc_a % 2 = 0 THEN 'store' ELSE 'batch' END AS kind,
          len(list_intersect(sa.sh, sb.sh))
            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
            AS jaccard
   FROM cand c
   JOIN shs sa ON sa.doc_id = c.doc_a
   JOIN shs sb ON sb.doc_id = c.doc_b
+),
+scored_inc AS (
+  SELECT c.doc_a, c.doc_b, 'incremental' AS kind,
+         len(list_intersect(sa.sh, sb.sh))
+           / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+           AS jaccard
+  FROM cand_inc c
+  JOIN shs sa ON sa.doc_id = c.doc_a
+  JOIN shs sb ON sb.doc_id = c.doc_b
 )
-SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+SELECT doc_a, doc_b, jaccard, kind FROM scored WHERE jaccard >= 0.5
+UNION ALL
+SELECT doc_a, doc_b, jaccard, kind FROM scored_inc WHERE jaccard >= 0.5
 """
 
 
@@ -193,11 +212,43 @@ SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
     doc="Near-dedup via MinHash-LSH: 3-gram shingles → 8-hash signature → "
     "4 bands × 2 rows banding join → exact-Jaccard verify ≥ 0.5 "
     "(Broder banding; MMDS ch.3). Candidate generation is the band join — "
-    "never an O(n²) cross product.",
+    "never an O(n²) cross product.  Models the full incremental ingest "
+    "loop a 100 TB corpus runs: docs split deterministically (doc_id "
+    "parity) into an existing 'store' corpus and a new 'batch' crawl; "
+    "self-dedup within each half plus incremental_near_duplicates "
+    "batch-vs-store, all three from ONE shared signature pass.  The "
+    "parquet/bucketed round-trip of the store relation "
+    "(write_signature_store) is value-preserving by construction and "
+    "pinned in tests/test_operators.py.",
 )
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_olho_vivo_spark.caching import SESSION_BAG
+
     d = read_table(spark, sf_dir, "documents")
-    return dedup.near_duplicates(d, threshold=0.5)
+    # ONE signature pass over the corpus, sliced into the store/batch
+    # halves — exactly what a production loop does (store signatures come
+    # back from write_signature_store's parquet, never recomputed)
+    sig = SESSION_BAG.add(
+        dedup.minhash_signature(d).select("doc_id", "sh", "minhash")
+    )
+    sig_store = sig.filter(F.col("doc_id") % 2 == 0)
+    sig_batch = sig.filter(F.col("doc_id") % 2 == 1)
+    store_pairs = dedup.near_duplicates(sig=sig_store, threshold=0.5)
+    batch_pairs = dedup.near_duplicates(sig=sig_batch, threshold=0.5)
+    inc = dedup.incremental_near_duplicates(
+        store=sig_store, new_sig=sig_batch, threshold=0.5
+    )
+    return (
+        store_pairs.withColumn("kind", F.lit("store"))
+        .unionByName(batch_pairs.withColumn("kind", F.lit("batch")))
+        .unionByName(
+            inc.select(
+                F.col("doc_new").alias("doc_a"),
+                F.col("doc_old").alias("doc_b"),
+                "jaccard",
+            ).withColumn("kind", F.lit("incremental"))
+        )
+    )
 
 
 def _d_simhash_sql() -> str:
@@ -271,17 +322,18 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # persisted like the MinHash signature store: both self-join sides
     # consume t, and without the cache each branch re-runs the md5
-    # token hashing + bigram transform (the compute-heavy stage)
-    from pyspark.storagelevel import StorageLevel
+    # token hashing + bigram transform (the compute-heavy stage).
+    # Tracked in SESSION_BAG — the query must return a lazy frame, so the
+    # harness that materializes it owns the release
+    # (caching.release_session_caches; bench.py calls it per query).
+    from etl_olho_vivo_spark.caching import SESSION_BAG
 
-    t = (
+    t = SESSION_BAG.add(
         dedup.with_token_hashes(
             d.select("doc_id", "source", "n_chars", "text").repartition(
                 par, "doc_id"
             )
-        )
-        .select("doc_id", "source", "n_chars", F.expr(bg).alias("bg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ).select("doc_id", "source", "n_chars", F.expr(bg).alias("bg"))
     )
     # Equi-join on (source, 20-char length bucket) with neighbor-bucket
     # expansion on one side: |Δn_chars| ≤ 20 implies bucket distance ≤ 1,
@@ -389,22 +441,36 @@ a AS (
                                  ORDER BY dist, cell_id) AS rn FROM d
   ) WHERE rn = 1
 ),
-q AS (SELECT cell_id AS q_cell, qv AS q_qv FROM a WHERE vec_id = 0)
+q AS (SELECT qv AS q_qv FROM v WHERE vec_id = 0),
+pd AS (
+  SELECT c.cell_id, q.q_qv,
+         CAST(list_sum(list_transform(range(0, len(c.qc)),
+           i -> (c.qc[i+1] - q.q_qv[i+1]) * (c.qc[i+1] - q.q_qv[i+1])))
+           AS BIGINT) AS cd
+  FROM c, q
+),
+probe AS (
+  SELECT cell_id AS q_cell, q_qv FROM (
+    SELECT *, row_number() OVER (ORDER BY cd, cell_id) AS rn FROM pd
+  ) WHERE rn <= 2
+)
 SELECT a.vec_id, a.label, a.cell_id,
        CAST(list_sum(list_transform(range(0, len(a.qv)),
-         i -> a.qv[i+1] * q.q_qv[i+1])) AS BIGINT) AS dot_q
-FROM a, q
-WHERE a.cell_id = q.q_cell AND a.vec_id <> 0
+         i -> a.qv[i+1] * p.q_qv[i+1])) AS BIGINT) AS dot_q
+FROM a JOIN probe p ON a.cell_id = p.q_cell
+WHERE a.vec_id <> 0
 ORDER BY dot_q DESC, a.vec_id
 LIMIT 10
 """,
-    doc="IVF ANN top-k: integer-quantized coarse quantizer (exact argmin "
-    "cell assignment), probe the query's cell only, rank by exact integer "
-    "dot — the scale path that cuts the scan by the cell count.",
+    doc="IVF ANN top-k with multi-probe (n_probe=2): integer-quantized "
+    "coarse quantizer (exact argmin cell assignment), rank ALL centroids "
+    "by distance to the query and scan the 2 nearest cells, rank "
+    "candidates by exact integer dot — the production recall dial, not "
+    "just the single-cell demo path.",
 )
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, query_vec_id=0, k=10, n_cells=8)
+    return similarity.ivf_topk(emb, query_vec_id=0, k=10, n_cells=8, n_probe=2)
 
 
 @register(

@@ -216,12 +216,13 @@ SELECT vec_a, vec_b, cell_id, cos_sim FROM p WHERE cos_sim >= 0.4
     "vectors; real corpora use 0.9+ with the identical plan.",
 )
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.storagelevel import StorageLevel
+    from etl_olho_vivo_spark.caching import SESSION_BAG
 
     emb = read_table(spark, sf_dir, "embeddings")
     # 16 cells: within-cell pair count (the quadratic term) scales ~1/cells;
-    # persist so both self-join sides reuse one assignment pass
-    assigned = ivf_assign(emb, n_cells=16).persist(StorageLevel.MEMORY_AND_DISK)
+    # persist so both self-join sides reuse one assignment pass (tracked in
+    # SESSION_BAG — the materializing harness owns the release)
+    assigned = SESSION_BAG.add(ivf_assign(emb, n_cells=16))
     x = assigned.select(
         F.col("vec_id").alias("vec_a"), F.col("cell_id"),
         F.col("qv").alias("qa"),

@@ -18,11 +18,16 @@ strongest check it admits:
   the join is key-equi (shuffle-partitionable) and never a cross product;
   the quadratic edit-distance only runs inside blocks.  Complements the
   dedup suite (exact / MinHash / SimHash / n-gram Jaccard / embedding).
-- ``streaming_interval_counts`` — Structured Streaming parity: the events
-  fact replayed through ``readStream`` (file source, availableNow) into a
-  complete-mode 30-min windowed aggregate; the final result equals the
-  batch aggregation, so even the *streaming* path is oracle-checked
-  (complete mode emits final totals — no watermark-truncated windows).
+- ``streaming_interval_counts`` — Structured Streaming parity in BOTH
+  delivery modes: the events fact replayed through ``readStream`` (file
+  source, availableNow) into a complete-mode 30-min windowed aggregate
+  (final totals == the batch aggregation), UNIONed with an append-mode
+  run over a three-file staging (newest half → second quarter → oldest
+  quarter, ``maxFilesPerTrigger=1``) where ``withWatermark`` must drop
+  the whole oldest quarter as late (Spark's late-event filter lags the
+  eviction watermark by one batch) and emit only watermark-finalized
+  windows — the at-scale late-data semantics, hash-checked, not just
+  final totals.
 """
 
 from __future__ import annotations
@@ -174,6 +179,8 @@ def _run_events_stream(
     prefix: str,
     build,
     output_mode: str,
+    stage_fn=None,
+    reader_options: dict | None = None,
 ) -> DataFrame:
     """Shared parity-query harness: replay the events parquet through a
     readStream file source, run ``build(stream_df)``, collect the memory
@@ -182,6 +189,11 @@ def _run_events_stream(
     One definition for every streaming parity query — the staging
     symlink, nanos-ts fixup, sink lifecycle, and cleanup ordering must
     not drift between them.
+
+    ``stage_fn(spark, src, stage_dir)`` overrides how the landing
+    directory is populated (default: one symlink to the events parquet —
+    no copy); ``reader_options`` are passed to the file-stream reader
+    (e.g. ``maxFilesPerTrigger`` for multi-micro-batch replays).
     """
     import os
     import shutil
@@ -196,8 +208,16 @@ def _run_events_stream(
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{prefix}_")
     name = f"{prefix}_{next(_STREAM_SEQ)}"
     try:
-        os.symlink(os.path.abspath(src), os.path.join(stage, "events.parquet"))
-        stream = spark.readStream.schema(batch_schema).parquet(stage)
+        if stage_fn is None:
+            os.symlink(
+                os.path.abspath(src), os.path.join(stage, "events.parquet")
+            )
+        else:
+            stage_fn(spark, src, stage)
+        reader = spark.readStream.schema(batch_schema)
+        for k, v in (reader_options or {}).items():
+            reader = reader.option(k, v)
+        stream = reader.parquet(stage)
         ts_type = dict(
             (f.name, f.dataType.simpleString()) for f in batch_schema
         )
@@ -231,25 +251,109 @@ def _run_events_stream(
 
 
 
+def _stage_thirds_by_time(spark: SparkSession, src: str, stage: str) -> None:
+    """Stage the events table as THREE parquet files — newest-half slice
+    first, then the second-quarter slice, then the oldest quarter — so
+    the file stream replays newest → middle → oldest.
+
+    Why three, not two: since the multi-stateful-operator work
+    (Spark 3.4+), a stateful operator carries TWO watermarks — late-event
+    FILTERING uses the watermark committed before the *previous* batch
+    (``eventTimeWatermarkForLateEvents``) while state EVICTION/emission
+    uses the one committed after it (``eventTimeWatermarkForEviction``) —
+    verified against this runtime's StateStoreSave node, which showed
+    ``Append, 0, <max−delay>`` on the second micro-batch.  So one-batch-old
+    stragglers still land, and a two-file replay drops nothing.  With
+    three files: batch 0 (newest slice, contains max(ts)) commits
+    watermark ``max(ts) − delay``; batch 1 (middle slice) lands and is
+    emitted; batch 2 (oldest quarter) finally runs with the late-event
+    filter at ``max(ts) − delay`` and every row of it — all targeting
+    long-finalized windows — must be dropped.  File order is pinned via
+    mtime (FileStreamSource processes oldest-mtime first, ``latestFirst``
+    defaults false).
+    """
+    import glob
+    import os
+    import shutil
+
+    df = spark.read.parquet(src)
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in df.schema)
+    # nanosecond event time, whatever the physical ts type
+    # (TIMESTAMP(NANOS) read as bigint nanos, or a micros timestamp)
+    ns = (
+        F.col("ts")
+        if ts_type.get("ts") == "bigint"
+        else F.unix_micros(F.col("ts")) * F.lit(1000)
+    )
+    lo, hi = df.agg(F.min(ns), F.max(ns)).first()  # 1-row driver agg
+    cut = lo + (hi - lo) // 2  # oracle twin: tmin + (tmax - tmin) // 2
+    cutlo = lo + (hi - lo) // 4  # oracle twin: tmin + (tmax - tmin) // 4
+    slices = [
+        ns >= F.lit(cut),
+        (ns >= F.lit(cutlo)) & (ns < F.lit(cut)),
+        ns < F.lit(cutlo),
+    ]
+    for i, pred in enumerate(slices):
+        tmp = tempfile.mkdtemp(prefix="stage_half_")
+        try:
+            df.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stage, f"events_{i}.parquet")
+            shutil.move(part, dst)
+            # distinct whole-second mtimes: replay order = newer half first
+            os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
 @register(
     "streaming_interval_counts",
     """
 WITH t AS (SELECT (epoch_ms(ts) // 1000 // 1800) * 1800 AS bucket_start,
                   event_type
-           FROM events)
-SELECT bucket_start, event_type, count(*) AS n_events
-FROM t GROUP BY 1, 2
+           FROM events),
+complete_agg AS (
+  SELECT bucket_start, event_type, count(*) AS n_events
+  FROM t GROUP BY 1, 2
+),
+nst AS (SELECT epoch_ns(ts) AS ns, event_type FROM events),
+s AS (SELECT min(ns) AS tmin, max(ns) AS tmax FROM nst),
+newer AS (
+  SELECT ns, event_type FROM nst, s
+  WHERE ns >= s.tmin + (s.tmax - s.tmin) // 4
+),
+append_agg AS (
+  SELECT (ns // 1000000000 // 1800) * 1800 AS bucket_start, event_type,
+         count(*) AS n_events
+  FROM newer GROUP BY 1, 2
+)
+SELECT 'complete' AS kind, bucket_start, event_type, n_events
+FROM complete_agg
+UNION ALL
+SELECT 'append' AS kind, a.bucket_start, a.event_type, a.n_events
+FROM append_agg a, s
+WHERE (a.bucket_start + 1800) * 1000 <= s.tmax // 1000000 - 600000
 """,
-    doc="Structured Streaming under the oracle: the events fact replayed "
-    "through a readStream file source (Trigger.AvailableNow) into a "
-    "complete-mode 30-min F.window aggregate on a memory sink.  Complete "
-    "mode emits final totals for every window, so the streamed result "
-    "equals the batch groupBy bit-for-bit — proving the streaming path "
-    "(source discovery, incremental state, window assignment) computes "
-    "the same answer as batch, the engine's single-code-path claim.",
+    doc="Structured Streaming under the oracle, BOTH delivery modes. "
+    "kind='complete': the events fact replayed through a readStream file "
+    "source (Trigger.AvailableNow) into a complete-mode 30-min F.window "
+    "aggregate — final totals equal the batch groupBy bit-for-bit. "
+    "kind='append': the same fact staged as three files (newest half, "
+    "second quarter, oldest quarter — maxFilesPerTrigger=1, mtime-pinned "
+    "order) through withWatermark('ts', '10 minutes') in APPEND mode.  "
+    "Batch 0 commits watermark max(ts)−10min; Spark's late-event filter "
+    "uses the watermark from TWO batches back "
+    "(eventTimeWatermarkForLateEvents, split from the eviction watermark "
+    "since the multi-stateful-operator work), so the middle slice still "
+    "lands while batch 2's entire oldest quarter is late and must be "
+    "dropped; only windows whose end ≤ the final watermark may be "
+    "emitted.  The oracle's append branch is therefore the newest-3/4 "
+    "aggregate with the emission cutoff (bucket_end ≤ max_ts − 10min) — "
+    "certifying the late-data drop and the append finalization rule, "
+    "not just final totals.",
 )
 def q_streaming_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def build(stream: DataFrame) -> DataFrame:
+    def interval_agg(stream: DataFrame) -> DataFrame:
         return (
             stream.groupBy(
                 F.window("ts", "30 minutes").alias("w"), "event_type"
@@ -262,8 +366,20 @@ def q_streaming_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return _run_events_stream(
-        spark, sf_dir, "streaming_interval_counts", build, "complete"
+    complete = _run_events_stream(
+        spark, sf_dir, "streaming_interval_counts", interval_agg, "complete"
+    )
+    append = _run_events_stream(
+        spark,
+        sf_dir,
+        "streaming_watermark_append",
+        lambda s: interval_agg(s.withWatermark("ts", "10 minutes")),
+        "append",
+        stage_fn=_stage_thirds_by_time,
+        reader_options={"maxFilesPerTrigger": "1"},
+    )
+    return complete.withColumn("kind", F.lit("complete")).unionByName(
+        append.withColumn("kind", F.lit("append"))
     )
 
 

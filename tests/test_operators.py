@@ -802,3 +802,180 @@ def test_sample_frames_fanout(media_df):
     assert bytes(by_doc[1][0]["frame"]) == b"abcdefgh"
     # docs 2 (2 bytes) and 3 (0 bytes) yield no complete frame
     assert 2 not in by_doc and 3 not in by_doc
+
+
+# ---------------------------------------------------------------------------
+# round 3: cache lifecycle, string-id components, store round-trip, ANN recall
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_string_ids_multihop(spark):
+    """String doc_ids through a 4-node chain: the fixpoint detector must
+    see labels still moving in round 2+ (a numeric-checksum detector gets
+    NULL == NULL after one round and silently under-merges)."""
+    from etl_olho_vivo_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        ["doc_a", "doc_b"],
+    )
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def _n_cached(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def _cached_ids(spark) -> set:
+    """Ids of currently-persisted RDDs.  Id-set algebra (not counts) keeps
+    these tests immune to the async ContextCleaner collecting earlier
+    tests' localCheckpoint RDDs mid-run."""
+    return {
+        int(str(k))
+        for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+
+
+def test_cache_bag_releases_operator_caches(spark, docs):
+    """near_duplicates/incremental_near_duplicates persist their signature
+    frames into a caller-owned CacheBag; release() drops every entry.
+
+    The input plans are offset to be unique to this test: Spark's
+    CacheManager is canonical-plan keyed, so persisting a plan an earlier
+    test already session-cached creates NO new entry ("Asked to cache
+    already cached data") and the new-id assertion would see nothing.
+    """
+    from etl_olho_vivo_spark.caching import CacheBag
+
+    uniq = docs.withColumn("doc_id", F.col("doc_id") + 31_000)
+    base = _cached_ids(spark)
+    with CacheBag() as bag:
+        pairs = dedup.near_duplicates(uniq, threshold=0.5, caches=bag)
+        pairs.collect()
+        assert len(_cached_ids(spark) - base) == 1
+    assert _cached_ids(spark) - base == set()
+
+    bag = CacheBag()
+    store = dedup.minhash_signature(uniq).select("doc_id", "sh", "minhash")
+    hits = dedup.incremental_near_duplicates(
+        new_docs=docs.withColumn("doc_id", F.col("doc_id") + 32_000),
+        store=store,
+        threshold=0.5,
+        caches=bag,
+    )
+    hits.collect()
+    assert len(_cached_ids(spark) - base) == 1
+    bag.release()
+    assert _cached_ids(spark) - base == set()
+    bag.release()  # idempotent
+    assert _cached_ids(spark) - base == set()
+
+
+def test_session_bag_releases_registry_query_caches(spark):
+    """The pair queries cache intermediates via SESSION_BAG; repeated
+    invocation must not grow the cache (CacheManager canonical-plan dedup)
+    and release_session_caches() must drop back to the baseline."""
+    from etl_olho_vivo_spark import registry
+    from etl_olho_vivo_spark.caching import release_session_caches
+
+    registry.queries()
+    sf = "/root/testdata/sf0.001"
+    release_session_caches()
+    base = _cached_ids(spark)
+    for name in ("ngram_jaccard_pairs", "embedding_near_dup_pairs",
+                 "minhash_near_dups"):
+        registry.REGISTRY[name].fn(spark, sf).collect()
+    grown = _cached_ids(spark)
+    ours = grown - base
+    assert len(ours) >= 3
+    # second invocation: same canonical plans -> no additional entries
+    for name in ("ngram_jaccard_pairs", "minhash_near_dups"):
+        registry.REGISTRY[name].fn(spark, sf).collect()
+    assert _cached_ids(spark) - grown == set()
+    release_session_caches()
+    assert _cached_ids(spark) & ours == set()
+
+
+def test_incremental_matches_parquet_store_roundtrip(spark, tmp_path):
+    """The driver-checked minhash_near_dups row feeds an IN-MEMORY store
+    slice to incremental_near_duplicates; the production loop reads the
+    store back from bucketed parquet.  Both must yield identical pairs —
+    this pins the equivalence the registry docstring claims."""
+    from etl_olho_vivo_spark.operators.dedup import (
+        incremental_near_duplicates,
+        minhash_signature,
+        read_signature_store,
+        write_signature_store,
+        _store_table,
+    )
+    from etl_olho_vivo_spark.sources.tables import read_table
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents")
+    store_docs = d.filter(F.col("doc_id") % 2 == 0)
+    batch_docs = d.filter(F.col("doc_id") % 2 == 1)
+
+    mem_store = minhash_signature(store_docs).select("doc_id", "sh", "minhash")
+    mem = incremental_near_duplicates(
+        new_docs=batch_docs, store=mem_store, threshold=0.5, persist=False
+    )
+    mem_pairs = {(r["doc_new"], r["doc_old"], r["jaccard"]) for r in mem.collect()}
+
+    path = str(tmp_path / "sigstore")
+    write_signature_store(store_docs, path)
+    try:
+        pq = incremental_near_duplicates(
+            new_docs=batch_docs,
+            store=read_signature_store(spark, path),
+            threshold=0.5,
+            persist=False,
+        )
+        pq_pairs = {(r["doc_new"], r["doc_old"], r["jaccard"]) for r in pq.collect()}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {_store_table(path)}")
+    assert mem_pairs == pq_pairs and len(mem_pairs) > 0
+
+
+def test_ivf_kmeans_recall_and_determinism(spark):
+    """The production ANN composition: kmeans||-seeded centroids +
+    multi-probe search.  Pins (a) centroid determinism across runs,
+    (b) recall@10 vs brute-force cosine at a fixed floor, (c) the
+    n_probe dial actually buying recall on average."""
+    from etl_olho_vivo_spark.operators import similarity
+    from etl_olho_vivo_spark.sources.tables import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = similarity.kmeans_centroids(emb, n_cells=8)
+    again = similarity.kmeans_centroids(emb, n_cells=8)
+    as_set = lambda c: sorted((r["cell_id"], tuple(r["qc"])) for r in c.collect())
+    assert as_set(cents) == as_set(again)
+
+    cents = cents.cache()
+    try:
+        r1_tot = r2_tot = 0.0
+        qids = [0, 7, 23, 101, 250]
+        for qid in qids:
+            exact = {
+                r["vec_id"]
+                for r in similarity.cosine_topk(emb, qid, k=10).collect()
+            }
+            by_probe = {}
+            for np_ in (1, 2):
+                ann = {
+                    r["vec_id"]
+                    for r in similarity.ivf_topk(
+                        emb, qid, k=10, n_cells=8, n_probe=np_, centroids=cents
+                    ).collect()
+                }
+                by_probe[np_] = len(exact & ann) / 10
+            r1_tot += by_probe[1]
+            r2_tot += by_probe[2]
+        # measured on this (deterministic) data: 0.46 @ n_probe=1,
+        # 0.62 @ n_probe=2 — floors set with margin, not at the obs value
+        assert r2_tot / len(qids) >= 0.5
+        assert r2_tot >= r1_tot
+    finally:
+        cents.unpersist()

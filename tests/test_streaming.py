@@ -252,3 +252,82 @@ def test_stream_speeds_matches_batch(spark, raw_dir):
     )
     assert len(got) == 4  # 2 vehicles × 2 pairs
     assert [tuple(r) for r in got] == [tuple(r) for r in batch]
+
+
+def test_three_slice_replay_drops_oldest_quarter(spark, tmp_path):
+    """Single-run two-watermark semantics (pins what the oracle's append
+    branch of `streaming_interval_counts` relies on): with the events
+    table staged as newest-half / second-quarter / oldest-quarter files
+    (maxFilesPerTrigger=1), Spark's late-event filter — which lags the
+    eviction watermark by one batch (eventTimeWatermarkForLateEvents) —
+    lets the middle slice land but must drop the ENTIRE oldest quarter,
+    and the engine's own numRowsDroppedByWatermark metric counts it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_olho_vivo_spark.registry_ingest import _stage_thirds_by_time
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    src = "/root/testdata/sf0.001/events.parquet"
+    schema = spark.read.parquet(src).schema
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    _stage_thirds_by_time(spark, src, stage)
+    files = sorted(os.listdir(stage))
+    assert files == ["events_0.parquet", "events_1.parquet",
+                     "events_2.parquet"]
+    oldest = spark.read.parquet(os.path.join(stage, "events_2.parquet"))
+    # the StateStoreSave-side late filter runs AFTER partial aggregation,
+    # so the engine's dropped metric counts (window, event_type) groups
+    oldest_groups = (
+        oldest.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select(F.window("ts", "30 minutes").alias("w"), "event_type")
+        .distinct()
+        .count()
+    )
+    assert oldest_groups > 0  # the late slice is non-trivial
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("three_slice_dbg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+        per_batch = {
+            p["batchId"]: sum(
+                so["numRowsDroppedByWatermark"] for so in p["stateOperators"]
+            )
+            for p in q.recentProgress
+        }
+        # batches 0 and 1 drop nothing (late filter still at 0 /
+        # two-batches-back); batch 2 drops the whole oldest quarter
+        assert per_batch.get(0) == 0 and per_batch.get(1) == 0
+        assert per_batch.get(2) == oldest_groups
+        out = spark.table("three_slice_dbg")
+        # nothing from the dropped slice was ever emitted: every emitted
+        # window starts at/after the oldest quarter's cutoff bucket
+        lo, hi = spark.read.parquet(src).agg(
+            F.min("ts"), F.max("ts")
+        ).first()
+        cutlo_sec = (lo + (hi - lo) // 4) // 1_000_000_000
+        min_start = out.agg(F.min(F.unix_timestamp("w.start"))).first()[0]
+        assert min_start >= (cutlo_sec // 1800) * 1800
+    finally:
+        spark.catalog.dropTempView("three_slice_dbg")
