@@ -1,10 +1,13 @@
 #!/usr/bin/env python
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "queries_cold": {name: sec, ...},
-     "sf": <sf>}
+Prints TWO JSON lines — a full per-query detail line, then a compact
+headline summary as the LAST line (the driver's tail-capture keeps the
+end of stdout, so the parseable record must come last):
+    {"metric": "all_queries_detail", "queries": {...},
+     "queries_cold": {...}, "sf": <sf>}
+    {"metric": "headline_total_wall", "value": <total sec>, "unit": "sec",
+     "queries": {<headline 7 only>}, "sf": <sf>}
 
 The HEADLINE set is frozen (BASELINE comparability across rounds); newer
 registry queries are benchmarked too but only reported in "queries", not in
@@ -86,14 +89,28 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
+    # Full per-query dump first (diagnostic; large), then a COMPACT
+    # summary as the LAST line: the driver's tail-capture keeps only the
+    # end of stdout, so the parseable headline record must come last
+    # (BENCH_r{3,4}.json lost their headline to front-truncation).
+    print(
+        json.dumps(
+            {
+                "metric": "all_queries_detail",
+                "queries": timings,
+                "queries_cold": cold,
+                "sf": sf,
+            }
+        )
+    )
+    sys.stdout.flush()
     print(
         json.dumps(
             {
                 "metric": "headline_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_cold": cold,
+                "queries": {n: timings[n] for n in HEADLINE if n in timings},
                 "sf": sf,
             }
         )

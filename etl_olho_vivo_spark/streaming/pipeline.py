@@ -26,6 +26,23 @@ negligible next to shuffle; the stateful exchange hash-partitions by
 vehicle exactly like the batch window.  Pings arriving out of order
 *across* micro-batches pair in arrival order (documented deviation from
 the batch sort; the watermark bounds how stale a pairing can be).
+
+API pin — ``applyInPandasWithState`` vs Spark 4 ``transformWithState``:
+this runtime (PySpark 4.1.2) ships both, and ``transformWithStateInPandas``
+(StatefulProcessor + ValueState) is the forward API — timers, TTL, multiple
+state variables, initial state.  It is pinned OFF here because its Python
+state-server protocol requires the ``google.protobuf`` package, which is
+absent from this environment (no installs permitted): a minimal
+StatefulProcessor probe fails at query start with
+``STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE … ImportError: cannot
+import name 'descriptor' from 'google.protobuf'`` before any user code
+runs.  ``applyInPandasWithState`` uses the Arrow-only worker protocol and
+needs no protobuf.  Migration path when protobuf is available: the
+``pair_fn`` closure maps 1:1 onto ``StatefulProcessor.handleInputRows``
+with ``handle.getValueState("last_ping", _STATE_SCHEMA)`` replacing
+``state.get/update``, ``timeMode="none"`` replacing
+``GroupStateTimeout.NoTimeout``, and the RocksDB state-store provider
+enabled (TWS requires it); semantics above are unchanged.
 """
 
 from __future__ import annotations

@@ -98,7 +98,7 @@ def _pandas_oracle(rows):
     df["px_anterior"] = g["px"].shift(1)
     df["py_anterior"] = g["py"].shift(1)
     df["timestamp_anterior"] = g["timestamp"].shift(1)
-    df = df[df["px_anterior"].notna()]  # P4 (NaN from null px too)
+    df = df[df["px_anterior"].notna()].copy()  # P4 (NaN from null px too)
     df["tempo"] = df["timestamp"] - df["timestamp_anterior"]
     df = df[df["tempo"] <= 600]  # P5 strict >600 dropped
 

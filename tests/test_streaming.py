@@ -272,6 +272,21 @@ def test_three_slice_replay_drops_oldest_quarter(spark, tmp_path):
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     src = "/root/testdata/sf0.001/events.parquet"
     schema = spark.read.parquet(src).schema
+    # same dtype branch as the production path (registry_ingest.py):
+    # ts is bigint only when the parquet stores TIMESTAMP(NANOS); the
+    # driver's testdata stores timestamp[us], which needs no conversion
+    ts_is_nanos = (
+        dict((f.name, f.dataType.simpleString()) for f in schema).get("ts")
+        == "bigint"
+    )
+
+    def _as_ts(df):
+        if ts_is_nanos:
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
+
     stage = str(tmp_path / "stage")
     os.makedirs(stage)
     _stage_thirds_by_time(spark, src, stage)
@@ -282,18 +297,17 @@ def test_three_slice_replay_drops_oldest_quarter(spark, tmp_path):
     # the StateStoreSave-side late filter runs AFTER partial aggregation,
     # so the engine's dropped metric counts (window, event_type) groups
     oldest_groups = (
-        oldest.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _as_ts(oldest)
         .select(F.window("ts", "30 minutes").alias("w"), "event_type")
         .distinct()
         .count()
     )
     assert oldest_groups > 0  # the late slice is non-trivial
 
-    stream = (
+    stream = _as_ts(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     agg = (
         stream.withWatermark("ts", "10 minutes")
@@ -323,8 +337,13 @@ def test_three_slice_replay_drops_oldest_quarter(spark, tmp_path):
         out = spark.table("three_slice_dbg")
         # nothing from the dropped slice was ever emitted: every emitted
         # window starts at/after the oldest quarter's cutoff bucket
+        ns = (
+            F.col("ts")
+            if ts_is_nanos
+            else F.unix_micros(F.col("ts")) * F.lit(1000)
+        )
         lo, hi = spark.read.parquet(src).agg(
-            F.min("ts"), F.max("ts")
+            F.min(ns), F.max(ns)
         ).first()
         cutlo_sec = (lo + (hi - lo) // 4) // 1_000_000_000
         min_start = out.agg(F.min(F.unix_timestamp("w.start"))).first()[0]
