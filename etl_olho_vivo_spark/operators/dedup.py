@@ -201,6 +201,7 @@ def connected_components(
     a: str = "doc_a",
     b: str = "doc_b",
     max_iter: int = 15,
+    caches: "CacheBag | None" = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, component).
 
@@ -223,6 +224,17 @@ def connected_components(
     pipeline's edge-greedy drop (plans/corpus.py): greedy keeps a doc
     that is only *transitively* near another survivor, components does
     not.
+
+    Result lifecycle: the labels are materialized eagerly (so the
+    iteration caches can be released before returning) into a persisted
+    frame tracked in ``caches`` when provided — the caller unpersists
+    deterministically after consuming.  An earlier version returned a
+    ``localCheckpoint`` instead; its backing RDD cannot be unpersisted
+    safely (truncated lineage → data loss on release) and lingers until
+    the async ContextCleaner collects the reference, i.e. an unbounded
+    soft leak under repeated pipeline runs.  A bag-tracked persist is
+    both releasable and recomputable (the full label-propagation plan
+    stays attached, so an evicted block re-derives instead of failing).
     """
     edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     nodes = (
@@ -261,13 +273,17 @@ def connected_components(
             labels.unpersist()
             labels = new_labels
             if changed == 0:  # min-labels are monotone ↓: fixpoint
-                # materialize (bounded by the pair graph's node count)
-                # so the iteration cache can be released — returning the
-                # persisted frame itself would pin it forever
-                return labels.select(
-                    F.col("node").alias("doc_id"),
-                    F.col("comp").alias("component"),
-                ).localCheckpoint(eager=True)
+                # eager persist (bounded by the pair graph's node count)
+                # so the iteration caches can be released on return
+                out = _persist(
+                    labels.select(
+                        F.col("node").alias("doc_id"),
+                        F.col("comp").alias("component"),
+                    ),
+                    caches,
+                )
+                out.count()
+                return out
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(graph diameter exceeds max_iter — raise it)"

@@ -85,6 +85,8 @@ def run_corpus(
         d = d.withColumn("text", textops.redact("text"))
     prof = document_profile(d).persist(StorageLevel.MEMORY_AND_DISK)
     survived = None
+    sig_caches = CacheBag()
+    drop_caches = CacheBag()
     try:
         stats = {"input": prof.count()}
 
@@ -106,14 +108,13 @@ def run_corpus(
         #   join, no iteration; can keep transitively-near docs)
         # - components: connected-components clustering, keep each
         #   cluster's min doc_id (exact; drops a superset of greedy)
-        sig_caches = CacheBag()
         pairs = dedup.near_duplicates(
             kept.select("doc_id", "text"),
             threshold=jaccard_threshold,
             caches=sig_caches,
         )
         if dedup_resolution == "components":
-            comp = dedup.connected_components(pairs)
+            comp = dedup.connected_components(pairs, caches=drop_caches)
             drops = comp.filter(
                 F.col("doc_id") != F.col("component")
             ).select("doc_id")
@@ -124,10 +125,14 @@ def run_corpus(
                 f"dedup_resolution must be greedy|components, got "
                 f"{dedup_resolution!r}"
             )
-        # materialize the (small) drop list once so the LSH band +
+        # eagerly materialize the (small) drop list so the LSH band +
         # verify joins never re-execute, then release the signature
-        # store near_duplicates cached for them
-        drops = drops.localCheckpoint(eager=True)
+        # store near_duplicates cached for them.  drop_caches (not a
+        # localCheckpoint: its backing RDD is un-releasable and soft-
+        # leaks until the ContextCleaner runs) lives until the finally —
+        # the anti-join below must still see the materialized list.
+        drops = drop_caches.add(drops)
+        drops.count()
         sig_caches.release()
         kept = kept.join(drops, "doc_id", "left_anti").persist(
             StorageLevel.MEMORY_AND_DISK
@@ -171,3 +176,8 @@ def run_corpus(
         prof.unpersist()
         if survived is not None:
             survived.unpersist()
+        # idempotent: sig_caches is normally already empty here, but an
+        # exception between near_duplicates and the explicit release
+        # (e.g. the dedup_resolution ValueError) must not leak it
+        sig_caches.release()
+        drop_caches.release()

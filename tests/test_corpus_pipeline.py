@@ -166,3 +166,45 @@ def test_redaction_unifies_dedup(spark, tmp_path):
     back = spark.read.parquet(str(tmp_path / "red"))
     texts = [r["text"] for r in back.collect()]
     assert texts == [body.format("<EMAIL>")]
+
+
+def test_cachebag_owns_signature_lifecycle(spark):
+    """near_duplicates(caches=bag) end-to-end: exactly one cache entry
+    exists while the caller works, and releasing the bag restores the
+    Spark cache registry to its prior state (zero leaked frames)."""
+    from etl_olho_vivo_spark.caching import CacheBag
+    from etl_olho_vivo_spark.operators import dedup
+
+    jmap = spark.sparkContext._jsc.getPersistentRDDs
+    before = jmap().size()
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with CacheBag() as bag:
+        pairs = dedup.near_duplicates(
+            d.select("doc_id", "text"), threshold=0.5, caches=bag
+        )
+        pairs.count()  # materialize → signature store becomes resident
+        assert len(bag) == 1
+        assert jmap().size() == before + 1
+    assert jmap().size() == before
+
+
+@pytest.mark.parametrize("resolution", ["greedy", "components"])
+def test_run_corpus_leaves_no_caches(spark, tmp_path, resolution):
+    """The composed pipeline persists several intermediates (profile,
+    signature store, drop list, component labels, survivor set) and must
+    deterministically release every one — a leaked cache per run is a
+    leak per day at production cadence.  (The pre-fix localCheckpoint
+    drop list soft-leaked its RDD until the async ContextCleaner ran.)"""
+    from etl_olho_vivo_spark.plans.corpus import run_corpus
+
+    jmap = spark.sparkContext._jsc.getPersistentRDDs
+    before = jmap().size()
+    run_corpus(
+        spark,
+        "/root/testdata/sf0.001",
+        str(tmp_path / f"clean_{resolution}"),
+        min_tokens=3,
+        jaccard_threshold=0.5,
+        dedup_resolution=resolution,
+    )
+    assert jmap().size() == before

@@ -1,0 +1,143 @@
+"""10× local scale probe — the affordable evidence behind the 100× claim.
+
+Correctness runs at sf0.01 and plan-shape tests (test_plans.py) pin the
+*initial* physical plans.  This module re-checks the load-bearing plan
+invariants on data 10× larger than each query's usual local scale, AFTER
+full execution, against the **final adaptive plan** — i.e. it verifies
+that AQE's runtime re-planning (size-based coalescing, dynamic join
+selection, skew splitting) does not undo the engine's explicit scale
+decisions when the inputs grow:
+
+- flagship `velocidades_agregadas` on 10× sf0.1 events (1M rows, 10×
+  distinct vehicles): still exactly ONE shuffle (the lag window's
+  hashpartitioning(prefixo_veiculo) keeps satisfying the 9-key agg);
+- `ngram_jaccard_pairs` / `doc_editdist_near_dup` on 10× sf0.01
+  documents (10× block density → ~100× pair work): the shuffle_hash
+  hint still yields a ShuffledHashJoin (no corpus broadcast) and the
+  REPARTITION_BY_NUM pins survive (AQE never coalesces a
+  user-numbered repartition, so the compute-bound pair stages keep
+  their parallelism);
+- `embedding_near_dup_pairs` on 10× sf0.01 embeddings: the candidate
+  stage stays an equi hash join on cell_id (never a cartesian /
+  nested-loop pair enumeration) and the single persisted assignment
+  pass is reused by both self-join sides.
+
+Replicas perturb the *keys* (new event/user/doc/vec ids per replica) so
+key cardinality scales with the data — duplicating rows under the same
+keys would shrink relative group counts instead of simulating growth.
+Replicated documents/embeddings are verbatim copies under new ids, so
+the near-dup queries also get a denser (harder) candidate structure.
+
+Execution goes through ``df.collect()`` — a noop write plans the query
+in a separate QueryExecution, leaving the DataFrame's own adaptive plan
+unfinalized; collect finalizes the plan actually being asserted.  All
+result sets here are pair/group outputs far below driver limits.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_olho_vivo_spark import registry
+from etl_olho_vivo_spark.caching import release_session_caches
+
+REPLICAS = 10
+# key offsets larger than any base id at these scale factors
+OFF = 10_000_000
+
+
+@pytest.fixture(scope="module")
+def scale10_dir(spark, tmp_path_factory):
+    registry.queries()
+    d10 = str(tmp_path_factory.mktemp("scale10"))
+    # driver parquet must resolve as TIMESTAMP (instant), not NTZ — same
+    # session conf the table reader pins (sources/tables.py)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    rep = F.explode(
+        F.array(*[F.lit(i) for i in range(REPLICAS)])
+    ).alias("rep")
+
+    ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    ev.select("*", rep).select(
+        (F.col("event_id") + F.col("rep") * F.lit(OFF)).alias("event_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        (F.col("user_id") + F.col("rep") * F.lit(OFF)).alias("user_id"),
+        "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(f"{d10}/events.parquet")
+
+    doc = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    doc.select("*", rep).select(
+        (F.col("doc_id") + F.col("rep") * F.lit(OFF)).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    ).write.mode("overwrite").parquet(f"{d10}/documents.parquet")
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    emb.select("*", rep).select(
+        (F.col("vec_id") + F.col("rep") * F.lit(OFF)).alias("vec_id"),
+        "embedding", "label",
+    ).write.mode("overwrite").parquet(f"{d10}/embeddings.parquet")
+    return d10
+
+
+def _final_plan(spark, name: str, sf_dir: str) -> tuple[str, int]:
+    """Execute the registered query and return (final adaptive plan, rows)."""
+    df = registry.REGISTRY[name].fn(spark, sf_dir)
+    n = len(df.collect())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    release_session_caches()
+    return plan, n
+
+
+@pytest.mark.slow
+def test_flagship_still_one_shuffle_at_10x(spark, scale10_dir):
+    plan, n = _final_plan(spark, "velocidades_agregadas", scale10_dir)
+    assert n > 0
+    # AdaptiveSparkPlan prints Final Plan + Initial Plan sections once
+    # finalized; count shuffles in the final section only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final[:2000]
+
+
+@pytest.mark.slow
+def test_ngram_pins_hold_at_10x(spark, scale10_dir):
+    plan, n = _final_plan(spark, "ngram_jaccard_pairs", scale10_dir)
+    assert n > 0
+    final = plan.split("== Initial Plan ==")[0]
+    # corpus never broadcast: the hinted pair join stays shuffled-hash
+    assert "ShuffledHashJoin" in final, final[:2000]
+    assert "BroadcastHashJoin" not in final
+    # the parallelism pin survives AQE (user-numbered repartition)
+    assert "REPARTITION_BY_NUM" in final
+
+
+@pytest.mark.slow
+def test_editdist_pins_hold_at_10x(spark, scale10_dir):
+    plan, n = _final_plan(spark, "doc_editdist_near_dup", scale10_dir)
+    assert n > 0
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ShuffledHashJoin" in final, final[:2000]
+    assert "BroadcastHashJoin" not in final
+    assert "REPARTITION_BY_NUM" in final
+    # block-key shuffles must not be runtime-coalesced: each output
+    # partition does O(block²) DP work, so byte-based coalescing would
+    # serialize a compute-bound stage
+    assert "coalesced" not in final, final[:2000]
+
+
+@pytest.mark.slow
+def test_embedding_pairs_blocked_join_at_10x(spark, scale10_dir):
+    plan, n = _final_plan(spark, "embedding_near_dup_pairs", scale10_dir)
+    assert n > 0
+    final = plan.split("== Initial Plan ==")[0]
+    # pair enumeration is an equi hash join on cell_id — nested-loop
+    # appears ONLY in the bounded 16-row centroid broadcast of
+    # ivf_assign, never for vector pairs
+    assert "CartesianProduct" not in final
+    assert ("ShuffledHashJoin" in final) or ("BroadcastHashJoin" in final)
+    # one persisted assignment pass feeds both self-join sides; in the
+    # final adaptive section a cache read prints as TableCacheQueryStage
+    # (reused stages are not reprinted), so count consumers on the full
+    # plan string instead
+    assert "TableCacheQueryStage" in final, final[:2000]
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
