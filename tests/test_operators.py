@@ -979,3 +979,77 @@ def test_ivf_kmeans_recall_and_determinism(spark):
         assert r2_tot >= r1_tot
     finally:
         cents.unpersist()
+
+
+def test_kmeans_seeded_ivf_matches_duckdb_oracle(spark, embeddings):
+    """Cross-engine exactness of the IVF machinery under PRODUCTION
+    (kmeans||) centroids, not just the demo first-n seeding the static
+    registry oracle replicates.  The registry's ``oracle_sql`` strings
+    cannot carry data-dependent centroids (and the driver's Spark/oracle
+    run order is unspecified, so a side-written parquet would race), so
+    this pins the same property with a dynamic oracle: the quantized
+    kmeans centroids are inlined into DuckDB as a VALUES literal and the
+    full assignment → multi-probe → integer-dot top-k must agree
+    row-for-row with ``ivf_topk(centroids=...)``."""
+    import duckdb
+
+    from etl_olho_vivo_spark.operators.similarity import (
+        duck_quantize_expr,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    n_cells, n_probe, k, q_id = 4, 2, 10, 0
+    cents = kmeans_centroids(embeddings, n_cells=n_cells, rounds=2)
+    got = ivf_topk(
+        embeddings, query_vec_id=q_id, k=k, n_cells=n_cells,
+        n_probe=n_probe, centroids=cents,
+    ).collect()
+
+    values = ", ".join(
+        f"({r['cell_id']}, CAST({list(r['qc'])} AS BIGINT[]))"
+        for r in cents.collect()
+    )
+    l2 = (
+        "CAST(list_sum(list_transform(range(0, len({a})), "
+        "i -> ({a}[i+1] - {b}[i+1]) * ({a}[i+1] - {b}[i+1]))) AS BIGINT)"
+    )
+    sql = f"""
+WITH v AS (
+  SELECT vec_id, label, {duck_quantize_expr('embedding')} AS qv
+  FROM read_parquet('/root/testdata/sf0.001/embeddings.parquet')
+),
+c (cell_id, qc) AS (VALUES {values}),
+d AS (
+  SELECT v.vec_id, v.label, v.qv, c.cell_id,
+         {l2.format(a='v.qv', b='c.qc')} AS dist
+  FROM v, c
+),
+a AS (
+  SELECT vec_id, label, qv, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cell_id) AS rn FROM d
+  ) WHERE rn = 1
+),
+q AS (SELECT qv AS q_qv FROM v WHERE vec_id = {q_id}),
+pd AS (
+  SELECT c.cell_id, q.q_qv, {l2.format(a='c.qc', b='q.q_qv')} AS cd
+  FROM c, q
+),
+probe AS (
+  SELECT cell_id AS q_cell, q_qv FROM (
+    SELECT *, row_number() OVER (ORDER BY cd, cell_id) AS rn FROM pd
+  ) WHERE rn <= {n_probe}
+)
+SELECT a.vec_id, a.label, a.cell_id,
+       CAST(list_sum(list_transform(range(0, len(a.qv)),
+         i -> a.qv[i+1] * p.q_qv[i+1])) AS BIGINT) AS dot_q
+FROM a JOIN probe p ON a.cell_id = p.q_cell
+WHERE a.vec_id <> {q_id}
+ORDER BY dot_q DESC, a.vec_id
+LIMIT {k}
+"""
+    want = duckdb.sql(sql).fetchall()
+    assert [
+        (r["vec_id"], r["label"], r["cell_id"], r["dot_q"]) for r in got
+    ] == [tuple(r) for r in want]
