@@ -221,23 +221,31 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     # 16 cells: within-cell pair count (the quadratic term) scales ~1/cells;
     # persist so both self-join sides reuse one assignment pass (tracked in
-    # SESSION_BAG — the materializing harness owns the release)
-    assigned = SESSION_BAG.add(ivf_assign(emb, n_cells=16))
+    # SESSION_BAG — the materializing harness owns the release).  The
+    # vector norm is per-VECTOR, so it is computed once here on the
+    # persisted assignment (O(n·d)) instead of per pair inside the
+    # quadratic stage (O(pairs·d)) — same doubles bit-for-bit (sqrt of
+    # the identical exact integer), ~3× less array work per joined row.
+    norm = (
+        "aggregate(zip_with(qv, qv, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (s, v) -> s + v)"
+    )
+    assigned = SESSION_BAG.add(
+        ivf_assign(emb, n_cells=16).withColumn(
+            "nrm", F.sqrt(F.expr(f"CAST({norm} AS DOUBLE)"))
+        )
+    )
     x = assigned.select(
         F.col("vec_id").alias("vec_a"), F.col("cell_id"),
-        F.col("qv").alias("qa"),
+        F.col("qv").alias("qa"), F.col("nrm").alias("na"),
     )
     y = assigned.select(
         F.col("vec_id").alias("vec_b"), F.col("cell_id"),
-        F.col("qv").alias("qb"),
+        F.col("qv").alias("qb"), F.col("nrm").alias("nb"),
     )
     dot = "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (s, v) -> s + v)"
-    na = "aggregate(zip_with(qa, qa, (x, y) -> x * y), CAST(0 AS BIGINT), (s, v) -> s + v)"
-    nb = "aggregate(zip_with(qb, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (s, v) -> s + v)"
     cos = F.round(
-        F.expr(f"CAST({dot} AS DOUBLE)")
-        / (F.sqrt(F.expr(f"CAST({na} AS DOUBLE)")) * F.sqrt(F.expr(f"CAST({nb} AS DOUBLE)"))),
-        6,
+        F.expr(f"CAST({dot} AS DOUBLE)") / (F.col("na") * F.col("nb")), 6
     )
     return (
         x.join(y, ["cell_id"])

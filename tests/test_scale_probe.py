@@ -126,6 +126,21 @@ def test_editdist_pins_hold_at_10x(spark, scale10_dir):
 
 
 @pytest.mark.slow
+def test_minhash_shares_one_signature_pass_at_10x(spark, scale10_dir):
+    plan, n = _final_plan(spark, "minhash_near_dups", scale10_dir)
+    assert n > 0
+    final = plan.split("== Initial Plan ==")[0]
+    # LSH candidate generation + both verify sides stay equi joins on
+    # slim keys — pair enumeration must never degrade to nested-loop
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+    # the persisted signature store still feeds every consumer (text
+    # scan + md5 + shingle compute runs once, not once per consumer)
+    assert "TableCacheQueryStage" in final, final[:2000]
+    assert plan.count("InMemoryTableScan") >= 3, plan[:2000]
+
+
+@pytest.mark.slow
 def test_embedding_pairs_blocked_join_at_10x(spark, scale10_dir):
     plan, n = _final_plan(spark, "embedding_near_dup_pairs", scale10_dir)
     assert n > 0
