@@ -1,0 +1,141 @@
+"""CLI — the reference's three scheduled Lambda scripts as one entry point.
+
+The reference wires its pipeline together with EventBridge schedules
+around three standalone scripts (`get-bus-data.py` polling → S3;
+`etl-olho-vivo-ingestao-posicoes.py` daily flatten;
+`etl-olho-vivo-velocidades-medias.py` daily analytics — README.md:13,22).
+The engine exposes the same operational surface as subcommands over the
+composed plans, so any scheduler (cron, Airflow, EventBridge) can run
+them without writing Python:
+
+    python -m etl_olho_vivo_spark ingest --out /data/raw --polls 4
+    python -m etl_olho_vivo_spark daily  --raw /data/raw --out /data/etl
+    python -m etl_olho_vivo_spark corpus --sf-dir /data/tables \\
+        --out /data/corpus --resolution components
+
+`ingest` uses the custom `olhovivo` DataSource in its deterministic
+offline mode by default; pass ``--live --api-token ...`` for the real
+authenticated poll (requires network + the `requests` package, same
+gating as the source).  `daily` and `corpus` print one JSON line of
+per-stage row counts — the machine-readable completion signal the
+reference's clock-offset coupling lacks.
+
+Note on offline demo data: the fake poller's vehicles hold id-derived
+pseudo-positions that jump between polls (>>33 m/s), so a
+`ingest → daily` smoke run correctly produces an intact posicoes fact
+but EMPTY derived datasets — every ping pair is dropped by the
+reference's speed-cap filter.  That is the cleaning pipeline working,
+not a wiring failure; real (or events-adapter) data exercises both
+branches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m etl_olho_vivo_spark",
+        description="PySpark-native etl-olho-vivo engine",
+    )
+    p.add_argument(
+        "--cpus", default=None,
+        help="local[] parallelism (default: $SPARK_GRAFT_CPUS or 32)",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    ing = sub.add_parser(
+        "ingest", help="stage 1: poll /Posicao into the raw JSON zone"
+    )
+    ing.add_argument("--out", required=True, help="raw zone directory")
+    ing.add_argument("--polls", type=int, default=4)
+    ing.add_argument("--lines", type=int, default=10)
+    ing.add_argument("--vehicles", type=int, default=10)
+    ing.add_argument(
+        "--live", action="store_true",
+        help="real authenticated poll (needs network + requests)",
+    )
+    ing.add_argument("--api-token", default=None)
+
+    day = sub.add_parser(
+        "daily", help="stages 2+3: raw JSON -> fact parquet + derived CSVs"
+    )
+    day.add_argument("--raw", required=True, help="raw JSON zone directory")
+    day.add_argument("--out", required=True, help="output directory")
+    day.add_argument(
+        "--no-fact", action="store_true",
+        help="skip the posicoes parquet fact write",
+    )
+
+    cor = sub.add_parser(
+        "corpus", help="LLM corpus pipeline: documents -> cleaned corpus"
+    )
+    cor.add_argument("--sf-dir", required=True, help="input tables directory")
+    cor.add_argument("--out", required=True, help="corpus output directory")
+    cor.add_argument(
+        "--resolution", choices=["greedy", "components"], default="greedy"
+    )
+    cor.add_argument("--min-tokens", type=int, default=5)
+    cor.add_argument("--jaccard-threshold", type=float, default=0.6)
+    cor.add_argument("--redact-pii", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    from etl_olho_vivo_spark.session import get_spark
+
+    spark = get_spark(app_name=f"olho-vivo-{args.command}", cpus=args.cpus)
+
+    if args.command == "ingest":
+        from etl_olho_vivo_spark.io.sinks import write_raw_json
+        from etl_olho_vivo_spark.sources.olhovivo_api import register
+
+        register(spark)
+        reader = (
+            spark.read.format("olhovivo")
+            .option("polls", args.polls)
+            .option("lines", args.lines)
+            .option("vehicles", args.vehicles)
+        )
+        if args.live:
+            reader = reader.option("mode", "live")
+            if args.api_token:
+                reader = reader.option("api_token", args.api_token)
+        raw = reader.load()
+        write_raw_json(raw, args.out)
+        print(json.dumps({"command": "ingest", "polls": raw.count()}))
+        return 0
+
+    if args.command == "daily":
+        from etl_olho_vivo_spark.plans.daily import run_daily
+
+        counts = run_daily(
+            spark, args.raw, args.out, write_fact=not args.no_fact
+        )
+        print(json.dumps({"command": "daily", **counts}))
+        return 0
+
+    if args.command == "corpus":
+        from etl_olho_vivo_spark.plans.corpus import run_corpus
+
+        stats = run_corpus(
+            spark,
+            args.sf_dir,
+            args.out,
+            min_tokens=args.min_tokens,
+            jaccard_threshold=args.jaccard_threshold,
+            redact_pii=args.redact_pii,
+            dedup_resolution=args.resolution,
+        )
+        print(json.dumps({"command": "corpus", **stats}))
+        return 0
+
+    raise AssertionError(f"unhandled command {args.command!r}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

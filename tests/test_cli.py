@@ -1,0 +1,50 @@
+"""The operational CLI (python -m etl_olho_vivo_spark) — the reference's
+three scheduled scripts as subcommands over the composed plans."""
+
+from __future__ import annotations
+
+import json
+
+from etl_olho_vivo_spark.__main__ import main
+
+
+def test_ingest_then_daily_roundtrip(spark, tmp_path, capsys):
+    raw = str(tmp_path / "raw")
+    out = str(tmp_path / "etl")
+    assert main(["--cpus", "8", "ingest", "--out", raw, "--polls", "3",
+                 "--lines", "4", "--vehicles", "5"]) == 0
+    ing = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ing == {"command": "ingest", "polls": 3}
+
+    assert main(["--cpus", "8", "daily", "--raw", raw, "--out", out]) == 0
+    day = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert day["command"] == "daily"
+    # the raw zone layout is the reference's hour-partitioned key scheme
+    assert list((tmp_path / "raw").glob("year=*/month=*/day=*/hour=*"))
+    # the fact parquet holds every flattened ping (3 polls x 4 x 5)
+    fact = spark.read.parquet(f"{out}/posicoes")
+    assert fact.count() == 60
+    # offline fake vehicles teleport between polls, so the speed-capped
+    # derived datasets are legitimately empty (documented in __main__);
+    # the sinks must still exist with the reference's headers
+    slow = spark.read.option("header", True).csv(f"{out}/lentidao")
+    assert "velocidade_media" in slow.columns
+    assert day["lentidao"] == slow.count()
+
+
+def test_corpus_subcommand(tmp_path, capsys):
+    out = str(tmp_path / "corpus")
+    assert main([
+        "--cpus", "8", "corpus", "--sf-dir", "/root/testdata/sf0.001",
+        "--out", out, "--min-tokens", "3", "--jaccard-threshold", "0.5",
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["command"] == "corpus"
+    assert stats["input"] >= stats["lang_and_length"] >= stats["quality"] > 0
+
+
+def test_unknown_command_rejected():
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["frobnicate"])
