@@ -69,6 +69,11 @@ def _build_parser() -> argparse.ArgumentParser:
         "--no-fact", action="store_true",
         help="skip the posicoes parquet fact write",
     )
+    day.add_argument(
+        "--date", default=None, metavar="YYYY-MM-DD",
+        help="process only this raw-zone day partition (the reference's "
+        "'yesterday' daily-batch semantics; path-pruned, no full scan)",
+    )
 
     cor = sub.add_parser(
         "corpus", help="LLM corpus pipeline: documents -> cleaned corpus"
@@ -113,10 +118,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "daily":
         from etl_olho_vivo_spark.plans.daily import run_daily
 
-        counts = run_daily(
-            spark, args.raw, args.out, write_fact=not args.no_fact
-        )
-        print(json.dumps({"command": "daily", **counts}))
+        raw = args.raw
+        if args.date:
+            # hive-layout day selection: the partition directories narrow
+            # the file listing itself — the 100 TB raw zone is never
+            # globbed, let alone read, outside the requested day
+            y, m, d = args.date.split("-")
+            raw = f"{raw}/year={int(y):04d}/month={int(m):02d}/day={int(d):02d}"
+        counts = run_daily(spark, raw, args.out, write_fact=not args.no_fact)
+        print(json.dumps({"command": "daily", "date": args.date, **counts}))
         return 0
 
     if args.command == "corpus":

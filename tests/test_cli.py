@@ -32,6 +32,29 @@ def test_ingest_then_daily_roundtrip(spark, tmp_path, capsys):
     assert day["lentidao"] == slow.count()
 
 
+def test_daily_date_partition_pruning(spark, tmp_path, capsys):
+    """--date selects one hive day partition by PATH (the reference's
+    'yesterday' batch) — present day processes, absent day fails loudly
+    instead of silently scanning nothing."""
+    raw = str(tmp_path / "raw")
+    main(["--cpus", "8", "ingest", "--out", raw, "--polls", "2",
+          "--lines", "3", "--vehicles", "4"])
+    capsys.readouterr()
+    out = str(tmp_path / "etl")
+    # offline fetcher t0 is 2024-01-01T00:00:00Z
+    assert main(["--cpus", "8", "daily", "--raw", raw, "--out", out,
+                 "--date", "2024-01-01"]) == 0
+    day = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert day["date"] == "2024-01-01"
+    assert spark.read.parquet(f"{out}/posicoes").count() == 24
+
+    import pytest
+
+    with pytest.raises(Exception):
+        main(["--cpus", "8", "daily", "--raw", raw,
+              "--out", str(tmp_path / "etl2"), "--date", "1999-12-31"])
+
+
 def test_corpus_subcommand(tmp_path, capsys):
     out = str(tmp_path / "corpus")
     assert main([
