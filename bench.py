@@ -77,14 +77,21 @@ def main() -> None:
     # only compile artifacts carry over.  Cold times are reported too.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, q in registry.REGISTRY.items():
         runs = []
-        for _ in range(2):
-            df = q.fn(spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+        try:
+            for _ in range(2):
+                df = q.fn(spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+                release_session_caches()
+        except Exception as e:  # noqa: BLE001 — one bad query must not
+            # wipe the whole artifact; record it and keep benchmarking
+            errors[name] = repr(e)[:300]
             release_session_caches()
+            continue
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
 
@@ -99,22 +106,24 @@ def main() -> None:
                 "metric": "all_queries_detail",
                 "queries": timings,
                 "queries_cold": cold,
+                "errors": errors,
                 "sf": sf,
             }
         )
     )
     sys.stdout.flush()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": {n: timings[n] for n in HEADLINE if n in timings},
-                "sf": sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: timings[n] for n in HEADLINE if n in timings},
+        "sf": sf,
+    }
+    missing = [n for n in HEADLINE if n not in timings]
+    if missing:
+        # a partial total would read as a speedup — flag it loudly
+        summary["headline_errors"] = missing
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
