@@ -1,0 +1,149 @@
+"""Continuous corpus ingestion — the streaming face of the dedup family.
+
+`plans/corpus.py` rebuilds a corpus from a full documents table;
+production LLM-data pipelines instead receive crawl batches continuously
+and must admit only documents that are near-duplicates of NOTHING seen
+before — without ever rescanning the corpus.  This module wires the
+incremental MinHash machinery (`operators/dedup.py`) into a Structured
+Streaming `foreachBatch` loop:
+
+    docs stream ──► per micro-batch:
+        1. ONE signature pass over the batch (persisted, CacheBag-owned)
+        2. in-batch near-dup  — banded self-join, keep min doc_id
+        3. store near-dup     — banded join vs the signature STORE
+                                (cost ∝ batch, not corpus)
+        4. append survivors   → corpus parquet   (batch_id partition)
+           append signatures  → signature store  (batch_id partition)
+
+Scale + semantics notes:
+- the signature store is the ONLY state that grows with the corpus, and
+  it is ~1% of corpus bytes; each batch touches it through a banded
+  equi-join on slim (band, band_sig) keys — the corpus text itself is
+  never re-read;
+- both sinks partition by ``ingest_batch_id`` and write with dynamic
+  partition overwrite: a replayed micro-batch (foreachBatch is
+  at-least-once after failures) rewrites exactly its own partition —
+  idempotent, no dedup-of-the-dedup needed;
+- the store accumulates one parquet partition per batch; run
+  ``dedup.write_signature_store`` periodically to compact it back into
+  the doc_id-bucketed layout that pre-shuffles the verify join (the
+  append-then-compact lifecycle every log-structured store uses);
+- documents with fewer than 3 tokens cannot be shingled and are dropped
+  by the signature pass itself (same rule as the batch pipeline).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_olho_vivo_spark.caching import CacheBag
+from etl_olho_vivo_spark.operators import dedup
+
+
+def _store_frame(
+    spark: SparkSession, store_dir: str, exclude_batch_id: int | None = None
+) -> DataFrame | None:
+    """The accumulated signature store, or None before the first batch.
+
+    ``exclude_batch_id`` drops that batch's OWN partition from the
+    comparison frame: on an at-least-once replay the store already holds
+    the batch's prior signatures under the same doc_ids, and comparing a
+    batch against its own previous write would drop every row — leaving
+    a partially-written batch permanently unrepaired.  Partition-pruned
+    (one directory skipped), so the exclusion is free.
+    """
+    if glob.glob(os.path.join(store_dir, "**", "*.parquet"), recursive=True):
+        df = spark.read.parquet(store_dir)
+        if exclude_batch_id is not None:
+            df = df.filter(F.col("ingest_batch_id") != exclude_batch_id)
+        return df.select("doc_id", "sh", "minhash")
+    return None
+
+
+def admit_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    store_dir: str,
+    threshold: float = 0.5,
+    text: str = "text",
+) -> None:
+    """Admit one micro-batch: dedup in-batch + vs store, append survivors.
+
+    Deterministic: in-batch pairs keep the smaller doc_id; any batch doc
+    near a store doc is dropped (the corpus row wins — it was admitted
+    first).  Idempotent per ``batch_id`` via dynamic partition overwrite.
+    """
+    with CacheBag() as bag:
+        sig = bag.add(
+            dedup.minhash_signature(batch, text).select(
+                "doc_id", "sh", "minhash"
+            )
+        )
+        pairs = dedup.near_duplicates(sig=sig, threshold=threshold)
+        drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        surv_sig = sig.join(drops, "doc_id", "left_anti")
+
+        store = _store_frame(spark, store_dir, exclude_batch_id=batch_id)
+        if store is not None:
+            ipairs = dedup.incremental_near_duplicates(
+                new_sig=surv_sig, store=store, threshold=threshold,
+            )
+            sdrops = ipairs.select(
+                F.col("doc_new").alias("doc_id")
+            ).distinct()
+            surv_sig = surv_sig.join(sdrops, "doc_id", "left_anti")
+
+        # two consumers below (corpus semi-join + store append) — cache
+        # the final survivor signatures so dedup work runs once
+        surv_sig = bag.add(surv_sig)
+
+        survivors = batch.join(
+            surv_sig.select("doc_id"), "doc_id", "left_semi"
+        ).withColumn("ingest_batch_id", F.lit(batch_id))
+        (
+            survivors.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch_id")
+            .parquet(corpus_dir)
+        )
+        (
+            surv_sig.withColumn("ingest_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch_id")
+            .parquet(store_dir)
+        )
+
+
+def run_corpus_stream(
+    docs_stream: DataFrame,
+    corpus_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    text: str = "text",
+    available_now: bool = True,
+):
+    """Start the continuous ingestion query over a streaming documents
+    frame (any readStream source with doc_id + text columns)."""
+    spark = docs_stream.sparkSession
+
+    def _admit(batch: DataFrame, batch_id: int) -> None:
+        admit_batch(
+            spark, batch, batch_id, corpus_dir, store_dir,
+            threshold=threshold, text=text,
+        )
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,131 @@
+"""Continuous corpus ingestion (streaming/corpus_stream.py): micro-batches
+admitted through in-batch + against-store near-dedup, idempotently."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away "
+    "to find some interesting things in the forest near the river"
+)
+OTHER = (
+    "completely different content about databases and distributed "
+    "query engines processing large volumes of tabular information"
+)
+THIRD = (
+    "a third unrelated document describing mountain weather patterns "
+    "and the seasonal migration of birds across the high passes"
+)
+FOURTH = (
+    "yet another standalone text on the history of cartography and "
+    "the slow refinement of map projections over several centuries"
+)
+
+SCHEMA = "doc_id long, text string"
+
+
+def _write_batch(spark, stage: str, name: str, rows):
+    df = spark.createDataFrame(rows, SCHEMA).coalesce(1)
+    tmp = f"{stage}__{name}"
+    df.write.mode("overwrite").parquet(tmp)
+    import glob
+    import shutil
+
+    (part,) = glob.glob(f"{tmp}/part-*.parquet")
+    shutil.move(part, os.path.join(stage, f"{name}.parquet"))
+    shutil.rmtree(tmp)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    stage = str(tmp_path / "landing")
+    os.makedirs(stage)
+    return {
+        "stage": stage,
+        "corpus": str(tmp_path / "corpus"),
+        "store": str(tmp_path / "store"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def test_three_batch_ingestion_drops_cross_batch_dups(spark, dirs):
+    from etl_olho_vivo_spark.streaming.corpus_stream import run_corpus_stream
+
+    # batch 0: two distinct docs + one in-batch exact dup of doc 1
+    _write_batch(spark, dirs["stage"], "b0",
+                 [(1, BASE), (2, OTHER), (3, BASE)])
+    # batch 1: exact dup of doc 1 (cross-batch) + fresh doc
+    _write_batch(spark, dirs["stage"], "b1", [(10, BASE), (11, THIRD)])
+    # batch 2: near-dup of doc 11 (one word changed) + fresh doc
+    near = THIRD.replace("birds", "geese")
+    _write_batch(spark, dirs["stage"], "b2", [(20, near), (21, FOURTH)])
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dirs["stage"])
+    )
+    q = run_corpus_stream(
+        stream, dirs["corpus"], dirs["store"], dirs["ckpt"], threshold=0.5
+    )
+    q.awaitTermination(180)
+
+    corpus = spark.read.parquet(dirs["corpus"])
+    admitted = sorted(r["doc_id"] for r in corpus.collect())
+    # 3 dropped in-batch (dup of 1); 10 dropped vs store (dup of 1);
+    # 20 dropped vs store (near-dup of 11)
+    assert admitted == [1, 2, 11, 21]
+    # the signature store holds exactly the admitted docs' signatures
+    store = spark.read.parquet(dirs["store"])
+    assert sorted(r["doc_id"] for r in store.select("doc_id").collect()) \
+        == [1, 2, 11, 21]
+    # per-batch partitions recorded (batches that admit nothing may
+    # legally write an empty partition)
+    assert corpus.select("ingest_batch_id").distinct().count() >= 2
+
+
+def test_replayed_batch_is_idempotent(spark, dirs):
+    """foreachBatch is at-least-once after failures: re-admitting the
+    SAME batch id must leave corpus and store byte-identical, not
+    doubled (dynamic partition overwrite per ingest_batch_id)."""
+    from etl_olho_vivo_spark.streaming.corpus_stream import admit_batch
+
+    batch = spark.createDataFrame([(1, BASE), (2, OTHER)], SCHEMA)
+    admit_batch(spark, batch, 0, dirs["corpus"], dirs["store"])
+    first = sorted(
+        map(tuple, spark.read.parquet(dirs["corpus"]).collect())
+    )
+    # replay the same batch id — and also prove the replay dedups
+    # against the store WITHOUT dropping the batch's own partition rows
+    admit_batch(spark, batch, 0, dirs["corpus"], dirs["store"])
+    again = sorted(
+        map(tuple, spark.read.parquet(dirs["corpus"]).collect())
+    )
+    assert again == first
+
+    # a LATER batch containing a dup of doc 1 is dropped against store
+    batch2 = spark.createDataFrame([(5, BASE), (6, THIRD)], SCHEMA)
+    admit_batch(spark, batch2, 1, dirs["corpus"], dirs["store"])
+    ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(dirs["corpus"]).collect()
+    )
+    assert ids == [1, 2, 6]
+
+
+def test_zero_caches_after_each_batch(spark, dirs):
+    """Every batch's signature caches are released on exit (CacheBag
+    context) — a streaming query must not accumulate cache entries."""
+    from etl_olho_vivo_spark.streaming.corpus_stream import admit_batch
+
+    jmap = spark.sparkContext._jsc.getPersistentRDDs
+    before = jmap().size()
+    for i, rows in enumerate([[(1, BASE)], [(2, OTHER)], [(3, THIRD)]]):
+        admit_batch(
+            spark, spark.createDataFrame(rows, SCHEMA), i,
+            dirs["corpus"], dirs["store"],
+        )
+    assert jmap().size() == before
