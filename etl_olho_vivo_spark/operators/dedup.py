@@ -294,7 +294,11 @@ def connected_components(
 
 
 def write_signature_store(
-    df: DataFrame, path: str, text: str = "text", n_buckets: int = 32
+    df: DataFrame | None = None,
+    path: str = "",
+    text: str = "text",
+    n_buckets: int = 32,
+    sig: DataFrame | None = None,
 ) -> None:
     """Persist the MinHash signature store as parquet, bucketed by doc_id.
 
@@ -304,8 +308,17 @@ def write_signature_store(
     every later batch's dedup into (batch-signature compute) + (band join
     against the store).  ``doc_id``-bucketing keeps the verify join's
     store side pre-shuffled on disk.
+
+    Pass ``sig`` (doc_id, sh, minhash) to write precomputed signatures —
+    the compaction path (``compact_signature_store``) uses this so the
+    corpus text is never re-hashed.
     """
-    sig = minhash_signature(df, text).select("doc_id", "sh", "minhash")
+    if sig is None:
+        if df is None:
+            raise ValueError("write_signature_store needs df or sig")
+        sig = minhash_signature(df, text).select("doc_id", "sh", "minhash")
+    else:
+        sig = sig.select("doc_id", "sh", "minhash")
     (
         sig.write.mode("overwrite")
         .format("parquet")
@@ -314,6 +327,25 @@ def write_signature_store(
         .option("path", path)
         .saveAsTable(_store_table(path))
     )
+
+
+def compact_signature_store(
+    spark, append_dir: str, path: str, n_buckets: int = 32
+) -> int:
+    """Compact a batch-partitioned append store (the streaming ingestion
+    loop's ``store_dir``) into the doc_id-bucketed layout.
+
+    The append store accumulates one small parquet partition per
+    micro-batch — correct, but the verify join must shuffle it every
+    batch.  Compaction is ONE signature-sized job (never touches corpus
+    text): read the accumulated signatures, write them back bucketed and
+    sorted so the store side of every later join is pre-shuffled on
+    disk.  Returns the number of signatures compacted.  The
+    log-structured lifecycle: append per batch, compact on schedule.
+    """
+    sig = spark.read.parquet(append_dir).select("doc_id", "sh", "minhash")
+    write_signature_store(sig=sig, path=path, n_buckets=n_buckets)
+    return read_signature_store(spark, path).count()
 
 
 def _store_table(path: str) -> str:

@@ -25,8 +25,9 @@ Scale + semantics notes:
   at-least-once after failures) rewrites exactly its own partition —
   idempotent, no dedup-of-the-dedup needed;
 - the store accumulates one parquet partition per batch; run
-  ``dedup.write_signature_store`` periodically to compact it back into
-  the doc_id-bucketed layout that pre-shuffles the verify join (the
+  ``dedup.compact_signature_store`` periodically to rewrite it into the
+  doc_id-bucketed layout that pre-shuffles the verify join — one
+  signature-sized job that never touches corpus text (the
   append-then-compact lifecycle every log-structured store uses);
 - documents with fewer than 3 tokens cannot be shingled and are dropped
   by the signature pass itself (same rule as the batch pipeline).
