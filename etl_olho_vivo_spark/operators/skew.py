@@ -104,3 +104,33 @@ def salted_agg(
             for name, (fn, _) in aggs.items()
         ]
     )
+
+
+def hot_keys(
+    df: DataFrame, col: str, support: float = 0.01
+) -> list:
+    """Detect heavy-hitter values of ``col`` in ONE pass — the decision
+    input for salting.
+
+    Wraps ``df.stat.freqItems`` (Karp/Shenker/Papadimitriou misra-gries
+    style streaming sketch; built into Spark): returns a SUPERSET of
+    every value whose frequency exceeds ``support`` of the rows, with no
+    shuffle and driver state bounded by ``1/support`` candidates.  False
+    positives are possible and harmless here — salting a non-hot key
+    costs one extra tiny exchange row; MISSING a hot key is what strands
+    a reducer, and the sketch guarantees that cannot happen above the
+    support threshold.
+
+    The production workflow this enables at 100 TB:
+
+        hot = hot_keys(fact, "user_id", support=0.001)   # one scan
+        if hot: out = salted_agg(fact, ["user_id"], ...)  # or salted_join
+        else:   out = fact.groupBy("user_id").agg(...)
+
+    i.e. pay the salting rewrite only when the data actually needs it,
+    decided by a sketch pass instead of a full groupBy count.
+    """
+    if not 0.0 < support < 1.0:
+        raise ValueError(f"support must be in (0, 1), got {support}")
+    (row,) = df.stat.freqItems([col], support).collect()
+    return sorted(row[f"{col}_freqItems"])

@@ -6,7 +6,6 @@ from __future__ import annotations
 import os
 
 import pytest
-from pyspark.sql import functions as F
 
 BASE = (
     "the quick brown fox jumps over the lazy dog and runs far away "

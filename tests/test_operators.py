@@ -1053,3 +1053,51 @@ LIMIT {k}
     assert [
         (r["vec_id"], r["label"], r["cell_id"], r["dot_q"]) for r in got
     ] == [tuple(r) for r in want]
+
+
+def test_hot_keys_superset_guarantee(spark):
+    """hot_keys returns every key above the support threshold (possibly
+    with false positives, never false negatives) — the property that
+    makes it safe to gate salting on."""
+    from etl_olho_vivo_spark.operators.skew import hot_keys
+
+    # 10_000 rows: key 1 holds 40%, key 2 holds 20%, the rest uniform
+    rows = (
+        [(1,)] * 4000 + [(2,)] * 2000
+        + [(100 + i % 400,) for i in range(4000)]
+    )
+    df = spark.createDataFrame(rows, "k long")
+    got = hot_keys(df, "k", support=0.1)
+    assert {1, 2} <= set(got)           # no false negatives above 10%
+    # candidate list bounded by ~1/support, not the key universe
+    assert len(got) <= 12, got
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        hot_keys(df, "k", support=1.5)
+
+
+def test_hot_keys_feeds_salted_agg(spark):
+    """The detect -> salt workflow end-to-end: salted aggregation over
+    the detected hot key equals the plain groupBy."""
+    from pyspark.sql import functions as F
+
+    from etl_olho_vivo_spark.operators.skew import hot_keys, salted_agg
+
+    rows = [(1, i) for i in range(5000)] + [
+        (k, i) for i, k in enumerate(range(2, 202))
+    ]
+    df = spark.createDataFrame(rows, "k long, v long")
+    assert 1 in hot_keys(df, "k", support=0.2)
+    salted = salted_agg(
+        df, ["k"],
+        {"n": ("sum", F.count(F.lit(1))), "s": ("sum", F.sum("v"))},
+        salt_source="v",
+    )
+    plain = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
