@@ -1,0 +1,112 @@
+"""Memory-pressure probe — the flagship must SPILL, not OOM, when the
+working set exceeds executor memory (the behavior every claim about
+100 TB depends on).
+
+Runs only with ``SPARK_GRAFT_MEMPROBE=1``: it generates a 3M-row events
+table and boots a dedicated starved JVM (1 GB heap,
+``spark.memory.fraction=0.2`` ≈ 50 MB execution budget per task), which
+is too heavy for the default suite.  The starved run must produce the
+SAME row count as the normal session, and the event logs must show a
+substantial memory spill — proving the completion actually exercised
+the spill path rather than fitting in memory.
+
+BASELINE.md records the round-5 reference numbers (541 MB spilled,
+504,150 rows, ~13 s).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_MEMPROBE") != "1",
+    reason="set SPARK_GRAFT_MEMPROBE=1 to run the starved-JVM probe",
+)
+
+REPLICAS = 30
+
+
+def test_flagship_spills_and_completes_under_starved_memory(
+    spark, tmp_path
+):
+    data_dir = str(tmp_path / "scale30")
+    events_dir = str(tmp_path / "events_log")
+    os.makedirs(events_dir)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    rep = F.explode(
+        F.array(*[F.lit(i) for i in range(REPLICAS)])
+    ).alias("rep")
+    ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    ev.select("*", rep).select(
+        (F.col("event_id") + F.col("rep") * F.lit(10_000_000)).alias(
+            "event_id"
+        ),
+        F.col("ts").cast("timestamp").alias("ts"),
+        (F.col("user_id") + F.col("rep") * F.lit(10_000_000)).alias(
+            "user_id"
+        ),
+        "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(f"{data_dir}/events.parquet")
+
+    from etl_olho_vivo_spark import registry
+
+    registry.queries()
+    expected = registry.REGISTRY["velocidades_agregadas"].fn(
+        spark, data_dir
+    ).count()
+
+    script = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[4]")
+            .config("spark.driver.memory", "1g")
+            .config("spark.memory.fraction", "0.2")
+            .config("spark.sql.shuffle.partitions", "4")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.dir", {events_dir!r})
+            .config("spark.ui.enabled", "false").getOrCreate())
+        from etl_olho_vivo_spark import registry
+        registry.queries()
+        df = registry.REGISTRY["velocidades_agregadas"].fn(
+            spark, {data_dir!r})
+        print("PROBE_ROWS", df.count())
+        spark.stop()
+    """)
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=560,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    (rows_line,) = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("PROBE_ROWS")
+    ]
+    assert int(rows_line.split()[1]) == expected
+
+    spill = 0
+    for f in glob.glob(f"{events_dir}/**/*", recursive=True):
+        if not os.path.isfile(f):
+            continue
+        for line in open(f, errors="ignore"):
+            try:
+                e = json.loads(line)
+            except Exception:
+                continue
+            if (
+                isinstance(e, dict)
+                and e.get("Event") == "SparkListenerTaskEnd"
+                and isinstance(e.get("Task Metrics"), dict)
+            ):
+                spill += e["Task Metrics"].get("Memory Bytes Spilled", 0) or 0
+    # a run that fit in memory proves nothing — demand a real spill
+    assert spill > 100 * 1024 * 1024, f"only {spill} bytes spilled"
