@@ -196,3 +196,67 @@ def test_acessiveis_projection(engine_out):
         "acessibilidade",
     ]
     assert ac.acessibilidade.isin([True, False]).all()
+
+
+# ---------------------------------------------------------------------------
+# Property fuzz: random small inputs vs the same independent oracle
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _random_posicoes(draw):
+    """Random small position tables: 1-3 vehicles, 0-6 pings each with
+    unique (vehicle, timestamp) — tie ordering is pinned by the golden
+    fixture above; the fuzz explores gaps, speeds, nulls, and bucket
+    boundaries.  Coordinates live on the engine's 1e-5-degree grid."""
+    rows = []
+    for veh in range(1, draw(st.integers(1, 3)) + 1):
+        n = draw(st.integers(0, 6))
+        offs = draw(
+            st.lists(
+                st.integers(0, 4000), min_size=n, max_size=n, unique=True
+            )
+        )
+        for o in sorted(offs):
+            py = draw(
+                st.one_of(
+                    st.none(),
+                    st.integers(-2380000, -2360000).map(lambda v: v * 1e-5),
+                )
+            )
+            px = draw(
+                st.one_of(
+                    st.none(),
+                    st.integers(-4690000, -4660000).map(lambda v: v * 1e-5),
+                )
+            )
+            rows.append(_row(veh, T0 + o, py, px, linha=10 + veh % 2))
+    return rows
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(rows=_random_posicoes())
+def test_pipeline_matches_pandas_oracle_property(spark, rows):
+    """Engine == independent pandas oracle on arbitrary inputs, not just
+    the curated fixture: cleaned pair set, slow-point set, and the full
+    aggregated frame."""
+    _, slow_o, agg_o = _pandas_oracle(rows)
+    pos = spark.createDataFrame(rows, POSICOES_SCHEMA)
+    out = speed.run_all(pos, tiebreakers=("py",))
+
+    slow_e = out["lentidao"].toPandas()
+    assert len(slow_e) == len(slow_o)
+    agg_e = out["velocidades_agregadas"].toPandas()
+    assert len(agg_e) == len(agg_o)
+    if len(agg_e):
+        keys = ["data", "intervalo", "prefixo_veiculo", "codigo_linha"]
+        eo = agg_e.sort_values(keys).reset_index(drop=True)
+        oo = agg_o[agg_e.columns].sort_values(keys).reset_index(drop=True)
+        pd.testing.assert_frame_equal(eo, oo, check_dtype=False, atol=1e-9)
