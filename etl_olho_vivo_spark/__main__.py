@@ -86,6 +86,11 @@ def _build_parser() -> argparse.ArgumentParser:
     cor.add_argument("--min-tokens", type=int, default=5)
     cor.add_argument("--jaccard-threshold", type=float, default=0.6)
     cor.add_argument("--redact-pii", action="store_true")
+    cor.add_argument(
+        "--jsonl-out", default=None, metavar="DIR",
+        help="additionally export the cleaned corpus as gzip'd JSONL "
+        "shards partitioned by detected language (training hand-off)",
+    )
     return p
 
 
@@ -141,6 +146,13 @@ def main(argv: list[str] | None = None) -> int:
             redact_pii=args.redact_pii,
             dedup_resolution=args.resolution,
         )
+        if args.jsonl_out:
+            from etl_olho_vivo_spark.io.export import export_jsonl
+
+            export_jsonl(
+                spark.read.parquet(args.out), args.jsonl_out,
+                by="lang_guess",
+            )
         print(json.dumps({"command": "corpus", **stats}))
         return 0
 

@@ -1,0 +1,47 @@
+"""JSONL export — the corpus's hand-off format to training stacks.
+
+LLM training pipelines overwhelmingly consume newline-delimited JSON
+shards (one document object per line, gzip'd, sharded by some grouping
+key).  The engine's corpus artifacts are parquet (typed, prunable,
+compact); this is the one-way bridge OUT: distributed `write.json`
+keeps the export a parallel task-per-shard job — no driver
+serialization, no collect — and gzip'd JSONL shards stream straight
+into tokenizer workers.
+
+Lossiness is inherent to the format and deliberate: JSON has no
+int64-vs-float distinction, no binary, no timestamp type.  Binary
+columns are rejected loudly rather than silently base64'd — a caller
+who wants media in the export must encode it intentionally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def export_jsonl(
+    df: DataFrame,
+    path: str,
+    by: str | None = None,
+    compression: str | None = "gzip",
+) -> None:
+    """Write ``df`` as (optionally sharded, optionally gzip'd) JSONL.
+
+    ``by`` Hive-partitions the export (one directory of shards per
+    value — e.g. ``lang_guess`` for per-language training mixes).
+    """
+    binary_cols = [
+        f.name for f in df.schema.fields
+        if f.dataType.simpleString() == "binary"
+    ]
+    if binary_cols:
+        raise ValueError(
+            f"refusing to JSONL-export binary column(s) {binary_cols}; "
+            "encode them explicitly (e.g. base64) if they must ship"
+        )
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    if by is not None:
+        w = w.partitionBy(by)
+    w.json(path)

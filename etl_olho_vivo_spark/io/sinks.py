@@ -29,6 +29,7 @@ def write_posicoes_parquet(
     path: str,
     cluster: bool = True,
     writer_options: dict | None = None,
+    fmt: str = "parquet",
 ) -> None:
     """S7: fact table → Parquet, Hive-partitioned by UTC day.
 
@@ -42,7 +43,12 @@ def write_posicoes_parquet(
     At 100 TB this is the difference between reading a partition and
     reading ~1/row_groups of it — paid once at ingest with a per-task
     in-memory sort (spillable, no extra shuffle: ``sortWithinPartitions``
-    adds only a local Sort node under the write)."""
+    adds only a local Sort node under the write).
+
+    ``fmt`` ∈ {"parquet", "orc"}: both columnar formats carry the same
+    partition layout, clustering benefit (ORC keeps stripe/row-index
+    min-max stats that prune exactly like parquet row groups), dynamic
+    overwrite, and predicate pushdown — pick per ecosystem."""
     out = df.withColumn(
         "data", interval_30min_date(F.col("timestamp"))
     )
@@ -50,16 +56,19 @@ def write_posicoes_parquet(
         out = out.sortWithinPartitions(
             "data", "codigo_linha", "prefixo_veiculo", "timestamp"
         )
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"fmt must be parquet|orc, got {fmt!r}")
     w = (
         out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("data")
+        .format(fmt)
     )
     # e.g. {"parquet.block.size": N} to tune row-group granularity —
     # smaller groups = finer stats pruning, more footer overhead
     for k, v in (writer_options or {}).items():
         w = w.option(k, v)
-    w.parquet(path)
+    w.save(path)
 
 
 def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
