@@ -1101,3 +1101,36 @@ def test_hot_keys_feeds_salted_agg(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_concurrent_queries_shared_session(spark):
+    """Two cache-registering queries run CONCURRENTLY on the shared
+    session (Thriftserver-style multi-tenancy) must produce exactly
+    their serial results.  Pins that the engine's shared state
+    (SESSION_BAG, CacheManager entries) degrades at worst to a
+    recompute — never to wrong rows — under interleaved scheduling."""
+    import concurrent.futures
+
+    from etl_olho_vivo_spark import registry
+    from etl_olho_vivo_spark.caching import release_session_caches
+
+    registry.queries()
+    sf = "/root/testdata/sf0.001"
+    names = ["minhash_near_dups", "ngram_jaccard_pairs"]
+
+    def run(name):
+        df = registry.REGISTRY[name].fn(spark, sf)
+        return sorted(map(tuple, df.collect()))
+
+    serial = {}
+    for n in names:
+        serial[n] = run(n)
+        release_session_caches()
+
+    with concurrent.futures.ThreadPoolExecutor(2) as pool:
+        futs = {n: pool.submit(run, n) for n in names}
+        concurrent = {n: f.result(timeout=300) for n, f in futs.items()}
+    release_session_caches()
+
+    for n in names:
+        assert concurrent[n] == serial[n], n
