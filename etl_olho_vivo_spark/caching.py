@@ -11,10 +11,13 @@ any further transformation — so the engine uses an explicit ``CacheBag``:
 - the caller releases the bag when it has materialized what it needs
   (``bag.release()``, or use the bag as a context manager);
 - with no bag supplied the operator still persists (the cache is what
-  makes the plan single-scan) and the entry lives for the session, where
-  Spark's LRU eviction and the CacheManager's canonical-plan dedup (a
-  re-run of the same query re-uses the existing entry instead of adding
-  one) bound the footprint.
+  makes the plan single-scan) but registers the entry in the
+  module-level ``SESSION_BAG``, so every harness's between-query
+  ``release_session_caches()`` reclaims it — a raw session persist
+  would pin the plan (and its disk blocks) until session end with no
+  release path.  The CacheManager's canonical-plan dedup (a re-run of
+  the same query re-uses the existing entry instead of adding one)
+  bounds the footprint between releases.
 
 Registry queries — which must return a LAZY frame through a fixed
 ``(spark, sf_dir)`` signature, so they cannot unpersist after their own

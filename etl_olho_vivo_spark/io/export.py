@@ -17,6 +17,21 @@ who wants media in the export must encode it intentionally.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def _has_binary(dt: T.DataType) -> bool:
+    """Recursive binary detection — a top-level-only check would let
+    struct/array/map-nested binary slip through to silent base64."""
+    if isinstance(dt, T.BinaryType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _has_binary(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _has_binary(dt.keyType) or _has_binary(dt.valueType)
+    if isinstance(dt, T.StructType):
+        return any(_has_binary(f.dataType) for f in dt.fields)
+    return False
 
 
 def export_jsonl(
@@ -31,8 +46,7 @@ def export_jsonl(
     value — e.g. ``lang_guess`` for per-language training mixes).
     """
     binary_cols = [
-        f.name for f in df.schema.fields
-        if f.dataType.simpleString() == "binary"
+        f.name for f in df.schema.fields if _has_binary(f.dataType)
     ]
     if binary_cols:
         raise ValueError(

@@ -188,12 +188,19 @@ def near_duplicates(
 
 
 def _persist(df: DataFrame, caches) -> DataFrame:
-    """Persist MEMORY_AND_DISK, tracked in ``caches`` when provided."""
-    if caches is not None:
-        return caches.add(df)
-    from pyspark.storagelevel import StorageLevel
+    """Persist MEMORY_AND_DISK, tracked in ``caches`` when provided.
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    With no bag the cache is registered in the module-level
+    ``SESSION_BAG`` instead of being raw-persisted: a raw persist has NO
+    release path (the CacheManager pins the plan — and any disk blocks —
+    until session end), while SESSION_BAG entries are released by every
+    harness between queries (``caching.release_session_caches``).  A
+    released cache that is still referenced simply recomputes — never
+    wrong rows, only a cold re-run.
+    """
+    from etl_olho_vivo_spark.caching import SESSION_BAG
+
+    return (caches if caches is not None else SESSION_BAG).add(df)
 
 
 def connected_components(
@@ -313,6 +320,11 @@ def write_signature_store(
     the compaction path (``compact_signature_store``) uses this so the
     corpus text is never re-hashed.
     """
+    if not path:
+        raise ValueError(
+            "write_signature_store requires an explicit path (an empty "
+            "path would land the table silently in the warehouse dir)"
+        )
     if sig is None:
         if df is None:
             raise ValueError("write_signature_store needs df or sig")

@@ -130,7 +130,19 @@ def hot_keys(
     i.e. pay the salting rewrite only when the data actually needs it,
     decided by a sketch pass instead of a full groupBy count.
     """
-    if not 0.0 < support < 1.0:
-        raise ValueError(f"support must be in (0, 1), got {support}")
+    if not 1e-4 <= support < 1.0:
+        # Spark's freqItems itself requires support >= 1e-4; validating
+        # here keeps the error at THIS contract instead of a mid-job one
+        raise ValueError(
+            f"support must be in [1e-4, 1), got {support} "
+            "(Spark's freqItems floor is 1e-4)"
+        )
     (row,) = df.stat.freqItems([col], support).collect()
-    return sorted(row[f"{col}_freqItems"])
+    vals = row[f"{col}_freqItems"]
+    # NULL can itself be a hot key (anonymous ids are a classic skew
+    # source) and freqItems reports it as None — return it LAST so the
+    # non-null portion stays sorted and comparable
+    out = sorted(v for v in vals if v is not None)
+    if any(v is None for v in vals):
+        out.append(None)
+    return out

@@ -25,18 +25,18 @@ Scale + semantics notes:
   at-least-once after failures) rewrites exactly its own partition —
   idempotent, no dedup-of-the-dedup needed;
 - the store accumulates one parquet partition per batch; run
-  ``dedup.compact_signature_store`` periodically to rewrite it into the
-  doc_id-bucketed layout that pre-shuffles the verify join — one
-  signature-sized job that never touches corpus text (the
-  append-then-compact lifecycle every log-structured store uses);
+  ``compact_append_store`` (below) on schedule to fold the partitions
+  into one base partition IN PLACE — one signature-sized job that never
+  touches corpus text, after which the stream keeps consuming the same
+  ``store_dir`` (the append-then-compact lifecycle every log-structured
+  store uses).  ``dedup.compact_signature_store`` additionally exports
+  into the doc_id-BUCKETED table layout for the batch incremental path
+  (``incremental_near_duplicates(store=read_signature_store(...))``);
 - documents with fewer than 3 tokens cannot be shingled and are dropped
   by the signature pass itself (same rule as the batch pipeline).
 """
 
 from __future__ import annotations
-
-import glob
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,19 +50,31 @@ def _store_frame(
 ) -> DataFrame | None:
     """The accumulated signature store, or None before the first batch.
 
+    Existence is probed through Spark's reader, NOT a driver-local
+    filesystem listing: ``store_dir`` is typically on shared/object
+    storage (s3a://, hdfs://) that the driver's local glob cannot see —
+    a local-only check would return "no store" forever and silently
+    admit every cross-batch duplicate.  A missing or still-empty path
+    surfaces as ``AnalysisException`` and means "no store yet".
+
     ``exclude_batch_id`` drops that batch's OWN partition from the
     comparison frame: on an at-least-once replay the store already holds
     the batch's prior signatures under the same doc_ids, and comparing a
     batch against its own previous write would drop every row — leaving
     a partially-written batch permanently unrepaired.  Partition-pruned
-    (one directory skipped), so the exclusion is free.
+    (one directory skipped), so the exclusion is free.  The compacted
+    base partition (``ingest_batch_id = -1``, see
+    ``compact_append_store``) can never collide with a real batch id.
     """
-    if glob.glob(os.path.join(store_dir, "**", "*.parquet"), recursive=True):
+    from pyspark.errors import AnalysisException
+
+    try:
         df = spark.read.parquet(store_dir)
-        if exclude_batch_id is not None:
-            df = df.filter(F.col("ingest_batch_id") != exclude_batch_id)
-        return df.select("doc_id", "sh", "minhash")
-    return None
+    except AnalysisException:
+        return None
+    if exclude_batch_id is not None and "ingest_batch_id" in df.columns:
+        df = df.filter(F.col("ingest_batch_id") != exclude_batch_id)
+    return df.select("doc_id", "sh", "minhash")
 
 
 def admit_batch(
@@ -120,6 +132,38 @@ def admit_batch(
             .partitionBy("ingest_batch_id")
             .parquet(store_dir)
         )
+
+
+def compact_append_store(spark: SparkSession, store_dir: str) -> int:
+    """Fold the per-batch append partitions into ONE base partition
+    (``ingest_batch_id = -1``), in place.
+
+    Thousands of micro-batches leave thousands of tiny partitions; the
+    banded store join then pays per-file open cost every batch.  This
+    rewrite is one signature-sized job — corpus text is never read.
+    The store is the same ``store_dir`` before and after, so the
+    running stream needs no coordination beyond "don't compact while a
+    batch is mid-write".
+
+    Same-path hazard: the job reads the directory it overwrites, so the
+    merged rows are materialized via ``localCheckpoint`` (lineage CUT —
+    a lazy plan would re-list the files mid-overwrite; same rationale
+    as io/upsert.py).  A crash between checkpoint and write loses only
+    the compaction — rerun it; batch ids are preserved inside -1 as a
+    plain column is NOT needed (dedup only reads doc_id/sh/minhash).
+
+    Returns the number of signatures in the compacted store.
+    """
+    sig = spark.read.parquet(store_dir).select("doc_id", "sh", "minhash")
+    merged = sig.withColumn(
+        "ingest_batch_id", F.lit(-1)
+    ).localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .partitionBy("ingest_batch_id")
+        .parquet(store_dir)
+    )
+    return spark.read.parquet(store_dir).count()
 
 
 def run_corpus_stream(

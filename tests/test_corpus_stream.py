@@ -165,3 +165,43 @@ def test_store_compaction_roundtrip(spark, dirs, tmp_path):
         spark.sql(
             f"DROP TABLE IF EXISTS {dedup._store_table(compacted)}"
         )
+
+
+def test_append_store_compaction_in_place(spark, dirs):
+    """compact_append_store folds per-batch partitions into the -1 base
+    partition IN PLACE; the stream keeps deduping against the same
+    store_dir afterwards, and a replay of a post-compaction batch still
+    excludes only its own partition (never the base)."""
+    from etl_olho_vivo_spark.streaming.corpus_stream import (
+        admit_batch,
+        compact_append_store,
+    )
+
+    admit_batch(spark, spark.createDataFrame([(1, BASE)], SCHEMA), 0,
+                dirs["corpus"], dirs["store"])
+    admit_batch(spark, spark.createDataFrame([(2, OTHER)], SCHEMA), 1,
+                dirs["corpus"], dirs["store"])
+    assert compact_append_store(spark, dirs["store"]) == 2
+    store = spark.read.parquet(dirs["store"])
+    assert [r["ingest_batch_id"] for r in
+            store.select("ingest_batch_id").distinct().collect()] == [-1]
+
+    # post-compaction batch: dup of doc 1 dropped against the base
+    admit_batch(spark, spark.createDataFrame([(5, BASE), (6, THIRD)],
+                                             SCHEMA), 2,
+                dirs["corpus"], dirs["store"])
+    ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(dirs["store"])
+        .select("doc_id").collect()
+    )
+    assert ids == [1, 2, 6]
+    # replaying that batch excludes ONLY its own partition — base still
+    # drops the dup, and the batch's fresh doc survives
+    admit_batch(spark, spark.createDataFrame([(5, BASE), (6, THIRD)],
+                                             SCHEMA), 2,
+                dirs["corpus"], dirs["store"])
+    ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(dirs["store"])
+        .select("doc_id").collect()
+    )
+    assert ids == [1, 2, 6]

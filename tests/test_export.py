@@ -74,3 +74,17 @@ def test_jsonl_export_rejects_binary(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="binary"):
         export_jsonl(media, str(tmp_path / "nope"))
+
+
+def test_jsonl_export_rejects_nested_binary(spark, tmp_path):
+    nested = spark.createDataFrame(
+        [(1, (bytearray(b"\x00"),)), ],
+        "doc_id long, media struct<payload: binary>",
+    )
+    with pytest.raises(ValueError, match="binary"):
+        export_jsonl(nested, str(tmp_path / "n1"))
+    arr = spark.createDataFrame(
+        [(1, [bytearray(b"\x00")])], "doc_id long, chunks array<binary>"
+    )
+    with pytest.raises(ValueError, match="binary"):
+        export_jsonl(arr, str(tmp_path / "n2"))

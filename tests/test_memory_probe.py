@@ -24,7 +24,6 @@ import sys
 import textwrap
 
 import pytest
-from pyspark.sql import functions as F
 
 pytestmark = pytest.mark.skipif(
     os.environ.get("SPARK_GRAFT_MEMPROBE") != "1",
@@ -37,24 +36,15 @@ REPLICAS = 30
 def test_flagship_spills_and_completes_under_starved_memory(
     spark, tmp_path
 ):
+    from tests.datagen import replicate_events
+
     data_dir = str(tmp_path / "scale30")
     events_dir = str(tmp_path / "events_log")
     os.makedirs(events_dir)
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    rep = F.explode(
-        F.array(*[F.lit(i) for i in range(REPLICAS)])
-    ).alias("rep")
-    ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
-    ev.select("*", rep).select(
-        (F.col("event_id") + F.col("rep") * F.lit(10_000_000)).alias(
-            "event_id"
-        ),
-        F.col("ts").cast("timestamp").alias("ts"),
-        (F.col("user_id") + F.col("rep") * F.lit(10_000_000)).alias(
-            "user_id"
-        ),
-        "event_type", "value", "props",
-    ).write.mode("overwrite").parquet(f"{data_dir}/events.parquet")
+    replicate_events(
+        spark, "/root/testdata/sf0.1/events.parquet",
+        f"{data_dir}/events.parquet", REPLICAS,
+    )
 
     from etl_olho_vivo_spark import registry
 

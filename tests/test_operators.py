@@ -1134,3 +1134,23 @@ def test_concurrent_queries_shared_session(spark):
 
     for n in names:
         assert concurrent[n] == serial[n], n
+
+
+def test_hot_keys_null_key_and_support_floor(spark):
+    """NULL is itself a reportable hot key (returned last, non-nulls
+    stay sorted), and sub-floor supports fail at THIS contract instead
+    of mid-job inside Spark."""
+    from etl_olho_vivo_spark.operators.skew import hot_keys
+
+    rows = [(None,)] * 3000 + [(1,)] * 3000 + [
+        (100 + i % 200,) for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "k long")
+    got = hot_keys(df, "k", support=0.2)
+    assert got[-1] is None and 1 in got[:-1]
+    assert got[:-1] == sorted(got[:-1])
+
+    import pytest
+
+    with pytest.raises(ValueError, match="1e-4"):
+        hot_keys(df, "k", support=1e-5)

@@ -42,29 +42,24 @@ from pyspark.sql import functions as F
 from etl_olho_vivo_spark import registry
 from etl_olho_vivo_spark.caching import release_session_caches
 
+from tests.datagen import OFF, replicate_events
+
 REPLICAS = 10
-# key offsets larger than any base id at these scale factors
-OFF = 10_000_000
 
 
 @pytest.fixture(scope="module")
 def scale10_dir(spark, tmp_path_factory):
     registry.queries()
     d10 = str(tmp_path_factory.mktemp("scale10"))
-    # driver parquet must resolve as TIMESTAMP (instant), not NTZ — same
-    # session conf the table reader pins (sources/tables.py)
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    replicate_events(
+        spark, "/root/testdata/sf0.1/events.parquet",
+        f"{d10}/events.parquet", REPLICAS,
+    )
+    # (documents/embeddings need custom per-table key columns — kept
+    # inline; the ts-instant conf is already pinned by replicate_events)
     rep = F.explode(
         F.array(*[F.lit(i) for i in range(REPLICAS)])
     ).alias("rep")
-
-    ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
-    ev.select("*", rep).select(
-        (F.col("event_id") + F.col("rep") * F.lit(OFF)).alias("event_id"),
-        F.col("ts").cast("timestamp").alias("ts"),
-        (F.col("user_id") + F.col("rep") * F.lit(OFF)).alias("user_id"),
-        "event_type", "value", "props",
-    ).write.mode("overwrite").parquet(f"{d10}/events.parquet")
 
     doc = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     doc.select("*", rep).select(
