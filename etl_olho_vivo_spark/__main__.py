@@ -91,6 +91,15 @@ def _build_parser() -> argparse.ArgumentParser:
         help="additionally export the cleaned corpus as gzip'd JSONL "
         "shards partitioned by detected language (training hand-off)",
     )
+
+    prof = sub.add_parser(
+        "profile", help="one-scan per-column profile of a parquet table"
+    )
+    prof.add_argument("--path", required=True, help="parquet file or dir")
+    prof.add_argument(
+        "--rsd", type=float, default=0.05,
+        help="HLL relative standard deviation for approx_distinct",
+    )
     return p
 
 
@@ -154,6 +163,20 @@ def main(argv: list[str] | None = None) -> int:
                 by="lang_guess",
             )
         print(json.dumps({"command": "corpus", **stats}))
+        return 0
+
+    if args.command == "profile":
+        from etl_olho_vivo_spark.functions.profile import profile_table
+
+        spark.conf.set(
+            "spark.sql.parquet.inferTimestampNTZ.enabled", "false"
+        )
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        prof = profile_table(
+            spark.read.parquet(args.path), rsd=args.rsd
+        )
+        for r in prof.collect():  # one row per COLUMN — tiny by design
+            print(json.dumps(r.asDict()))
         return 0
 
     raise AssertionError(f"unhandled command {args.command!r}")

@@ -71,3 +71,17 @@ def test_unknown_command_rejected():
 
     with pytest.raises(SystemExit):
         main(["frobnicate"])
+
+
+def test_profile_subcommand(capsys):
+    assert main(["--cpus", "8", "profile", "--path",
+                 "/root/testdata/sf0.001/nation.parquet"]) == 0
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    byc = {r["column"]: r for r in lines}
+    assert byc["n_nationkey"]["n_rows"] == 25
+    assert byc["n_nationkey"]["n_nulls"] == 0
+    assert byc["n_name"]["min_str"] is not None
