@@ -167,11 +167,17 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.command == "profile":
         from etl_olho_vivo_spark.functions.profile import profile_table
-
-        spark.conf.set(
-            "spark.sql.parquet.inferTimestampNTZ.enabled", "false"
+        from etl_olho_vivo_spark.sources.tables import (
+            pin_parquet_instant_confs,
         )
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+        if not 0.0 < args.rsd <= 0.37:
+            # HLL++ needs precision p >= 4 ⇒ rsd ≤ ~0.39; failing here
+            # beats a mid-job AnalysisException after the scan started
+            raise SystemExit(
+                f"--rsd must be in (0, 0.37], got {args.rsd}"
+            )
+        pin_parquet_instant_confs(spark)
         prof = profile_table(
             spark.read.parquet(args.path), rsd=args.rsd
         )

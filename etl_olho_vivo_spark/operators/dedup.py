@@ -412,6 +412,13 @@ def incremental_near_duplicates(
     old_bands = lsh_bands(store).withColumnRenamed("doc_id", "doc_old")
     pairs = (
         new_bands.join(old_bands, ["band", "band_sig"])
+        # identity guard: doc ids are globally unique, so doc_new ==
+        # doc_old can only mean the store holds the batch's OWN earlier
+        # write (at-least-once replay — possibly already folded into a
+        # compacted base partition, where partition-level exclusion
+        # cannot see it).  Without this a replayed doc self-matches at
+        # jaccard 1.0 and deletes itself from the corpus.
+        .filter(F.col("doc_new") != F.col("doc_old"))
         .select("doc_new", "doc_old")
         .dropDuplicates(["doc_new", "doc_old"])
     )

@@ -198,8 +198,9 @@ def _run_events_stream(
     import os
     import shutil
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    from etl_olho_vivo_spark.sources.tables import pin_parquet_instant_confs
+
+    pin_parquet_instant_confs(spark)
     src = os.path.join(sf_dir, "events.parquet")
     batch_schema = spark.read.parquet(src).schema
     # The file-stream source monitors a *directory*; stage the single-file

@@ -30,6 +30,26 @@ TABLE_NAMES = [
 ]
 
 
+def pin_parquet_instant_confs(spark: SparkSession) -> None:
+    """The ONE definition of the parquet instant-semantics policy.
+
+    - ``nanosAsLong``: TIMESTAMP(NANOS) columns read as raw BIGINT nanos
+      (Spark has no nanos timestamp; the reader raises without this),
+      converted explicitly by callers after a dtype check;
+    - ``inferTimestampNTZ=false``: µs-timestamp columns resolve as
+      TIMESTAMP instants (stored micros = UTC epoch, same as DuckDB's
+      epoch_ms), not TIMESTAMP_NTZ — keeps every epoch extraction
+      session-TZ-free, and keeps parquet WRITTEN from such frames
+      instant-typed too.
+
+    Call before any parquet read or derived-parquet write outside
+    ``read_table`` (which pins it itself).  A policy change edits this
+    function only.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
 def read_table(
     spark: SparkSession,
     sf_dir: str,
@@ -47,11 +67,7 @@ def read_table(
     match ``unix_millis(converted) op epoch_ms`` exactly:
     ``ms <= C  ⇔  ns <= C·10⁶ + 999999`` and ``ms >= C  ⇔  ns >= C·10⁶``.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # µs-timestamp columns (orders/lineitem) must resolve as TIMESTAMP
-    # instants (stored micros = UTC epoch, same as DuckDB's epoch_ms), not
-    # TIMESTAMP_NTZ — keeps every epoch extraction session-TZ-free.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    pin_parquet_instant_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     is_ns = {
         c: dict(df.dtypes).get(c) == "bigint" for c in _TS_COLS.get(name, [])

@@ -70,9 +70,21 @@ def _store_frame(
 
     try:
         df = spark.read.parquet(store_dir)
-    except AnalysisException:
-        return None
+    except AnalysisException as e:
+        # ONLY the two "store does not exist yet" classes mean no store;
+        # anything else (ACL list-denial that lets writes through,
+        # schema conflict, corruption) must fail LOUDLY — treating it
+        # as "no store" would silently admit every cross-batch dup
+        if e.getErrorClass() in (
+            "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"
+        ):
+            return None
+        raise
     if exclude_batch_id is not None and "ingest_batch_id" in df.columns:
+        # partition-level prune only — the correctness guard against a
+        # batch matching its own earlier write is the doc_new != doc_old
+        # identity filter inside incremental_near_duplicates, which also
+        # covers signatures already folded into the compacted base
         df = df.filter(F.col("ingest_batch_id") != exclude_batch_id)
     return df.select("doc_id", "sh", "minhash")
 
@@ -143,7 +155,12 @@ def compact_append_store(spark: SparkSession, store_dir: str) -> int:
     rewrite is one signature-sized job — corpus text is never read.
     The store is the same ``store_dir`` before and after, so the
     running stream needs no coordination beyond "don't compact while a
-    batch is mid-write".
+    batch is mid-write".  A CRASHED batch awaiting replay is safe to
+    compact over: its folded signatures can no longer be excluded by
+    partition, but the ``doc_new != doc_old`` identity guard inside
+    ``incremental_near_duplicates`` keeps the replay from matching its
+    own docs (ids are globally unique), so the rewritten batch
+    partition is complete, not a subset.
 
     Same-path hazard: the job reads the directory it overwrites, so the
     merged rows are materialized via ``localCheckpoint`` (lineage CUT —
@@ -163,7 +180,8 @@ def compact_append_store(spark: SparkSession, store_dir: str) -> int:
         .partitionBy("ingest_batch_id")
         .parquet(store_dir)
     )
-    return spark.read.parquet(store_dir).count()
+    # count the checkpointed blocks, not a second full read of the store
+    return merged.count()
 
 
 def run_corpus_stream(

@@ -26,7 +26,9 @@ def replicate_events(
     instant semantics before writing and cast ``ts`` explicitly, or the
     copy silently becomes TIMESTAMP_NTZ and breaks ``unix_millis``.
     """
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    from etl_olho_vivo_spark.sources.tables import pin_parquet_instant_confs
+
+    pin_parquet_instant_confs(spark)
     rep = F.explode(
         F.array(*[F.lit(i) for i in range(replicas)])
     ).alias("rep")

@@ -85,3 +85,11 @@ def test_profile_subcommand(capsys):
     assert byc["n_nationkey"]["n_rows"] == 25
     assert byc["n_nationkey"]["n_nulls"] == 0
     assert byc["n_name"]["min_str"] is not None
+
+
+def test_profile_rejects_out_of_range_rsd():
+    import pytest
+
+    with pytest.raises(SystemExit, match="rsd"):
+        main(["--cpus", "8", "profile", "--path", "/nonexistent",
+              "--rsd", "0.9"])

@@ -205,3 +205,25 @@ def test_append_store_compaction_in_place(spark, dirs):
         .select("doc_id").collect()
     )
     assert ids == [1, 2, 6]
+
+
+def test_replay_of_compacted_batch_keeps_it_complete(spark, dirs):
+    """The doc-loss scenario: a batch's signatures get folded into the
+    compacted base, THEN the batch replays (at-least-once after a
+    crash).  Partition exclusion can no longer hide its own prior write
+    — the doc_new != doc_old identity guard must keep every doc, or the
+    replay would self-match at jaccard 1.0 and rewrite the corpus
+    partition as a subset (permanent loss)."""
+    from etl_olho_vivo_spark.streaming.corpus_stream import (
+        admit_batch,
+        compact_append_store,
+    )
+
+    batch = spark.createDataFrame([(1, BASE), (2, OTHER)], SCHEMA)
+    admit_batch(spark, batch, 0, dirs["corpus"], dirs["store"])
+    assert compact_append_store(spark, dirs["store"]) == 2
+    admit_batch(spark, batch, 0, dirs["corpus"], dirs["store"])
+    ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(dirs["corpus"]).collect()
+    )
+    assert ids == [1, 2]

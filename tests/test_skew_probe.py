@@ -49,7 +49,9 @@ def skew_dir(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("skew"))
     # derived-parquet gotchas (see .claude/skills/verify/SKILL.md): pin
     # instant semantics before writing, cast ts explicitly
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    from etl_olho_vivo_spark.sources.tables import pin_parquet_instant_confs
+
+    pin_parquet_instant_confs(spark)
     ev = spark.read.parquet(f"{BASE}/events.parquet")
     # single parquet FILE (not a Spark directory): DuckDB's oracle views
     # read the same path the driver layout uses

@@ -268,8 +268,9 @@ def test_three_slice_replay_drops_oldest_quarter(spark, tmp_path):
 
     from etl_olho_vivo_spark.registry_ingest import _stage_thirds_by_time
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    from etl_olho_vivo_spark.sources.tables import pin_parquet_instant_confs
+
+    pin_parquet_instant_confs(spark)
     src = "/root/testdata/sf0.001/events.parquet"
     schema = spark.read.parquet(src).schema
     # same dtype branch as the production path (registry_ingest.py):
