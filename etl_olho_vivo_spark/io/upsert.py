@@ -85,8 +85,38 @@ def upsert_partitioned(
                 f"updates are missing table column(s) {sorted(lost)}; "
                 "merging would erase them from every rewritten partition"
             )
+        # TYPE drift is as loud as column drift: unionByName's legacy
+        # coercion would silently widen (bigint ∪ string → string) and
+        # max_by would then rank versions lexicographically ('9' > '10')
+        # while the overwrite writes a mixed-schema table
+        table_types = dict(existing_raw.dtypes)
+        upd_types = dict(updates.dtypes)
+        drift = {
+            c: (table_types[c], upd_types[c])
+            for c in cols
+            if c in table_types and table_types[c] != upd_types[c]
+        }
+        if drift:
+            raise ValueError(
+                f"update column type(s) drifted from the table: {drift}; "
+                "coercing would corrupt version ranking and fork the "
+                "table's physical schema"
+            )
+        # NULL-safe touched filter: isin() is three-valued (NULL never
+        # matches anything, including a NULL in the list), so a NULL
+        # partition value in the updates would EXCLUDE the existing
+        # null-partition rows from the merge while dynamic overwrite
+        # still rewrites that partition — silently deleting them.
+        non_null = [t for t in touched if t is not None]
+        cond = (
+            F.col(partition_col).isin(non_null)
+            if non_null
+            else F.lit(False)
+        )
+        if len(non_null) != len(touched):
+            cond = cond | F.col(partition_col).isNull()
         existing = (
-            existing_raw.filter(F.col(partition_col).isin(touched))
+            existing_raw.filter(cond)
             .select(*cols)
             .withColumn("__src", F.lit(0))
         )

@@ -54,6 +54,14 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    clash = [c for c in right_cols if c in left.columns]
+    if clash:
+        # withColumn would silently REPLACE the left column (and null it
+        # on unmatched rows) — pandas merge_asof suffixes; we fail loud
+        raise ValueError(
+            f"right_cols {clash} already exist on the left side; alias "
+            "them on one side first"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     lhs = left.withColumn("__is_l", F.lit(1))
     for c in right_cols:
@@ -67,7 +75,13 @@ def asof_join(
     )
     if extra_tiebreak:
         rhs_cols.append(tiebreak)
-    rhs = right.select(*keys, ts, *rhs_cols, F.lit(0).alias("__is_l"))
+    # a right row with NULL ts has no place on the time axis: NULLS
+    # FIRST ordering would otherwise rank it "older than everything" and
+    # let it match (with an unknowable staleness) whenever tolerance is
+    # unset — drop such rows up front, consistently for both directions
+    rhs = right.filter(F.col(ts).isNotNull()).select(
+        *keys, ts, *rhs_cols, F.lit(0).alias("__is_l")
+    )
     u = lhs.unionByName(rhs, allowMissingColumns=True)
     # The matched right row travels as ONE struct (row-atomic, like a real
     # as-of join): picking each value column independently with
@@ -98,9 +112,9 @@ def asof_join(
         frame = (Window.currentRow, Window.unboundedFollowing)
         pick = F.first("__r", ignorenulls=True)
     if tiebreak is not None:
-        order.append(
-            F.col(tiebreak) if direction == "backward" else F.col(tiebreak).asc()
-        )
+        # ascending for BOTH directions: backward's last() takes the
+        # greatest tiebreak, forward's first() the smallest
+        order.append(F.col(tiebreak))
     w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(*frame)
     u = u.withColumn("__r", pick.over(w))
     out = u.filter(F.col("__is_l") == 1).drop("__is_l")

@@ -53,7 +53,12 @@ def resample(
     bounds = df.groupBy(*keys).agg(
         F.min(ts).alias("__lo"), F.max(ts).alias("__hi")
     )
-    aligned = (F.floor(F.col("__lo") / step) * step).cast(
+    # integer alignment, NOT floor(__lo / step): `/` is double division,
+    # and above 2^53 (epoch nanos — which tables.py reads as raw longs)
+    # the rounded quotient can land one step off, silently dropping or
+    # inventing the key's first grid tick.  pmod keeps the math exact at
+    # any int64 magnitude and floor-aligns negatives correctly too.
+    aligned = (F.col("__lo") - F.pmod(F.col("__lo"), F.lit(step))).cast(
         df.schema[ts].dataType
     )
     grid = bounds.select(

@@ -77,6 +77,9 @@ def cosine_topk(
     q = emb.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qe")
     )
+    if q.isEmpty():  # cheap pushed-filter probe; an empty top-k would
+        # be indistinguishable from "nothing similar"
+        raise ValueError(f"query_vec_id {query_vec_id} not in embeddings")
     cand = emb.filter(F.col("vec_id") != query_vec_id).crossJoin(
         F.broadcast(q)
     )
@@ -218,10 +221,14 @@ def kmeans_centroids(
                     for i in range(dim)
                 ]
             )
-            cents = [
-                (r["cell_id"], [r[f"c{i}"] for i in range(dim)])
+            got = {
+                r["cell_id"]: [r[f"c{i}"] for i in range(dim)]
                 for r in means.collect()
-            ]
+            }
+            # a cell that attracted zero vectors this round has no mean
+            # row; KEEP its previous centroid instead of silently
+            # shrinking below n_cells (standard empty-cluster handling)
+            cents = [(cid, got.get(cid, qc)) for cid, qc in cents]
         return spark.createDataFrame(cents, ["cell_id", "qc"])
     finally:
         vecs.unpersist()
@@ -234,6 +241,7 @@ def ivf_topk(
     n_cells: int = 8,
     n_probe: int = 1,
     centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k: probe the ``n_probe`` IVF cells nearest the query, rank
     candidates by exact integer dot product (descending), vec_id tiebreak.
@@ -243,13 +251,28 @@ def ivf_topk(
     search over every cell.  Cell selection ranks centroid distances in a
     tiny broadcast-side window — the candidate scan stays proportional to
     the probed fraction of the corpus.
+
+    Metric note: candidates rank by INNER PRODUCT (MIPS) on the exact
+    quantized components — the deterministic cross-engine metric.  For
+    non-uniform vector norms this is a different ranking than the cosine
+    baseline (a long vector at a wider angle can outrank a short aligned
+    one); normalize embeddings at ingest when cosine semantics are
+    required, as real retrieval corpora do.
+
+    Production shape: pass ``assigned`` (a persisted ``ivf_assign``
+    result — the index built once at ingest) so a query reads only its
+    probed cells; without it the assignment is recomputed per call,
+    which is the demo/oracle path, not the serving path.
     """
     if centroids is None:
         centroids = _default_centroids(emb, n_cells)
-    assigned = ivf_assign(emb, n_cells, centroids)
+    if assigned is None:
+        assigned = ivf_assign(emb, n_cells, centroids)
     qv = emb.filter(F.col("vec_id") == query_vec_id).select(
         F.expr(_quantize("embedding")).alias("q_qv")
     )
+    if qv.isEmpty():
+        raise ValueError(f"query_vec_id {query_vec_id} not in embeddings")
     # rank ALL centroids by distance to the query (n_cells rows — tiny),
     # keep the n_probe nearest as the probe set
     cdist = F.expr(_l2sq_int("qc", "q_qv"))

@@ -1154,3 +1154,86 @@ def test_hot_keys_null_key_and_support_floor(spark):
 
     with pytest.raises(ValueError, match="1e-4"):
         hot_keys(df, "k", support=1e-5)
+
+
+def test_resample_grid_exact_at_int64_magnitude(spark):
+    """Grid alignment is exact integer math: at epoch-nanos magnitude a
+    double division would misplace the first tick near step multiples."""
+    from etl_olho_vivo_spark.operators.resample import resample
+
+    step = 60
+    # lo one tick below a multiple of 60, at 1e18 (not representable
+    # exactly as double to the nanosecond)
+    base = 10**18
+    lo = base - (base % step) + step - 1
+    rows = [(1, lo, 1.0), (1, lo + 2 * step, 2.0)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    got = sorted(
+        r["t"] for r in resample(df, ["k"], "t", step, ["v"]).collect()
+    )
+    expected_start = lo - (lo % step)
+    assert got[0] == expected_start
+    assert all((t - expected_start) % step == 0 for t in got)
+
+
+def test_asof_rejects_colliding_right_cols(spark):
+    from etl_olho_vivo_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, 5.0)], "k long, t long, v double")
+    right = spark.createDataFrame([(1, 9, 7.0)], "k long, t long, v double")
+    import pytest
+
+    with pytest.raises(ValueError, match="already exist"):
+        asof_join(left, right, on="k", ts="t", right_cols=["v"])
+
+
+def test_asof_ignores_null_right_ts(spark):
+    """A right row with NULL ts must never match (it has no place on the
+    time axis) — previously it ranked 'older than everything' and leaked
+    into no-tolerance backward matches."""
+    from etl_olho_vivo_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, None, 99.0)], "k long, t long, price double"
+    )
+    out = asof_join(left, right, on="k", ts="t", right_cols=["price"])
+    assert [r["price"] for r in out.collect()] == [None]
+
+
+def test_similarity_rejects_missing_query_id(spark, embeddings):
+    from etl_olho_vivo_spark.operators.similarity import cosine_topk, ivf_topk
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not in embeddings"):
+        cosine_topk(embeddings, query_vec_id=10**9)
+    with pytest.raises(ValueError, match="not in embeddings"):
+        ivf_topk(embeddings, query_vec_id=10**9)
+
+
+def test_kmeans_keeps_n_cells_across_refines(spark, embeddings):
+    """Empty clusters keep their previous centroid — the centroid count
+    never silently shrinks below n_cells at any refine depth."""
+    from etl_olho_vivo_spark.operators.similarity import kmeans_centroids
+
+    cents = kmeans_centroids(
+        embeddings, n_cells=4, rounds=2, refine_iters=3
+    )
+    assert cents.count() == 4
+
+
+def test_ivf_topk_precomputed_assignment_identical(spark, embeddings):
+    """The serving path (index built once at ingest) returns exactly the
+    demo path's answer."""
+    from etl_olho_vivo_spark.operators.similarity import ivf_assign, ivf_topk
+
+    demo = ivf_topk(embeddings, query_vec_id=0, k=5, n_probe=2).collect()
+    assigned = ivf_assign(embeddings, n_cells=8).persist()
+    try:
+        served = ivf_topk(
+            embeddings, query_vec_id=0, k=5, n_probe=2, assigned=assigned
+        ).collect()
+    finally:
+        assigned.unpersist()
+    assert [tuple(r) for r in served] == [tuple(r) for r in demo]

@@ -137,3 +137,42 @@ def test_upsert_into_empty_path(spark, tmp_path):
         partition_col="day",
     )
     assert _snapshot(spark, path) == {1: ("a", 1, "d1")}
+
+
+def test_null_partition_rows_survive_merge(spark, tmp_path):
+    """isin() is three-valued: a NULL partition value in the updates
+    must not silently delete the existing null-partition rows (the
+    pre-fix filter excluded them from the merge while dynamic overwrite
+    still rewrote the partition)."""
+    from etl_olho_vivo_spark.io.upsert import upsert_partitioned
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 1, None), (2, 1, None), (3, 1, "d1")],
+        "k long, version long, day string",
+    )
+    upsert_partitioned(spark, path, base, ["k"], "version", "day")
+    upd = spark.createDataFrame(
+        [(1, 2, None)], "k long, version long, day string"
+    )
+    upsert_partitioned(spark, path, upd, ["k"], "version", "day")
+    back = sorted(
+        (r["k"], r["version"]) for r in spark.read.parquet(path).collect()
+    )
+    # k=1 upgraded, k=2 (same null partition) SURVIVES, k=3 untouched
+    assert back == [(1, 2), (2, 1), (3, 1)]
+
+
+def test_type_drift_fails_loudly(spark, tmp_path):
+    from etl_olho_vivo_spark.io.upsert import upsert_partitioned
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 1, "d1")], "k long, version long, day string"
+    )
+    upsert_partitioned(spark, path, base, ["k"], "version", "day")
+    drifted = spark.createDataFrame(
+        [(1, "9", "d1")], "k long, version string, day string"
+    )
+    with pytest.raises(ValueError, match="drifted"):
+        upsert_partitioned(spark, path, drifted, ["k"], "version", "day")
