@@ -33,12 +33,18 @@ def iso8601_to_epoch(ta: Column) -> Column:
     ``to_date`` on the date substring is pure calendar arithmetic
     (DateType has no timezone) and the time-of-day fields are integer
     substrings — the session timezone never enters.  NULL/malformed
-    input → NULL (``.get()`` parity, ref ``:58``).
+    input → NULL (``.get()`` parity, ref ``:58``) — via the ``try_``
+    variants: under Spark's default ANSI mode a plain cast/to_date
+    RAISES on garbage, so one malformed ``ta`` string (schema-valid,
+    therefore not quarantined by PERMISSIVE) would abort a whole batch
+    or streaming job instead of yielding a NULL-timestamp row.
     """
-    day = F.datediff(F.to_date(F.substring(ta, 1, 10)), F.lit("1970-01-01"))
-    hh = F.substring(ta, 12, 2).cast("long")
-    mm = F.substring(ta, 15, 2).cast("long")
-    ss = F.substring(ta, 18, 2).cast("long")
+    day = F.datediff(
+        F.try_to_date(F.substring(ta, 1, 10)), F.lit("1970-01-01")
+    )
+    hh = F.substring(ta, 12, 2).try_cast("long")
+    mm = F.substring(ta, 15, 2).try_cast("long")
+    ss = F.substring(ta, 18, 2).try_cast("long")
     return day.cast("long") * 86400 + hh * 3600 + mm * 60 + ss
 
 
@@ -98,5 +104,9 @@ def flatten_posicoes(raw: DataFrame) -> DataFrame:
 def ingest_posicoes(spark: SparkSession, raw_path: str) -> DataFrame:
     """Stage-2 composition: raw JSON path/glob → typed posicoes frame."""
     df = flatten_posicoes(read_raw_posicoes(spark, raw_path))
-    assert df.columns == POSICOES_COLUMNS
+    if df.columns != POSICOES_COLUMNS:  # if/raise: asserts vanish under -O
+        raise RuntimeError(
+            f"flatten produced columns {df.columns}, expected "
+            f"{POSICOES_COLUMNS}"
+        )
     return df

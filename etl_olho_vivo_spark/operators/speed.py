@@ -99,8 +99,21 @@ def cleaned_speeds(
     out = with_lag(with_intervals(df), tiebreakers)
     # P4 (ref :106): first ping of each vehicle has no previous position.
     out = out.filter(F.col("px_anterior").isNotNull())
+    return clean_pairs(out)
+
+
+def clean_pairs(paired: DataFrame) -> DataFrame:
+    """The SHARED cleaning chain over consecutive-ping pair rows — any
+    frame carrying ``timestamp/timestamp_anterior`` and both coordinate
+    pairs.  Both execution modes call this ONE definition (batch lag
+    window above; streaming stateful pairs,
+    ``streaming/pipeline.py:stream_speeds``), so the gap rule, rounding
+    order, and speed cap cannot drift between them.
+    """
     # F5 (ref :109): seconds between consecutive pings.
-    out = out.withColumn("tempo", F.col("timestamp") - F.col("timestamp_anterior"))
+    out = paired.withColumn(
+        "tempo", F.col("timestamp") - F.col("timestamp_anterior")
+    )
     # P5 (ref :112) + explicit tempo>0 (deviation, §4.3.1).
     out = out.filter((F.col("tempo") <= MAX_GAP_S) & (F.col("tempo") > 0))
     # F3+F4 (ref :115-121): haversine, rounded to 2 dp BEFORE the division —

@@ -37,8 +37,16 @@ def token_count(text: str = "text") -> Column:
 
 def regex_token_count(text: str = "text", pattern: str = "[a-z]+") -> Column:
     """BPE-ish token proxy: count of maximal ``[a-z]+`` runs (identical
-    regex semantics in Spark/RE2 dialects for this simple class)."""
-    return F.expr(f"size(regexp_extract_all({text}, '{pattern}', 0))")
+    regex semantics in Spark/RE2 dialects for this simple class).
+
+    Built with the Column API, not f-string SQL: interpolating the
+    pattern into a single-quoted SQL literal silently folds backslash
+    classes (``\\d+`` → ``d+`` — wrong counts, no error) and breaks on
+    quotes in the pattern.
+    """
+    return F.size(
+        F.regexp_extract_all(F.col(text), F.lit(pattern), F.lit(0))
+    )
 
 
 def _in_list(var: str, words: tuple[str, ...]) -> str:
@@ -60,8 +68,11 @@ def quality_features(df: DataFrame, text: str = "text") -> DataFrame:
     # single-space corpus: total word chars = n_char - (n_tok - 1)
     avg_word_len = (n_char - (n_tok - F.lit(1))) / n_tok
     stop_ratio = stopword_count(text) / n_tok
+    # try_divide: an empty/whitespace-only doc has avg_word_len = 0, and
+    # under default ANSI mode a plain division ABORTS the whole corpus
+    # job; NULL score instead (fails every >= quality gate → dropped)
     score = F.lit(0.4) * stop_ratio + F.lit(0.6) * (
-        F.lit(1.0) - F.lit(1.0) / avg_word_len
+        F.lit(1.0) - F.try_divide(F.lit(1.0), avg_word_len)
     )
     return df.withColumns(
         {
@@ -150,6 +161,9 @@ def pack_chunks(
     Output: one row per (shard, pack_id) with the concatenated text, the
     chunk count, and the exact token total.
     """
+    if budget <= 0:  # eager, like chunk_docs: a 0 would DIVIDE_BY_ZERO
+        # mid-job and a negative silently inverts pack ids
+        raise ValueError(f"budget must be positive, got {budget}")
     w = Window.partitionBy(shard_col).orderBy(
         *[F.col(c) for c in order_cols]
     )
@@ -197,9 +211,12 @@ def stratified_sample(
     Strata absent from ``fractions`` fall back to ``default_fraction``
     (0.0 = drop, the explicit-mixture posture).
     """
-    bucket = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    # the ONE canonical md5-prefix hash (functions/hashing.py) — an
+    # inline copy here could drift from the dedup/fingerprint operators
+    # and from the DuckDB oracle form
+    from etl_olho_vivo_spark.functions.hashing import spark_token_hash
+
+    bucket = F.expr(spark_token_hash(f"CAST({id_col} AS STRING)"))
     space = float(16**8)
     expr = F.lit(default_fraction)
     for stratum, frac in fractions.items():

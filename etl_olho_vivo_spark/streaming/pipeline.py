@@ -25,7 +25,12 @@ Scale notes: state is one tiny row per vehicle (10⁴-10⁵ keys city-wide) —
 negligible next to shuffle; the stateful exchange hash-partitions by
 vehicle exactly like the batch window.  Pings arriving out of order
 *across* micro-batches pair in arrival order (documented deviation from
-the batch sort; the watermark bounds how stale a pairing can be).
+the batch sort).  The PAIRING path itself carries no watermark — no
+event-time bound evicts or gates the per-vehicle state (NoTimeout); what
+bounds the damage from a stale replay is the downstream ≤600 s gap
+filter, which drops any pair whose members are far apart in event time.
+Watermarks apply to the windowed aggregation path
+(``stream_interval_counts``), where late data is actually dropped.
 
 API pin — ``applyInPandasWithState`` vs Spark 4 ``transformWithState``:
 this runtime (PySpark 4.1.2) ships both, and ``transformWithStateInPandas``
@@ -53,7 +58,6 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupStateTimeout
 
 from etl_olho_vivo_spark.io.flatten import flatten_posicoes
-from etl_olho_vivo_spark.operators.speed import MAX_GAP_S, MAX_SPEED_MS
 from etl_olho_vivo_spark.schemas import RAW_POSICAO_SCHEMA
 
 
@@ -203,31 +207,13 @@ def stream_speeds(
 ) -> DataFrame:
     """Online cleaned speeds: stateful pairs → JVM-side speed math.
 
-    Applies the SAME cleaning chain as batch ``cleaned_speeds`` (P5 gap,
-    tempo>0, F3 haversine, F4 round-before-divide, P6 speed cap) — the
-    Python stage only pairs pings; all math stays in codegen.
+    Applies the LITERALLY same cleaning chain as batch
+    (``speed.clean_pairs`` — one definition, both execution modes); the
+    Python stage only pairs pings, all math stays in codegen.
     ``tiebreakers`` orders equal-timestamp pings deterministically within
     a micro-batch (the streaming twin of the batch path's tiebreakers in
     ``plans/daily.py``).
     """
-    from etl_olho_vivo_spark.functions.geo import haversine_m
+    from etl_olho_vivo_spark.operators.speed import clean_pairs
 
-    pairs = stream_ping_pairs(pos, tiebreakers=tiebreakers)
-    out = pairs.withColumn(
-        "tempo", F.col("timestamp") - F.col("timestamp_anterior")
-    )
-    out = out.filter((F.col("tempo") <= MAX_GAP_S) & (F.col("tempo") > 0))
-    out = out.withColumn(
-        "distancia",
-        F.round(
-            haversine_m(
-                F.col("py_anterior"), F.col("px_anterior"),
-                F.col("py"), F.col("px"),
-            ),
-            2,
-        ),
-    )
-    out = out.withColumn(
-        "velocidade_media", F.col("distancia") / F.col("tempo")
-    )
-    return out.filter(F.col("velocidade_media") <= MAX_SPEED_MS)
+    return clean_pairs(stream_ping_pairs(pos, tiebreakers=tiebreakers))

@@ -122,3 +122,20 @@ def test_posicoes_parquet_partitioned_by_day(spark, tmp_path, raw_dir):
     assert back.count() == 3
     # partition pruning predicate resolves on the partition column
     assert back.filter("data = '2024-05-10'").count() == 3
+
+
+def test_malformed_ta_yields_null_not_crash(spark):
+    """A schema-valid but garbage ta string must produce a NULL epoch
+    (the reference's .get() tolerance), not an ANSI cast error that
+    aborts the batch/stream."""
+    from etl_olho_vivo_spark.io.flatten import iso8601_to_epoch
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("2024-05-10T03:30:00Z",), ("2024-05-10Tgarbage",),
+         ("not a timestamp",), (None,)],
+        "ta string",
+    )
+    got = [r[0] for r in df.select(iso8601_to_epoch(F.col("ta"))).collect()]
+    assert got[0] == 1715311800
+    assert got[1:] == [None, None, None]

@@ -1237,3 +1237,46 @@ def test_ivf_topk_precomputed_assignment_identical(spark, embeddings):
     finally:
         assigned.unpersist()
     assert [tuple(r) for r in served] == [tuple(r) for r in demo]
+
+
+def test_quality_features_empty_doc_no_crash(spark):
+    """Empty/whitespace docs: NULL quality score (drops at any gate),
+    never an ANSI DIVIDE_BY_ZERO that aborts the corpus job."""
+    from etl_olho_vivo_spark.operators import textops
+
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, "real text")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r["quality_score"]
+           for r in textops.quality_features(df).collect()}
+    assert out[1] is None and out[3] is not None
+
+
+def test_regex_token_count_backslash_and_quote_patterns(spark):
+    """Patterns survive verbatim (Column API, not f-string SQL): the old
+    SQL-literal interpolation folded backslash classes silently."""
+    from etl_olho_vivo_spark.operators import textops
+
+    df = spark.createDataFrame([("1 22 333 d dd",)], "text string")
+    n_digits = df.select(
+        textops.regex_token_count("text", r"\d+").alias("n")
+    ).first()["n"]
+    assert n_digits == 3  # the old interpolation counted 'd+' runs -> 2
+    n_quote = df.select(
+        textops.regex_token_count("text", "[d']+").alias("n")
+    ).first()["n"]
+    assert n_quote == 2
+
+
+def test_pack_chunks_rejects_nonpositive_budget(spark):
+    from etl_olho_vivo_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [(1, 0, "a", 3, "src")],
+        "doc_id long, chunk_id long, chunk_text string, n_tokens long, "
+        "source string",
+    )
+    import pytest
+
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="budget"):
+            textops.pack_chunks(df, budget=bad, shard_col="source")
