@@ -28,13 +28,17 @@ def profile_table(df: DataFrame, rsd: float = 0.05) -> DataFrame:
     simple = {"string", "boolean", "int", "bigint", "smallint", "tinyint",
               "float", "double", "decimal", "date", "timestamp",
               "timestamp_ntz"}
-    if len(set(df.columns)) != len(df.columns):
+    # case-INSENSITIVE duplicate check: Spark resolution is
+    # case-insensitive by default, so ('k', 'K') would pass a plain set
+    # test and then die with an opaque AMBIGUOUS_REFERENCE mid-plan
+    folded = [c.lower() for c in df.columns]
+    if len(set(folded)) != len(folded):
         dupes = sorted(
-            {c for c in df.columns if df.columns.count(c) > 1}
+            {c for c in df.columns if folded.count(c.lower()) > 1}
         )
         raise ValueError(
-            f"duplicate column name(s) {dupes}: alias them before "
-            "profiling (references would be ambiguous)"
+            f"duplicate column name(s) {dupes} (case-insensitive): alias "
+            "them before profiling (references would be ambiguous)"
         )
     dtypes = dict(df.dtypes)  # built once; names are unique (checked)
     aggs = [F.count(F.lit(1)).alias("__n")]
@@ -45,7 +49,12 @@ def profile_table(df: DataFrame, rsd: float = 0.05) -> DataFrame:
         col = F.col("`" + c.replace("`", "``") + "`")
         probe = col if dtype in simple else col.cast("string")
         aggs += [
-            F.sum(col.isNull().cast("long")).alias(f"__nulls_{c}"),
+            # coalesce: sum() over ZERO rows is NULL, and an empty
+            # ingest must profile as n_nulls=0, not NULL (quality checks
+            # compare and divide these)
+            F.coalesce(
+                F.sum(col.isNull().cast("long")), F.lit(0)
+            ).alias(f"__nulls_{c}"),
             F.approx_count_distinct(probe, rsd=rsd).alias(f"__dist_{c}"),
             (
                 F.min(col).cast("string")
@@ -64,12 +73,15 @@ def profile_table(df: DataFrame, rsd: float = 0.05) -> DataFrame:
             F.struct(
                 F.lit(c).alias("column"),
                 F.col("__n").alias("n_rows"),
-                # backticked: a dot in the source column name must not
-                # read as a struct-field access on the derived alias
-                F.col(f"`__nulls_{c}`").alias("n_nulls"),
-                F.col(f"`__dist_{c}`").alias("approx_distinct"),
-                F.col(f"`__min_{c}`").alias("min_str"),
-                F.col(f"`__max_{c}`").alias("max_str"),
+                # backticked + escaped: dots must not read as struct
+                # access and backticks in the source name must not break
+                # the quoting (same escaping as the source reference)
+                F.col(f"`__nulls_{c.replace('`', '``')}`").alias("n_nulls"),
+                F.col(f"`__dist_{c.replace('`', '``')}`").alias(
+                    "approx_distinct"
+                ),
+                F.col(f"`__min_{c.replace('`', '``')}`").alias("min_str"),
+                F.col(f"`__max_{c.replace('`', '``')}`").alias("max_str"),
             )
             for c in df.columns
         ]

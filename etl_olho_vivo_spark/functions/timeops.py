@@ -28,8 +28,15 @@ def interval_bucket(ts_seconds: Column) -> Column:
 
 
 def _hhmm(epoch_s: Column) -> Column:
-    """``"HH:MM"`` of a UTC epoch, by integer arithmetic (TZ-independent)."""
-    secs_of_day = epoch_s % 86400
+    """``"HH:MM"`` of a UTC epoch, by integer arithmetic (TZ-independent).
+
+    ``pmod``, not ``%``: Spark's ``%`` keeps the dividend's sign, so a
+    pre-1970 epoch (schema-valid year-typo ta strings produce them)
+    would yield a negative seconds-of-day and garbage labels like
+    ``-1:00--1:-3``; pmod wraps exactly like the reference's
+    ``utcfromtimestamp`` clock.
+    """
+    secs_of_day = F.pmod(epoch_s, F.lit(86400))
     hh = F.floor(secs_of_day / 3600).cast("int")
     mm = F.floor((secs_of_day % 3600) / 60).cast("int")
     return F.concat(

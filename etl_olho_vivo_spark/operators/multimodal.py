@@ -80,8 +80,11 @@ def decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def fake_decode(media: bytes) -> tuple[int, int, int, int]:
-            # inlined _fake_decode (keep the two in sync)
+        def fake_decode(media) -> tuple:
+            # inlined _fake_decode (keep the two in sync); NULL media
+            # (null text upstream) → NULL features, never a worker crash
+            if media is None:
+                return None, None, None, None
             n = len(media)
             checksum = sum(media) % 2147483647
             return n, checksum, checksum % 640, checksum % 480
@@ -92,16 +95,16 @@ def decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "n_bytes": pd.Series(
-                        [f[0] for f in feats], dtype="int32"
+                        [f[0] for f in feats], dtype="Int32"
                     ),
                     "checksum": pd.Series(
-                        [f[1] for f in feats], dtype="int64"
+                        [f[1] for f in feats], dtype="Int64"
                     ),
                     "fake_width": pd.Series(
-                        [f[2] for f in feats], dtype="int32"
+                        [f[2] for f in feats], dtype="Int32"
                     ),
                     "fake_height": pd.Series(
-                        [f[3] for f in feats], dtype="int32"
+                        [f[3] for f in feats], dtype="Int32"
                     ),
                 }
             )
@@ -140,10 +143,15 @@ def resize_media(
     The closure is self-contained (workers lack this package).
     """
 
+    if width <= 0 or height <= 0:
+        raise ValueError(f"width/height must be positive, got {width}x{height}")
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
 
-        def fake_resize(media: bytes) -> bytes:
+        def fake_resize(media):
+            if media is None:  # NULL media → NULL output, no crash
+                return None
             if len(media) >= target:
                 return bytes(media[:target])
             return bytes(media) + b"\x00" * (target - len(media))
@@ -155,7 +163,9 @@ def resize_media(
                     "doc_id": pdf[id_col].astype("int64"),
                     "media": resized,
                     "media_meta": [
-                        {
+                        None
+                        if m is None
+                        else {
                             "media_type": "image/raw",
                             "n_bytes": len(m),
                             "target_w": width,
@@ -195,14 +205,23 @@ def sample_frames(
     frames, never all frames.
     """
 
+    if frame_size <= 0 or stride <= 0:
+        # driver-side, not a ZeroDivisionError deep inside an executor
+        raise ValueError(
+            f"frame_size and stride must be positive, got "
+            f"{frame_size}/{stride}"
+        )
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, idxs, frames, totals = [], [], [], []
             for doc_id, media in zip(
                 pdf[id_col].astype("int64"), pdf["media"]
             ):
+                if media is None:  # NULL media emits no frames
+                    continue
                 m = bytes(media)
-                n_total = max(0, len(m) // frame_size)
+                n_total = len(m) // frame_size
                 for i in range(0, n_total, stride):
                     ids.append(doc_id)
                     idxs.append(i)

@@ -258,12 +258,19 @@ def register(spark) -> None:
     import etl_olho_vivo_spark
 
     if not getattr(spark, "_olhovivo_pkg_shipped", False):
+        import hashlib
+
         pkg_dir = os.path.dirname(os.path.abspath(etl_olho_vivo_spark.__file__))
-        zip_base = os.path.join(
-            tempfile.mkdtemp(prefix="eov_pyfiles_"), "etl_olho_vivo_spark_pkg"
+        # deterministic per-package-location path (NOT a fresh mkdtemp per
+        # session — those zips accumulated forever on long-lived hosts);
+        # rebuilt on every register so code edits always ship fresh
+        slot = os.path.join(
+            tempfile.gettempdir(),
+            "eov_pyfiles_" + hashlib.md5(pkg_dir.encode()).hexdigest()[:12],
         )
+        os.makedirs(slot, exist_ok=True)
         zip_path = shutil.make_archive(
-            zip_base,
+            os.path.join(slot, "etl_olho_vivo_spark_pkg"),
             "zip",
             root_dir=os.path.dirname(pkg_dir),
             base_dir="etl_olho_vivo_spark",

@@ -1280,3 +1280,58 @@ def test_pack_chunks_rejects_nonpositive_budget(spark):
     for bad in (0, -5):
         with pytest.raises(ValueError, match="budget"):
             textops.pack_chunks(df, budget=bad, shard_col="source")
+
+
+def test_multimodal_null_media_no_crash(spark):
+    """NULL media (null text upstream) flows through decode/resize/
+    frame-sample as NULL features / NULL output / zero frames — one bad
+    document must not abort the whole Arrow job."""
+    from etl_olho_vivo_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdef" * 10)), (2, None)],
+        "doc_id long, media binary",
+    )
+    dec = {r["doc_id"]: r["n_bytes"]
+           for r in multimodal.decode_media(df).collect()}
+    assert dec[1] == 60 and dec[2] is None
+    rez = {r["doc_id"]: r["media"]
+           for r in multimodal.resize_media(df, 4, 4).collect()}
+    assert rez[1] is not None and rez[2] is None
+    frames = multimodal.sample_frames(df, frame_size=8, stride=1).collect()
+    assert {r["doc_id"] for r in frames} == {1}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        multimodal.sample_frames(df, frame_size=0)
+    with pytest.raises(ValueError, match="positive"):
+        multimodal.resize_media(df, 0, 4)
+
+
+def test_profile_edge_cases(spark):
+    """Empty table profiles with n_nulls=0 (not NULL); case-insensitive
+    duplicate names fail with the curated error, not AMBIGUOUS_REFERENCE."""
+    from etl_olho_vivo_spark.functions.profile import profile_table
+
+    empty = spark.createDataFrame([], "id int, s string")
+    rows = profile_table(empty).collect()
+    assert all(r["n_nulls"] == 0 and r["n_rows"] == 0 for r in rows)
+
+    import pytest
+
+    dup = spark.createDataFrame([(1, 2)], "k int, K int")
+    with pytest.raises(ValueError, match="case-insensitive"):
+        profile_table(dup)
+
+
+def test_interval_label_pre_1970(spark):
+    """Negative epochs wrap like the reference's utcfromtimestamp clock
+    (pmod), never emit garbage '-1:00--1:-3' labels."""
+    from pyspark.sql import functions as F
+
+    from etl_olho_vivo_spark.functions.timeops import interval_30min_label
+
+    df = spark.createDataFrame([(-3600,), (-1,)], "t long")
+    got = [r[0] for r in df.select(interval_30min_label(F.col("t"))).collect()]
+    assert got == ["23:00-23:30", "23:30-00:00"]
