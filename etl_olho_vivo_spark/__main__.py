@@ -92,6 +92,29 @@ def _build_parser() -> argparse.ArgumentParser:
         "shards partitioned by detected language (training hand-off)",
     )
 
+    cst = sub.add_parser(
+        "corpus-stream",
+        help="continuous corpus ingestion: landing-zone documents -> "
+        "near-dedup'd corpus + signature store (availableNow drain)",
+    )
+    cst.add_argument(
+        "--in", dest="in_dir", required=True,
+        help="landing directory of parquet document files (doc_id, text)",
+    )
+    cst.add_argument("--corpus", required=True, help="corpus output dir")
+    cst.add_argument("--store", required=True, help="signature store dir")
+    cst.add_argument("--checkpoint", required=True, help="stream checkpoint")
+    cst.add_argument("--threshold", type=float, default=0.5)
+    cst.add_argument(
+        "--max-files-per-trigger", type=int, default=None, metavar="N",
+        help="micro-batch size in files (default: all available in one)",
+    )
+    cst.add_argument(
+        "--compact", action="store_true",
+        help="after the drain, fold the store's per-batch partitions "
+        "into the single compacted base partition",
+    )
+
     prof = sub.add_parser(
         "profile", help="one-scan per-column profile of a parquet table"
     )
@@ -134,11 +157,28 @@ def main(argv: list[str] | None = None) -> int:
 
         raw = args.raw
         if args.date:
+            from datetime import datetime
+
+            try:
+                day = datetime.strptime(args.date, "%Y-%m-%d")
+            except ValueError:
+                raise SystemExit(
+                    f"--date must be YYYY-MM-DD, got {args.date!r}"
+                )
             # hive-layout day selection: the partition directories narrow
             # the file listing itself — the 100 TB raw zone is never
             # globbed, let alone read, outside the requested day
-            y, m, d = args.date.split("-")
-            raw = f"{raw}/year={int(y):04d}/month={int(m):02d}/day={int(d):02d}"
+            raw = (
+                f"{raw}/year={day.year:04d}"
+                f"/month={day.month:02d}/day={day.day:02d}"
+            )
+            # pre-check through Hadoop's FS (works for any scheme the
+            # session can read — local, s3a, hdfs): a never-landed day
+            # should report "no raw data", not a PATH_NOT_FOUND traceback
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(raw)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.exists(jpath):
+                raise SystemExit(f"no raw data for {args.date} ({raw})")
         counts = run_daily(spark, raw, args.out, write_fact=not args.no_fact)
         print(json.dumps({"command": "daily", "date": args.date, **counts}))
         return 0
@@ -163,6 +203,39 @@ def main(argv: list[str] | None = None) -> int:
                 by="lang_guess",
             )
         print(json.dumps({"command": "corpus", **stats}))
+        return 0
+
+    if args.command == "corpus-stream":
+        from etl_olho_vivo_spark.streaming.corpus_stream import (
+            compact_append_store,
+            run_corpus_stream,
+        )
+
+        # a file stream needs an explicit schema; lift it from a static
+        # read of the same landing dir (footer-only — no data scan)
+        schema = spark.read.parquet(args.in_dir).schema
+        reader = spark.readStream.schema(schema)
+        if args.max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(args.max_files_per_trigger)
+            )
+        q = run_corpus_stream(
+            reader.parquet(args.in_dir),
+            args.corpus,
+            args.store,
+            args.checkpoint,
+            threshold=args.threshold,
+        )
+        q.awaitTermination()
+        out = {
+            "command": "corpus-stream",
+            "corpus_docs": spark.read.parquet(args.corpus).count(),
+        }
+        if args.compact:
+            out["store_signatures_compacted"] = compact_append_store(
+                spark, args.store
+            )
+        print(json.dumps(out))
         return 0
 
     if args.command == "profile":

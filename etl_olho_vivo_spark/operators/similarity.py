@@ -264,6 +264,16 @@ def ivf_topk(
     probed cells; without it the assignment is recomputed per call,
     which is the demo/oracle path, not the serving path.
     """
+    if assigned is not None and centroids is None:
+        # probe-cell selection below uses `centroids`; silently
+        # recomputing defaults here would desynchronize the probe set
+        # from whatever centroids built `assigned` — candidates would
+        # come from the wrong cells with no error
+        raise ValueError(
+            "ivf_topk: pass the same `centroids` that produced "
+            "`assigned` (probe cells and assignment must share one "
+            "centroid frame)"
+        )
     if centroids is None:
         centroids = _default_centroids(emb, n_cells)
     if assigned is None:

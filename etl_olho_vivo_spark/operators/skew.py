@@ -20,6 +20,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import AtomicType
 
 
 def salted_join(
@@ -136,6 +137,15 @@ def hot_keys(
         raise ValueError(
             f"support must be in [1e-4, 1), got {support} "
             "(Spark's freqItems floor is 1e-4)"
+        )
+    dtype = df.schema[col].dataType
+    if not isinstance(dtype, AtomicType):
+        # freqItems on array/map/struct columns is unsupported, and the
+        # collected Python values would not be mutually orderable for
+        # the sorted() below — fail at this contract, not mid-sort
+        raise TypeError(
+            f"hot_keys requires an atomic (orderable) column; "
+            f"{col!r} is {dtype.simpleString()}"
         )
     (row,) = df.stat.freqItems([col], support).collect()
     vals = row[f"{col}_freqItems"]

@@ -20,9 +20,10 @@ Scale + semantics notes:
   it is ~1% of corpus bytes; each batch touches it through a banded
   equi-join on slim (band, band_sig) keys — the corpus text itself is
   never re-read;
-- both sinks partition by ``ingest_batch_id`` and write with dynamic
-  partition overwrite: a replayed micro-batch (foreachBatch is
-  at-least-once after failures) rewrites exactly its own partition —
+- both sinks write each batch's Hive partition directory
+  (``ingest_batch_id=<id>``) directly with overwrite: a replayed
+  micro-batch (foreachBatch is at-least-once after failures) replaces
+  exactly its own partition even if the replay admits zero docs —
   idempotent, no dedup-of-the-dedup needed;
 - the store accumulates one parquet partition per batch; run
   ``compact_append_store`` (below) on schedule to fold the partitions
@@ -75,7 +76,7 @@ def _store_frame(
         # anything else (ACL list-denial that lets writes through,
         # schema conflict, corruption) must fail LOUDLY — treating it
         # as "no store" would silently admit every cross-batch dup
-        if e.getErrorClass() in (
+        if e.getCondition() in (
             "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"
         ):
             return None
@@ -102,7 +103,8 @@ def admit_batch(
 
     Deterministic: in-batch pairs keep the smaller doc_id; any batch doc
     near a store doc is dropped (the corpus row wins — it was admitted
-    first).  Idempotent per ``batch_id`` via dynamic partition overwrite.
+    first).  Idempotent per ``batch_id``: each replay overwrites the
+    batch's own partition directory, even when it admits zero docs.
     """
     with CacheBag() as bag:
         sig = bag.add(
@@ -130,19 +132,21 @@ def admit_batch(
 
         survivors = batch.join(
             surv_sig.select("doc_id"), "doc_id", "left_semi"
-        ).withColumn("ingest_batch_id", F.lit(batch_id))
-        (
-            survivors.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch_id")
-            .parquet(corpus_dir)
         )
-        (
-            surv_sig.withColumn("ingest_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch_id")
-            .parquet(store_dir)
+        # write each batch's PARTITION DIRECTORY directly (Hive layout,
+        # column inferred from the path on read) instead of dynamic
+        # partition overwrite: dynamic overwrite only rewrites
+        # partitions PRESENT in the new output, so a replay that admits
+        # zero docs (config changed across a restart, or the in/store
+        # dedup now drops everything) would write nothing and leave the
+        # prior attempt's rows in place.  An explicit per-partition
+        # overwrite replaces the directory even when the frame is empty
+        # — idempotent under at-least-once replay unconditionally.
+        survivors.write.mode("overwrite").parquet(
+            f"{corpus_dir}/ingest_batch_id={batch_id}"
+        )
+        surv_sig.write.mode("overwrite").parquet(
+            f"{store_dir}/ingest_batch_id={batch_id}"
         )
 
 
@@ -177,6 +181,11 @@ def compact_append_store(spark: SparkSession, store_dir: str) -> int:
     ).localCheckpoint(eager=True)
     (
         merged.write.mode("overwrite")
+        # static explicitly: under a session-wide dynamic
+        # partitionOverwriteMode default, overwrite would only replace
+        # the ingest_batch_id=-1 partition and every per-batch partition
+        # would survive — duplicating all signatures on each compaction
+        .option("partitionOverwriteMode", "static")
         .partitionBy("ingest_batch_id")
         .parquet(store_dir)
     )

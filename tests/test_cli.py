@@ -50,9 +50,15 @@ def test_daily_date_partition_pruning(spark, tmp_path, capsys):
 
     import pytest
 
-    with pytest.raises(Exception):
+    # absent (never-landed) day: clean one-line message, not a traceback
+    with pytest.raises(SystemExit, match="no raw data for 1999-12-31"):
         main(["--cpus", "8", "daily", "--raw", raw,
               "--out", str(tmp_path / "etl2"), "--date", "1999-12-31"])
+    # malformed dates die at the contract, before any Spark work
+    for bad in ("2024-1-1x", "20240101", "not-a-date"):
+        with pytest.raises(SystemExit, match="YYYY-MM-DD"):
+            main(["--cpus", "8", "daily", "--raw", raw,
+                  "--out", str(tmp_path / "etl3"), "--date", bad])
 
 
 def test_corpus_subcommand(tmp_path, capsys):
@@ -64,6 +70,62 @@ def test_corpus_subcommand(tmp_path, capsys):
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["command"] == "corpus"
     assert stats["input"] >= stats["lang_and_length"] >= stats["quality"] > 0
+
+
+def test_corpus_stream_subcommand(spark, tmp_path, capsys):
+    """Two-file landing zone drained as two micro-batches, then the
+    --compact flag folds the store — the continuous-operation surface an
+    operator schedules, end-to-end from the CLI."""
+    import os
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "to find some interesting things in the forest near the river"
+    )
+    other = (
+        "completely different content about databases and distributed "
+        "query engines processing large volumes of tabular information"
+    )
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    for name, rows in (
+        ("b0", [(1, base), (2, other)]),
+        # cross-batch near-dup of doc 1 (one word changed) + its exact dup
+        ("b1", [(10, base.replace("fox", "wolf")), (11, base)]),
+    ):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        tmp = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import glob
+        import shutil
+
+        (part,) = glob.glob(f"{tmp}/part-*.parquet")
+        shutil.move(part, str(landing / f"{name}.parquet"))
+        shutil.rmtree(tmp)
+
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    assert main([
+        "--cpus", "8", "corpus-stream", "--in", str(landing),
+        "--corpus", corpus, "--store", store,
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--max-files-per-trigger", "1", "--compact",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # docs 10 and 11 are near/exact dups of the batch-0 corpus → dropped
+    assert out["command"] == "corpus-stream"
+    assert out["corpus_docs"] == 2
+    assert out["store_signatures_compacted"] == 2
+    assert sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(corpus).select("doc_id").collect()
+    ) == [1, 2]
+    # compaction folded every per-batch partition into the -1 base
+    sig = spark.read.parquet(store)
+    assert [
+        r["ingest_batch_id"]
+        for r in sig.select("ingest_batch_id").distinct().collect()
+    ] == [-1]
 
 
 def test_unknown_command_rejected():

@@ -90,7 +90,7 @@ def test_three_batch_ingestion_drops_cross_batch_dups(spark, dirs):
 def test_replayed_batch_is_idempotent(spark, dirs):
     """foreachBatch is at-least-once after failures: re-admitting the
     SAME batch id must leave corpus and store byte-identical, not
-    doubled (dynamic partition overwrite per ingest_batch_id)."""
+    doubled (per-ingest_batch_id partition-directory overwrite)."""
     from etl_olho_vivo_spark.streaming.corpus_stream import admit_batch
 
     batch = spark.createDataFrame([(1, BASE), (2, OTHER)], SCHEMA)
@@ -205,6 +205,66 @@ def test_append_store_compaction_in_place(spark, dirs):
         .select("doc_id").collect()
     )
     assert ids == [1, 2, 6]
+
+
+def test_replay_that_admits_nothing_clears_prior_partition(spark, dirs):
+    """A restart with a changed dedup config can replay a batch that now
+    admits ZERO docs; the prior attempt's rows must be replaced, not
+    survive (explicit per-partition overwrite, which dynamic partition
+    overwrite could not guarantee for an empty output)."""
+    from etl_olho_vivo_spark.streaming.corpus_stream import admit_batch
+
+    # batch 0 establishes the corpus; batch 1's doc is fresh at the
+    # permissive threshold and admitted
+    admit_batch(spark, spark.createDataFrame([(1, BASE)], SCHEMA), 0,
+                dirs["corpus"], dirs["store"], threshold=0.9)
+    near = BASE.replace("fox", "wolf")
+    admit_batch(spark, spark.createDataFrame([(10, near)], SCHEMA), 1,
+                dirs["corpus"], dirs["store"], threshold=0.9)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(dirs["corpus"]).collect()
+    ) == [1, 10]
+    # replay batch 1 under a stricter threshold: doc 10 is now a store
+    # near-dup → zero admits, and its earlier rows must disappear
+    admit_batch(spark, spark.createDataFrame([(10, near)], SCHEMA), 1,
+                dirs["corpus"], dirs["store"], threshold=0.2)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(dirs["corpus"]).collect()
+    ) == [1]
+    assert sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(dirs["store"]).select("doc_id").collect()
+    ) == [1]
+
+
+def test_compaction_ignores_session_dynamic_overwrite_mode(spark, dirs):
+    """compact_append_store must fully replace the store even when the
+    SESSION default partitionOverwriteMode is dynamic — otherwise only
+    the -1 partition is rewritten and every per-batch partition
+    survives, duplicating all signatures on each compaction."""
+    from etl_olho_vivo_spark.streaming.corpus_stream import (
+        admit_batch,
+        compact_append_store,
+    )
+
+    admit_batch(spark, spark.createDataFrame([(1, BASE)], SCHEMA), 0,
+                dirs["corpus"], dirs["store"])
+    admit_batch(spark, spark.createDataFrame([(2, OTHER)], SCHEMA), 1,
+                dirs["corpus"], dirs["store"])
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        assert compact_append_store(spark, dirs["store"]) == 2
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    store = spark.read.parquet(dirs["store"])
+    assert store.count() == 2
+    assert [r["ingest_batch_id"] for r in
+            store.select("ingest_batch_id").distinct().collect()] == [-1]
 
 
 def test_replay_of_compacted_batch_keeps_it_complete(spark, dirs):

@@ -1156,6 +1156,22 @@ def test_hot_keys_null_key_and_support_floor(spark):
         hot_keys(df, "k", support=1e-5)
 
 
+def test_hot_keys_rejects_non_atomic_columns(spark):
+    """freqItems on array/struct columns is unsupported and the collected
+    values would not be mutually orderable — fail at the contract."""
+    import pytest
+
+    from etl_olho_vivo_spark.operators.skew import hot_keys
+
+    df = spark.createDataFrame(
+        [([1, 2], (1, "a"))], "arr array<long>, st struct<x: long, y: string>"
+    )
+    with pytest.raises(TypeError, match="atomic"):
+        hot_keys(df, "arr", support=0.1)
+    with pytest.raises(TypeError, match="atomic"):
+        hot_keys(df, "st", support=0.1)
+
+
 def test_resample_grid_exact_at_int64_magnitude(spark):
     """Grid alignment is exact integer math: at epoch-nanos magnitude a
     double division would misplace the first tick near step multiples."""
@@ -1225,18 +1241,38 @@ def test_kmeans_keeps_n_cells_across_refines(spark, embeddings):
 
 def test_ivf_topk_precomputed_assignment_identical(spark, embeddings):
     """The serving path (index built once at ingest) returns exactly the
-    demo path's answer."""
-    from etl_olho_vivo_spark.operators.similarity import ivf_assign, ivf_topk
+    demo path's answer.  Production shape: the SAME centroid frame feeds
+    both the assignment and the query's probe-cell selection."""
+    from etl_olho_vivo_spark.operators.similarity import (
+        _default_centroids,
+        ivf_assign,
+        ivf_topk,
+    )
 
     demo = ivf_topk(embeddings, query_vec_id=0, k=5, n_probe=2).collect()
-    assigned = ivf_assign(embeddings, n_cells=8).persist()
+    cents = _default_centroids(embeddings, 8).persist()
+    assigned = ivf_assign(embeddings, centroids=cents).persist()
     try:
         served = ivf_topk(
-            embeddings, query_vec_id=0, k=5, n_probe=2, assigned=assigned
+            embeddings, query_vec_id=0, k=5, n_probe=2,
+            centroids=cents, assigned=assigned,
         ).collect()
     finally:
         assigned.unpersist()
+        cents.unpersist()
     assert [tuple(r) for r in served] == [tuple(r) for r in demo]
+
+
+def test_ivf_topk_assigned_without_centroids_rejected(spark, embeddings):
+    """Passing an assignment without its centroid frame would silently
+    desynchronize probe-cell selection — must raise, not mis-probe."""
+    import pytest
+
+    from etl_olho_vivo_spark.operators.similarity import ivf_assign, ivf_topk
+
+    assigned = ivf_assign(embeddings, n_cells=8)
+    with pytest.raises(ValueError, match="same `centroids`"):
+        ivf_topk(embeddings, query_vec_id=0, k=5, assigned=assigned)
 
 
 def test_quality_features_empty_doc_no_crash(spark):
