@@ -16,6 +16,24 @@ driver collect cost.  Since round 3 each query runs twice with session
 caches released in between; "queries" holds min(cold, warm) so one-time
 codegen/JIT compile doesn't read as plan regression (BASELINE.md
 documents the change), "queries_cold" the first-run times.
+
+Scale tier (SPARK_GRAFT_SCALE=1, round 6): instead of the registry
+sweep, replicate every scale-probe input 10× from the bench sf dir
+(events + documents + embeddings, key-perturbed — the same replica
+shapes tests/test_scale_probe.py pins plans on) and time the headline
+7 plus the four pair-heavy dedup/similarity queries at 1× and 10×,
+reporting per-query scaling ratios.  A linear operator shows ≈10×;
+the verbatim document/embedding replicas make near-dup candidate
+structure ~10× DENSER per block (≈100× candidate pairs), so the pair
+queries' EXPECTED ratio is super-linear in wall time while staying
+linear in work-per-candidate — BASELINE.md records the measured curve
+and the justification per query.  The 1× base must be sf0.1: at
+sf0.01 the pair queries are sub-second fixed-overhead jobs and the
+ratio is pure noise (measured 0.5-2× scatter).  Pair queries run
+min-of-3 (their caches + GC make two runs noisy; observed 136 s vs
+13 s first-vs-warm on minhash at 10×).  One JSON line:
+{"metric": "scale_ratio_detail", "replicas": N, "queries":
+{name: {"t1": s, "t10": s, "ratio": r}}}.
 """
 
 from __future__ import annotations
@@ -37,6 +55,90 @@ HEADLINE = [
     "haversine_pairs",
     "flatten_roundtrip",
 ]
+
+# The four pair-heavy dedup/similarity queries whose scaling curve the
+# 10× tier measures (banded/blocked pair stages — the operators whose
+# cost could silently grow super-linearly in the candidate structure).
+PAIR_HEAVY = [
+    "minhash_near_dups",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup_pairs",
+    "doc_editdist_near_dup",
+]
+
+
+def _time_query(spark, fn, sf_dir: str, release, runs: int = 2) -> float:
+    """min-of-``runs`` noop-sink wall time, caches released between runs."""
+    out = []
+    for _ in range(runs):
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        out.append(time.perf_counter() - t0)
+        release()
+    return min(out)
+
+
+def scale_tier(spark, sf_dir: str) -> None:
+    """Time headline + pair-heavy queries at 1× and at ``replicas``×,
+    print one scale_ratio_detail JSON line (LAST — tail-survivable)."""
+    import shutil
+    import tempfile
+
+    from etl_olho_vivo_spark import registry
+    from etl_olho_vivo_spark.caching import release_session_caches
+    from etl_olho_vivo_spark.replicate import (
+        replicate_documents,
+        replicate_embeddings,
+        replicate_events,
+    )
+
+    replicas = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
+    registry.queries()
+    dN = tempfile.mkdtemp(prefix="bench_scale_")
+    try:
+        replicate_events(
+            spark, f"{sf_dir}/events.parquet",
+            f"{dN}/events.parquet", replicas,
+        )
+        replicate_documents(
+            spark, f"{sf_dir}/documents.parquet",
+            f"{dN}/documents.parquet", replicas,
+        )
+        replicate_embeddings(
+            spark, f"{sf_dir}/embeddings.parquet",
+            f"{dN}/embeddings.parquet", replicas,
+        )
+        out: dict[str, dict] = {}
+        errors: dict[str, str] = {}
+        for name in HEADLINE + PAIR_HEAVY:
+            fn = registry.REGISTRY[name].fn
+            runs = 3 if name in PAIR_HEAVY else 2
+            try:
+                t1 = _time_query(spark, fn, sf_dir,
+                                 release_session_caches, runs)
+                tN = _time_query(spark, fn, dN,
+                                 release_session_caches, runs)
+            except Exception as e:  # noqa: BLE001 — keep measuring
+                errors[name] = repr(e)[:300]
+                release_session_caches()
+                continue
+            out[name] = {
+                "t1": round(t1, 3),
+                f"t{replicas}": round(tN, 3),
+                "ratio": round(tN / t1, 2) if t1 > 0 else None,
+            }
+        line = {
+            "metric": "scale_ratio_detail",
+            "replicas": replicas,
+            "queries": out,
+            "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        }
+        if errors:
+            line["errors"] = errors
+        print(json.dumps(line))
+    finally:
+        shutil.rmtree(dN, ignore_errors=True)
 
 
 def main() -> None:
@@ -64,6 +166,12 @@ def main() -> None:
     spark.read.format("olhovivo").options(
         polls=1, lines=1, vehicles=1
     ).load().write.format("noop").mode("overwrite").save()
+
+    if os.environ.get("SPARK_GRAFT_SCALE"):
+        # scaling-curve mode (manual / BASELINE evidence) — replaces the
+        # registry sweep; its one JSON line is the last line of stdout
+        scale_tier(spark, sf_dir)
+        return
 
     registry.queries()  # loads the plugin registries into REGISTRY
     from etl_olho_vivo_spark.caching import release_session_caches

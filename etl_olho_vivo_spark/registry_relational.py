@@ -237,22 +237,62 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "segment_order_counts",
-    """
-SELECT c.c_mktsegment AS mktsegment, count(*) AS n_customers
-FROM customer c
-WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-GROUP BY c.c_mktsegment
+    "bucketed_order_rollup",
+    f"""
+SELECT o_orderkey, o_orderstatus,
+       count(*) AS n_items,
+       sum(l_quantity) AS total_qty,
+       sum({_sql_cents('l_extendedprice')}) / 100.0 AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_orderstatus
 """,
-    doc="Semi join (EXISTS) + aggregation.",
+    doc="Fact-fact join THROUGH the bucketed-table layout (io/"
+    "bucketing.py): both sides are first persisted bucketed+sorted on "
+    "the order key, so the join and the per-order rollup both run with "
+    "ZERO Exchange — the write-once shuffle contract that makes "
+    "repeated 100 TB fact-fact joins affordable (tests/test_plans.py "
+    "asserts the exchange-free plan).  The hint('merge') pins SMJ: a "
+    "fact side must never be broadcast.  n_buckets=8 suits local test "
+    "scale; on a cluster pick total bytes / 128-512 MB and keep the "
+    "count identical on both sides (layout contract, io/bucketing.py). "
+    "Results are layout-independent, so the oracle is the plain join.",
 )
-def q_segment_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = read_table(spark, sf_dir, "customer")
-    orders = read_table(spark, sf_dir, "orders")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
-        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
-        .agg(F.count(F.lit(1)).alias("n_customers"))
+def q_bucketed_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    from etl_olho_vivo_spark.io.bucketing import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    # deterministic per-sf_dir catalog names + storage location so
+    # repeated runs overwrite instead of colliding across scale factors
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/etl_olho_vivo_bucketed/{tag}"
+    t_orders, t_li = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    write_bucketed(
+        read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        ),
+        t_orders, ["o_orderkey"], 8, path=f"{base}/orders",
+    )
+    write_bucketed(
+        read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        ),
+        t_li, ["l_orderkey"], 8, path=f"{base}/lineitem",
+    )
+    joined = read_bucketed(spark, t_orders).join(
+        read_bucketed(spark, t_li).hint("merge"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    # grouping on a superset of the bucket key keeps the aggregation on
+    # the join's output partitioning — still no exchange
+    return joined.groupBy("o_orderkey", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").alias("total_qty"),
+        (F.sum(_cents(F.col("l_extendedprice"))) / 100.0).alias("revenue"),
     )
 
 

@@ -149,6 +149,20 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_bucketed_order_rollup_query_has_no_exchange(spark):
+    """The REGISTERED bucketed rollup (not just the io helper): join AND
+    per-order aggregation both ride the bucketed layout — the final
+    adaptive plan contains zero Exchange."""
+    df = registry.REGISTRY["bucketed_order_rollup"].fn(spark, SF)
+    n = len(df.collect())
+    assert n > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in final, final[:2000]
+    assert "Exchange" not in final, final[:2000]
+    assert "BroadcastHashJoin" not in final
+
+
 def test_doc_text_profile_is_shuffle_free(spark):
     """The merged per-document text profile is a pure per-row projection —
     one scan, zero exchanges (one pass over the corpus at any scale)."""

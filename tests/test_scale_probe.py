@@ -37,12 +37,15 @@ result sets here are pair/group outputs far below driver limits.
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from etl_olho_vivo_spark import registry
 from etl_olho_vivo_spark.caching import release_session_caches
 
-from tests.datagen import OFF, replicate_events
+from tests.datagen import (
+    replicate_documents,
+    replicate_embeddings,
+    replicate_events,
+)
 
 REPLICAS = 10
 
@@ -55,23 +58,14 @@ def scale10_dir(spark, tmp_path_factory):
         spark, "/root/testdata/sf0.1/events.parquet",
         f"{d10}/events.parquet", REPLICAS,
     )
-    # (documents/embeddings need custom per-table key columns — kept
-    # inline; the ts-instant conf is already pinned by replicate_events)
-    rep = F.explode(
-        F.array(*[F.lit(i) for i in range(REPLICAS)])
-    ).alias("rep")
-
-    doc = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-    doc.select("*", rep).select(
-        (F.col("doc_id") + F.col("rep") * F.lit(OFF)).alias("doc_id"),
-        "text", "lang", "source", "n_chars",
-    ).write.mode("overwrite").parquet(f"{d10}/documents.parquet")
-
-    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    emb.select("*", rep).select(
-        (F.col("vec_id") + F.col("rep") * F.lit(OFF)).alias("vec_id"),
-        "embedding", "label",
-    ).write.mode("overwrite").parquet(f"{d10}/embeddings.parquet")
+    replicate_documents(
+        spark, "/root/testdata/sf0.01/documents.parquet",
+        f"{d10}/documents.parquet", REPLICAS,
+    )
+    replicate_embeddings(
+        spark, "/root/testdata/sf0.01/embeddings.parquet",
+        f"{d10}/embeddings.parquet", REPLICAS,
+    )
     return d10
 
 
