@@ -1,5 +1,5 @@
-"""Property fuzz of the MinHash-LSH dedup family against an independent
-brute-force oracle.
+"""Property fuzz of the MinHash-LSH and SimHash dedup operators against
+an independent brute-force oracle.
 
 The registry oracle (`minhash_near_dups`) checks ONE fixed corpus; this
 fuzz generates randomized corpora (seeded — deterministic in CI) with
@@ -179,6 +179,49 @@ def test_incremental_near_duplicates_match_bruteforce(spark, seed, threshold):
     # the replayed doc produced no self-pair but DID pair with its exact
     # twin if one exists — spot-check the guard actually bit
     assert (victim[0], victim[0]) not in got
+
+
+def _py_simhash(text: str, bits: int) -> int:
+    """Mirror operators/dedup.simhash: frequency-weighted sign-fold of
+    md5 token hashes (token MULTISET — repeats weigh more)."""
+    ws = [_tok(w) for w in text.split(" ")]
+    h = 0
+    for j in range(bits):
+        s = sum(1 if (w >> j) & 1 else -1 for w in ws)
+        if s > 0:
+            h |= 1 << j
+    return h
+
+
+@pytest.mark.parametrize("seed,max_hamming", [(21, 3), (22, 2)])
+def test_simhash_near_dups_match_bruteforce(spark, seed, max_hamming):
+    """The pigeonhole banding (Manku WWW'07) is LOSSLESS for hamming ≤
+    n_bands − 1, so the exact expected output is ALL pairs with
+    bit_count(xor) ≤ max_hamming — no probabilistic allowance.  A single
+    missing pair means the banding construction regressed; a single
+    extra pair means verification regressed."""
+    rng = random.Random(seed)
+    docs = _gen_corpus(rng, 50)
+    bits = dedup.SIMHASH_NEAR_DUP_BITS
+    sims = {i: _py_simhash(t, bits) for i, t in docs}
+    want = {}
+    ids = sorted(sims)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            d = bin(sims[a] ^ sims[b]).count("1")
+            if d <= max_hamming:
+                want[(a, b)] = d
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_dups(
+            df, max_hamming=max_hamming
+        ).collect()
+    }
+    assert got == want, (
+        f"extra={set(got) - set(want)} missing={set(want) - set(got)}"
+    )
 
 
 def test_fuzz_jaccard_is_true_shingle_jaccard(spark):

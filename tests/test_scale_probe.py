@@ -130,6 +130,43 @@ def test_minhash_shares_one_signature_pass_at_10x(spark, scale10_dir):
 
 
 @pytest.mark.slow
+def test_embedding_cell_dial_bounds_pair_density(spark, scale10_dir):
+    """The scaling dial behind the bench tier's one super-linear wall
+    ratio (BASELINE.md: 32× at 10× data with n_cells pinned to 16 for
+    oracle parity): growing n_cells with the corpus restores bounded
+    per-cell density — candidate-pair volume shrinks near-linearly in
+    the cell count.  Recall for exact twins is STRUCTURAL, not
+    statistical: identical vectors have identical centroid distances and
+    the (dist, cell_id) argmin is deterministic, so replicas co-locate
+    at ANY n_cells — asserted, not assumed."""
+    from pyspark.sql import functions as F
+
+    from etl_olho_vivo_spark.operators.similarity import ivf_assign
+    from etl_olho_vivo_spark.replicate import OFF
+    from etl_olho_vivo_spark.sources.tables import read_table
+
+    emb = read_table(spark, scale10_dir, "embeddings")
+
+    def cand_pairs(nc: int) -> float:
+        counts = ivf_assign(emb, n_cells=nc).groupBy("cell_id").count()
+        (row,) = counts.agg(
+            F.sum(F.expr("count * (count - 1) / 2")).alias("p")
+        ).collect()
+        return row["p"]
+
+    c16, c160 = cand_pairs(16), cand_pairs(160)
+    assert c160 * 4 <= c16, (c16, c160)
+    spread = (
+        ivf_assign(emb, n_cells=160)
+        .groupBy((F.col("vec_id") % OFF).alias("base"))
+        .agg(F.countDistinct("cell_id").alias("nc"))
+        .filter(F.col("nc") > 1)
+        .count()
+    )
+    assert spread == 0, "replica twins split across cells"
+
+
+@pytest.mark.slow
 def test_embedding_pairs_blocked_join_at_10x(spark, scale10_dir):
     plan, n = _final_plan(spark, "embedding_near_dup_pairs", scale10_dir)
     assert n > 0
