@@ -167,7 +167,7 @@ def main() -> None:
         polls=1, lines=1, vehicles=1
     ).load().write.format("noop").mode("overwrite").save()
 
-    if os.environ.get("SPARK_GRAFT_SCALE"):
+    if os.environ.get("SPARK_GRAFT_SCALE", "") not in ("", "0", "false"):
         # scaling-curve mode (manual / BASELINE evidence) — replaces the
         # registry sweep; its one JSON line is the last line of stdout
         scale_tier(spark, sf_dir)

@@ -211,9 +211,20 @@ def main(argv: list[str] | None = None) -> int:
             run_corpus_stream,
         )
 
+        from pyspark.errors import AnalysisException
+
         # a file stream needs an explicit schema; lift it from a static
         # read of the same landing dir (footer-only — no data scan)
-        schema = spark.read.parquet(args.in_dir).schema
+        try:
+            schema = spark.read.parquet(args.in_dir).schema
+        except AnalysisException as e:
+            if e.getCondition() in (
+                "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"
+            ):
+                # nothing has landed (yet) — a cron'd drain should say
+                # so cleanly, not die in a schema-inference traceback
+                raise SystemExit(f"no input files in {args.in_dir}")
+            raise
         reader = spark.readStream.schema(schema)
         if args.max_files_per_trigger:
             reader = reader.option(
@@ -227,14 +238,28 @@ def main(argv: list[str] | None = None) -> int:
             threshold=args.threshold,
         )
         q.awaitTermination()
-        out = {
-            "command": "corpus-stream",
-            "corpus_docs": spark.read.parquet(args.corpus).count(),
-        }
+        try:
+            n_docs = spark.read.parquet(args.corpus).count()
+        except AnalysisException as e:
+            # a drain that admitted NOTHING leaves only empty partition
+            # dirs (or no dir at all) — that is a valid outcome, not a
+            # crash; anything else must still fail loudly
+            if e.getCondition() in (
+                "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"
+            ):
+                n_docs = 0
+            else:
+                raise
+        out = {"command": "corpus-stream", "corpus_docs": n_docs}
         if args.compact:
-            out["store_signatures_compacted"] = compact_append_store(
-                spark, args.store
-            )
+            if n_docs:
+                out["store_signatures_compacted"] = compact_append_store(
+                    spark, args.store
+                )
+            else:
+                # nothing admitted → no signatures to fold; calling the
+                # compactor would die reading an empty/missing store
+                out["store_signatures_compacted"] = 0
         print(json.dumps(out))
         return 0
 

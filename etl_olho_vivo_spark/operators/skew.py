@@ -138,14 +138,16 @@ def hot_keys(
             f"support must be in [1e-4, 1), got {support} "
             "(Spark's freqItems floor is 1e-4)"
         )
-    dtype = df.schema[col].dataType
-    if not isinstance(dtype, AtomicType):
+    # resolve case-insensitively (the analyzer's default) — a miss falls
+    # through to freqItems' own missing-column error
+    matches = [f for f in df.schema.fields if f.name.lower() == col.lower()]
+    if matches and not isinstance(matches[0].dataType, AtomicType):
         # freqItems on array/map/struct columns is unsupported, and the
         # collected Python values would not be mutually orderable for
         # the sorted() below — fail at this contract, not mid-sort
         raise TypeError(
             f"hot_keys requires an atomic (orderable) column; "
-            f"{col!r} is {dtype.simpleString()}"
+            f"{col!r} is {matches[0].dataType.simpleString()}"
         )
     (row,) = df.stat.freqItems([col], support).collect()
     vals = row[f"{col}_freqItems"]

@@ -259,6 +259,7 @@ GROUP BY o_orderkey, o_orderstatus
 )
 def q_bucketed_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
+    import os
     import tempfile
 
     from etl_olho_vivo_spark.io.bucketing import (
@@ -266,9 +267,11 @@ def q_bucketed_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_bucketed,
     )
 
-    # deterministic per-sf_dir catalog names + storage location so
-    # repeated runs overwrite instead of colliding across scale factors
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # per-(sf_dir, process) catalog names + storage location: repeated
+    # runs in one process overwrite cleanly, while concurrent processes
+    # on the same sf_dir (bench + pytest, two CI jobs on one host) get
+    # disjoint paths instead of racing overwrite-vs-scan on shared files
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8] + f"_{os.getpid()}"
     base = f"{tempfile.gettempdir()}/etl_olho_vivo_bucketed/{tag}"
     t_orders, t_li = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
     write_bucketed(

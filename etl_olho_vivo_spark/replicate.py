@@ -30,6 +30,22 @@ def _rep_col(replicas: int):
     ).alias("rep")
 
 
+def _check_ids_below_off(df, *id_cols: str) -> None:
+    """Replica ids are base + rep·OFF; a base id ≥ OFF would collide with
+    the next replica's range and SILENTLY deflate key cardinality —
+    corrupting every scaling ratio derived from the copy.  One tiny agg
+    up front beats a wrong BASELINE table."""
+    (row,) = df.agg(
+        *[F.max(F.col(c)).alias(c) for c in id_cols]
+    ).collect()
+    for c in id_cols:
+        if row[c] is not None and row[c] >= OFF:
+            raise ValueError(
+                f"replicate: max({c})={row[c]} >= OFF={OFF}; replica id "
+                "ranges would overlap — raise OFF for this input"
+            )
+
+
 def replicate_events(
     spark: SparkSession, src: str, out: str, replicas: int
 ) -> None:
@@ -44,6 +60,7 @@ def replicate_events(
 
     pin_parquet_instant_confs(spark)
     ev = spark.read.parquet(src)
+    _check_ids_below_off(ev, "event_id", "user_id")
     ev.select("*", _rep_col(replicas)).select(
         (F.col("event_id") + F.col("rep") * F.lit(OFF)).alias("event_id"),
         F.col("ts").cast("timestamp").alias("ts"),
@@ -58,6 +75,7 @@ def replicate_documents(
     """``replicas``× copies of a documents parquet under fresh doc_ids
     (text verbatim — every replica is a near-dup candidate of its base)."""
     doc = spark.read.parquet(src)
+    _check_ids_below_off(doc, "doc_id")
     doc.select("*", _rep_col(replicas)).select(
         (F.col("doc_id") + F.col("rep") * F.lit(OFF)).alias("doc_id"),
         "text", "lang", "source", "n_chars",
@@ -70,6 +88,7 @@ def replicate_embeddings(
     """``replicas``× copies of an embeddings parquet under fresh vec_ids
     (vectors verbatim — every replica lands in its base's IVF cell)."""
     emb = spark.read.parquet(src)
+    _check_ids_below_off(emb, "vec_id")
     emb.select("*", _rep_col(replicas)).select(
         (F.col("vec_id") + F.col("rep") * F.lit(OFF)).alias("vec_id"),
         "embedding", "label",

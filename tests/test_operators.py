@@ -1170,6 +1170,10 @@ def test_hot_keys_rejects_non_atomic_columns(spark):
         hot_keys(df, "arr", support=0.1)
     with pytest.raises(TypeError, match="atomic"):
         hot_keys(df, "st", support=0.1)
+    # the guard resolves names like the analyzer (case-insensitive):
+    # an uppercase spelling of an atomic column must still work
+    kdf = spark.createDataFrame([(1,)] * 20, "k long")
+    assert hot_keys(kdf, "K", support=0.4) == [1]
 
 
 def test_resample_grid_exact_at_int64_magnitude(spark):
