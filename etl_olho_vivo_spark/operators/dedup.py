@@ -128,11 +128,20 @@ def lsh_bands(df: DataFrame, sig_col: str = "minhash") -> DataFrame:
 
 
 def candidate_pairs(banded: DataFrame) -> DataFrame:
-    """Doc-id pairs sharing any (band, band_sig) key — the LSH candidates."""
+    """Doc-id pairs sharing any (band, band_sig) key — the LSH candidates.
+
+    merge (sort-merge) pinned: both sides are corpus-sized band-key
+    relations.  Without a hint AQE's runtime size estimate can pick a
+    broadcast join (corpus-scaled broadcast = the plan that dies first
+    at scale), and shuffle_hash builds a per-partition in-memory map
+    that cannot spill — the starved-JVM probe showed both OOM at 30×
+    density while the sort-merge plan spills and completes.
+    """
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
     return (
-        a.join(b, ["band", "band_sig"])
+        a.hint("merge")
+        .join(b, ["band", "band_sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
@@ -178,8 +187,14 @@ def near_duplicates(
     sh_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    # verify joins pinned merge: `pairs` scales with candidates and the
+    # sh_* sides (shingle arrays) with the corpus — neither may be
+    # broadcast, and a shuffled-hash build map of shingle arrays is the
+    # first thing to OOM under memory pressure; SMJ spills instead
     return (
-        pairs.join(sh_a, "doc_a")
+        pairs.hint("merge")
+        .join(sh_a, "doc_a")
+        .hint("merge")
         .join(sh_b, "doc_b")
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
@@ -410,8 +425,12 @@ def incremental_near_duplicates(
             new_sig = _persist(new_sig, caches)
     new_bands = lsh_bands(new_sig).withColumnRenamed("doc_id", "doc_new")
     old_bands = lsh_bands(store).withColumnRenamed("doc_id", "doc_old")
+    # merge pinned — the store side is CORPUS-sized; broadcasting it is
+    # the 100 TB failure mode and a hash build map of it OOMs under
+    # pressure; sort-merge spills
     pairs = (
-        new_bands.join(old_bands, ["band", "band_sig"])
+        new_bands.hint("merge")
+        .join(old_bands, ["band", "band_sig"])
         # identity guard: doc ids are globally unique, so doc_new ==
         # doc_old can only mean the store holds the batch's OWN earlier
         # write (at-least-once replay — possibly already folded into a
@@ -431,7 +450,9 @@ def incremental_near_duplicates(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        pairs.join(sh_new, "doc_new")
+        pairs.hint("merge")
+        .join(sh_new, "doc_new")
+        .hint("merge")
         .join(sh_old, "doc_old")
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
@@ -489,7 +510,8 @@ def simhash_near_dups(
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "seg")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "seg")
     pairs = (
-        a.join(b, ["band", "seg"])
+        a.hint("merge")
+        .join(b, ["band", "seg"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
@@ -498,7 +520,9 @@ def simhash_near_dups(
     sim_b = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
     hamming = F.bit_count(F.expr("ha ^ hb"))
     return (
-        pairs.join(sim_a, "doc_a")
+        pairs.hint("merge")
+        .join(sim_a, "doc_a")
+        .hint("merge")
         .join(sim_b, "doc_b")
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)

@@ -369,11 +369,15 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pin the exchange: the pair stage shuffles few bytes but does
     # O(block²) array-intersect work per partition, so AQE's size-based
     # coalescing would collapse it to one task (same rationale as
-    # registry_ingest.q_doc_editdist_near_dup); shuffle_hash keeps the
-    # broadcast-of-the-corpus plan off the table at real scale.
+    # registry_ingest.q_doc_editdist_near_dup); merge (sort-merge) keeps
+    # BOTH failure modes off the table at real scale — the
+    # broadcast-of-the-corpus plan and the shuffled-hash build map,
+    # which holds a whole (source, bucket) block in memory per task and
+    # cannot spill (the starved-JVM probe showed hash builds OOM at 30×
+    # block density while SMJ spills and completes).
     a = a.repartition(par, "source", "bucket")
     return (
-        a.hint("shuffle_hash").join(b, ["source", "bucket"])
+        a.hint("merge").join(b, ["source", "bucket"])
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 20)

@@ -247,8 +247,14 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.round(
         F.expr(f"CAST({dot} AS DOUBLE)") / (F.col("na") * F.col("nb")), 6
     )
+    # merge (sort-merge) pinned: both self-join sides are the
+    # corpus-sized assignment (with vector payloads) — a runtime
+    # estimate that broadcasts one side OOMs first at scale, and a
+    # shuffled-hash build map of vector arrays OOMs under pressure
+    # where SMJ spills (starved-probe evidence, BASELINE.md)
     return (
-        x.join(y, ["cell_id"])
+        x.hint("merge")
+        .join(y, ["cell_id"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") >= 0.4)

@@ -139,9 +139,12 @@ WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 20
     doc="Blocked edit-distance near-dup: candidates only within a "
     "(lang, source) block — an equi-join shuffle-partitioned by block key, "
     "never a cross product — then Levenshtein on a 40-char prefix "
-    "verifies.  Two plan decisions are load-bearing: (1) shuffle_hash, "
-    "not broadcast — broadcasting the whole corpus to every executor is "
-    "exactly what cannot happen at 100 TB; (2) repartition(n, block) pins "
+    "verifies.  Two plan decisions are load-bearing: (1) merge, not "
+    "broadcast (shipping the whole corpus to every executor cannot "
+    "happen at 100 TB) and not shuffled-hash (its per-task build map "
+    "holds a whole block in memory and cannot spill — the starved-JVM "
+    "probe OOMs hash builds at 30× density while SMJ completes); (2) "
+    "repartition(n, block) pins "
     "the exchange so AQE's size-based coalescing cannot collapse a "
     "compute-bound stage (the shuffled rows are tiny but each output "
     "partition does O(block²) DP work — byte counts misjudge it; measured "
@@ -165,7 +168,7 @@ def q_doc_editdist_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dist = F.levenshtein("pa", "pb")
     return (
-        a.hint("shuffle_hash")
+        a.hint("merge")
         .join(b, on=["lang", "source"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(dist <= 20)

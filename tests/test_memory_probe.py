@@ -83,6 +83,12 @@ def test_flagship_spills_and_completes_under_starved_memory(
     ]
     assert int(rows_line.split()[1]) == expected
 
+    spill = _total_spill(events_dir)
+    # a run that fit in memory proves nothing — demand a real spill
+    assert spill > 100 * 1024 * 1024, f"only {spill} bytes spilled"
+
+
+def _total_spill(events_dir: str) -> int:
     spill = 0
     for f in glob.glob(f"{events_dir}/**/*", recursive=True):
         if not os.path.isfile(f):
@@ -98,5 +104,65 @@ def test_flagship_spills_and_completes_under_starved_memory(
                 and isinstance(e.get("Task Metrics"), dict)
             ):
                 spill += e["Task Metrics"].get("Memory Bytes Spilled", 0) or 0
-    # a run that fit in memory proves nothing — demand a real spill
-    assert spill > 100 * 1024 * 1024, f"only {spill} bytes spilled"
+    return spill
+
+
+def test_minhash_spills_and_completes_under_starved_memory(
+    spark, tmp_path
+):
+    """The dedup family's spill path: the banded pair join + exact-verify
+    joins over a MEMORY_AND_DISK signature cache must complete with the
+    correct pair count when execution memory is starved — the flagship
+    probe covers sort/agg spills, this covers the join+cache path the
+    100 TB corpus claims rest on.  30× sf0.1 documents ≈ 45 MB of text,
+    ~30× LSH block density (≈900× candidate pairs)."""
+    from tests.datagen import replicate_documents
+
+    data_dir = str(tmp_path / "docs30")
+    events_dir = str(tmp_path / "events_log")
+    os.makedirs(events_dir)
+    replicate_documents(
+        spark, "/root/testdata/sf0.1/documents.parquet",
+        f"{data_dir}/documents.parquet", REPLICAS,
+    )
+
+    from etl_olho_vivo_spark import registry
+    from etl_olho_vivo_spark.caching import release_session_caches
+
+    registry.queries()
+    expected = registry.REGISTRY["minhash_near_dups"].fn(
+        spark, data_dir
+    ).count()
+    release_session_caches()
+
+    script = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[4]")
+            .config("spark.driver.memory", "700m")
+            .config("spark.memory.fraction", "0.15")
+            .config("spark.sql.shuffle.partitions", "4")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.dir", {events_dir!r})
+            .config("spark.ui.enabled", "false").getOrCreate())
+        from etl_olho_vivo_spark import registry
+        registry.queries()
+        df = registry.REGISTRY["minhash_near_dups"].fn(
+            spark, {data_dir!r})
+        print("PROBE_ROWS", df.count())
+        spark.stop()
+    """)
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=560,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    (rows_line,) = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("PROBE_ROWS")
+    ]
+    assert int(rows_line.split()[1]) == expected
+    spill = _total_spill(events_dir)
+    assert spill > 10 * 1024 * 1024, f"only {spill} bytes spilled"

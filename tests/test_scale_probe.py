@@ -12,11 +12,11 @@ decisions when the inputs grow:
   distinct vehicles): still exactly ONE shuffle (the lag window's
   hashpartitioning(prefixo_veiculo) keeps satisfying the 9-key agg);
 - `ngram_jaccard_pairs` / `doc_editdist_near_dup` on 10× sf0.01
-  documents (10× block density → ~100× pair work): the shuffle_hash
-  hint still yields a ShuffledHashJoin (no corpus broadcast) and the
-  REPARTITION_BY_NUM pins survive (AQE never coalesces a
-  user-numbered repartition, so the compute-bound pair stages keep
-  their parallelism);
+  documents (10× block density → ~100× pair work): the merge hint
+  still yields a spillable SortMergeJoin (no corpus broadcast, no
+  in-memory hash build) and the REPARTITION_BY_NUM pins survive (AQE
+  never coalesces a user-numbered repartition, so the compute-bound
+  pair stages keep their parallelism);
 - `embedding_near_dup_pairs` on 10× sf0.01 embeddings: the candidate
   stage stays an equi hash join on cell_id (never a cartesian /
   nested-loop pair enumeration) and the single persisted assignment
@@ -93,8 +93,8 @@ def test_ngram_pins_hold_at_10x(spark, scale10_dir):
     plan, n = _final_plan(spark, "ngram_jaccard_pairs", scale10_dir)
     assert n > 0
     final = plan.split("== Initial Plan ==")[0]
-    # corpus never broadcast: the hinted pair join stays shuffled-hash
-    assert "ShuffledHashJoin" in final, final[:2000]
+    # corpus never broadcast, pair join spillable (merge pin)
+    assert "SortMergeJoin" in final, final[:2000]
     assert "BroadcastHashJoin" not in final
     # the parallelism pin survives AQE (user-numbered repartition)
     assert "REPARTITION_BY_NUM" in final
@@ -105,7 +105,7 @@ def test_editdist_pins_hold_at_10x(spark, scale10_dir):
     plan, n = _final_plan(spark, "doc_editdist_near_dup", scale10_dir)
     assert n > 0
     final = plan.split("== Initial Plan ==")[0]
-    assert "ShuffledHashJoin" in final, final[:2000]
+    assert "SortMergeJoin" in final, final[:2000]
     assert "BroadcastHashJoin" not in final
     assert "REPARTITION_BY_NUM" in final
     # block-key shuffles must not be runtime-coalesced: each output
@@ -119,10 +119,14 @@ def test_minhash_shares_one_signature_pass_at_10x(spark, scale10_dir):
     plan, n = _final_plan(spark, "minhash_near_dups", scale10_dir)
     assert n > 0
     final = plan.split("== Initial Plan ==")[0]
-    # LSH candidate generation + both verify sides stay equi joins on
-    # slim keys — pair enumeration must never degrade to nested-loop
+    # LSH candidate generation + both verify sides stay shuffled
+    # sort-merge equi joins on slim keys — pair enumeration must never
+    # degrade to nested-loop, and no corpus/candidate-scaled relation
+    # may be broadcast (merge pinned after the starved probe showed
+    # broadcast AND hash builds OOM at 30× density while SMJ spills)
     assert "CartesianProduct" not in final
     assert "BroadcastNestedLoopJoin" not in final
+    assert "BroadcastHashJoin" not in final
     # the persisted signature store still feeds every consumer (text
     # scan + md5 + shingle compute runs once, not once per consumer)
     assert "TableCacheQueryStage" in final, final[:2000]
@@ -171,11 +175,15 @@ def test_embedding_pairs_blocked_join_at_10x(spark, scale10_dir):
     plan, n = _final_plan(spark, "embedding_near_dup_pairs", scale10_dir)
     assert n > 0
     final = plan.split("== Initial Plan ==")[0]
-    # pair enumeration is an equi hash join on cell_id — nested-loop
-    # appears ONLY in the bounded 16-row centroid broadcast of
-    # ivf_assign, never for vector pairs
+    # pair enumeration is a shuffled SORT-MERGE equi join on cell_id —
+    # nested-loop appears ONLY in the bounded 16-row centroid broadcast
+    # of ivf_assign; the corpus-sized assignment sides are never
+    # broadcast, and the join must stay spillable (merge pinned after
+    # the starved probe showed broadcast AND hash builds OOM at 30×
+    # density while SMJ spills and completes)
     assert "CartesianProduct" not in final
-    assert ("ShuffledHashJoin" in final) or ("BroadcastHashJoin" in final)
+    assert "SortMergeJoin" in final
+    assert "BroadcastHashJoin" not in final
     # one persisted assignment pass feeds both self-join sides; in the
     # final adaptive section a cache read prints as TableCacheQueryStage
     # (reused stages are not reprinted), so count consumers on the full
