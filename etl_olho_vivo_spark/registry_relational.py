@@ -147,9 +147,13 @@ GROUP BY n.n_name, r.r_name, year({_sql_utc_date('o.o_orderdate')})
 """,
     doc="Multi-way join with the honest 100 TB shape: lineitem ⋈ orders "
     "and ⋈ customer are fact-sized sides and go through hash-partitioned "
-    "shuffle joins (broadcasting orders would collect a fact to the "
-    "driver at scale); only the genuinely small dimensions — nation (25 "
-    "rows) and region (5) — are broadcast (SURVEY §2.3).  The engine "
+    "SORT-MERGE joins — broadcasting orders would collect a fact to the "
+    "driver at scale, and a shuffled-hash build map of a fact side "
+    "cannot spill (the starved-JVM probe at 30× dies with 'Can't "
+    "acquire memory to build hash relation' under shuffle_hash and "
+    "completes under merge); only the genuinely small dimensions — "
+    "nation (25 rows) and region (5) — are broadcast (SURVEY §2.3).  "
+    "The engine "
     "pre-aggregates lineitem per order BEFORE the fact join (the classic "
     "TPC-H Q5-family rewrite): the orders join then shuffles one slim "
     "row per order (~1/4 the lineitem rows) instead of raw lineitems, "
@@ -174,10 +178,10 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_order.join(
-            orders.hint("shuffle_hash"),
+            orders.hint("merge"),
             per_order.l_orderkey == orders.o_orderkey,
         )
-        .join(cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey)
+        .join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(

@@ -12,4 +12,5 @@ from etl_olho_vivo_spark.replicate import (  # noqa: F401
     replicate_documents,
     replicate_embeddings,
     replicate_events,
+    replicate_tpch_facts,
 )

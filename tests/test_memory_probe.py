@@ -166,3 +166,60 @@ def test_minhash_spills_and_completes_under_starved_memory(
     assert int(rows_line.split()[1]) == expected
     spill = _total_spill(events_dir)
     assert spill > 10 * 1024 * 1024, f"only {spill} bytes spilled"
+
+
+def test_fact_join_spills_and_completes_under_starved_memory(
+    spark, tmp_path
+):
+    """The relational fact-join path: revenue_by_nation's pre-agg +
+    orders ⋈ customer chain at 30× facts (4.5M orders / 18M lineitems)
+    under a 700 MB heap.  This probe is what demoted the query's
+    original shuffle_hash pins: the hash build died with "Can't acquire
+    … memory to build hash relation" while the sort-merge plan spills
+    and returns the correct 175-group result."""
+    from tests.datagen import replicate_tpch_facts
+
+    data_dir = str(tmp_path / "tpch30")
+    events_dir = str(tmp_path / "events_log")
+    os.makedirs(events_dir)
+    os.makedirs(data_dir)
+    replicate_tpch_facts(spark, "/root/testdata/sf0.1", data_dir, REPLICAS)
+
+    from etl_olho_vivo_spark import registry
+
+    registry.queries()
+    expected = registry.REGISTRY["revenue_by_nation"].fn(
+        spark, data_dir
+    ).count()
+
+    script = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[4]")
+            .config("spark.driver.memory", "700m")
+            .config("spark.memory.fraction", "0.15")
+            .config("spark.sql.shuffle.partitions", "4")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.dir", {events_dir!r})
+            .config("spark.ui.enabled", "false").getOrCreate())
+        from etl_olho_vivo_spark import registry
+        registry.queries()
+        df = registry.REGISTRY["revenue_by_nation"].fn(
+            spark, {data_dir!r})
+        print("PROBE_ROWS", df.count())
+        spark.stop()
+    """)
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=560,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    (rows_line,) = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("PROBE_ROWS")
+    ]
+    assert int(rows_line.split()[1]) == expected
+    spill = _total_spill(events_dir)
+    assert spill > 10 * 1024 * 1024, f"only {spill} bytes spilled"

@@ -46,13 +46,14 @@ def test_pricing_summary_prunes_columns(spark):
 
 def test_dimension_joins_broadcast(spark):
     """nation/region (true dims) broadcast; orders/customer (fact-sized)
-    go through hash-partitioned shuffle joins — broadcasting a fact is
-    the plan that dies first at 100 TB."""
+    go through spillable hash-partitioned SORT-MERGE joins —
+    broadcasting a fact is the plan that dies first at 100 TB, and a
+    shuffled-hash build map of a fact side OOMs under memory pressure
+    (starved-probe evidence, BASELINE.md round 6)."""
     plan = _plan(spark, "revenue_by_nation")
     assert plan.count("BroadcastHashJoin") == 2, plan[:2000]
-    assert "ShuffledHashJoin" in plan
-    # no sort-merge: the hint keeps the fact joins hash-based
-    assert plan.count("SortMergeJoin") == 0
+    assert "SortMergeJoin" in plan
+    assert "ShuffledHashJoin" not in plan
 
 
 def test_semi_join_is_semi(spark):
