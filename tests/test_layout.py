@@ -78,3 +78,113 @@ def test_clustered_write_roundtrips_identically(spark, pos, tmp_path):
     assert sorted(map(tuple, a.select(*cols).collect())) == sorted(
         map(tuple, b.select(*cols).collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (two-dimensional) clustering — io/layout.py
+# ---------------------------------------------------------------------------
+
+
+def test_zvalue_is_morton_interleave(spark):
+    """Known Morton codes: bit i of c1 → position 2i, of c2 → 2i+1."""
+    from pyspark.sql import functions as F
+
+    from etl_olho_vivo_spark.io.layout import zvalue
+
+    cases = [(0, 0, 0), (3, 0, 5), (0, 1, 2), (3, 1, 7),
+             (5, 3, 0b011011), (2**15, 2**15, 0b11 << 30)]
+    df = spark.createDataFrame(
+        [(a, b) for a, b, _ in cases], "a long, b long"
+    ).withColumn("z", zvalue(F.col("a"), F.col("b"), bits=16))
+    got = {(r["a"], r["b"]): r["z"] for r in df.collect()}
+    for a, b, want in cases:
+        assert got[(a, b)] == want, (a, b, got[(a, b)], want)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="bits"):
+        zvalue(F.col("a"), F.col("b"), bits=40)
+
+
+@pytest.fixture(scope="module")
+def zlayouts(spark, tmp_path_factory):
+    """events (user_id, ts_ms) written z-ordered vs 1-D ts-sorted, with
+    forced-tiny row groups."""
+    from pyspark.sql import functions as F
+
+    from etl_olho_vivo_spark.io.layout import write_zordered
+    from etl_olho_vivo_spark.sources.tables import read_table
+
+    ev = read_table(spark, SF, "events")
+    df = ev.select(
+        "event_id", "user_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    base = tmp_path_factory.mktemp("zorder")
+    zdir, pdir = str(base / "z"), str(base / "plain")
+    write_zordered(
+        df, zdir, "user_id", "ts_ms",
+        writer_options={"parquet.block.size": str(16 * 1024)},
+    )
+    (
+        df.repartitionByRange(8, "ts_ms")
+        .sortWithinPartitions("ts_ms")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 16 * 1024)
+        .parquet(pdir)
+    )
+    (row,) = df.agg(
+        F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+        F.min("ts_ms").alias("tlo"), F.max("ts_ms").alias("thi"),
+    ).collect()
+    return {"df": df, "z": zdir, "plain": pdir, "bounds": row}
+
+
+def _flat_ranges(path: str, col: str):
+    out = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        idx = meta.schema.names.index(col)
+        for g in range(meta.num_row_groups):
+            st = meta.row_group(g).column(idx).statistics
+            assert st is not None and st.has_min_max
+            out.append((st.min, st.max))
+    return out
+
+
+def test_zorder_prunes_both_dimensions(spark, zlayouts):
+    """The point of the layout: a ~2%-wide predicate on EITHER column
+    skips most z-ordered row groups, while the 1-D ts-sort leaves every
+    group qualifying for the user predicate (stats exist, prune nothing).
+    Measured at calibration: z 10/32 user hits + 6/32 ts hits vs plain
+    16/16 user hits — margins set well off the observed values."""
+    b = zlayouts["bounds"]
+    uw = (b["uhi"] - b["ulo"]) // 50
+    tw = (b["thi"] - b["tlo"]) // 50
+    u0, t0 = b["ulo"] + 3 * uw, b["tlo"] + 3 * tw
+
+    def hits(path, col, lo, hi):
+        r = _flat_ranges(path, col)
+        return sum(1 for glo, ghi in r if not (ghi < lo or glo > hi)), len(r)
+
+    zu, zn = hits(zlayouts["z"], "user_id", u0, u0 + uw)
+    zt, _ = hits(zlayouts["z"], "ts_ms", t0, t0 + tw)
+    pu, pn = hits(zlayouts["plain"], "user_id", u0, u0 + uw)
+    pt, _ = hits(zlayouts["plain"], "ts_ms", t0, t0 + tw)
+    assert zn > 5, "forced row groups too coarse for the probe"
+    # z: BOTH dimensions prune
+    assert zu <= zn * 0.6, (zu, zn)
+    assert zt <= zn * 0.6, (zt, zn)
+    # 1-D: only the sort key prunes; user predicate qualifies everything
+    assert pu >= pn * 0.9, (pu, pn)
+    assert pt <= pn * 0.5, (pt, pn)
+
+
+def test_zorder_write_roundtrips_identically(spark, zlayouts):
+    """Z-ordering is layout-only: same rows, same values; the helper
+    column never leaks into the file."""
+    a = spark.read.parquet(zlayouts["z"])
+    assert sorted(a.columns) == ["event_id", "ts_ms", "user_id"]
+    cols = ["event_id", "ts_ms", "user_id"]
+    assert sorted(map(tuple, a.select(*cols).collect())) == sorted(
+        map(tuple, zlayouts["df"].select(*cols).collect())
+    )
