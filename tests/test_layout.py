@@ -188,3 +188,50 @@ def test_zorder_write_roundtrips_identically(spark, zlayouts):
     assert sorted(map(tuple, a.select(*cols).collect())) == sorted(
         map(tuple, zlayouts["df"].select(*cols).collect())
     )
+
+
+def test_zorder_precomputed_bounds_single_pass(spark, zlayouts):
+    """The scale path: pass profiler-derived bounds and the write skips
+    its bounds scan yet clusters equivalently — both dimensions still
+    prune (row-group BOUNDARIES may shift slightly: repartitionByRange
+    samples, so exact layout equality is not the contract)."""
+    from etl_olho_vivo_spark.io.layout import write_zordered
+
+    b = zlayouts["bounds"]
+    out = zlayouts["z"] + "_bounded"
+    write_zordered(
+        zlayouts["df"], out, "user_id", "ts_ms",
+        bounds={
+            "user_id": (b["ulo"], b["uhi"]),
+            "ts_ms": (b["tlo"], b["thi"]),
+        },
+        writer_options={"parquet.block.size": str(16 * 1024)},
+    )
+    uw = (b["uhi"] - b["ulo"]) // 50
+    tw = (b["thi"] - b["tlo"]) // 50
+    u0, t0 = b["ulo"] + 3 * uw, b["tlo"] + 3 * tw
+    ru = _flat_ranges(out, "user_id")
+    rt = _flat_ranges(out, "ts_ms")
+    hu = sum(1 for lo, hi in ru if not (hi < u0 or lo > u0 + uw))
+    ht = sum(1 for lo, hi in rt if not (hi < t0 or lo > t0 + tw))
+    assert hu <= len(ru) * 0.6, (hu, len(ru))
+    assert ht <= len(rt) * 0.6, (ht, len(rt))
+    # and it is the same data
+    assert spark.read.parquet(out).count() == zlayouts["df"].count()
+
+
+def test_zorder_constant_column_degenerates_safely(spark, tmp_path):
+    """A constant dimension (hi == lo) must not divide by zero — the
+    z-value collapses to the other dimension's interleave."""
+    from pyspark.sql import functions as F
+
+    from etl_olho_vivo_spark.io.layout import write_zordered
+
+    df = spark.range(100).select(
+        F.col("id"), F.lit(7).alias("k"), (F.col("id") * 2).alias("v")
+    )
+    out = str(tmp_path / "const")
+    write_zordered(df, out, "k", "v", n_files=2)
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    assert sorted(r["id"] for r in back.collect()) == list(range(100))
