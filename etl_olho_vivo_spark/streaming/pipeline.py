@@ -81,6 +81,31 @@ def stream_raw_posicoes(
     return flatten_posicoes(reader.json(raw_dir))
 
 
+def stream_dedup_exact(
+    stream: DataFrame,
+    keys: list[str],
+    ts: str = "event_time",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exact streaming dedup for at-least-once sources — emit each key's
+    FIRST arrival, drop redelivery within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` is the bounded-state form: per-key
+    state is evicted once the watermark passes it, so state size tracks
+    the redelivery window, not the stream's lifetime.  A bare
+    ``dropDuplicates`` on a stream keeps every key forever — the state
+    store IS the corpus after a month of 100 TB/day ingestion, which is
+    why this wrapper never exposes it.  The watermark must cover the
+    source's maximum redelivery lag (e.g. a Kafka transaction timeout or
+    a file-landing retry horizon); duplicates arriving later than that
+    are re-admitted — downstream exact dedup (operators/dedup.py) is the
+    backstop, same layering as the corpus stream's near-dup store.
+    """
+    return stream.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def with_event_time(pos: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Attach the event-time instant (TZ-free epoch→timestamp) + watermark."""
     return pos.withColumn(

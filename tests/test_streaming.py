@@ -351,3 +351,57 @@ def test_three_slice_replay_drops_oldest_quarter(spark, tmp_path):
         assert min_start >= (cutlo_sec // 1800) * 1800
     finally:
         spark.catalog.dropTempView("three_slice_dbg")
+
+
+def test_stream_dedup_exact_drops_cross_batch_redelivery(spark, tmp_path):
+    """At-least-once redelivery: the same event_id arriving again in a
+    LATER micro-batch (within the watermark horizon) is dropped; the
+    first arrival's payload survives.  Uses one file per micro-batch
+    (maxFilesPerTrigger=1) so the redelivery genuinely crosses a batch
+    boundary and exercises the keyed state store, not an in-batch
+    distinct."""
+    import glob
+    import os
+    import shutil
+
+    from etl_olho_vivo_spark.streaming.pipeline import stream_dedup_exact
+
+    landing = tmp_path / "dedup_landing"
+    landing.mkdir()
+    schema = "event_id long, event_time timestamp, payload string"
+
+    def land(name, rows, mtime):
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        stage = str(tmp_path / f"stage_{name}")
+        df.write.mode("overwrite").parquet(stage)
+        (part,) = glob.glob(f"{stage}/part-*.parquet")
+        dest = str(landing / f"{name}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(stage)
+        os.utime(dest, (mtime, mtime))
+
+    import datetime as dt
+
+    def ts(s):
+        return dt.datetime.fromtimestamp(T0 + s, dt.timezone.utc).replace(
+            tzinfo=None
+        )
+
+    # batch 0: two events; batch 1: redelivery of event 1 (different
+    # payload — proves FIRST arrival wins) + one fresh event
+    land("b0", [(1, ts(0), "first"), (2, ts(10), "x")], T0)
+    land("b1", [(1, ts(0), "redelivered"), (3, ts(20), "y")], T0 + 60)
+
+    sdf = stream_dedup_exact(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(landing)),
+        keys=["event_id"],
+        watermark="10 minutes",
+    )
+    _run_to_memory(sdf, "dedup_stream", "append")
+    rows = {
+        r["event_id"]: r["payload"]
+        for r in spark.table("dedup_stream").collect()
+    }
+    assert rows == {1: "first", 2: "x", 3: "y"}
