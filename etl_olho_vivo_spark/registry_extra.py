@@ -473,8 +473,12 @@ SELECT doc_id, term, tfidf FROM (
 ) WHERE rn <= 3
 """,
     doc="tf-idf top-3 terms per document: explode → tf groupBy → df groupBy "
-    "→ broadcast idf join → per-doc top-k window.  idf is rounded before "
-    "ranking (ln is transcendental); ties break on term for a total order.",
+    "→ sort-merge idf join → per-doc top-k window.  The idf relation is "
+    "VOCABULARY-scaled (Heaps' law: still hundreds of millions of rows "
+    "at 100 TB), so it is joined shuffled-and-spillable, never broadcast "
+    "— same starved-probe posture as the pair joins; the only broadcast "
+    "is the 1-row corpus count.  idf is rounded before ranking (ln is "
+    "transcendental); ties break on term for a total order.",
 )
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
@@ -487,7 +491,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_.hint("merge"), "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
