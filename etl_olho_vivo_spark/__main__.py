@@ -115,6 +115,23 @@ def _build_parser() -> argparse.ArgumentParser:
         "into the single compacted base partition",
     )
 
+    opt = sub.add_parser(
+        "optimize",
+        help="rewrite a parquet table Z-order-clustered on two columns "
+        "(row-group pruning on either dimension)",
+    )
+    opt.add_argument("--path", required=True, help="input parquet table")
+    opt.add_argument("--out", required=True, help="clustered output dir")
+    opt.add_argument(
+        "--by", required=True, metavar="COL1,COL2",
+        help="the two numeric/orderable columns to interleave",
+    )
+    opt.add_argument("--bits", type=int, default=16)
+    opt.add_argument(
+        "--files", type=int, default=None,
+        help="output file count (default: shuffle partitions)",
+    )
+
     prof = sub.add_parser(
         "profile", help="one-scan per-column profile of a parquet table"
     )
@@ -261,6 +278,33 @@ def main(argv: list[str] | None = None) -> int:
                 # compactor would die reading an empty/missing store
                 out["store_signatures_compacted"] = 0
         print(json.dumps(out))
+        return 0
+
+    if args.command == "optimize":
+        from etl_olho_vivo_spark.io.layout import write_zordered
+        from etl_olho_vivo_spark.sources.tables import (
+            pin_parquet_instant_confs,
+        )
+
+        cols = [c.strip() for c in args.by.split(",") if c.strip()]
+        if len(cols) != 2:
+            raise SystemExit(
+                f"--by needs exactly two comma-separated columns, "
+                f"got {args.by!r}"
+            )
+        pin_parquet_instant_confs(spark)
+        df = spark.read.parquet(args.path)
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise SystemExit(f"column(s) not in table: {missing}")
+        write_zordered(
+            df, args.out, cols[0], cols[1],
+            bits=args.bits, n_files=args.files,
+        )
+        print(json.dumps({
+            "command": "optimize", "by": cols,
+            "rows": spark.read.parquet(args.out).count(),
+        }))
         return 0
 
     if args.command == "profile":

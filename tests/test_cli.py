@@ -155,3 +155,26 @@ def test_profile_rejects_out_of_range_rsd():
     with pytest.raises(SystemExit, match="rsd"):
         main(["--cpus", "8", "profile", "--path", "/nonexistent",
               "--rsd", "0.9"])
+
+
+def test_optimize_subcommand(spark, tmp_path, capsys):
+    """Z-order rewrite from the CLI: same rows out, and malformed --by
+    dies at the contract."""
+    src = str(tmp_path / "src")
+    spark.range(500).selectExpr(
+        "id", "id % 37 AS a", "(id * 7) % 113 AS b"
+    ).write.parquet(src)
+    out = str(tmp_path / "zout")
+    assert main(["--cpus", "8", "optimize", "--path", src, "--out", out,
+                 "--by", "a,b"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res == {"command": "optimize", "by": ["a", "b"], "rows": 500}
+
+    import pytest
+
+    with pytest.raises(SystemExit, match="exactly two"):
+        main(["--cpus", "8", "optimize", "--path", src,
+              "--out", out, "--by", "a"])
+    with pytest.raises(SystemExit, match="not in table"):
+        main(["--cpus", "8", "optimize", "--path", src,
+              "--out", out, "--by", "a,nope"])
