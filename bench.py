@@ -67,6 +67,12 @@ PAIR_HEAVY = [
 ]
 
 
+def scale_enabled() -> bool:
+    """True iff the scaling-curve tier should replace the normal sweep
+    ("0"/"false" mean OFF — not the truthy-string trap)."""
+    return os.environ.get("SPARK_GRAFT_SCALE", "") not in ("", "0", "false")
+
+
 def _time_query(spark, fn, sf_dir: str, release, runs: int = 2) -> float:
     """min-of-``runs`` noop-sink wall time, caches released between runs."""
     out = []
@@ -167,7 +173,7 @@ def main() -> None:
         polls=1, lines=1, vehicles=1
     ).load().write.format("noop").mode("overwrite").save()
 
-    if os.environ.get("SPARK_GRAFT_SCALE", "") not in ("", "0", "false"):
+    if scale_enabled():
         # scaling-curve mode (manual / BASELINE evidence) — replaces the
         # registry sweep; its one JSON line is the last line of stdout
         scale_tier(spark, sf_dir)

@@ -287,11 +287,13 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         cols = [c.strip() for c in args.by.split(",") if c.strip()]
-        if len(cols) != 2:
+        if len(cols) != 2 or cols[0] == cols[1]:
             raise SystemExit(
-                f"--by needs exactly two comma-separated columns, "
-                f"got {args.by!r}"
+                f"--by needs exactly two DISTINCT comma-separated "
+                f"columns, got {args.by!r}"
             )
+        if not 1 <= args.bits <= 31:
+            raise SystemExit(f"--bits must be in [1, 31], got {args.bits}")
         pin_parquet_instant_confs(spark)
         df = spark.read.parquet(args.path)
         missing = [c for c in cols if c not in df.columns]

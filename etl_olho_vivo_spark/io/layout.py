@@ -50,14 +50,22 @@ def zvalue(c1: Column, c2: Column, bits: int = 16) -> Column:
 
 
 def _normalize(col: Column, lo, hi, bits: int) -> Column:
-    """Min-max scale an orderable numeric column onto [0, 2**bits)."""
+    """Min-max scale an orderable numeric column onto [0, 2**bits).
+
+    Clamped: on the precomputed-``bounds`` path the profile is stale the
+    moment new data lands, and an out-of-range value would otherwise
+    alias across the z-range (zvalue reads only the low bits — the
+    NEWEST rows would sort next to the oldest and silently destroy the
+    clustering).  Clamping pins stragglers to the curve's edge instead.
+    """
     top = (1 << bits) - 1
     if hi == lo:
         return F.lit(0).cast("long")
-    return F.floor(
+    scaled = F.floor(
         (col.cast("double") - F.lit(float(lo)))
         * F.lit(top / (float(hi) - float(lo)))
     ).cast("long")
+    return F.greatest(F.lit(0).cast("long"), F.least(F.lit(top).cast("long"), scaled))
 
 
 def write_zordered(
@@ -74,9 +82,20 @@ def write_zordered(
     (``c1``, ``c2``).
 
     ``bounds``: optional ``{col: (min, max)}`` to skip the bounds scan
-    (pass profiler output at scale).  ``n_files`` sizes the range
-    partitioning (default: current shuffle partitions).
+    (pass profiler output at scale; values outside stale bounds clamp
+    to the curve's edge rather than aliasing).  ``n_files`` sizes the
+    range partitioning (default: current shuffle partitions).
     """
+    if c1 == c2:
+        raise ValueError(
+            "write_zordered needs two DISTINCT columns — interleaving a "
+            "column with itself is just a 1-D sort sold as 2-D clustering"
+        )
+    if "__z" in df.columns:
+        raise ValueError(
+            "input already has a __z column — rename it; the writer uses "
+            "that name for the sort key and would silently drop yours"
+        )
     need = [c for c in (c1, c2) if not bounds or c not in bounds]
     got = dict(bounds or {})
     if need:

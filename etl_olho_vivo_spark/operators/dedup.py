@@ -425,12 +425,18 @@ def incremental_near_duplicates(
             new_sig = _persist(new_sig, caches)
     new_bands = lsh_bands(new_sig).withColumnRenamed("doc_id", "doc_new")
     old_bands = lsh_bands(store).withColumnRenamed("doc_id", "doc_old")
-    # merge pinned — the store side is CORPUS-sized; broadcasting it is
-    # the 100 TB failure mode and a hash build map of it OOMs under
-    # pressure; sort-merge spills
+    # deliberately UNHINTED — the one pair join whose sides are
+    # asymmetric: old_bands is CORPUS-sized but new_bands scales with
+    # the micro-batch.  A merge pin here would shuffle+sort the whole
+    # store on EVERY batch (cost ∝ corpus — the exact contract this
+    # function exists to avoid); letting AQE decide keeps cost ∝ batch:
+    # its broadcast picks use ACTUAL runtime bytes against the
+    # threshold (bounded by construction, unlike estimate-based static
+    # broadcasts), so a normal batch broadcasts its slim band keys and
+    # the store is only scanned, while a degenerate corpus-sized
+    # catch-up batch falls back to a spillable sort-merge join.
     pairs = (
-        new_bands.hint("merge")
-        .join(old_bands, ["band", "band_sig"])
+        new_bands.join(old_bands, ["band", "band_sig"])
         # identity guard: doc ids are globally unique, so doc_new ==
         # doc_old can only mean the store holds the batch's OWN earlier
         # write (at-least-once replay — possibly already folded into a
@@ -450,9 +456,11 @@ def incremental_near_duplicates(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        pairs.hint("merge")
-        .join(sh_new, "doc_new")
-        .hint("merge")
+        # unhinted for the same reason as the band join above: pairs and
+        # sh_new are batch/candidate-scaled, sh_old is corpus-scaled —
+        # AQE's byte-bounded broadcast of the small sides keeps the
+        # store un-shuffled on the normal path
+        pairs.join(sh_new, "doc_new")
         .join(sh_old, "doc_old")
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)

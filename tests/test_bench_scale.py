@@ -6,7 +6,6 @@ line with every expected query present."""
 from __future__ import annotations
 
 import json
-import os
 
 
 def test_scale_tier_emits_complete_ratio_line(spark, capsys, monkeypatch):
@@ -27,12 +26,15 @@ def test_scale_tier_emits_complete_ratio_line(spark, capsys, monkeypatch):
 
 def test_scale_env_zero_means_off(monkeypatch):
     """SPARK_GRAFT_SCALE=0/false must run the NORMAL sweep (regression
-    for the truthy-string env check)."""
+    for the truthy-string env trap) — exercised through the SAME
+    bench.scale_enabled() gate main() calls."""
     import bench
 
     for off in ("", "0", "false"):
         monkeypatch.setenv("SPARK_GRAFT_SCALE", off)
-        val = os.environ.get("SPARK_GRAFT_SCALE", "")
-        assert val in ("", "0", "false")
-        # mirror bench.main's gate expression exactly
-        assert not (val not in ("", "0", "false"))
+        assert not bench.scale_enabled(), off
+    for on in ("1", "true", "yes"):
+        monkeypatch.setenv("SPARK_GRAFT_SCALE", on)
+        assert bench.scale_enabled(), on
+    monkeypatch.delenv("SPARK_GRAFT_SCALE")
+    assert not bench.scale_enabled()

@@ -172,9 +172,16 @@ def test_optimize_subcommand(spark, tmp_path, capsys):
 
     import pytest
 
-    with pytest.raises(SystemExit, match="exactly two"):
+    with pytest.raises(SystemExit, match="DISTINCT"):
         main(["--cpus", "8", "optimize", "--path", src,
               "--out", out, "--by", "a"])
+    # same column twice is a 1-D sort sold as 2-D clustering — rejected
+    with pytest.raises(SystemExit, match="DISTINCT"):
+        main(["--cpus", "8", "optimize", "--path", src,
+              "--out", out, "--by", "a,a"])
     with pytest.raises(SystemExit, match="not in table"):
         main(["--cpus", "8", "optimize", "--path", src,
               "--out", out, "--by", "a,nope"])
+    with pytest.raises(SystemExit, match="bits"):
+        main(["--cpus", "8", "optimize", "--path", src,
+              "--out", out, "--by", "a,b", "--bits", "40"])

@@ -25,9 +25,9 @@ SF = "/root/testdata/sf0.01"
 TINY_GROUPS = {"parquet.block.size": 16 * 1024}
 
 
-def _rowgroup_ranges(path: str, col: str):
+def _rowgroup_ranges(path: str, col: str, pattern: str = "data=*/*.parquet"):
     out = []
-    for f in glob.glob(f"{path}/data=*/*.parquet"):
+    for f in glob.glob(f"{path}/{pattern}"):
         meta = pq.ParquetFile(f).metadata
         idx = meta.schema.names.index(col)
         for g in range(meta.num_row_groups):
@@ -140,15 +140,7 @@ def zlayouts(spark, tmp_path_factory):
 
 
 def _flat_ranges(path: str, col: str):
-    out = []
-    for f in glob.glob(f"{path}/*.parquet"):
-        meta = pq.ParquetFile(f).metadata
-        idx = meta.schema.names.index(col)
-        for g in range(meta.num_row_groups):
-            st = meta.row_group(g).column(idx).statistics
-            assert st is not None and st.has_min_max
-            out.append((st.min, st.max))
-    return out
+    return _rowgroup_ranges(path, col, pattern="*.parquet")
 
 
 def test_zorder_prunes_both_dimensions(spark, zlayouts):
@@ -235,3 +227,42 @@ def test_zorder_constant_column_degenerates_safely(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 100
     assert sorted(r["id"] for r in back.collect()) == list(range(100))
+
+
+def test_zorder_rejects_same_column_and_z_collision(spark):
+    from pyspark.sql import functions as F
+
+    from etl_olho_vivo_spark.io.layout import write_zordered
+
+    df = spark.range(10).select("id", (F.col("id") * 2).alias("v"))
+    with pytest.raises(ValueError, match="DISTINCT"):
+        write_zordered(df, "/tmp/never", "id", "id")
+    clash = df.withColumn("__z", F.lit(1))
+    with pytest.raises(ValueError, match="__z"):
+        write_zordered(clash, "/tmp/never", "id", "v")
+
+
+def test_zorder_stale_bounds_clamp_not_alias(spark, tmp_path):
+    """A value beyond stale precomputed bounds must pin to the curve's
+    edge (sorts last), not wrap to the low bits and land among the
+    smallest keys."""
+    from pyspark.sql import functions as F
+
+    from etl_olho_vivo_spark.io.layout import _normalize, zvalue
+
+    df = spark.createDataFrame(
+        [(0,), (50,), (100,), (150,), (-10,)], "v long"
+    )
+    z = zvalue(
+        _normalize(F.col("v"), 0, 100, 8),
+        F.lit(0).cast("long"),
+        bits=8,
+    )
+    got = {r["v"]: r["z"] for r in df.select("v", z.alias("z")).collect()}
+    # in-range keeps order; out-of-range clamps to the curve's extremes
+    # (low → 0, high → the all-even-bits top code), never wrapping below
+    # an in-range value
+    top_code = sum(1 << (2 * i) for i in range(8))
+    assert got[-10] == got[0] == 0
+    assert got[150] == top_code
+    assert got[0] < got[50] < got[100] <= got[150]
