@@ -240,3 +240,86 @@ def test_fuzz_jaccard_is_true_shingle_jaccard(spark):
         sa, sb = feats[a], feats[b]
         truth = len(sa & sb) / len(sa | sb)
         assert abs(j - truth) < 1e-12
+
+
+# --- n-gram Jaccard blocked pair query ------------------------------------
+
+
+def _bigrams(text: str) -> frozenset[int]:
+    ws = [_tok(w) for w in text.split(" ")]
+    if len(ws) < 2:
+        return frozenset()
+    return frozenset(
+        (ws[i] * MIX + ws[i + 1]) % P for i in range(len(ws) - 1)
+    )
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_ngram_jaccard_pairs_match_bruteforce(spark, seed, tmp_path):
+    """The registered ngram query's neighbor-bucket explode must find
+    EXACTLY the pairs the plain |Δn_chars| ≤ 20 block predicate admits —
+    a bucket-boundary off-by-one (pair straddling floor(n/20) buckets)
+    would drop pairs silently.  Texts get fine-grained length variation
+    so many qualifying pairs straddle bucket edges."""
+    from etl_olho_vivo_spark.caching import release_session_caches
+
+    rng = random.Random(seed)
+    docs = []
+    nid = 0
+    for _ in range(50):
+        words = rng.choices(_VOCAB, k=rng.randint(2, 18))
+        base = " ".join(words)
+        # pad with single-char words to steer n_chars across bucket edges
+        base += " " + " ".join(rng.choices("abcdefg", k=rng.randint(0, 6)))
+        docs.append((nid, base))
+        nid += 1
+        if rng.random() < 0.5:  # near/exact dup with slight length drift
+            mut = list(base.split(" "))
+            if rng.random() < 0.5:
+                mut[rng.randrange(len(mut))] = rng.choice(_VOCAB)
+            docs.append((nid, " ".join(mut)))
+            nid += 1
+    sources = ["web", "book"]
+    rows = [
+        (i, t, "en", sources[i % 2], len(t)) for i, t in docs
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from etl_olho_vivo_spark import registry
+
+    registry.queries()
+    try:
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in registry.REGISTRY["ngram_jaccard_pairs"]
+            .fn(spark, str(tmp_path))
+            .collect()
+        }
+    finally:
+        release_session_caches()
+
+    feats = {i: _bigrams(t) for i, t, *_ in rows}
+    meta = {i: (s, nc) for i, _, _, s, nc in rows}
+    want = {}
+    ids = sorted(feats)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            (sa, na), (sb, nb) = meta[a], meta[b]
+            if sa != sb or abs(na - nb) > 20:
+                continue
+            fa, fb = feats[a], feats[b]
+            if not fa and not fb:
+                continue
+            inter = len(fa & fb)
+            union = len(fa) + len(fb) - inter
+            if union and 13 * inter >= 3 * (len(fa) + len(fb)):
+                want[(a, b)] = inter / union
+    assert set(got) == set(want), (
+        f"extra={set(got) - set(want)} missing={set(want) - set(got)}"
+    )
+    for k, j in want.items():
+        assert abs(got[k] - j) < 1e-12, (k, got[k], j)
