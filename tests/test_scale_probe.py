@@ -119,18 +119,40 @@ def test_minhash_shares_one_signature_pass_at_10x(spark, scale10_dir):
     plan, n = _final_plan(spark, "minhash_near_dups", scale10_dir)
     assert n > 0
     final = plan.split("== Initial Plan ==")[0]
-    # LSH candidate generation + both verify sides stay shuffled
-    # sort-merge equi joins on slim keys — pair enumeration must never
-    # degrade to nested-loop, and no corpus/candidate-scaled relation
-    # may be broadcast (merge pinned after the starved probe showed
-    # broadcast AND hash builds OOM at 30× density while SMJ spills)
+    # pair enumeration must never degrade to nested-loop.  NOTE: plain
+    # BroadcastHashJoin is allowed HERE — this registry query includes
+    # the batch-vs-store incremental kind, whose batch-scaled sides are
+    # deliberately unhinted so AQE's byte-bounded runtime broadcasts
+    # keep per-batch cost ∝ batch (the store is scanned, not shuffled);
+    # the SELF-join path's no-broadcast invariant is pinned by
+    # test_self_near_dup_never_broadcast_at_10x below
     assert "CartesianProduct" not in final
     assert "BroadcastNestedLoopJoin" not in final
-    assert "BroadcastHashJoin" not in final
     # the persisted signature store still feeds every consumer (text
     # scan + md5 + shingle compute runs once, not once per consumer)
     assert "TableCacheQueryStage" in final, final[:2000]
     assert plan.count("InMemoryTableScan") >= 3, plan[:2000]
+
+
+@pytest.mark.slow
+def test_self_near_dup_never_broadcast_at_10x(spark, scale10_dir):
+    """The SELF near-dup operator (both sides corpus-scaled, merge
+    pinned after the starved probe showed broadcast AND hash builds OOM
+    at 30× density while SMJ spills): no broadcast join anywhere in the
+    final adaptive plan, even when the 10× corpus is still under the
+    broadcast threshold locally."""
+    from etl_olho_vivo_spark.operators import dedup
+    from etl_olho_vivo_spark.sources.tables import read_table
+
+    docs = read_table(spark, scale10_dir, "documents")
+    df = dedup.near_duplicates(docs, threshold=0.5, persist=False)
+    n = len(df.collect())
+    assert n > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" not in final, final[:2000]
+    assert "SortMergeJoin" in final
+    assert "CartesianProduct" not in final
 
 
 @pytest.mark.slow
