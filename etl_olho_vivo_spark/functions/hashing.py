@@ -58,6 +58,23 @@ def shingle3_expr(h1: str, h2: str, h3: str) -> str:
     return f"((({h1}) * {MIX} + ({h2})) % {P} * {MIX} + ({h3})) % {P}"
 
 
+def ngram_hash_expr(token_hashes: list[str]) -> str:
+    """Rolling word-n-gram hash from n token-hash expressions (same string
+    for both engines — pure ``* + %`` arithmetic, left fold).
+
+    ``shingle3_expr`` is the unrolled n=3 special case and stays separate
+    because its exact string is load-bearing for the existing oracles.
+    Bounds hold at every fold step: after ``% P`` the accumulator < P,
+    and (P-1)·MIX + 2^32 < 2^63 — no 64-bit overflow at any n.
+    """
+    if not token_hashes:
+        raise ValueError("ngram_hash_expr needs at least one token hash")
+    acc = f"({token_hashes[0]})"
+    for h in token_hashes[1:]:
+        acc = f"(({acc}) * {MIX} + ({h})) % {P}"
+    return acc
+
+
 def minhash_perm_expr(sh: str, k: int) -> str:
     """k-th MinHash permutation of a shingle hash: (a_k·s + b_k) mod P.
 

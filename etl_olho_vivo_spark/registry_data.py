@@ -17,9 +17,16 @@ from etl_olho_vivo_spark.functions.hashing import (
     P,
     duck_token_hash,
     minhash_perm_expr,
+    ngram_hash_expr,
     shingle3_expr,
 )
-from etl_olho_vivo_spark.operators import dedup, multimodal, similarity, textops
+from etl_olho_vivo_spark.operators import (
+    decontam,
+    dedup,
+    multimodal,
+    similarity,
+    textops,
+)
 from etl_olho_vivo_spark.registry import register
 from etl_olho_vivo_spark.sources.tables import read_table
 
@@ -384,6 +391,46 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(keep)
         .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+    )
+
+
+_D_GRAM5 = ngram_hash_expr([f"wh[i+{j + 1}]" for j in range(5)])
+
+
+@register(
+    "eval_decontamination",
+    f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(wh) >= 5 THEN list_distinct(list_transform(
+           range(0, len(wh) - 4), i -> {_D_GRAM5}))
+         ELSE CAST([] AS BIGINT[]) END AS gs
+  FROM (SELECT doc_id, {_D_WH} AS wh FROM documents)
+),
+ev AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 23 = 0),
+tr AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g
+       FROM g WHERE doc_id % 23 <> 0)
+SELECT tr.doc_id AS doc_id, any_value(tr.n_grams) AS n_grams,
+       count(*) AS n_contaminated,
+       count(*) / any_value(tr.n_grams) AS overlap_frac
+FROM tr JOIN ev ON tr.g = ev.g
+GROUP BY tr.doc_id
+""",
+    doc="Eval-set decontamination (operators/decontam.py): docs whose "
+    "doc_id % 23 == 0 stand in for a held-out benchmark; every other "
+    "doc is probed for shared distinct word-5-grams and rolled up to "
+    "(n_grams, n_contaminated, overlap_frac) — the GPT-3-style n-gram "
+    "leakage check.  The eval gram set is broadcast (benchmark-sized "
+    "by construction), so the corpus side is one scan + map-side hash "
+    "probe; the only shuffle carries contaminated hits.  overlap_frac "
+    "is an exact int/int division — bit-identical across engines.",
+)
+def q_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return decontam.contamination_report(
+        d.filter(F.col("doc_id") % 23 != 0),
+        d.filter(F.col("doc_id") % 23 == 0),
+        n=5,
     )
 
 

@@ -196,31 +196,12 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "top_orders_per_customer",
-    """
-SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
-  SELECT o_custkey, o_orderkey, o_totalprice,
-         row_number() OVER (PARTITION BY o_custkey
-                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
-  FROM orders
-) WHERE rk <= 3
-""",
-    doc="Top-k per group via row_number window — hash-partitioned, no "
-    "global sort (SURVEY §2.6: the engine's top-k surface).",
-)
-def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = read_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return (
-        orders.select(
-            "o_custkey", "o_orderkey", "o_totalprice",
-            F.row_number().over(w).alias("rk"),
-        )
-        .filter(F.col("rk") <= 3)
-    )
+# (top_orders_per_customer — top-k-per-group via row_number — was folded
+# out in round 6 to stay inside the driver's 50-row correctness window:
+# the identical pattern is already oracle-checked inside
+# registry_scale.q_window_rank_suite (row_number/rank/dense_rank/ntile
+# over the same hash-partitioned window shape), freeing the slot for
+# eval_decontamination in registry_data.py.)
 
 
 @register(
