@@ -91,6 +91,19 @@ def _build_parser() -> argparse.ArgumentParser:
         help="additionally export the cleaned corpus as gzip'd JSONL "
         "shards partitioned by detected language (training hand-off)",
     )
+    cor.add_argument(
+        "--splits", default=None, metavar="NAME=W,NAME=W",
+        help="deterministic split column, e.g. train=0.9,val=0.05,"
+        "test=0.05 (weights must sum to 1)",
+    )
+    cor.add_argument("--split-seed", type=int, default=0)
+    cor.add_argument(
+        "--shuffle-shards", type=int, default=None, metavar="N",
+        help="globally shuffle the JSONL export into N deterministic "
+        "seeded shards (decorrelates training batches from ingest "
+        "order); shards replace the per-language partitioning",
+    )
+    cor.add_argument("--shuffle-seed", type=int, default=0)
 
     cst = sub.add_parser(
         "corpus-stream",
@@ -203,6 +216,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "corpus":
         from etl_olho_vivo_spark.plans.corpus import run_corpus
 
+        splits = None
+        if args.splits:
+            try:
+                splits = {
+                    name: float(w)
+                    for name, w in (
+                        part.split("=", 1) for part in args.splits.split(",")
+                    )
+                }
+            except ValueError:
+                raise SystemExit(
+                    f"--splits must look like train=0.9,val=0.1 "
+                    f"(got {args.splits!r})"
+                )
         stats = run_corpus(
             spark,
             args.sf_dir,
@@ -211,14 +238,28 @@ def main(argv: list[str] | None = None) -> int:
             jaccard_threshold=args.jaccard_threshold,
             redact_pii=args.redact_pii,
             dedup_resolution=args.resolution,
+            splits=splits,
+            split_seed=args.split_seed,
         )
         if args.jsonl_out:
-            from etl_olho_vivo_spark.io.export import export_jsonl
-
-            export_jsonl(
-                spark.read.parquet(args.out), args.jsonl_out,
-                by="lang_guess",
+            from etl_olho_vivo_spark.io.export import (
+                export_jsonl,
+                global_shuffle,
             )
+
+            corpus_df = spark.read.parquet(args.out)
+            if args.shuffle_shards:
+                export_jsonl(
+                    global_shuffle(
+                        corpus_df,
+                        seed=args.shuffle_seed,
+                        n_shards=args.shuffle_shards,
+                    ),
+                    args.jsonl_out,
+                    by="shard",
+                )
+            else:
+                export_jsonl(corpus_df, args.jsonl_out, by="lang_guess")
         print(json.dumps({"command": "corpus", **stats}))
         return 0
 

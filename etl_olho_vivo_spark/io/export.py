@@ -17,7 +17,10 @@ who wants media in the export must encode it intentionally.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from etl_olho_vivo_spark.functions.hashing import spark_hex2int
 
 
 def _has_binary(dt: T.DataType) -> bool:
@@ -32,6 +35,48 @@ def _has_binary(dt: T.DataType) -> bool:
     if isinstance(dt, T.StructType):
         return any(_has_binary(f.dataType) for f in dt.fields)
     return False
+
+
+def global_shuffle(
+    df: DataFrame,
+    *,
+    seed: int = 0,
+    by: str = "doc_id",
+    n_shards: int = 32,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic seeded global shuffle into ``n_shards`` shards.
+
+    Training wants documents decorrelated from ingest order (a shard
+    that is one crawl host or one day of data skews every batch drawn
+    from it).  ``orderBy(rand())`` is nondeterministic under retries and
+    a full global sort besides; this instead derives both the shard and
+    the within-shard order from ``md5(key ‖ seed)``:
+
+    - shard = hash % n_shards — exact, independent of input
+      partitioning, stable across runs and engine versions;
+    - within-shard order = (hash, key) — a deterministic permutation,
+      so re-exports are byte-identical and resumable.
+
+    Cost is ONE hash-partitioned exchange on the shard id plus a
+    per-partition sort (spillable) — no global sort, no sampling pass.
+    Every row of a shard lands in a single task, so a downstream
+    ``export_jsonl(by=shard_col)`` writes one ordered file per shard.
+    A different ``seed`` yields an independent permutation (epoch
+    reshuffles without rewriting the corpus).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = F.expr(
+        spark_hex2int(f"md5(concat(CAST({by} AS STRING), ':', '{seed}'))")
+    )
+    return (
+        df.withColumn("__h__", h)
+        .withColumn(shard_col, (F.col("__h__") % n_shards).cast("int"))
+        .repartition(n_shards, shard_col)
+        .sortWithinPartitions(shard_col, "__h__", by)
+        .drop("__h__")
+    )
 
 
 def export_jsonl(

@@ -41,6 +41,7 @@ from pyspark.storagelevel import StorageLevel
 
 from etl_olho_vivo_spark.caching import CacheBag
 from etl_olho_vivo_spark.operators import dedup, textops
+from etl_olho_vivo_spark.operators import split as splitops
 from etl_olho_vivo_spark.sources.tables import read_table
 
 
@@ -65,6 +66,8 @@ def run_corpus(
     redact_pii: bool = False,
     dedup_resolution: str = "greedy",
     pack: tuple[int, int, int] | None = None,
+    splits: dict[str, float] | None = None,
+    split_seed: int = 0,
 ) -> dict[str, int]:
     """Documents table → cleaned corpus parquet.  Returns per-stage counts.
 
@@ -143,15 +146,28 @@ def run_corpus(
         kept = kept.filter(F.col("quality_score") >= min_quality)
         stats["quality"] = kept.count()
 
+        out_cols = [
+            "doc_id", "text", "lang", "source", "lang_guess",
+            "n_tokens", "quality_score", "fp_md5",
+        ]
+        if splits is not None:
+            # deterministic per-doc split (operators/split.py) — a pure
+            # map-side md5 projection.  Near-dup leakage across splits
+            # is already handled UPSTREAM by the dedup stages (each
+            # cluster keeps one survivor); a pipeline that splits
+            # WITHOUT dropping near-dups should use
+            # split.leakage_safe_splits on the pair graph instead.
+            kept = splitops.assign_splits(kept, splits, seed=split_seed)
+            out_cols.append("split")
+            for r in kept.groupBy("split").count().collect():
+                stats[f"split_{r['split']}"] = r["count"]
+
         # plain overwrite (NOT dynamic partition overwrite): this is a
         # full corpus rebuild, and dynamic mode would leave a stale
         # lang_guess partition behind whenever a language present in a
         # previous run has no survivors in this one
         (
-            kept.select(
-                "doc_id", "text", "lang", "source", "lang_guess",
-                "n_tokens", "quality_score", "fp_md5",
-            )
+            kept.select(*out_cols)
             .write.mode("overwrite")
             .partitionBy("lang_guess")
             .parquet(out_dir)

@@ -72,6 +72,40 @@ def test_corpus_subcommand(tmp_path, capsys):
     assert stats["input"] >= stats["lang_and_length"] >= stats["quality"] > 0
 
 
+def test_corpus_split_and_shuffled_export(spark, tmp_path, capsys):
+    """--splits stamps a deterministic split column; --shuffle-shards
+    turns the JSONL export into seeded decorrelated shards."""
+    out = str(tmp_path / "corpus")
+    jsonl = str(tmp_path / "shards")
+    assert main([
+        "--cpus", "8", "corpus", "--sf-dir", "/root/testdata/sf0.001",
+        "--out", out, "--min-tokens", "3",
+        "--splits", "train=0.8,val=0.2", "--split-seed", "7",
+        "--jsonl-out", jsonl, "--shuffle-shards", "4",
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["split_train"] + stats["split_val"] == stats["quality"]
+    corpus = spark.read.parquet(out)
+    assert set(
+        r["split"] for r in corpus.select("split").distinct().collect()
+    ) <= {"train", "val"}
+    # the export holds every surviving doc exactly once, shard-partitioned
+    shards = spark.read.json(jsonl)
+    assert shards.count() == stats["quality"]
+    assert "shard" in shards.columns
+    assert 1 < shards.select("shard").distinct().count() <= 4
+
+
+def test_corpus_rejects_malformed_splits(tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit, match="--splits"):
+        main([
+            "corpus", "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "c"), "--splits", "train:0.9",
+        ])
+
+
 def test_corpus_stream_subcommand(spark, tmp_path, capsys):
     """Two-file landing zone drained as two micro-batches, then the
     --compact flag folds the store — the continuous-operation surface an
