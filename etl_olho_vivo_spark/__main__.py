@@ -98,6 +98,11 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     cor.add_argument("--split-seed", type=int, default=0)
     cor.add_argument(
+        "--gopher", action="store_true",
+        help="apply the Gopher repetition-quality gate (duplicate "
+        "lines/n-grams, symbol ratio) after the score filter",
+    )
+    cor.add_argument(
         "--shuffle-shards", type=int, default=None, metavar="N",
         help="globally shuffle the JSONL export into N deterministic "
         "seeded shards (decorrelates training batches from ingest "
@@ -240,6 +245,7 @@ def main(argv: list[str] | None = None) -> int:
             dedup_resolution=args.resolution,
             splits=splits,
             split_seed=args.split_seed,
+            gopher=args.gopher,
         )
         if args.jsonl_out:
             from etl_olho_vivo_spark.io.export import (

@@ -127,6 +127,164 @@ _REDACTIONS: tuple[tuple[str, str], ...] = (
 )
 
 
+def _ngram_strings(tok_col: str, n: int) -> str:
+    """SQL fragment: word n-grams over a MATERIALIZED token-array column
+    as space-joined strings.
+
+    Takes a column name, not a ``split(...)`` expression, for the same
+    reason as dedup.with_token_hashes: an array expression inlined into
+    the per-index lambda is re-evaluated per element — O(tokens²) splits
+    per document.  Callers project the token array once per row first.
+    """
+    return (
+        f"CASE WHEN size({tok_col}) >= {n} THEN "
+        f"transform(sequence(0, size({tok_col}) - {n}), "
+        f"i -> concat_ws(' ', slice({tok_col}, i + 1, {n}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def top_ngram_char_mass(tok_col: str, n: int = 2) -> Column:
+    """Character mass of the dominant word n-gram: max over grams of
+    count·length(gram), as a BIGINT.
+
+    Linear JVM path: sort the gram array, then one ``aggregate`` pass
+    tracks the current run length and the best count·chars seen — no
+    per-row hashmap, no O(k²) nested filter, stays in whole-stage
+    codegen.  Divide by n_chars for Gopher's top-n-gram char fraction
+    (Rae et al. 2021, appendix A1 — public paper).
+    """
+    return F.expr(
+        f"aggregate(array_sort({_ngram_strings(tok_col, n)}), "
+        f"named_struct('prev', CAST(NULL AS STRING), 'cnt', 0L, "
+        f"'best', 0L), "
+        f"(acc, x) -> named_struct("
+        f"'prev', x, "
+        f"'cnt', IF(x <=> acc.prev, acc.cnt + 1, 1L), "
+        f"'best', GREATEST(acc.best, "
+        f"IF(x <=> acc.prev, acc.cnt + 1, 1L) * length(x))), "
+        f"acc -> acc.best)"
+    )
+
+
+def dup_ngram_char_mass(tok_col: str, n: int = 5) -> Column:
+    """Character mass of every word n-gram occurring ≥ 2 times:
+    Σ count·length over repeated grams, BIGINT.
+
+    Same sorted-run ``aggregate`` trick as ``top_ngram_char_mass``; the
+    mass is added incrementally (2·len when a run reaches 2, +len per
+    further occurrence), so no run-end bookkeeping is needed.  This is
+    the Σ-over-occurrences approximation of Gopher's duplicated-n-gram
+    char fraction used by the public reimplementations — the paper's
+    exact definition unions overlapping character intervals, which is
+    inherently imperative; the approximation only over-counts, so a
+    gate on it is strictly more conservative.
+    """
+    return F.expr(
+        f"aggregate(array_sort({_ngram_strings(tok_col, n)}), "
+        f"named_struct('prev', CAST(NULL AS STRING), 'cnt', 0L, "
+        f"'mass', 0L), "
+        f"(acc, x) -> named_struct("
+        f"'prev', x, "
+        f"'cnt', IF(x <=> acc.prev, acc.cnt + 1, 1L), "
+        f"'mass', acc.mass + CASE "
+        f"WHEN x <=> acc.prev AND acc.cnt = 1 THEN 2L * length(x) "
+        f"WHEN x <=> acc.prev THEN CAST(length(x) AS BIGINT) "
+        f"ELSE 0L END), "
+        f"acc -> acc.mass)"
+    )
+
+
+def repetition_features(df: DataFrame, text: str = "text") -> DataFrame:
+    """Gopher-style repetition/symbol quality signals (Rae et al. 2021,
+    appendix A1), all per-row Column expressions — one scan, no shuffle,
+    no Python:
+
+    - ``dup_line_frac`` / ``dup_line_char_frac`` — fraction of
+      non-empty lines (and of their characters) that are repeats of an
+      earlier identical line;
+    - ``top{2,3,4}gram_char_frac`` — char fraction of the dominant
+      word n-gram;
+    - ``dup{5,10}gram_char_frac`` — char fraction of all repeated word
+      n-grams (Σ-occurrence approximation, see dup_ngram_char_mass);
+    - ``symbol_word_ratio`` — non-alphanumeric, non-whitespace chars
+      per word.
+
+    All ratios are exact-int/int ``try_divide`` (NULL on empty input —
+    fails any ≥/≤ gate, so degenerate docs drop out instead of
+    aborting the job under ANSI mode).
+    """
+    lines = f"filter(split({text}, '\\n'), l -> l != '')"
+    line_chars = f"aggregate({lines}, 0L, (a, l) -> a + length(l))"
+    dist_chars = (
+        f"aggregate(array_distinct({lines}), 0L, (a, l) -> a + length(l))"
+    )
+    n_chars = F.length(F.col(text))
+    symbols = n_chars - F.length(
+        F.regexp_replace(F.col(text), F.lit(r"[^0-9A-Za-z\s]"), F.lit(""))
+    )
+    cols = {
+        "dup_line_frac": F.try_divide(
+            F.expr(f"size({lines}) - size(array_distinct({lines}))"),
+            F.expr(f"size({lines})"),
+        ),
+        "dup_line_char_frac": F.try_divide(
+            F.expr(f"{line_chars} - {dist_chars}"), F.expr(line_chars)
+        ),
+        "symbol_word_ratio": F.try_divide(symbols, token_count(text)),
+    }
+    for n in (2, 3, 4):
+        cols[f"top{n}gram_char_frac"] = F.try_divide(
+            top_ngram_char_mass("__toks__", n), n_chars
+        )
+    for n in (5, 10):
+        cols[f"dup{n}gram_char_frac"] = F.try_divide(
+            dup_ngram_char_mass("__toks__", n), n_chars
+        )
+    return (
+        df.withColumn("__toks__", tokens(text))
+        .withColumns(cols)
+        .drop("__toks__")
+    )
+
+
+# Published Gopher rejection thresholds (Rae et al. 2021, table A1).
+GOPHER_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top2gram_char_frac": 0.20,
+    "top3gram_char_frac": 0.18,
+    "top4gram_char_frac": 0.16,
+    "dup5gram_char_frac": 0.15,
+    "dup10gram_char_frac": 0.10,
+    "symbol_word_ratio": 0.10,
+}
+
+
+def gopher_gate(
+    df: DataFrame,
+    text: str = "text",
+    thresholds: dict[str, float] | None = None,
+    out: str = "gopher_pass",
+) -> DataFrame:
+    """Append a boolean: True iff every repetition metric is at or under
+    its (Gopher-published, overridable) rejection threshold.
+
+    NULL metrics (empty doc) gate to False — a doc the metrics cannot
+    be computed on is not evidence of quality.
+    """
+    th = dict(GOPHER_THRESHOLDS)
+    th.update(thresholds or {})
+    unknown = set(th) - set(GOPHER_THRESHOLDS)
+    if unknown:
+        raise ValueError(f"unknown gopher metric(s): {sorted(unknown)}")
+    feat = repetition_features(df, text)
+    ok = F.lit(True)
+    for metric, bound in th.items():
+        ok = ok & (F.col(metric) <= F.lit(bound))
+    return feat.withColumn(out, F.coalesce(ok, F.lit(False)))
+
+
 def redact(text: str = "text") -> Column:
     """PII scrubbing: URLs, emails, phone-shaped digit runs → typed
     placeholders.  A chain of ``regexp_replace`` Column expressions —

@@ -68,6 +68,7 @@ def run_corpus(
     pack: tuple[int, int, int] | None = None,
     splits: dict[str, float] | None = None,
     split_seed: int = 0,
+    gopher: bool = False,
 ) -> dict[str, int]:
     """Documents table → cleaned corpus parquet.  Returns per-stage counts.
 
@@ -145,6 +146,20 @@ def run_corpus(
 
         kept = kept.filter(F.col("quality_score") >= min_quality)
         stats["quality"] = kept.count()
+
+        if gopher:
+            # repetition gate (textops.gopher_gate): pure per-row
+            # projection over the already-persisted survivors — adds
+            # metrics columns transiently, keeps only the verdict
+            kept = (
+                textops.gopher_gate(kept)
+                .filter(F.col("gopher_pass"))
+                .drop(
+                    "gopher_pass",
+                    *textops.GOPHER_THRESHOLDS,
+                )
+            )
+            stats["gopher"] = kept.count()
 
         out_cols = [
             "doc_id", "text", "lang", "source", "lang_guess",

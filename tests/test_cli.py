@@ -96,6 +96,16 @@ def test_corpus_split_and_shuffled_export(spark, tmp_path, capsys):
     assert 1 < shards.select("shard").distinct().count() <= 4
 
 
+def test_corpus_gopher_gate(tmp_path, capsys):
+    out = str(tmp_path / "corpus")
+    assert main([
+        "--cpus", "8", "corpus", "--sf-dir", "/root/testdata/sf0.001",
+        "--out", out, "--min-tokens", "3", "--gopher",
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < stats["gopher"] <= stats["quality"]
+
+
 def test_corpus_rejects_malformed_splits(tmp_path):
     import pytest
 
