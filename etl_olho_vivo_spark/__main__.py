@@ -132,6 +132,26 @@ def _build_parser() -> argparse.ArgumentParser:
         help="after the drain, fold the store's per-batch partitions "
         "into the single compacted base partition",
     )
+    cst.add_argument(
+        "--eval-grams", default=None, metavar="DIR",
+        help="persisted eval gram store (see the eval-index "
+        "subcommand): reject any admitted doc sharing an n-gram with "
+        "the benchmark",
+    )
+    cst.add_argument("--eval-ngram", type=int, default=5)
+
+    evi = sub.add_parser(
+        "eval-index",
+        help="build the persisted eval/benchmark n-gram store that "
+        "corpus-stream --eval-grams (and batch decontamination) probes",
+    )
+    evi.add_argument(
+        "--in", dest="in_dir", required=True,
+        help="parquet of benchmark documents (needs a text column)",
+    )
+    evi.add_argument("--out", required=True, help="gram store output dir")
+    evi.add_argument("--n", type=int, default=5)
+    evi.add_argument("--text-col", default="text")
 
     opt = sub.add_parser(
         "optimize",
@@ -300,6 +320,8 @@ def main(argv: list[str] | None = None) -> int:
             args.store,
             args.checkpoint,
             threshold=args.threshold,
+            eval_grams_dir=args.eval_grams,
+            eval_ngram=args.eval_ngram,
         )
         q.awaitTermination()
         try:
@@ -325,6 +347,26 @@ def main(argv: list[str] | None = None) -> int:
                 # compactor would die reading an empty/missing store
                 out["store_signatures_compacted"] = 0
         print(json.dumps(out))
+        return 0
+
+    if args.command == "eval-index":
+        from etl_olho_vivo_spark.operators.decontam import (
+            write_eval_gram_store,
+        )
+
+        if args.n < 1:
+            raise SystemExit(f"--n must be >= 1, got {args.n}")
+        docs = spark.read.parquet(args.in_dir)
+        if args.text_col not in docs.columns:
+            raise SystemExit(
+                f"column {args.text_col!r} not in {args.in_dir} "
+                f"(has: {docs.columns})"
+            )
+        write_eval_gram_store(docs, args.out, n=args.n, text=args.text_col)
+        print(json.dumps({
+            "command": "eval-index", "n": args.n,
+            "grams": spark.read.parquet(args.out).count(),
+        }))
         return 0
 
     if args.command == "optimize":

@@ -82,6 +82,49 @@ def eval_gram_set(
     )
 
 
+def write_eval_gram_store(
+    eval_df: DataFrame, path: str, n: int = DEFAULT_N, text: str = "text"
+) -> None:
+    """Persist the eval gram set as parquet — the build-once-per-
+    benchmark-release artifact every ingest (batch or streaming) then
+    probes against."""
+    eval_gram_set(eval_df, n, text).write.mode("overwrite").parquet(path)
+
+
+def contamination_report_from_grams(
+    train: DataFrame,
+    eval_grams: DataFrame,
+    *,
+    n: int = DEFAULT_N,
+    text: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """``contamination_report`` against a pre-built gram relation (one
+    column ``g`` — e.g. a persisted ``write_eval_gram_store`` parquet),
+    so continuous pipelines don't re-shingle the benchmark per batch."""
+    grams = with_ngram_hashes(train.select(id_col, text), n, text)
+    probe = grams.select(
+        id_col,
+        F.size("gs").cast("bigint").alias("n_grams"),
+        F.explode("gs").alias("g"),
+    )
+    ev = eval_grams.select("g")
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    return (
+        probe.join(ev, "g")
+        .groupBy(id_col)
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_contaminated"),
+        )
+        .withColumn(
+            "overlap_frac", F.col("n_contaminated") / F.col("n_grams")
+        )
+    )
+
+
 def contamination_report(
     train: DataFrame,
     eval_df: DataFrame,
@@ -99,25 +142,13 @@ def contamination_report(
     corpus-sized).  ``overlap_frac`` = contaminated / total distinct
     grams, an exact int/int division in both engines.
     """
-    grams = with_ngram_hashes(train.select(id_col, text), n, text)
-    probe = grams.select(
-        id_col,
-        F.size("gs").cast("bigint").alias("n_grams"),
-        F.explode("gs").alias("g"),
-    )
-    ev = eval_gram_set(eval_df, n, text)
-    if broadcast_eval:
-        ev = F.broadcast(ev)
-    return (
-        probe.join(ev, "g")
-        .groupBy(id_col)
-        .agg(
-            F.first("n_grams").alias("n_grams"),
-            F.count(F.lit(1)).alias("n_contaminated"),
-        )
-        .withColumn(
-            "overlap_frac", F.col("n_contaminated") / F.col("n_grams")
-        )
+    return contamination_report_from_grams(
+        train,
+        eval_gram_set(eval_df, n, text),
+        n=n,
+        text=text,
+        id_col=id_col,
+        broadcast_eval=broadcast_eval,
     )
 
 

@@ -98,6 +98,8 @@ def admit_batch(
     store_dir: str,
     threshold: float = 0.5,
     text: str = "text",
+    eval_grams_dir: str | None = None,
+    eval_ngram: int = 5,
 ) -> None:
     """Admit one micro-batch: dedup in-batch + vs store, append survivors.
 
@@ -105,6 +107,14 @@ def admit_batch(
     near a store doc is dropped (the corpus row wins — it was admitted
     first).  Idempotent per ``batch_id``: each replay overwrites the
     batch's own partition directory, even when it admits zero docs.
+
+    ``eval_grams_dir`` additionally decontaminates each batch against a
+    persisted eval gram store (``decontam.write_eval_gram_store``):
+    any survivor sharing a word-``eval_ngram``-gram with the benchmark
+    is rejected, and its signature is kept OUT of the store too — the
+    store mirrors the admitted corpus exactly, so a later near-dup of a
+    contaminated doc is judged on its own contamination, not against a
+    ghost entry.  Cost ∝ batch (the gram store broadcasts).
     """
     with CacheBag() as bag:
         sig = bag.add(
@@ -125,6 +135,19 @@ def admit_batch(
                 F.col("doc_new").alias("doc_id")
             ).distinct()
             surv_sig = surv_sig.join(sdrops, "doc_id", "left_anti")
+
+        if eval_grams_dir is not None:
+            from etl_olho_vivo_spark.operators import decontam
+
+            contaminated = decontam.contamination_report_from_grams(
+                batch.join(
+                    surv_sig.select("doc_id"), "doc_id", "left_semi"
+                ),
+                spark.read.parquet(eval_grams_dir),
+                n=eval_ngram,
+                text=text,
+            ).select("doc_id")
+            surv_sig = surv_sig.join(contaminated, "doc_id", "left_anti")
 
         # two consumers below (corpus semi-join + store append) — cache
         # the final survivor signatures so dedup work runs once
@@ -201,6 +224,8 @@ def run_corpus_stream(
     threshold: float = 0.5,
     text: str = "text",
     available_now: bool = True,
+    eval_grams_dir: str | None = None,
+    eval_ngram: int = 5,
 ):
     """Start the continuous ingestion query over a streaming documents
     frame (any readStream source with doc_id + text columns)."""
@@ -210,6 +235,7 @@ def run_corpus_stream(
         admit_batch(
             spark, batch, batch_id, corpus_dir, store_dir,
             threshold=threshold, text=text,
+            eval_grams_dir=eval_grams_dir, eval_ngram=eval_ngram,
         )
 
     writer = (

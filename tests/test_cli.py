@@ -106,6 +106,52 @@ def test_corpus_gopher_gate(tmp_path, capsys):
     assert 0 < stats["gopher"] <= stats["quality"]
 
 
+def test_eval_index_then_decontaminated_stream(spark, tmp_path, capsys):
+    """eval-index builds the gram store; corpus-stream --eval-grams
+    rejects the leaking doc end-to-end from the CLI."""
+    import os
+
+    bench = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "to find some interesting things in the forest near the river"
+    )
+    clean = (
+        "completely different content about databases and distributed "
+        "query engines processing large volumes of tabular information"
+    )
+    bench_dir = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(1000, bench)], "doc_id long, text string"
+    ).write.parquet(bench_dir)
+    grams = str(tmp_path / "grams")
+    assert main([
+        "--cpus", "8", "eval-index", "--in", bench_dir, "--out", grams,
+    ]) == 0
+    idx = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert idx["command"] == "eval-index" and idx["grams"] > 0
+
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    leak = "breaking story " + " ".join(bench.split()[:5]) + " tonight"
+    df = spark.createDataFrame(
+        [(1, leak), (2, clean)], "doc_id long, text string"
+    ).coalesce(1)
+    df.write.parquet(str(landing / "b0"), mode="overwrite")
+    corpus = str(tmp_path / "corpus")
+    assert main([
+        "--cpus", "8", "corpus-stream", "--in", str(landing / "b0"),
+        "--corpus", corpus, "--store", str(tmp_path / "store"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--eval-grams", grams,
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["corpus_docs"] == 1
+    assert [
+        r["doc_id"]
+        for r in spark.read.parquet(corpus).select("doc_id").collect()
+    ] == [2]
+
+
 def test_corpus_rejects_malformed_splits(tmp_path):
     import pytest
 

@@ -87,6 +87,50 @@ def test_three_batch_ingestion_drops_cross_batch_dups(spark, dirs):
     assert corpus.select("ingest_batch_id").distinct().count() >= 2
 
 
+def test_streaming_decontamination_vs_eval_store(spark, dirs, tmp_path):
+    """With --eval-grams, the admit loop also rejects docs sharing an
+    n-gram with the benchmark, and keeps their signatures out of the
+    store (store mirrors corpus)."""
+    from etl_olho_vivo_spark.operators.decontam import (
+        write_eval_gram_store,
+    )
+    from etl_olho_vivo_spark.streaming.corpus_stream import (
+        run_corpus_stream,
+    )
+
+    ev_dir = str(tmp_path / "eval_grams")
+    write_eval_gram_store(
+        spark.createDataFrame([(1000, BASE)], SCHEMA), ev_dir, n=5
+    )
+    # doc 1 leaks a BASE 5-gram mid-text; docs 2/3 are clean
+    leak = "surprising report where " + " ".join(BASE.split()[:5]) + " today"
+    _write_batch(spark, dirs["stage"], "b0", [(1, leak), (2, OTHER)])
+    _write_batch(spark, dirs["stage"], "b1", [(3, THIRD)])
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dirs["stage"])
+    )
+    q = run_corpus_stream(
+        stream, dirs["corpus"], dirs["store"], dirs["ckpt"],
+        threshold=0.5, eval_grams_dir=ev_dir,
+    )
+    q.awaitTermination(180)
+
+    admitted = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(dirs["corpus"]).collect()
+    )
+    assert admitted == [2, 3]
+    in_store = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(dirs["store"])
+        .select("doc_id").collect()
+    )
+    assert in_store == [2, 3]
+
+
 def test_replayed_batch_is_idempotent(spark, dirs):
     """foreachBatch is at-least-once after failures: re-admitting the
     SAME batch id must leave corpus and store byte-identical, not
