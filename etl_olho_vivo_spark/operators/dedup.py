@@ -48,6 +48,84 @@ def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     )
 
 
+def dedup_lines(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text: str = "text",
+    mode: str = "keep_first",
+    min_count: int = 2,
+    drop_empty_docs: bool = True,
+) -> DataFrame:
+    """Corpus-wide line-level dedup (the C4/CCNet pass, public papers:
+    Raffel et al. 2020 §2.2, Wenzek et al. 2019): rewrite every
+    document with its duplicated lines removed, preserving line order.
+
+    Modes:
+
+    - ``keep_first`` — of every line occurring ≥ ``min_count`` times
+      corpus-wide, keep only the occurrence with the smallest
+      (id, position) and delete the rest (C4's "keep one" form);
+    - ``drop_boilerplate`` — delete ALL occurrences of any line
+      occurring ≥ ``min_count`` times (the CCNet form: a line repeated
+      across many pages is navigation/boilerplate, and the "first" page
+      deserves it no more than the others).  ``min_count`` defaults to
+      2 but is typically raised (e.g. 10) in this mode.
+
+    Scale shape — this is a corpus-granularity operator and its two
+    shuffles are irreducible: (1) lines shuffle on the full md5 line
+    hash (uniform 128-bit key — no skew, slim rows: hash + id + pos,
+    never the line text) for the occurrence ranking; (2) surviving
+    line positions shuffle back on the doc id for reassembly, where
+    ``array_sort(collect_list(struct(pos, line)))`` is bounded by a
+    single document's line count.  Empty lines are preserved as
+    document structure, not dedup'd (every blank line would otherwise
+    collapse corpus-wide into one).
+    """
+    if mode not in ("keep_first", "drop_boilerplate"):
+        raise ValueError(
+            f"mode must be keep_first|drop_boilerplate, got {mode!r}"
+        )
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    from pyspark.sql import Window
+
+    lines = docs.select(
+        id_col, F.posexplode(F.split(F.col(text), "\n")).alias("pos", "line")
+    )
+    blank = F.col("line") == ""
+    w = Window.partitionBy("lh")
+    hashed = lines.withColumn("lh", F.md5("line"))
+    if mode == "keep_first":
+        rn = F.row_number().over(w.orderBy(id_col, "pos"))
+        keep = blank | (rn == 1) | (
+            F.count(F.lit(1)).over(w) < F.lit(min_count)
+        )
+    else:
+        keep = blank | (F.count(F.lit(1)).over(w) < F.lit(min_count))
+    survivors = hashed.withColumn("__keep__", keep).filter("__keep__")
+    rebuilt = survivors.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias(text)
+    )
+    # re-attach every non-text column; with drop_empty_docs=False a doc
+    # whose every line was deleted has NO group above, so it must come
+    # back through an outer join with empty text, not from the groupBy
+    base = docs.drop(text)
+    if drop_empty_docs:
+        out = base.join(rebuilt.filter(F.length(F.col(text)) > 0), id_col)
+    else:
+        out = base.join(rebuilt, id_col, "left").withColumn(
+            text, F.coalesce(F.col(text), F.lit(""))
+        )
+    return out.select(*docs.columns)
+
+
 def with_token_hashes(
     df: DataFrame, text: str = "text", out: str = "wh"
 ) -> DataFrame:
