@@ -98,6 +98,11 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     cor.add_argument("--split-seed", type=int, default=0)
     cor.add_argument(
+        "--max-per-source", type=int, default=None, metavar="N",
+        help="cap documents per source (seeded deterministic choice, "
+        "the C4/Gopher domain-balance rule)",
+    )
+    cor.add_argument(
         "--gopher", action="store_true",
         help="apply the Gopher repetition-quality gate (duplicate "
         "lines/n-grams, symbol ratio) after the score filter",
@@ -266,6 +271,7 @@ def main(argv: list[str] | None = None) -> int:
             splits=splits,
             split_seed=args.split_seed,
             gopher=args.gopher,
+            max_per_source=args.max_per_source,
         )
         if args.jsonl_out:
             from etl_olho_vivo_spark.io.export import (

@@ -96,6 +96,46 @@ def assign_splits(
     return labeled.drop("__split_key__")
 
 
+def cap_per_group(
+    df: DataFrame,
+    group: str,
+    n: int,
+    *,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``n`` rows per ``group`` value — the C4/Gopher
+    "cap documents per domain" rule that stops one crawl host from
+    dominating a training mix.
+
+    Which ``n`` survive is a deterministic seeded choice, not "first
+    n by ingest order": rows rank by ``md5(id ‖ seed)`` within the
+    group, so the sample is unbiased w.r.t. crawl order, identical
+    across retries/partitionings, and re-drawable with a new seed.
+
+    One hash shuffle on ``group``; rank is ``row_number`` over the
+    group window.  Skew note: a pathologically hot group (half the
+    corpus one domain) serializes its window sort into one task —
+    pre-filter such groups with ``operators/skew.hot_keys`` or raise
+    their cap separately if that's a real shape in your data.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from pyspark.sql import Window
+
+    hexpr = f"md5(concat(CAST({id_col} AS STRING), ':', '{seed}'))"
+    rank = F.row_number().over(
+        Window.partitionBy(group).orderBy(
+            F.expr(spark_hex2int(hexpr)), F.col(id_col)
+        )
+    )
+    return (
+        df.withColumn("__rank__", rank)
+        .filter(F.col("__rank__") <= n)
+        .drop("__rank__")
+    )
+
+
 def leakage_safe_splits(
     docs: DataFrame,
     pairs: DataFrame,

@@ -69,6 +69,7 @@ def run_corpus(
     splits: dict[str, float] | None = None,
     split_seed: int = 0,
     gopher: bool = False,
+    max_per_source: int | None = None,
 ) -> dict[str, int]:
     """Documents table → cleaned corpus parquet.  Returns per-stage counts.
 
@@ -160,6 +161,14 @@ def run_corpus(
                 )
             )
             stats["gopher"] = kept.count()
+
+        if max_per_source is not None:
+            # C4/Gopher domain cap: deterministic seeded top-n per
+            # source (operators/split.py) — one shuffle on `source`
+            kept = splitops.cap_per_group(
+                kept, "source", max_per_source, seed=split_seed
+            )
+            stats["source_cap"] = kept.count()
 
         out_cols = [
             "doc_id", "text", "lang", "source", "lang_guess",

@@ -96,14 +96,20 @@ def test_corpus_split_and_shuffled_export(spark, tmp_path, capsys):
     assert 1 < shards.select("shard").distinct().count() <= 4
 
 
-def test_corpus_gopher_gate(tmp_path, capsys):
+def test_corpus_gopher_gate_and_source_cap(spark, tmp_path, capsys):
     out = str(tmp_path / "corpus")
     assert main([
         "--cpus", "8", "corpus", "--sf-dir", "/root/testdata/sf0.001",
         "--out", out, "--min-tokens", "3", "--gopher",
+        "--max-per-source", "2",
     ]) == 0
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0 < stats["gopher"] <= stats["quality"]
+    assert 0 < stats["source_cap"] <= stats["gopher"]
+    per_source = (
+        spark.read.parquet(out).groupBy("source").count().collect()
+    )
+    assert per_source and all(r["count"] <= 2 for r in per_source)
 
 
 def test_eval_index_then_decontaminated_stream(spark, tmp_path, capsys):

@@ -80,6 +80,39 @@ def test_leakage_safe_splits_co_travel(spark, docs):
     assert all(rows[k] == plain[k] for k in rows if k not in clustered)
 
 
+def test_cap_per_group_deterministic_unbiased(spark):
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("source"),
+    )
+    capped = split.cap_per_group(df, "source", 100)
+    by_src = {
+        r["source"]: r["n"]
+        for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src == {"0": 100, "1": 100, "2": 100}
+    # deterministic across input layouts
+    ids_a = sorted(r["doc_id"] for r in capped.collect())
+    ids_b = sorted(
+        r["doc_id"]
+        for r in split.cap_per_group(df.repartition(11), "source", 100).collect()
+    )
+    assert ids_a == ids_b
+    # unbiased vs ingest order: the kept set is not just the first 100
+    # per group (ids 0..299 would all survive under first-n)
+    assert sum(1 for i in ids_a if i < 300) < 60
+    # a new seed draws a substantially different sample
+    ids_c = sorted(
+        r["doc_id"]
+        for r in split.cap_per_group(df, "source", 100, seed=1).collect()
+    )
+    assert len(set(ids_a) & set(ids_c)) < 50
+    # under-cap groups pass through whole
+    assert split.cap_per_group(df, "source", 2000).count() == 3000
+    with pytest.raises(ValueError, match="n must be"):
+        split.cap_per_group(df, "source", 0)
+
+
 def test_global_shuffle_partition_and_determinism(spark, docs):
     sh = global_shuffle(docs, seed=7, n_shards=8)
     out = sh.collect()
