@@ -74,10 +74,20 @@ def eval_gram_set(
 
     This is the relation a production pipeline builds ONCE per benchmark
     release and persists; every corpus ingest then joins against it.
+
+    ``explode_outer`` (not ``explode``) on purpose: plain explode lets
+    ``InferFiltersFromGenerate`` add a ``size(gs) > 0`` filter that
+    predicate pushdown then rewrites BELOW the projections with every
+    alias substituted — the whole token-hash transform inlined once per
+    ``wh`` reference, re-hashing each document O(tokens²) times
+    (measured 122 s vs <2 s at sf0.1).  The rule skips outer
+    generators; empty docs yield one NULL gram, filtered on the
+    generated attribute (which cannot be pushed below the Generate).
     """
     return (
         with_ngram_hashes(eval_df.select(text), n, text)
-        .select(F.explode("gs").alias("g"))
+        .select(F.explode_outer("gs").alias("g"))
+        .filter(F.col("g").isNotNull())
         .distinct()
     )
 
@@ -87,8 +97,36 @@ def write_eval_gram_store(
 ) -> None:
     """Persist the eval gram set as parquet — the build-once-per-
     benchmark-release artifact every ingest (batch or streaming) then
-    probes against."""
-    eval_gram_set(eval_df, n, text).write.mode("overwrite").parquet(path)
+    probes against.
+
+    The gram size ``n`` is stamped into the store (a constant column —
+    hashes of different-n grams are disjoint spaces, so a store probed
+    with the wrong ``n`` matches essentially NOTHING and silently
+    admits every contaminated doc; ``read_eval_gram_store`` turns that
+    misconfiguration into a loud error instead).
+    """
+    (
+        eval_gram_set(eval_df, n, text)
+        .withColumn("n", F.lit(n))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def read_eval_gram_store(spark, path: str, n: int = DEFAULT_N) -> DataFrame:
+    """Load a persisted gram store, verifying it was built with the same
+    ``n`` the probe will use.  Stores written before the ``n`` stamp
+    existed load unverified (nothing to check against)."""
+    df = spark.read.parquet(path)
+    if "n" in df.columns:
+        stored = df.select("n").first()  # constant column — one row
+        if stored is not None and stored["n"] != n:
+            raise ValueError(
+                f"eval gram store at {path} was built with n="
+                f"{stored['n']} but the probe uses n={n}; rebuild the "
+                f"store or pass the matching n-gram size"
+            )
+    return df.select("g")
 
 
 def contamination_report_from_grams(
@@ -104,10 +142,15 @@ def contamination_report_from_grams(
     column ``g`` — e.g. a persisted ``write_eval_gram_store`` parquet),
     so continuous pipelines don't re-shingle the benchmark per batch."""
     grams = with_ngram_hashes(train.select(id_col, text), n, text)
+    # explode_outer: see eval_gram_set — plain explode's inferred
+    # size(gs) > 0 filter pushes down with the gram expression fully
+    # inlined, re-hashing every doc O(tokens²).  The NULL gram an empty
+    # doc produces can never equal a real gram, so the inner join
+    # drops it — no explicit filter needed.
     probe = grams.select(
         id_col,
         F.size("gs").cast("bigint").alias("n_grams"),
-        F.explode("gs").alias("g"),
+        F.explode_outer("gs").alias("g"),
     )
     ev = eval_grams.select("g")
     if broadcast_eval:

@@ -96,6 +96,37 @@ def test_gram_identity_and_bounds(spark):
     assert all(0 <= g < P for g in g1 + g5)
 
 
+def test_plan_hashes_each_side_once(spark, frames):
+    """Regression: plain explode over the gram array lets Catalyst infer
+    a size(gs) > 0 filter and push it below the projections with the
+    token-hash transform fully inlined — O(tokens²) re-hashing per doc
+    (measured 122 s vs <2 s at sf0.1).  The optimized plan must contain
+    exactly TWO token-hash transforms: one per side of the probe."""
+    train, ev = frames
+    rep = decontam.contamination_report(train, ev)
+    plan = rep._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("transform(split(") == 2, plan[:3000]
+
+
+def test_gram_store_records_and_verifies_n(spark, frames, tmp_path):
+    """The persisted store carries the n it was built with; probing it
+    with a different n is a loud error, not a silent zero-match join
+    that admits every contaminated doc."""
+    _, ev = frames
+    path = str(tmp_path / "grams")
+    decontam.write_eval_gram_store(ev, path, n=7)
+    # matching n loads and exposes ONLY the gram column
+    ok = decontam.read_eval_gram_store(spark, path, n=7)
+    assert ok.columns == ["g"]
+    assert ok.count() > 0
+    with pytest.raises(ValueError, match="built with n=7"):
+        decontam.read_eval_gram_store(spark, path, n=5)
+    # a pre-stamp store (bare g column) loads unverified
+    legacy = str(tmp_path / "legacy")
+    decontam.eval_gram_set(ev, n=5).write.parquet(legacy)
+    assert decontam.read_eval_gram_store(spark, legacy, n=7).columns == ["g"]
+
+
 def test_plan_broadcasts_eval_never_shuffles_corpus(spark, frames):
     """100 TB posture: the probe join must be a BroadcastHashJoin (eval
     side built), so the corpus stream is map-side; the only Exchange in
