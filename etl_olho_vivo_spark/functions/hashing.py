@@ -40,6 +40,19 @@ def duck_hex2int(hexpr: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def seeded_key_expr(col: str, seed: int) -> str:
+    """Spark SQL for the seeded 32-bit row key shared by the
+    shuffle/split/cap operators: ``int(md5(CAST(col AS STRING) ‖ ':' ‖
+    seed)[0:8], 16)``.
+
+    One definition on purpose: global_shuffle (io/export.py),
+    split_column and cap_per_group (operators/split.py) all guarantee
+    "same key + same seed ⇒ same placement", and that contract only
+    holds while they hash byte-identically.
+    """
+    return spark_hex2int(f"md5(concat(CAST({col} AS STRING), ':', '{seed}'))")
+
+
 def spark_token_hash(wexpr: str) -> str:
     return spark_hex2int(f"md5({wexpr})")
 

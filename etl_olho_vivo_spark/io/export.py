@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from etl_olho_vivo_spark.functions.hashing import spark_hex2int
+from etl_olho_vivo_spark.functions.hashing import seeded_key_expr
 
 
 def _has_binary(dt: T.DataType) -> bool:
@@ -44,6 +44,7 @@ def global_shuffle(
     by: str = "doc_id",
     n_shards: int = 32,
     shard_col: str = "shard",
+    split_col: str | None = None,
 ) -> DataFrame:
     """Deterministic seeded global shuffle into ``n_shards`` shards.
 
@@ -64,17 +65,25 @@ def global_shuffle(
     ``export_jsonl(by=shard_col)`` writes one ordered file per shard.
     A different ``seed`` yields an independent permutation (epoch
     reshuffles without rewriting the corpus).
+
+    When the frame carries a train/val/test label, pass it as
+    ``split_col``: the within-partition order then LEADS with the split,
+    so an export partitioned by ``[split_col, shard_col]`` writes one
+    ordered file per (split, shard) with no writer-side re-sort — and
+    train/val/test rows never share a shard file (a loader reading
+    mixed-split shards silently trains on validation data).
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    h = F.expr(
-        spark_hex2int(f"md5(concat(CAST({by} AS STRING), ':', '{seed}'))")
-    )
+    h = F.expr(seeded_key_expr(by, seed))
+    order = ([split_col] if split_col is not None else []) + [
+        shard_col, "__h__", by
+    ]
     return (
         df.withColumn("__h__", h)
         .withColumn(shard_col, (F.col("__h__") % n_shards).cast("int"))
         .repartition(n_shards, shard_col)
-        .sortWithinPartitions(shard_col, "__h__", by)
+        .sortWithinPartitions(*order)
         .drop("__h__")
     )
 
@@ -82,13 +91,14 @@ def global_shuffle(
 def export_jsonl(
     df: DataFrame,
     path: str,
-    by: str | None = None,
+    by: str | list[str] | None = None,
     compression: str | None = "gzip",
 ) -> None:
     """Write ``df`` as (optionally sharded, optionally gzip'd) JSONL.
 
     ``by`` Hive-partitions the export (one directory of shards per
-    value — e.g. ``lang_guess`` for per-language training mixes).
+    value — e.g. ``lang_guess`` for per-language training mixes, or
+    ``["split", "shard"]`` so train/val/test never share a shard file).
     """
     binary_cols = [
         f.name for f in df.schema.fields if _has_binary(f.dataType)
@@ -102,5 +112,5 @@ def export_jsonl(
     if compression:
         w = w.option("compression", compression)
     if by is not None:
-        w = w.partitionBy(by)
+        w = w.partitionBy(*([by] if isinstance(by, str) else by))
     w.json(path)

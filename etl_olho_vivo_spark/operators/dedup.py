@@ -80,7 +80,10 @@ def dedup_lines(
     ``array_sort(collect_list(struct(pos, line)))`` is bounded by a
     single document's line count.  Empty lines are preserved as
     document structure, not dedup'd (every blank line would otherwise
-    collapse corpus-wide into one).
+    collapse corpus-wide into one) — and they BYPASS the line-hash
+    shuffle entirely: routed through the window they would all share
+    ``md5('')``, a guaranteed corpus-wide hot key piling billions of
+    rows into one straggler task on web text (~10% blank lines).
     """
     if mode not in ("keep_first", "drop_boilerplate"):
         raise ValueError(
@@ -93,17 +96,24 @@ def dedup_lines(
     lines = docs.select(
         id_col, F.posexplode(F.split(F.col(text), "\n")).alias("pos", "line")
     )
-    blank = F.col("line") == ""
+    # blanks are kept unconditionally — route them AROUND the window so
+    # md5('') never becomes a hot partition key (see docstring)
+    blanks = lines.filter(F.col("line") == "")
     w = Window.partitionBy("lh")
-    hashed = lines.withColumn("lh", F.md5("line"))
+    hashed = lines.filter(F.col("line") != "").withColumn(
+        "lh", F.md5("line")
+    )
     if mode == "keep_first":
         rn = F.row_number().over(w.orderBy(id_col, "pos"))
-        keep = blank | (rn == 1) | (
-            F.count(F.lit(1)).over(w) < F.lit(min_count)
-        )
+        keep = (rn == 1) | (F.count(F.lit(1)).over(w) < F.lit(min_count))
     else:
-        keep = blank | (F.count(F.lit(1)).over(w) < F.lit(min_count))
-    survivors = hashed.withColumn("__keep__", keep).filter("__keep__")
+        keep = F.count(F.lit(1)).over(w) < F.lit(min_count)
+    survivors = (
+        hashed.withColumn("__keep__", keep)
+        .filter("__keep__")
+        .select(id_col, "pos", "line")
+        .unionByName(blanks)
+    )
     rebuilt = survivors.groupBy(id_col).agg(
         F.concat_ws(
             "\n",

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_olho_vivo_spark.functions.hashing import spark_hex2int
+from etl_olho_vivo_spark.functions.hashing import seeded_key_expr
 from etl_olho_vivo_spark.operators.dedup import connected_components
 
 _BUCKETS = 10_000
@@ -52,6 +52,17 @@ def _thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
         bands.append((name, round(cum * _BUCKETS)))
     # guard float accumulation: the final band must cover the space
     bands[-1] = (bands[-1][0], _BUCKETS)
+    # a weight below the bucket resolution (0.5/10000) rounds its band
+    # to zero width — the split silently receives NO rows; refuse
+    prev = 0
+    for name, upper in bands:
+        if upper <= prev:
+            raise ValueError(
+                f"split {name!r} (weight {weights[name]}) rounds to an "
+                f"empty bucket band at 1/{_BUCKETS} resolution; use a "
+                f"weight >= {1 / _BUCKETS}"
+            )
+        prev = upper
     return bands
 
 
@@ -64,8 +75,7 @@ def split_column(key_col: str, weights: dict[str, float], seed: int = 0) -> Colu
     would otherwise re-inline it per band, so the bucket arithmetic is
     kept in one sub-expression Catalyst CSE's across the bands.
     """
-    hexpr = f"md5(concat(CAST({key_col} AS STRING), ':', '{seed}'))"
-    bucket = F.expr(spark_hex2int(hexpr)) % _BUCKETS
+    bucket = F.expr(seeded_key_expr(key_col, seed)) % _BUCKETS
     out = None
     for name, upper in _thresholds(weights):
         cond = bucket < F.lit(upper)
@@ -123,10 +133,9 @@ def cap_per_group(
         raise ValueError(f"n must be >= 1, got {n}")
     from pyspark.sql import Window
 
-    hexpr = f"md5(concat(CAST({id_col} AS STRING), ':', '{seed}'))"
     rank = F.row_number().over(
         Window.partitionBy(group).orderBy(
-            F.expr(spark_hex2int(hexpr)), F.col(id_col)
+            F.expr(seeded_key_expr(id_col, seed)), F.col(id_col)
         )
     )
     return (

@@ -207,8 +207,15 @@ def repetition_features(df: DataFrame, text: str = "text") -> DataFrame:
       word n-gram;
     - ``dup{5,10}gram_char_frac`` — char fraction of all repeated word
       n-grams (Σ-occurrence approximation, see dup_ngram_char_mass);
-    - ``symbol_word_ratio`` — non-alphanumeric, non-whitespace chars
-      per word.
+    - ``symbol_word_ratio`` — the worse of hash-signs-per-word and
+      ellipses-per-word.  Gopher's A1 rule rejects on "symbol-to-word
+      ratio greater than 0.1 for either the hash symbol or the
+      ellipsis" — ONLY those two glyphs count.  Counting every
+      non-alphanumeric char would mass-reject ordinary punctuated
+      prose (a comma per ~8 words already exceeds 0.1) and all
+      accented de/es/fr text.  The two per-glyph ratios collapse into
+      one column as ``greatest``: the gate's single ``<= 0.1`` then
+      means exactly "neither ratio exceeds 0.1".
 
     All ratios are exact-int/int ``try_divide`` (NULL on empty input —
     fails any ≥/≤ gate, so degenerate docs drop out instead of
@@ -220,9 +227,13 @@ def repetition_features(df: DataFrame, text: str = "text") -> DataFrame:
         f"aggregate(array_distinct({lines}), 0L, (a, l) -> a + length(l))"
     )
     n_chars = F.length(F.col(text))
-    symbols = n_chars - F.length(
-        F.regexp_replace(F.col(text), F.lit(r"[^0-9A-Za-z\s]"), F.lit(""))
+    hashes = n_chars - F.length(
+        F.regexp_replace(F.col(text), F.lit("#"), F.lit(""))
     )
+    # "…" or a 3+-dot run each count once (regexp_count is
+    # non-overlapping, so "....." is one ellipsis, not three)
+    ellipses = F.regexp_count(F.col(text), F.lit(r"(\.{3,}|…)"))
+    words = token_count(text)
     cols = {
         "dup_line_frac": F.try_divide(
             F.expr(f"size({lines}) - size(array_distinct({lines}))"),
@@ -231,7 +242,9 @@ def repetition_features(df: DataFrame, text: str = "text") -> DataFrame:
         "dup_line_char_frac": F.try_divide(
             F.expr(f"{line_chars} - {dist_chars}"), F.expr(line_chars)
         ),
-        "symbol_word_ratio": F.try_divide(symbols, token_count(text)),
+        "symbol_word_ratio": F.greatest(
+            F.try_divide(hashes, words), F.try_divide(ellipses, words)
+        ),
     }
     for n in (2, 3, 4):
         cols[f"top{n}gram_char_frac"] = F.try_divide(

@@ -100,6 +100,7 @@ def admit_batch(
     text: str = "text",
     eval_grams_dir: str | None = None,
     eval_ngram: int = 5,
+    eval_grams: DataFrame | None = None,
 ) -> None:
     """Admit one micro-batch: dedup in-batch + vs store, append survivors.
 
@@ -115,6 +116,10 @@ def admit_batch(
     store mirrors the admitted corpus exactly, so a later near-dup of a
     contaminated doc is judged on its own contamination, not against a
     ghost entry.  Cost ∝ batch (the gram store broadcasts).
+    ``eval_grams`` passes the gram relation directly instead — a
+    long-running stream loads (and persists) it ONCE rather than paying
+    the parquet listing/scan per micro-batch; ``run_corpus_stream``
+    does exactly that.
     """
     with CacheBag() as bag:
         sig = bag.add(
@@ -136,14 +141,22 @@ def admit_batch(
             ).distinct()
             surv_sig = surv_sig.join(sdrops, "doc_id", "left_anti")
 
-        if eval_grams_dir is not None:
+        if eval_grams is not None or eval_grams_dir is not None:
             from etl_olho_vivo_spark.operators import decontam
 
+            if eval_grams is None:
+                eval_grams = decontam.read_eval_gram_store(
+                    spark, eval_grams_dir, n=eval_ngram
+                )
+            # the probe's semi-join AND the anti-join below both
+            # consume surv_sig — cache it so the minhash/band-join
+            # subtree runs once, not twice per batch
+            surv_sig = bag.add(surv_sig)
             contaminated = decontam.contamination_report_from_grams(
                 batch.join(
                     surv_sig.select("doc_id"), "doc_id", "left_semi"
                 ),
-                spark.read.parquet(eval_grams_dir),
+                eval_grams,
                 n=eval_ngram,
                 text=text,
             ).select("doc_id")
@@ -228,14 +241,38 @@ def run_corpus_stream(
     eval_ngram: int = 5,
 ):
     """Start the continuous ingestion query over a streaming documents
-    frame (any readStream source with doc_id + text columns)."""
+    frame (any readStream source with doc_id + text columns).
+
+    The eval gram store is loaded, n-verified, and persisted ONCE here
+    (benchmark-sized — it fits; the cache lives as long as the stream),
+    so each micro-batch probes cached blocks instead of re-listing and
+    re-scanning the store's parquet.  The stream cannot unpersist after
+    itself (foreachBatch has no termination hook), so the cache is
+    registered in the module-level ``SESSION_BAG`` — long-lived hosts
+    call ``caching.release_session_caches()`` after stopping the query;
+    one-shot drains (the CLI) exit the JVM anyway.
+    """
     spark = docs_stream.sparkSession
+
+    eval_grams = None
+    if eval_grams_dir is not None:
+        if eval_ngram < 1:
+            # fail at start-up, not inside the first foreachBatch
+            raise ValueError(f"eval_ngram must be >= 1, got {eval_ngram}")
+        from etl_olho_vivo_spark.caching import SESSION_BAG
+        from etl_olho_vivo_spark.operators import decontam
+
+        eval_grams = SESSION_BAG.add(
+            decontam.read_eval_gram_store(
+                spark, eval_grams_dir, n=eval_ngram
+            )
+        )
 
     def _admit(batch: DataFrame, batch_id: int) -> None:
         admit_batch(
             spark, batch, batch_id, corpus_dir, store_dir,
             threshold=threshold, text=text,
-            eval_grams_dir=eval_grams_dir, eval_ngram=eval_ngram,
+            eval_grams=eval_grams, eval_ngram=eval_ngram,
         )
 
     writer = (

@@ -39,8 +39,17 @@ def test_dup_ngram_mass_counts_all_occurrences(spark):
 
 
 def test_symbol_word_ratio_and_empty_doc(spark):
+    # Gopher A1: ONLY '#' and ellipsis are symbols — 3 hashes / 3 words
     r = _feat(spark, "ok!! then### done")
-    assert r["symbol_word_ratio"] == pytest.approx(5 / 3)
+    assert r["symbol_word_ratio"] == pytest.approx(3 / 3)
+    # ellipsis: '…' and a 3+-dot run each count once; ratio is the
+    # WORSE of the two per-glyph ratios (2 ellipses vs 1 hash, 4 words)
+    e2 = _feat(spark, "wait… what.... is# this")
+    assert e2["symbol_word_ratio"] == pytest.approx(2 / 4)
+    # ordinary punctuated/accented prose has ratio 0 — the gate must
+    # not reject normal text (commas/periods/accents are NOT symbols)
+    p = _feat(spark, "Hello, world. It's a fine day in Köln, naïve café.")
+    assert p["symbol_word_ratio"] == 0.0
     # empty doc: every ratio NULL (try_divide), gate must fail it
     e = _feat(spark, "")
     assert e["dup_line_frac"] is None

@@ -59,6 +59,10 @@ def test_split_weight_validation():
         split._thresholds({"train": 1.5, "val": -0.5})
     with pytest.raises(ValueError, match="at least one"):
         split._thresholds({})
+    # a weight under the bucket resolution would silently produce an
+    # EMPTY split (its band rounds to zero width) — must be refused
+    with pytest.raises(ValueError, match="empty bucket band"):
+        split._thresholds({"train": 0.99996, "val": 0.00004})
 
 
 def test_leakage_safe_splits_co_travel(spark, docs):
@@ -141,3 +145,34 @@ def test_global_shuffle_decorrelates_ingest_order(spark, docs):
     assert same / 4999 < 0.12, same
     with pytest.raises(ValueError, match="n_shards"):
         global_shuffle(docs, n_shards=0)
+
+
+def test_global_shuffle_split_col_leads_order(spark, docs):
+    """With split_col set, rows inside every task partition are grouped
+    by split first — the export's partitionBy([split, shard]) then
+    writes one ordered file per (split, shard) without a writer-side
+    re-sort, and no shard file ever mixes train/val rows."""
+    labeled = split.assign_splits(docs, WEIGHTS)
+    sh = global_shuffle(labeled, seed=3, n_shards=4, split_col="split")
+    # shard assignment ignores the split (it is the same permutation)
+    plain = global_shuffle(labeled, seed=3, n_shards=4)
+    assert {
+        (r["doc_id"], r["shard"]) for r in sh.collect()
+    } == {(r["doc_id"], r["shard"]) for r in plain.collect()}
+    # within every task partition the split label is non-interleaved
+    def runs(it):
+        per_part = []
+        for part in it:
+            labels = [r["split"] for r in part]
+            if not labels:  # hash collisions can leave a task empty
+                continue
+            n_runs = 1 + sum(
+                1 for a, b in zip(labels, labels[1:]) if a != b
+            )
+            per_part.append((n_runs, len(set(labels))))
+        return per_part
+
+    for n_runs, n_distinct in runs(
+        sh.rdd.mapPartitions(lambda p: [list(p)]).collect()
+    ):
+        assert n_runs == n_distinct  # each split is one contiguous run
