@@ -108,6 +108,17 @@ def _build_parser() -> argparse.ArgumentParser:
         "lines/n-grams, symbol ratio) after the score filter",
     )
     cor.add_argument(
+        "--mix", default=None, metavar="SOURCE=W,SOURCE=W",
+        help="sample the corpus to this target token mixture across "
+        "source domains (deterministic seeded Bernoulli; unlisted "
+        "domains are dropped; the scarcest listed domain caps the mix)",
+    )
+    cor.add_argument(
+        "--mix-budget", type=int, default=None, metavar="TOKENS",
+        help="cap the mixture's total token budget (default: the "
+        "largest supply-feasible mix)",
+    )
+    cor.add_argument(
         "--shuffle-shards", type=int, default=None, metavar="N",
         help="globally shuffle the JSONL export into N deterministic "
         "seeded shards (decorrelates training batches from ingest "
@@ -246,20 +257,23 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "corpus":
         from etl_olho_vivo_spark.plans.corpus import run_corpus
 
-        splits = None
-        if args.splits:
+        def _parse_weights(text: str | None, flag: str) -> dict | None:
+            if not text:
+                return None
             try:
-                splits = {
+                return {
                     name: float(w)
                     for name, w in (
-                        part.split("=", 1) for part in args.splits.split(",")
+                        part.split("=", 1) for part in text.split(",")
                     )
                 }
             except ValueError:
                 raise SystemExit(
-                    f"--splits must look like train=0.9,val=0.1 "
-                    f"(got {args.splits!r})"
+                    f"{flag} must look like a=0.9,b=0.1 (got {text!r})"
                 )
+
+        splits = _parse_weights(args.splits, "--splits")
+        mixture = _parse_weights(args.mix, "--mix")
         stats = run_corpus(
             spark,
             args.sf_dir,
@@ -272,6 +286,8 @@ def main(argv: list[str] | None = None) -> int:
             split_seed=args.split_seed,
             gopher=args.gopher,
             max_per_source=args.max_per_source,
+            mixture=mixture,
+            mixture_budget=args.mix_budget,
         )
         if args.jsonl_out:
             from etl_olho_vivo_spark.io.export import (
@@ -280,18 +296,30 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             corpus_df = spark.read.parquet(args.out)
-            if args.shuffle_shards:
+            # a split column must LEAD the export partitioning: shards
+            # that interleave train/val/test rows would hand a training
+            # loader validation data unless it re-filters per record
+            has_split = "split" in corpus_df.columns
+            # `is not None`, not truthiness: --shuffle-shards 0 must hit
+            # global_shuffle's n_shards >= 1 rejection, not silently
+            # fall back to the per-language layout
+            if args.shuffle_shards is not None:
                 export_jsonl(
                     global_shuffle(
                         corpus_df,
                         seed=args.shuffle_seed,
                         n_shards=args.shuffle_shards,
+                        split_col="split" if has_split else None,
                     ),
                     args.jsonl_out,
-                    by="shard",
+                    by=["split", "shard"] if has_split else "shard",
                 )
             else:
-                export_jsonl(corpus_df, args.jsonl_out, by="lang_guess")
+                export_jsonl(
+                    corpus_df,
+                    args.jsonl_out,
+                    by=["split", "lang_guess"] if has_split else "lang_guess",
+                )
         print(json.dumps({"command": "corpus", **stats}))
         return 0
 
@@ -303,6 +331,10 @@ def main(argv: list[str] | None = None) -> int:
 
         from pyspark.errors import AnalysisException
 
+        if args.eval_ngram < 1:
+            raise SystemExit(
+                f"--eval-ngram must be >= 1, got {args.eval_ngram}"
+            )
         # a file stream needs an explicit schema; lift it from a static
         # read of the same landing dir (footer-only — no data scan)
         try:

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from etl_olho_vivo_spark.caching import CacheBag
-from etl_olho_vivo_spark.operators import dedup, textops
+from etl_olho_vivo_spark.operators import dedup, mix as mixops, textops
 from etl_olho_vivo_spark.operators import split as splitops
 from etl_olho_vivo_spark.sources.tables import read_table
 
@@ -70,6 +70,8 @@ def run_corpus(
     split_seed: int = 0,
     gopher: bool = False,
     max_per_source: int | None = None,
+    mixture: dict[str, float] | None = None,
+    mixture_budget: int | None = None,
 ) -> dict[str, int]:
     """Documents table → cleaned corpus parquet.  Returns per-stage counts.
 
@@ -85,6 +87,12 @@ def run_corpus(
     (operators/textops.py: chunk_docs + pack_chunks) — the corpus's
     last mile from documents to fixed-budget model inputs.
     """
+    if splits is not None:
+        # validate weights BEFORE any work: a bad --splits value must
+        # die here, not after hours of dedup at the assign_splits stage
+        splitops._thresholds(splits)
+    if mixture is not None:
+        mixops._check_weights(mixture)
     d = read_table(spark, sf_dir, "documents")
     if redact_pii:
         d = d.withColumn("text", textops.redact("text"))
@@ -92,6 +100,7 @@ def run_corpus(
     survived = None
     sig_caches = CacheBag()
     drop_caches = CacheBag()
+    stage_caches = CacheBag()
     try:
         stats = {"input": prof.count()}
 
@@ -152,7 +161,12 @@ def run_corpus(
             # repetition gate (textops.gopher_gate): pure per-row
             # projection over the already-persisted survivors — adds
             # metrics columns transiently, keeps only the verdict
-            kept = (
+            # persisted: the stage count here plus every downstream
+            # action (cap count, split collect, parquet write, pack)
+            # would otherwise EACH re-run the 5 array_sort passes of
+            # repetition_features — the costliest per-row projection
+            # in the pipeline
+            kept = stage_caches.add(
                 textops.gopher_gate(kept)
                 .filter(F.col("gopher_pass"))
                 .drop(
@@ -164,11 +178,26 @@ def run_corpus(
 
         if max_per_source is not None:
             # C4/Gopher domain cap: deterministic seeded top-n per
-            # source (operators/split.py) — one shuffle on `source`
-            kept = splitops.cap_per_group(
-                kept, "source", max_per_source, seed=split_seed
+            # source (operators/split.py) — one shuffle on `source`;
+            # persisted so the count, split collect, and write don't
+            # re-run the window shuffle
+            kept = stage_caches.add(
+                splitops.cap_per_group(
+                    kept, "source", max_per_source, seed=split_seed
+                )
             )
             stats["source_cap"] = kept.count()
+
+        if mixture is not None:
+            # domain reweighting to the target token mix
+            # (operators/mix.py): one tiny per-source token agg, then a
+            # broadcast-rates map-side Bernoulli filter — no shuffle
+            kept = stage_caches.add(
+                mixops.sample_mixture(
+                    kept, mixture, seed=split_seed, budget=mixture_budget
+                )
+            )
+            stats["mixture"] = kept.count()
 
         out_cols = [
             "doc_id", "text", "lang", "source", "lang_guess",
@@ -221,3 +250,4 @@ def run_corpus(
         # (e.g. the dedup_resolution ValueError) must not leak it
         sig_caches.release()
         drop_caches.release()
+        stage_caches.release()

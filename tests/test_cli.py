@@ -89,11 +89,57 @@ def test_corpus_split_and_shuffled_export(spark, tmp_path, capsys):
     assert set(
         r["split"] for r in corpus.select("split").distinct().collect()
     ) <= {"train", "val"}
-    # the export holds every surviving doc exactly once, shard-partitioned
+    # the export holds every surviving doc exactly once, partitioned by
+    # (split, shard): a shard FILE can never mix train/val rows — the
+    # split is a directory level above the shards
     shards = spark.read.json(jsonl)
     assert shards.count() == stats["quality"]
-    assert "shard" in shards.columns
+    assert "shard" in shards.columns and "split" in shards.columns
     assert 1 < shards.select("shard").distinct().count() <= 4
+    import os
+
+    top_dirs = {
+        d for d in os.listdir(jsonl) if not d.startswith(("_", "."))
+    }
+    assert top_dirs <= {"split=train", "split=val"} and top_dirs
+
+
+def test_corpus_mixture_flag(spark, tmp_path, capsys):
+    """--mix reweights the written corpus to the target token mixture:
+    unlisted source domains vanish, listed ones survive in proportion."""
+    out = str(tmp_path / "corpus")
+    assert main([
+        "--cpus", "8", "corpus", "--sf-dir", "/root/testdata/sf0.001",
+        "--out", out, "--min-tokens", "3",
+        "--mix", "src0=0.5,src1=0.5",
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < stats["mixture"] <= stats["quality"]
+    srcs = {
+        r["source"]
+        for r in spark.read.parquet(out).select("source").distinct().collect()
+    }
+    assert srcs <= {"src0", "src1"} and srcs
+    import pytest
+
+    with pytest.raises(SystemExit, match="--mix"):
+        main([
+            "corpus", "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "c2"), "--mix", "src0:1",
+        ])
+
+
+def test_corpus_rejects_zero_shuffle_shards(tmp_path):
+    import pytest
+
+    # 0 must hit global_shuffle's n_shards >= 1 rejection, not silently
+    # fall back to the per-language export layout
+    with pytest.raises(ValueError, match="n_shards"):
+        main([
+            "--cpus", "8", "corpus", "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "c"), "--min-tokens", "3",
+            "--jsonl-out", str(tmp_path / "j"), "--shuffle-shards", "0",
+        ])
 
 
 def test_corpus_gopher_gate_and_source_cap(spark, tmp_path, capsys):
