@@ -66,6 +66,14 @@ PAIR_HEAVY = [
     "doc_editdist_near_dup",
 ]
 
+# Round-6 corpus operators whose curve the tier also records:
+# eval_decontamination (registry) — broadcast gram probe, expected
+# ≈linear after the explode_outer fix (and the tier would catch the
+# O(tokens²) inferred-filter regression loudly); dedup_lines (ad-hoc —
+# a corpus-granularity operator with no registry row) — two irreducible
+# shuffles, verbatim replicas deepen every duplicate-line group N×.
+SCALE_EXTRA = ["eval_decontamination"]
+
 
 def scale_enabled() -> bool:
     """True iff the scaling-curve tier should replace the normal sweep
@@ -115,11 +123,18 @@ def scale_tier(spark, sf_dir: str) -> None:
             spark, f"{sf_dir}/embeddings.parquet",
             f"{dN}/embeddings.parquet", replicas,
         )
+        def _dedup_lines_fn(spark, d):
+            from etl_olho_vivo_spark.operators.dedup import dedup_lines
+            from etl_olho_vivo_spark.sources.tables import read_table
+
+            return dedup_lines(read_table(spark, d, "documents"))
+
+        adhoc = {"dedup_lines": _dedup_lines_fn}
         out: dict[str, dict] = {}
         errors: dict[str, str] = {}
-        for name in HEADLINE + PAIR_HEAVY:
-            fn = registry.REGISTRY[name].fn
-            runs = 3 if name in PAIR_HEAVY else 2
+        for name in HEADLINE + PAIR_HEAVY + SCALE_EXTRA + list(adhoc):
+            fn = adhoc.get(name) or registry.REGISTRY[name].fn
+            runs = 2 if name in HEADLINE else 3
             try:
                 t1 = _time_query(spark, fn, sf_dir,
                                  release_session_caches, runs)

@@ -18,7 +18,10 @@ def test_scale_tier_emits_complete_ratio_line(spark, capsys, monkeypatch):
     assert line["metric"] == "scale_ratio_detail"
     assert line["replicas"] == 2
     assert "errors" not in line, line.get("errors")
-    assert set(line["queries"]) == set(bench.HEADLINE + bench.PAIR_HEAVY)
+    assert set(line["queries"]) == set(
+        bench.HEADLINE + bench.PAIR_HEAVY + bench.SCALE_EXTRA
+        + ["dedup_lines"]
+    )
     for name, rec in line["queries"].items():
         assert rec["t1"] > 0 and rec["t2"] > 0, (name, rec)
         assert rec["ratio"] is not None
