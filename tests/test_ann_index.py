@@ -1,0 +1,154 @@
+"""Persisted IVF index (io/ann_index.py): build/load/append/query
+lifecycle, parity with the in-memory ivf_topk path, grid validation,
+and the partition-pruned serving-scan contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_olho_vivo_spark.io import ann_index
+from etl_olho_vivo_spark.operators import similarity
+from etl_olho_vivo_spark.sources.tables import read_table
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_table(spark, SF, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def built(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    # first-vectors seeding so the in-memory path (same default
+    # centroids) is an exact comparison target
+    n = ann_index.build_ivf_index(emb, path, n_cells=8, use_kmeans=False)
+    assert n == emb.count()
+    return path
+
+
+def test_query_parity_with_in_memory_ivf_topk(spark, emb, built):
+    """Serving a corpus vector through the persisted index ranks exactly
+    like ivf_topk over the same centroids (after removing the query's
+    own identity row, which the external-vector path cannot know)."""
+    idx = ann_index.load_ivf_index(spark, built)
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    served = [
+        (r["vec_id"], r["dot_q"])
+        for r in ann_index.query_ivf_index(
+            idx, list(qvec), k=11, n_probe=2
+        ).collect()
+        if r["vec_id"] != 0
+    ][:10]
+    mem = [
+        (r["vec_id"], r["dot_q"])
+        for r in similarity.ivf_topk(
+            emb, query_vec_id=0, k=10, n_cells=8, n_probe=2
+        ).collect()
+    ]
+    assert served == mem
+
+
+def test_append_equals_full_rebuild_assignment(spark, emb, tmp_path):
+    """Appending a batch against the frozen centroids lands every vector
+    in exactly the cell a full build would have chosen."""
+    path = str(tmp_path / "index")
+    first = emb.filter(F.col("vec_id") < 250)
+    rest = emb.filter(F.col("vec_id") >= 250)
+    ann_index.build_ivf_index(first, path, n_cells=8, use_kmeans=False)
+    ann_index.append_to_ivf_index(rest, path)
+    idx = ann_index.load_ivf_index(spark, path)
+    got = {
+        (r["vec_id"], r["cell_id"]) for r in idx.cells.collect()
+    }
+    cents = spark.createDataFrame(
+        [(c, q) for c, q in idx.centroids], ["cell_id", "qc"]
+    )
+    want = {
+        (r["vec_id"], r["cell_id"])
+        for r in similarity.ivf_assign(emb, 8, cents).collect()
+    }
+    assert got == want and len(got) == emb.count()
+
+
+def test_serving_scan_is_partition_pruned(spark, emb, built):
+    """The 100 TB contract: a 2-probe query must read ONLY its probed
+    cell partitions — the scan's PartitionFilters carry the cell_id IN
+    predicate, and the pruned file set is a strict subset."""
+    idx = ann_index.load_ivf_index(spark, built)
+    qvec = emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+    q = ann_index.query_ivf_index(idx, list(qvec), k=5, n_probe=2)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    )
+    pf = scan.split("PartitionFilters", 1)[1][:300]
+    assert "cell_id" in pf, scan
+    # the IN-list names exactly the 2 probed cells, so only those
+    # partition directories are listed/read (inputFiles() reflects the
+    # unpruned relation, so the filter expression IS the evidence)
+    import re
+
+    in_list = re.search(r"cell_id[^ ]* IN \(([^)]*)\)", pf)
+    assert in_list and len(in_list.group(1).split(",")) == 2, pf
+
+
+def test_grid_and_shape_validation(spark, emb, tmp_path, built):
+    idx = ann_index.load_ivf_index(spark, built)
+    with pytest.raises(ValueError, match="dim"):
+        ann_index.query_ivf_index(idx, [1.0, 2.0])
+    with pytest.raises(ValueError, match="n_cells"):
+        ann_index.build_ivf_index(emb, str(tmp_path / "x"), n_cells=0)
+    # an index stamped with a DIFFERENT quantization grid must refuse
+    # to load — its integers are incommensurate with this engine's
+    doctored = str(tmp_path / "doctored")
+    (
+        spark.read.parquet(f"{built}/centroids")
+        .withColumn("quant", F.lit(1000.0))
+        .write.mode("overwrite")
+        .parquet(f"{doctored}/centroids")
+    )
+    spark.read.parquet(f"{built}/cells").limit(1).write.parquet(
+        f"{doctored}/cells"
+    )
+    with pytest.raises(ValueError, match="quantization grid"):
+        ann_index.load_ivf_index(spark, doctored)
+
+
+def test_kmeans_build_is_usable(spark, emb, tmp_path):
+    """The production build (k-means|| quantizer) yields a usable index:
+    ≥40% 10-NN recall vs the cosine brute force on a 2-of-8-cell probe
+    budget.  (Quantizer-quality superiority over naive seeding is
+    asserted on its own metric in the kmeans tests — on 3 arbitrary
+    probes under the MIPS-vs-cosine metric gap either can edge ahead,
+    so this test only pins serving usability for both builds.)"""
+    def recall(path):
+        idx = ann_index.load_ivf_index(spark, path)
+        hits = 0
+        for qid in (1, 7, 42):
+            qvec = emb.filter(F.col("vec_id") == qid).collect()[0][
+                "embedding"
+            ]
+            got = {
+                r["vec_id"]
+                for r in ann_index.query_ivf_index(
+                    idx, list(qvec), k=11, n_probe=2
+                ).collect()
+                if r["vec_id"] != qid
+            }
+            truth = {
+                r["vec_id"]
+                for r in similarity.cosine_topk(emb, qid, k=10).collect()
+            }
+            hits += len(got & truth)
+        return hits
+
+    naive = str(tmp_path / "naive")
+    trained = str(tmp_path / "trained")
+    ann_index.build_ivf_index(emb, naive, n_cells=8, use_kmeans=False)
+    ann_index.build_ivf_index(emb, trained, n_cells=8)
+    assert recall(trained) >= 12, recall(trained)  # 40% of 30
+    assert recall(naive) >= 12, recall(naive)
