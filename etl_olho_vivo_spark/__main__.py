@@ -186,6 +186,35 @@ def _build_parser() -> argparse.ArgumentParser:
         help="output file count (default: shuffle partitions)",
     )
 
+    anb = sub.add_parser(
+        "ann-build",
+        help="build (or extend) the persisted IVF ANN index over an "
+        "embeddings parquet (vec_id, embedding, label)",
+    )
+    anb.add_argument("--in", dest="in_dir", required=True)
+    anb.add_argument("--index", required=True, help="index directory")
+    anb.add_argument("--cells", type=int, default=8)
+    anb.add_argument(
+        "--append", action="store_true",
+        help="assign against the EXISTING index's frozen centroids and "
+        "append (default: full rebuild)",
+    )
+    anb.add_argument(
+        "--seeded", action="store_true",
+        help="first-vectors quantizer instead of k-means|| (demo/oracle "
+        "parity mode)",
+    )
+
+    anq = sub.add_parser(
+        "ann-query",
+        help="top-k nearest vectors from a persisted IVF index for a "
+        "query vector (JSON array or comma-separated floats)",
+    )
+    anq.add_argument("--index", required=True)
+    anq.add_argument("--vector", required=True, metavar="V1,V2,...")
+    anq.add_argument("--k", type=int, default=10)
+    anq.add_argument("--probe", type=int, default=1)
+
     prof = sub.add_parser(
         "profile", help="one-scan per-column profile of a parquet table"
     )
@@ -433,6 +462,67 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({
             "command": "optimize", "by": cols,
             "rows": spark.read.parquet(args.out).count(),
+        }))
+        return 0
+
+    if args.command == "ann-build":
+        from etl_olho_vivo_spark.io.ann_index import (
+            append_to_ivf_index,
+            build_ivf_index,
+        )
+        from etl_olho_vivo_spark.sources.tables import (
+            pin_parquet_instant_confs,
+        )
+
+        pin_parquet_instant_confs(spark)
+        emb = spark.read.parquet(args.in_dir)
+        if args.append:
+            append_to_ivf_index(emb, args.index)
+            n = spark.read.parquet(f"{args.index}/cells").count()
+        else:
+            n = build_ivf_index(
+                emb, args.index, n_cells=args.cells,
+                use_kmeans=not args.seeded,
+            )
+        print(json.dumps({
+            "command": "ann-build", "vectors": n,
+            "appended": bool(args.append),
+        }))
+        return 0
+
+    if args.command == "ann-query":
+        from etl_olho_vivo_spark.io.ann_index import (
+            load_ivf_index,
+            query_ivf_index,
+        )
+        from etl_olho_vivo_spark.sources.tables import (
+            pin_parquet_instant_confs,
+        )
+
+        raw = args.vector.strip()
+        try:
+            vec = (
+                [float(x) for x in json.loads(raw)]
+                if raw.startswith("[")
+                else [float(x) for x in raw.split(",")]
+            )
+        except (ValueError, TypeError, json.JSONDecodeError):
+            raise SystemExit(
+                f"--vector must be a JSON array or comma-separated "
+                f"floats (got {raw[:80]!r})"
+            )
+        pin_parquet_instant_confs(spark)
+        idx = load_ivf_index(spark, args.index)
+        hits = query_ivf_index(
+            idx, vec, k=args.k, n_probe=args.probe
+        ).collect()  # k rows — bounded by construction
+        print(json.dumps({
+            "command": "ann-query", "k": args.k, "probe": args.probe,
+            "hits": [
+                {"vec_id": r["vec_id"], "label": r["label"],
+                 "dot_q": r["dot_q"]}
+                for r in hits
+            ],
         }))
         return 0
 

@@ -129,6 +129,49 @@ def test_corpus_mixture_flag(spark, tmp_path, capsys):
         ])
 
 
+def test_ann_build_append_query(spark, tmp_path, capsys):
+    """ann-build → ann-build --append → ann-query end-to-end: the CLI
+    serves nearest neighbors from the persisted partition-pruned index."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_olho_vivo_spark.sources.tables import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    half_a = str(tmp_path / "a")
+    half_b = str(tmp_path / "b")
+    emb.filter(F.col("vec_id") < 25).write.parquet(half_a)
+    emb.filter(F.col("vec_id") >= 25).write.parquet(half_b)
+    idx = str(tmp_path / "index")
+    assert main([
+        "--cpus", "8", "ann-build", "--in", half_a, "--index", idx,
+        "--cells", "4", "--seeded",
+    ]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built == {"command": "ann-build", "vectors": 25,
+                     "appended": False}
+    assert main([
+        "--cpus", "8", "ann-build", "--in", half_b, "--index", idx,
+        "--append",
+    ]) == 0
+    appended = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert appended["vectors"] == emb.count() and appended["appended"]
+
+    qvec = emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+    vec_arg = ",".join(str(x) for x in qvec)
+    assert main([
+        "--cpus", "8", "ann-query", "--index", idx, "--vector", vec_arg,
+        "--k", "5", "--probe", "2",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["hits"]) == 5
+    # the query vector itself lives in the index — with its own cell
+    # probed it must be its own nearest neighbor
+    assert out["hits"][0]["vec_id"] == 7
+    with pytest.raises(SystemExit, match="--vector"):
+        main(["ann-query", "--index", idx, "--vector", "not,floats,x"])
+
+
 def test_corpus_rejects_zero_shuffle_shards(tmp_path):
     import pytest
 
