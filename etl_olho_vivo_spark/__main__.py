@@ -108,6 +108,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "lines/n-grams, symbol ratio) after the score filter",
     )
     cor.add_argument(
+        "--eval-grams", default=None, metavar="DIR",
+        help="decontaminate against a persisted eval gram store (see "
+        "eval-index) — same probe the streaming admit loop runs",
+    )
+    cor.add_argument("--eval-ngram", type=int, default=5)
+    cor.add_argument(
         "--mix", default=None, metavar="SOURCE=W,SOURCE=W",
         help="sample the corpus to this target token mixture across "
         "source domains (deterministic seeded Bernoulli; unlisted "
@@ -317,6 +323,8 @@ def main(argv: list[str] | None = None) -> int:
             max_per_source=args.max_per_source,
             mixture=mixture,
             mixture_budget=args.mix_budget,
+            eval_grams_dir=args.eval_grams,
+            eval_ngram=args.eval_ngram,
         )
         if args.jsonl_out:
             from etl_olho_vivo_spark.io.export import (

@@ -72,6 +72,8 @@ def run_corpus(
     max_per_source: int | None = None,
     mixture: dict[str, float] | None = None,
     mixture_budget: int | None = None,
+    eval_grams_dir: str | None = None,
+    eval_ngram: int = 5,
 ) -> dict[str, int]:
     """Documents table → cleaned corpus parquet.  Returns per-stage counts.
 
@@ -93,6 +95,8 @@ def run_corpus(
         splitops._thresholds(splits)
     if mixture is not None:
         mixops._check_weights(mixture)
+    if eval_grams_dir is not None and eval_ngram < 1:
+        raise ValueError(f"eval_ngram must be >= 1, got {eval_ngram}")
     d = read_table(spark, sf_dir, "documents")
     if redact_pii:
         d = d.withColumn("text", textops.redact("text"))
@@ -156,6 +160,23 @@ def run_corpus(
 
         kept = kept.filter(F.col("quality_score") >= min_quality)
         stats["quality"] = kept.count()
+
+        if eval_grams_dir is not None:
+            # benchmark decontamination (operators/decontam.py) against
+            # the same persisted gram store the streaming admit loop
+            # probes: broadcast gram set, hit-sized anti-join — the
+            # corpus is scanned once and never shuffled for the probe
+            from etl_olho_vivo_spark.operators import decontam
+
+            flagged = decontam.contamination_report_from_grams(
+                kept.select("doc_id", "text"),
+                decontam.read_eval_gram_store(
+                    spark, eval_grams_dir, n=eval_ngram
+                ),
+                n=eval_ngram,
+            ).select("doc_id")
+            kept = kept.join(flagged, "doc_id", "left_anti")
+            stats["decontaminated"] = kept.count()
 
         if gopher:
             # repetition gate (textops.gopher_gate): pure per-row

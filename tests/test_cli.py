@@ -129,6 +129,47 @@ def test_corpus_mixture_flag(spark, tmp_path, capsys):
         ])
 
 
+def test_corpus_batch_decontamination(spark, tmp_path, capsys):
+    """corpus --eval-grams runs the same benchmark probe as the
+    streaming admit loop: a doc whose text IS the benchmark must vanish
+    from the written corpus."""
+    from pyspark.sql import functions as F
+
+    out1 = str(tmp_path / "c1")
+    assert main([
+        "--cpus", "8", "corpus", "--sf-dir", "/root/testdata/sf0.001",
+        "--out", out1, "--min-tokens", "3",
+    ]) == 0
+    capsys.readouterr()
+    victim = (
+        spark.read.parquet(out1)
+        .filter(F.col("n_tokens") >= 5)
+        .select("doc_id", "text")
+        .first()
+    )
+    bench_dir = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(9999, victim["text"])], "doc_id long, text string"
+    ).write.parquet(bench_dir)
+    grams = str(tmp_path / "grams")
+    assert main([
+        "--cpus", "8", "eval-index", "--in", bench_dir, "--out", grams,
+    ]) == 0
+    capsys.readouterr()
+    out2 = str(tmp_path / "c2")
+    assert main([
+        "--cpus", "8", "corpus", "--sf-dir", "/root/testdata/sf0.001",
+        "--out", out2, "--min-tokens", "3", "--eval-grams", grams,
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["decontaminated"] < stats["quality"]
+    survivors = {
+        r["doc_id"]
+        for r in spark.read.parquet(out2).select("doc_id").collect()
+    }
+    assert victim["doc_id"] not in survivors
+
+
 def test_ann_build_append_query(spark, tmp_path, capsys):
     """ann-build → ann-build --append → ann-query end-to-end: the CLI
     serves nearest neighbors from the persisted partition-pruned index."""
