@@ -87,6 +87,12 @@ def _build_parser() -> argparse.ArgumentParser:
     cor.add_argument("--jaccard-threshold", type=float, default=0.6)
     cor.add_argument("--redact-pii", action="store_true")
     cor.add_argument(
+        "--c4", action="store_true",
+        help="apply C4's heuristic cleanup (Raffel et al. 2020): drop "
+        "lines not ending in terminal punctuation or under 5 words, "
+        "then reject pages with <3 sentences, lorem ipsum, or braces",
+    )
+    cor.add_argument(
         "--jsonl-out", default=None, metavar="DIR",
         help="additionally export the cleaned corpus as gzip'd JSONL "
         "shards partitioned by detected language (training hand-off)",
@@ -316,6 +322,7 @@ def main(argv: list[str] | None = None) -> int:
             min_tokens=args.min_tokens,
             jaccard_threshold=args.jaccard_threshold,
             redact_pii=args.redact_pii,
+            c4=args.c4,
             dedup_resolution=args.resolution,
             splits=splits,
             split_seed=args.split_seed,

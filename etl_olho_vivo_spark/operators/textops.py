@@ -298,6 +298,57 @@ def gopher_gate(
     return feat.withColumn(out, F.coalesce(ok, F.lit(False)))
 
 
+def c4_clean_lines(text: str = "text", min_words: int = 5) -> Column:
+    """C4's line-level cleanup (Raffel et al. 2020, §2.2): keep only
+    lines that end in a terminal punctuation mark (period, exclamation,
+    question mark, or end quotation) AND contain at least ``min_words``
+    words; the document is rebuilt from the survivors.
+
+    Pure higher-order Column expression — one split, per-line
+    predicates, concat_ws — zero shuffle, zero Python, linear per row.
+    """
+    def ok(line: Column) -> Column:
+        ends = line.rlike('[.!?"”]\\s*$')
+        words = F.size(
+            F.filter(
+                F.split(F.trim(line), " "), lambda w: w != F.lit("")
+            )
+        )
+        return ends & (words >= F.lit(min_words))
+
+    return F.concat_ws(
+        "\n", F.filter(F.split(F.col(text), "\n"), ok)
+    )
+
+
+def c4_gate(
+    df: DataFrame,
+    text: str = "text",
+    min_sentences: int = 3,
+    badwords: tuple[str, ...] = (),
+    out: str = "c4_pass",
+) -> DataFrame:
+    """C4's page-level filters (Raffel et al. 2020, §2.2) as a boolean:
+    at least ``min_sentences`` sentences (terminal-punctuation count),
+    no "lorem ipsum" placeholder text, no curly brace (code/templating
+    leakage into prose), and none of the caller-supplied ``badwords``
+    (the paper uses the public "List of Dirty, Naughty …" list — pass
+    it in; it is not vendored here).
+
+    Run after ``c4_clean_lines`` for the paper's order: line cleanup
+    first, then page rejection on what remains.
+    """
+    low = F.lower(F.col(text))
+    ok = (
+        (F.regexp_count(F.col(text), F.lit("[.!?]")) >= min_sentences)
+        & ~low.contains("lorem ipsum")
+        & ~F.col(text).contains("{")
+    )
+    for w in badwords:
+        ok = ok & ~low.contains(w.lower())
+    return df.withColumn(out, F.coalesce(ok, F.lit(False)))
+
+
 def redact(text: str = "text") -> Column:
     """PII scrubbing: URLs, emails, phone-shaped digit runs → typed
     placeholders.  A chain of ``regexp_replace`` Column expressions —

@@ -64,6 +64,7 @@ def run_corpus(
     min_quality: float = 0.0,
     jaccard_threshold: float = 0.6,
     redact_pii: bool = False,
+    c4: bool = False,
     dedup_resolution: str = "greedy",
     pack: tuple[int, int, int] | None = None,
     splits: dict[str, float] | None = None,
@@ -100,6 +101,10 @@ def run_corpus(
     d = read_table(spark, sf_dir, "documents")
     if redact_pii:
         d = d.withColumn("text", textops.redact("text"))
+    if c4:
+        # C4 line cleanup BEFORE profiling, like redaction: fingerprints
+        # (and therefore dedup) must act on the text that ships
+        d = d.withColumn("text", textops.c4_clean_lines("text"))
     prof = document_profile(d).persist(StorageLevel.MEMORY_AND_DISK)
     survived = None
     sig_caches = CacheBag()
@@ -160,6 +165,16 @@ def run_corpus(
 
         kept = kept.filter(F.col("quality_score") >= min_quality)
         stats["quality"] = kept.count()
+
+        if c4:
+            # page-level C4 rejection on the cleaned text (per-row
+            # predicate over the persisted survivors — no re-scan)
+            kept = (
+                textops.c4_gate(kept)
+                .filter(F.col("c4_pass"))
+                .drop("c4_pass")
+            )
+            stats["c4"] = kept.count()
 
         if eval_grams_dir is not None:
             # benchmark decontamination (operators/decontam.py) against
