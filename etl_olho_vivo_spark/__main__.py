@@ -209,7 +209,17 @@ def _build_parser() -> argparse.ArgumentParser:
     anb.add_argument(
         "--append", action="store_true",
         help="assign against the EXISTING index's frozen centroids and "
-        "append (default: full rebuild)",
+        "append as a new batch partition (default: full rebuild)",
+    )
+    anb.add_argument(
+        "--batch-id", type=int, default=None,
+        help="with --append: the idempotency key — re-running the same "
+        "id REPLACES that batch (default: max existing id + 1)",
+    )
+    anb.add_argument(
+        "--compact", action="store_true",
+        help="after the build/append, fold per-batch partitions into "
+        "the single base partition",
     )
     anb.add_argument(
         "--seeded", action="store_true",
@@ -484,6 +494,7 @@ def main(argv: list[str] | None = None) -> int:
         from etl_olho_vivo_spark.io.ann_index import (
             append_to_ivf_index,
             build_ivf_index,
+            compact_ivf_index,
         )
         from etl_olho_vivo_spark.sources.tables import (
             pin_parquet_instant_confs,
@@ -492,17 +503,31 @@ def main(argv: list[str] | None = None) -> int:
         pin_parquet_instant_confs(spark)
         emb = spark.read.parquet(args.in_dir)
         if args.append:
-            append_to_ivf_index(emb, args.index)
+            bid = args.batch_id
+            if bid is None:
+                # next id after whatever has landed (build base is -1)
+                from pyspark.sql import functions as F
+
+                bid = (
+                    spark.read.parquet(f"{args.index}/cells")
+                    .agg(F.max("ingest_batch_id"))
+                    .first()[0]
+                    + 1
+                )
+            append_to_ivf_index(emb, args.index, bid)
             n = spark.read.parquet(f"{args.index}/cells").count()
         else:
             n = build_ivf_index(
                 emb, args.index, n_cells=args.cells,
                 use_kmeans=not args.seeded,
             )
-        print(json.dumps({
+        out = {
             "command": "ann-build", "vectors": n,
             "appended": bool(args.append),
-        }))
+        }
+        if args.compact:
+            out["compacted"] = compact_ivf_index(spark, args.index)
+        print(json.dumps(out))
         return 0
 
     if args.command == "ann-query":

@@ -18,13 +18,23 @@ Layout:
                         the quantization grid (validated at load — an
                         index built under a different grid would rank
                         garbage silently)
-    <path>/cells/       vec_id, label, qv, partitioned BY cell_id
+    <path>/cells/ingest_batch_id=<id>/cell_id=<c>/
+                        vec_id, label, qv — the build lands in batch
+                        -1; every append overwrites its OWN batch
+                        partition tree, so an at-least-once replay
+                        (streaming foreachBatch, retried jobs) replaces
+                        its prior attempt instead of duplicating it —
+                        the same idempotency design as the dedup
+                        signature store.  ``compact_ivf_index`` folds
+                        accumulated batch partitions back into -1.
 
 The cell partitioning is the serving contract at 100 TB: a query with
-``n_probe`` cells reads ONLY those partition directories (Spark
-partition pruning — asserted in tests), so query cost is the probed
-fraction of the corpus, not a full scan.  Appends add files to existing
-cell directories; no rewrite of resident data.
+``n_probe`` cells reads ONLY those cell partition directories (Spark
+partition pruning — asserted in tests; pruning works on any partition
+column, so the extra batch level costs queries nothing).  Appends add
+partition directories; resident data is never rewritten.  Vector ids
+must be unique ACROSS batches — the index stores vectors, it does not
+near-dedup them (that is the corpus pipeline's job upstream).
 
 Driver-side state is bounded by ``n_cells`` (the centroid table — the
 same bounded-collect posture as kmeans' candidate pool): probe-cell
@@ -87,7 +97,7 @@ def build_ivf_index(
     spark = emb.sparkSession
     assigned = ivf_assign(emb, n_cells, _centroid_frame(spark, path))
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
-        f"{path}/cells"
+        f"{path}/cells/ingest_batch_id=-1"
     )
     return spark.read.parquet(f"{path}/cells").count()
 
@@ -122,22 +132,86 @@ def load_ivf_index(spark: SparkSession, path: str) -> IvfIndex:
     return IvfIndex(centroids=cents, cells=cells, path=path)
 
 
-def append_to_ivf_index(emb_batch: DataFrame, path: str) -> None:
+def append_to_ivf_index(
+    emb_batch: DataFrame, path: str, batch_id: int
+) -> None:
     """Assign a batch of new vectors against the persisted centroids and
-    append them to their cell partitions.
+    land them under the batch's OWN partition tree.
 
     The quantizer is frozen at build time on purpose: retraining
     centroids per batch would silently re-shape every existing cell's
     meaning without reassigning its residents.  Rebuild the index when
     the corpus distribution drifts (standard IVF practice).
+
+    Idempotent per ``batch_id``: the write overwrites
+    ``cells/ingest_batch_id=<id>`` wholesale, so a replay (streaming
+    at-least-once, retried orchestrator job) replaces its earlier
+    attempt instead of appending duplicates.  ``-1`` is reserved for
+    the build/compacted base.
     """
+    if batch_id < 0:
+        raise ValueError(
+            f"batch_id must be >= 0 (-1 is the build partition), "
+            f"got {batch_id}"
+        )
     spark = emb_batch.sparkSession
     cents = _centroid_frame(spark, path)
     n_cells = cents.count()
     assigned = ivf_assign(emb_batch, n_cells, cents)
-    assigned.write.mode("append").partitionBy("cell_id").parquet(
-        f"{path}/cells"
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{path}/cells/ingest_batch_id={batch_id}"
     )
+
+
+def compact_ivf_index(spark: SparkSession, path: str) -> int:
+    """Fold accumulated per-batch partitions into the single base
+    partition (``ingest_batch_id = -1``), in place — the same
+    append-then-compact lifecycle as the dedup signature store.
+    Assignment-sized job; embeddings are never re-quantized.  The rows
+    are materialized via ``localCheckpoint`` before the overwrite (the
+    job reads the directory it rewrites — a lazy plan would re-list
+    files mid-overwrite).  Returns the compacted vector count."""
+    cells = spark.read.parquet(f"{path}/cells").select(
+        "vec_id", "label", "qv", "cell_id"
+    )
+    # constant batch -1 keeps the two-level ingest_batch_id/cell_id
+    # layout UNIFORM — a flat cell_id-only rewrite would leave mixed
+    # directory depths once the next append lands, breaking partition
+    # discovery for the whole table
+    merged = cells.withColumn(
+        "ingest_batch_id", F.lit(-1)
+    ).localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("ingest_batch_id", "cell_id")
+        .parquet(f"{path}/cells")
+    )
+    return merged.count()
+
+
+def run_embedding_stream(
+    emb_stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuous index ingestion: each micro-batch of new embedding
+    rows is assigned against the frozen centroids and lands in its own
+    batch partition — idempotent under at-least-once replay by the
+    ``append_to_ivf_index`` overwrite contract.  The index must exist
+    (``build_ivf_index``) before the stream starts; centroid load is
+    validated once per batch through the stamped grid."""
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        append_to_ivf_index(batch, path, int(batch_id))
+
+    writer = emb_stream.writeStream.foreachBatch(_append).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def query_ivf_index(

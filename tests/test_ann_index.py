@@ -59,7 +59,7 @@ def test_append_equals_full_rebuild_assignment(spark, emb, tmp_path):
     first = emb.filter(F.col("vec_id") < 250)
     rest = emb.filter(F.col("vec_id") >= 250)
     ann_index.build_ivf_index(first, path, n_cells=8, use_kmeans=False)
-    ann_index.append_to_ivf_index(rest, path)
+    ann_index.append_to_ivf_index(rest, path, batch_id=0)
     idx = ann_index.load_ivf_index(spark, path)
     got = {
         (r["vec_id"], r["cell_id"]) for r in idx.cells.collect()
@@ -72,6 +72,67 @@ def test_append_equals_full_rebuild_assignment(spark, emb, tmp_path):
         for r in similarity.ivf_assign(emb, 8, cents).collect()
     }
     assert got == want and len(got) == emb.count()
+    # replaying the SAME batch id replaces, never duplicates (the
+    # at-least-once contract); -1 is reserved for the build
+    ann_index.append_to_ivf_index(rest, path, batch_id=0)
+    idx2 = ann_index.load_ivf_index(spark, path)
+    assert idx2.cells.count() == emb.count()
+    with pytest.raises(ValueError, match="batch_id"):
+        ann_index.append_to_ivf_index(rest, path, batch_id=-1)
+    # compaction folds batches into the base partition; content and
+    # query behavior are unchanged
+    n = ann_index.compact_ivf_index(spark, path)
+    assert n == emb.count()
+    idx3 = ann_index.load_ivf_index(spark, path)
+    assert {
+        r["ingest_batch_id"]
+        for r in idx3.cells.select("ingest_batch_id").distinct().collect()
+    } == {-1}
+    assert {
+        (r["vec_id"], r["cell_id"]) for r in idx3.cells.collect()
+    } == want
+    # and a post-compaction append still lands cleanly
+    ann_index.append_to_ivf_index(
+        emb.filter(F.col("vec_id") == 0).withColumn(
+            "vec_id", F.lit(9999).cast("long")
+        ),
+        path,
+        batch_id=1,
+    )
+    assert ann_index.load_ivf_index(spark, path).cells.count() == (
+        emb.count() + 1
+    )
+
+
+def test_streaming_ingest_into_index(spark, emb, tmp_path):
+    """run_embedding_stream drains a landing zone into the index via
+    per-batch idempotent appends; queries then see streamed vectors."""
+    import os
+
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    path = str(tmp_path / "index")
+    base = emb.filter(F.col("vec_id") < 400)
+    ann_index.build_ivf_index(base, path, n_cells=8, use_kmeans=False)
+    emb.filter(F.col("vec_id") >= 400).coalesce(1).write.parquet(
+        str(landing / "b0")
+    )
+    schema = spark.read.parquet(str(landing / "b0")).schema
+    q = ann_index.run_embedding_stream(
+        spark.readStream.schema(schema).parquet(str(landing / "*")),
+        path,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    idx = ann_index.load_ivf_index(spark, path)
+    assert idx.cells.count() == emb.count()
+    qvec = emb.filter(F.col("vec_id") == 450).collect()[0]["embedding"]
+    hits = ann_index.query_ivf_index(
+        idx, list(qvec), k=3, n_probe=8
+    ).collect()
+    # the streamed vector is servable (MIPS ranking — self need not be
+    # the top dot, but it must be in a full-probe top-3 of itself)
+    assert 450 in {h["vec_id"] for h in hits}
 
 
 def test_serving_scan_is_partition_pruned(spark, emb, built):

@@ -193,10 +193,11 @@ def test_ann_build_append_query(spark, tmp_path, capsys):
                      "appended": False}
     assert main([
         "--cpus", "8", "ann-build", "--in", half_b, "--index", idx,
-        "--append",
+        "--append", "--compact",
     ]) == 0
     appended = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert appended["vectors"] == emb.count() and appended["appended"]
+    assert appended["compacted"] == emb.count()
 
     qvec = emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
     vec_arg = ",".join(str(x) for x in qvec)
