@@ -87,6 +87,13 @@ def _build_parser() -> argparse.ArgumentParser:
     cor.add_argument("--jaccard-threshold", type=float, default=0.6)
     cor.add_argument("--redact-pii", action="store_true")
     cor.add_argument(
+        "--dedup-lines", choices=["keep_first", "drop_boilerplate"],
+        default=None,
+        help="corpus-wide line-level dedup before profiling (C4 "
+        "keep-one / CCNet boilerplate-drop)",
+    )
+    cor.add_argument("--line-min-count", type=int, default=2)
+    cor.add_argument(
         "--c4", action="store_true",
         help="apply C4's heuristic cleanup (Raffel et al. 2020): drop "
         "lines not ending in terminal punctuation or under 5 words, "
@@ -333,6 +340,8 @@ def main(argv: list[str] | None = None) -> int:
             jaccard_threshold=args.jaccard_threshold,
             redact_pii=args.redact_pii,
             c4=args.c4,
+            line_dedup=args.dedup_lines,
+            line_min_count=args.line_min_count,
             dedup_resolution=args.resolution,
             splits=splits,
             split_seed=args.split_seed,

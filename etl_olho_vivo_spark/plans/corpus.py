@@ -65,6 +65,8 @@ def run_corpus(
     jaccard_threshold: float = 0.6,
     redact_pii: bool = False,
     c4: bool = False,
+    line_dedup: str | None = None,
+    line_min_count: int = 2,
     dedup_resolution: str = "greedy",
     pack: tuple[int, int, int] | None = None,
     splits: dict[str, float] | None = None,
@@ -105,6 +107,15 @@ def run_corpus(
         # C4 line cleanup BEFORE profiling, like redaction: fingerprints
         # (and therefore dedup) must act on the text that ships
         d = d.withColumn("text", textops.c4_clean_lines("text"))
+    if line_dedup is not None:
+        # corpus-wide line-level dedup (C4 keep-one / CCNet boilerplate
+        # drop) — also pre-profile: it rewrites text, and its two slim
+        # shuffles (line hash, doc reassembly) run once over the raw
+        # corpus.  Docs whose every line is deleted drop out here
+        # (mode validation happens inside dedup_lines, before any work)
+        d = dedup.dedup_lines(
+            d, mode=line_dedup, min_count=line_min_count
+        )
     prof = document_profile(d).persist(StorageLevel.MEMORY_AND_DISK)
     survived = None
     sig_caches = CacheBag()

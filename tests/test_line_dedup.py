@@ -110,6 +110,48 @@ def test_brute_force_oracle_both_modes(spark):
         assert got == brute(mode, mc), (mode, mc)
 
 
+def test_run_corpus_line_dedup_stage(spark, tmp_path):
+    """corpus --dedup-lines: the boilerplate line survives only in the
+    first (id, pos) occurrence corpus-wide, and fingerprints reflect
+    the rewritten text (two docs identical AFTER line dedup collapse
+    in the exact-dedup stage)."""
+    from pyspark.sql import functions as F
+
+    from etl_olho_vivo_spark.plans.corpus import run_corpus
+
+    boiler = "subscribe to the newsletter for more updates"
+    rows = [
+        (1, f"{boiler}\nthe first real article body is here", "en", "s0"),
+        (2, f"{boiler}\nthe second real article body is there", "en", "s0"),
+        # identical to doc 2 once the boilerplate line is deleted
+        (3, "the second real article body is there", "en", "s0"),
+    ]
+    sf = tmp_path / "sf"
+    (
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+        .withColumn("n_chars", F.length("text"))
+        .write.parquet(str(sf / "documents.parquet"))
+    )
+    stats = run_corpus(
+        spark,
+        str(sf),
+        str(tmp_path / "out"),
+        min_tokens=3,
+        line_dedup="keep_first",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert boiler in out[1]
+    # doc 2 lost the boilerplate line, became doc 3's exact twin, and
+    # exact dedup kept the smaller doc_id
+    assert 3 not in out and out[2] == rows[2][1]
+    assert stats["exact_dedup"] == 2
+
+
 def test_plan_shuffles_slim_rows_only(spark):
     """The ranking exchange must carry (hash, id, pos, line) rows
     hash-partitioned on the line hash — and no Python appears."""
