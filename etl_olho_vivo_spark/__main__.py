@@ -332,6 +332,17 @@ def main(argv: list[str] | None = None) -> int:
 
         splits = _parse_weights(args.splits, "--splits")
         mixture = _parse_weights(args.mix, "--mix")
+        if (
+            args.jsonl_out
+            and args.shuffle_shards is not None
+            and args.shuffle_shards < 1
+        ):
+            # pre-flight like the weight validation: a bad shard count
+            # must die HERE, not from global_shuffle after the whole
+            # pipeline has run
+            raise SystemExit(
+                f"--shuffle-shards must be >= 1, got {args.shuffle_shards}"
+            )
         stats = run_corpus(
             spark,
             args.sf_dir,

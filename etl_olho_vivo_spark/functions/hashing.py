@@ -40,15 +40,23 @@ def duck_hex2int(hexpr: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def seeded_key_expr(col: str, seed: int) -> str:
+def seeded_key_expr(col: str, seed: int | str) -> str:
     """Spark SQL for the seeded 32-bit row key shared by the
-    shuffle/split/cap operators: ``int(md5(CAST(col AS STRING) ‖ ':' ‖
-    seed)[0:8], 16)``.
+    shuffle/split/cap/mix operators: ``int(md5(CAST(col AS STRING) ‖
+    ':' ‖ seed)[0:8], 16)``.
 
     One definition on purpose: global_shuffle (io/export.py),
-    split_column and cap_per_group (operators/split.py) all guarantee
-    "same key + same seed ⇒ same placement", and that contract only
-    holds while they hash byte-identically.
+    split_column and cap_per_group (operators/split.py), and
+    sample_mixture (operators/mix.py) all guarantee "same key + same
+    seed ⇒ same placement", and that contract only holds while they
+    hash byte-identically.
+
+    Domain separation: an operator whose keep rule depends on the key's
+    MAGNITUDE (Bernoulli thresholds, keep-lowest-N ranks) must salt its
+    seed (e.g. ``f"mix-{seed}"``) — two magnitude-based operators on
+    the raw shared seed select perfectly correlated row sets.
+    Modulo-based rules (split bands, shuffle shards) are insensitive to
+    a magnitude restriction and may share the raw seed.
     """
     return spark_hex2int(f"md5(concat(CAST({col} AS STRING), ':', '{seed}'))")
 

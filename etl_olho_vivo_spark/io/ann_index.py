@@ -96,10 +96,45 @@ def build_ivf_index(
     )
     spark = emb.sparkSession
     assigned = ivf_assign(emb, n_cells, _centroid_frame(spark, path))
-    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
-        f"{path}/cells/ingest_batch_id=-1"
+    # static overwrite of the WHOLE cells tree: a rebuild over a
+    # previously-appended index must also clear the old batch
+    # partitions — they were assigned under the OLD centroids, and
+    # surviving the rebuild they would route queries to wrong cells
+    # (and duplicate any re-indexed vec_ids)
+    (
+        assigned.withColumn("ingest_batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("ingest_batch_id", "cell_id")
+        .parquet(f"{path}/cells")
     )
+    # a rebuild starts the batch lifecycle over — clear any compaction
+    # watermark left by the previous index generation
+    _write_watermark(spark, path, -1)
     return spark.read.parquet(f"{path}/cells").count()
+
+
+_WATERMARK = "compacted_through"
+
+
+def _write_watermark(spark: SparkSession, path: str, batch_id: int) -> None:
+    spark.createDataFrame(
+        [(batch_id,)], "max_batch_id bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_WATERMARK}")
+
+
+def _read_watermark(spark: SparkSession, path: str) -> int:
+    """Highest batch id folded into the base by compaction (-1 = none).
+    Indexes created before watermarking existed read as -1."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = spark.read.parquet(f"{path}/{_WATERMARK}").first()
+    except AnalysisException as e:
+        if e.getCondition() in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            return -1
+        raise
+    return -1 if row is None else int(row["max_batch_id"])
 
 
 def _centroid_frame(spark: SparkSession, path: str) -> DataFrame:
@@ -147,7 +182,10 @@ def append_to_ivf_index(
     ``cells/ingest_batch_id=<id>`` wholesale, so a replay (streaming
     at-least-once, retried orchestrator job) replaces its earlier
     attempt instead of appending duplicates.  ``-1`` is reserved for
-    the build/compacted base.
+    the build/compacted base.  A batch id at or below the compaction
+    watermark is REFUSED: its rows already live in the base, so a
+    replay would duplicate every vector — the failure is loud instead
+    (re-send under a fresh id, or rebuild).
     """
     if batch_id < 0:
         raise ValueError(
@@ -155,6 +193,13 @@ def append_to_ivf_index(
             f"got {batch_id}"
         )
     spark = emb_batch.sparkSession
+    wm = _read_watermark(spark, path)
+    if batch_id <= wm:
+        raise ValueError(
+            f"batch_id {batch_id} was already folded into the base by "
+            f"compaction (watermark {wm}); replaying it would duplicate "
+            f"its vectors — use a new batch id or rebuild the index"
+        )
     cents = _centroid_frame(spark, path)
     n_cells = cents.count()
     assigned = ivf_assign(emb_batch, n_cells, cents)
@@ -165,29 +210,54 @@ def append_to_ivf_index(
 
 def compact_ivf_index(spark: SparkSession, path: str) -> int:
     """Fold accumulated per-batch partitions into the single base
-    partition (``ingest_batch_id = -1``), in place — the same
-    append-then-compact lifecycle as the dedup signature store.
-    Assignment-sized job; embeddings are never re-quantized.  The rows
-    are materialized via ``localCheckpoint`` before the overwrite (the
-    job reads the directory it rewrites — a lazy plan would re-list
-    files mid-overwrite).  Returns the compacted vector count."""
-    cells = spark.read.parquet(f"{path}/cells").select(
-        "vec_id", "label", "qv", "cell_id"
-    )
+    partition (``ingest_batch_id = -1``) — the append-then-compact
+    lifecycle of the dedup signature store.  Assignment-sized job;
+    embeddings are never re-quantized.
+
+    Durability: the merged rows are first written to a SIDE directory
+    (``cells_compacting``), then swapped in via delete + rename — at
+    every instant a complete durable copy of the index exists on
+    storage, unlike an in-place overwrite backed only by executor-local
+    checkpoint blocks (one lost executor mid-write would otherwise
+    destroy the index).  A crash between delete and rename is repaired
+    by the next compaction call (recovery branch below).  The
+    compaction WATERMARK (highest folded batch id) is recorded before
+    the swap, so a batch replayed after its rows were folded fails
+    loudly in ``append_to_ivf_index`` instead of duplicating vectors —
+    conservatively: a crash after the watermark but before the swap
+    only REJECTS those replays, never duplicates.
+
+    Returns the compacted vector count.
+    """
+    from etl_olho_vivo_spark.io.fsutil import hadoop_fs
+
+    cells_dir = f"{path}/cells"
+    tmp_dir = f"{path}/cells_compacting"
+    fs, cells_p = hadoop_fs(spark, cells_dir)
+    _, tmp_p = hadoop_fs(spark, tmp_dir)
+    if not fs.exists(cells_p) and fs.exists(tmp_p):
+        # previous compaction crashed between delete and rename —
+        # finish the swap; the side copy is complete by construction
+        fs.rename(tmp_p, cells_p)
+        return spark.read.parquet(cells_dir).count()
+    cells = spark.read.parquet(cells_dir)
+    max_id = cells.agg(F.max("ingest_batch_id")).first()[0]
     # constant batch -1 keeps the two-level ingest_batch_id/cell_id
     # layout UNIFORM — a flat cell_id-only rewrite would leave mixed
     # directory depths once the next append lands, breaking partition
     # discovery for the whole table
-    merged = cells.withColumn(
-        "ingest_batch_id", F.lit(-1)
-    ).localCheckpoint(eager=True)
     (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "static")
+        cells.select("vec_id", "label", "qv", "cell_id")
+        .withColumn("ingest_batch_id", F.lit(-1))
+        .write.mode("overwrite")
         .partitionBy("ingest_batch_id", "cell_id")
-        .parquet(f"{path}/cells")
+        .parquet(tmp_dir)
     )
-    return merged.count()
+    if max_id is not None and max_id > _read_watermark(spark, path):
+        _write_watermark(spark, path, int(max_id))
+    fs.delete(cells_p, True)
+    fs.rename(tmp_p, cells_p)
+    return spark.read.parquet(cells_dir).count()
 
 
 def run_embedding_stream(
@@ -236,7 +306,22 @@ def query_ivf_index(
         raise ValueError(
             f"query vector has dim {len(vector)}, index has dim {dim}"
         )
-    q = [int(round(float(x) * QUANT)) for x in vector]
+    # Spark's round() is HALF_UP (away from zero); Python's round() is
+    # banker's — a component landing exactly on the grid midpoint
+    # (e.g. 2.5e-06) would quantize differently on the two sides and
+    # can flip the probe cell / break ranking parity with the stored
+    # assignment.  Replicate HALF_UP explicitly.
+    import math
+
+    def _q(x: float) -> int:
+        d = float(x) * QUANT
+        return (
+            int(math.floor(d + 0.5))
+            if d >= 0
+            else -int(math.floor(-d + 0.5))
+        )
+
+    q = [_q(x) for x in vector]
     ranked = sorted(
         (sum((a - b) * (a - b) for a, b in zip(qc, q)), cell_id)
         for cell_id, qc in index.centroids

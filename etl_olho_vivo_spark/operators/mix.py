@@ -138,7 +138,13 @@ def sample_mixture(
     rates = mixture_rates(
         df, weights, group=group, token_col=token_col, budget=budget
     ).select(group, "rate")
-    key = F.expr(seeded_key_expr(id_col, seed))
+    # domain-separated seed ("mix-<seed>"): the Bernoulli keep rule is
+    # MAGNITUDE-based (key < rate·2^32), and cap_per_group's rank
+    # selection keeps the N LOWEST keys — on the raw shared seed the
+    # two are fully correlated (every cap survivor has a tiny key, so
+    # a capped domain would pass the mixture filter at ~100% instead
+    # of rate), silently breaking the target proportions
+    key = F.expr(seeded_key_expr(id_col, f"mix-{seed}"))
     return (
         df.join(F.broadcast(rates), group)
         .filter(key < F.col("rate") * F.lit(_KEY_SPACE))

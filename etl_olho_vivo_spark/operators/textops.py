@@ -333,11 +333,16 @@ def c4_gate(
     no "lorem ipsum" placeholder text, no curly brace (code/templating
     leakage into prose), and none of the caller-supplied ``badwords``
     (the paper uses the public "List of Dirty, Naughty …" list — pass
-    it in; it is not vendored here).
+    it in; it is not vendored here).  Badwords match on WORD
+    BOUNDARIES, as C4's published implementation does — substring
+    matching would reject "class"/"analysis"/"Essex" for list entries
+    like "ass", gutting ordinary prose.
 
     Run after ``c4_clean_lines`` for the paper's order: line cleanup
     first, then page rejection on what remains.
     """
+    import re
+
     low = F.lower(F.col(text))
     ok = (
         (F.regexp_count(F.col(text), F.lit("[.!?]")) >= min_sentences)
@@ -345,7 +350,9 @@ def c4_gate(
         & ~F.col(text).contains("{")
     )
     for w in badwords:
-        ok = ok & ~low.contains(w.lower())
+        # Column-API rlike (no SQL-literal backslash folding); lookarounds
+        # implement the boundary without consuming neighboring chars
+        ok = ok & ~low.rlike(f"(?<!\\w){re.escape(w.lower())}(?!\\w)")
     return df.withColumn(out, F.coalesce(ok, F.lit(False)))
 
 

@@ -201,7 +201,12 @@ def run_corpus(
                 ),
                 n=eval_ngram,
             ).select("doc_id")
-            kept = kept.join(flagged, "doc_id", "left_anti")
+            # persisted like the gopher stage: the count here plus every
+            # downstream action would otherwise EACH re-run the
+            # O(corpus tokens) gram-explode probe through the anti-join
+            kept = stage_caches.add(
+                kept.join(flagged, "doc_id", "left_anti")
+            )
             stats["decontaminated"] = kept.count()
 
         if gopher:

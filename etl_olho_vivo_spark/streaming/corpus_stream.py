@@ -202,31 +202,38 @@ def compact_append_store(spark: SparkSession, store_dir: str) -> int:
     own docs (ids are globally unique), so the rewritten batch
     partition is complete, not a subset.
 
-    Same-path hazard: the job reads the directory it overwrites, so the
-    merged rows are materialized via ``localCheckpoint`` (lineage CUT —
-    a lazy plan would re-list the files mid-overwrite; same rationale
-    as io/upsert.py).  A crash between checkpoint and write loses only
-    the compaction — rerun it; batch ids are preserved inside -1 as a
-    plain column is NOT needed (dedup only reads doc_id/sh/minhash).
+    Durability: the merged rows are first written to a SIDE directory
+    (``<store>_compacting``), then swapped in via delete + rename — a
+    complete durable copy of the store exists on storage at every
+    instant.  The previous in-place design (overwrite backed only by
+    ``localCheckpoint``) had a loss window: executor-local checkpoint
+    blocks are not fault-tolerant, so one lost executor after the
+    overwrite had cleared the directory would destroy the store.  A
+    crash between delete and rename is repaired by the recovery branch
+    below on the next call.
 
     Returns the number of signatures in the compacted store.
     """
+    from etl_olho_vivo_spark.io.fsutil import hadoop_fs
+
+    tmp_dir = store_dir.rstrip("/") + "_compacting"
+    fs, store_p = hadoop_fs(spark, store_dir)
+    _, tmp_p = hadoop_fs(spark, tmp_dir)
+    if not fs.exists(store_p) and fs.exists(tmp_p):
+        # previous compaction crashed between delete and rename —
+        # finish the swap; the side copy is complete by construction
+        fs.rename(tmp_p, store_p)
+        return spark.read.parquet(store_dir).count()
     sig = spark.read.parquet(store_dir).select("doc_id", "sh", "minhash")
-    merged = sig.withColumn(
-        "ingest_batch_id", F.lit(-1)
-    ).localCheckpoint(eager=True)
     (
-        merged.write.mode("overwrite")
-        # static explicitly: under a session-wide dynamic
-        # partitionOverwriteMode default, overwrite would only replace
-        # the ingest_batch_id=-1 partition and every per-batch partition
-        # would survive — duplicating all signatures on each compaction
-        .option("partitionOverwriteMode", "static")
+        sig.withColumn("ingest_batch_id", F.lit(-1))
+        .write.mode("overwrite")
         .partitionBy("ingest_batch_id")
-        .parquet(store_dir)
+        .parquet(tmp_dir)
     )
-    # count the checkpointed blocks, not a second full read of the store
-    return merged.count()
+    fs.delete(store_p, True)
+    fs.rename(tmp_p, store_p)
+    return spark.read.parquet(store_dir).count()
 
 
 def run_corpus_stream(

@@ -91,7 +91,12 @@ def test_append_equals_full_rebuild_assignment(spark, emb, tmp_path):
     assert {
         (r["vec_id"], r["cell_id"]) for r in idx3.cells.collect()
     } == want
-    # and a post-compaction append still lands cleanly
+    # replaying a FOLDED batch id must fail loudly — its rows live in
+    # the base now; silently rewriting the partition would duplicate
+    # every vector in the batch
+    with pytest.raises(ValueError, match="watermark"):
+        ann_index.append_to_ivf_index(rest, path, batch_id=0)
+    # and a post-compaction append under a fresh id still lands cleanly
     ann_index.append_to_ivf_index(
         emb.filter(F.col("vec_id") == 0).withColumn(
             "vec_id", F.lit(9999).cast("long")
@@ -102,6 +107,39 @@ def test_append_equals_full_rebuild_assignment(spark, emb, tmp_path):
     assert ann_index.load_ivf_index(spark, path).cells.count() == (
         emb.count() + 1
     )
+
+
+def test_rebuild_clears_stale_batches_and_watermark(spark, emb, tmp_path):
+    """A full rebuild must reset the WHOLE cells tree: batch partitions
+    appended under the previous index generation were assigned with the
+    old centroids and would silently corrupt queries (wrong cells,
+    duplicate ids) if they survived.  The compaction watermark resets
+    with them."""
+    path = str(tmp_path / "index")
+    ann_index.build_ivf_index(
+        emb.filter(F.col("vec_id") < 100), path, n_cells=4,
+        use_kmeans=False,
+    )
+    ann_index.append_to_ivf_index(
+        emb.filter(F.col("vec_id").between(100, 199)), path, batch_id=0
+    )
+    ann_index.compact_ivf_index(spark, path)
+    n = ann_index.build_ivf_index(
+        emb.filter(F.col("vec_id") < 50), path, n_cells=4,
+        use_kmeans=False,
+    )
+    assert n == 50
+    idx = ann_index.load_ivf_index(spark, path)
+    assert idx.cells.count() == 50
+    assert {
+        r["ingest_batch_id"]
+        for r in idx.cells.select("ingest_batch_id").distinct().collect()
+    } == {-1}
+    # the previous generation's watermark no longer blocks fresh ids
+    ann_index.append_to_ivf_index(
+        emb.filter(F.col("vec_id").between(100, 119)), path, batch_id=0
+    )
+    assert ann_index.load_ivf_index(spark, path).cells.count() == 70
 
 
 def test_streaming_ingest_into_index(spark, emb, tmp_path):

@@ -217,9 +217,10 @@ def test_ann_build_append_query(spark, tmp_path, capsys):
 def test_corpus_rejects_zero_shuffle_shards(tmp_path):
     import pytest
 
-    # 0 must hit global_shuffle's n_shards >= 1 rejection, not silently
-    # fall back to the per-language export layout
-    with pytest.raises(ValueError, match="n_shards"):
+    # 0 must be rejected PRE-FLIGHT (before the pipeline runs), not
+    # silently fall back to the per-language export layout and not die
+    # in global_shuffle after hours of dedup
+    with pytest.raises(SystemExit, match="shuffle-shards"):
         main([
             "--cpus", "8", "corpus", "--sf-dir", "/root/testdata/sf0.001",
             "--out", str(tmp_path / "c"), "--min-tokens", "3",

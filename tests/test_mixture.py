@@ -29,7 +29,8 @@ def corpus(spark):
 
 
 def _py_key(doc_id, seed):
-    h = hashlib.md5(f"{doc_id}:{seed}".encode()).hexdigest()
+    # mix's domain-separated seed: "mix-<seed>" (see operators/mix.py)
+    h = hashlib.md5(f"{doc_id}:mix-{seed}".encode()).hexdigest()
     return int(h[:8], 16)
 
 
@@ -112,6 +113,29 @@ def test_budget_caps_the_mix(spark, corpus):
     # a budget above S* changes nothing — supply binds
     big = mix.sample_mixture(corpus, WEIGHTS, budget=10**9, seed=0)
     assert big.count() == mix.sample_mixture(corpus, WEIGHTS, seed=0).count()
+
+
+def test_mixture_independent_of_domain_cap(spark, corpus):
+    """Regression: cap_per_group keeps the N LOWEST seeded keys per
+    group and the mixture keeps keys under a threshold — on a shared
+    raw seed every cap survivor would pass the Bernoulli filter (~100%
+    instead of rate), inflating capped domains ~1/rate×.  The mix's
+    domain-separated seed must keep the two selections independent."""
+    from etl_olho_vivo_spark.operators import split as splitops
+
+    capped = splitops.cap_per_group(corpus, "source", 700, seed=0)
+    # web 2100→700 docs (70k tokens); code 600, books 300 pass whole.
+    # S* = 3·min(70k, 60k, 30k) = 90k → 30k target per source.
+    mixed = mix.sample_mixture(capped, WEIGHTS, seed=0)
+    by_src = {
+        r["source"]: r["toks"]
+        for r in mixed.groupBy("source")
+        .agg(F.sum("n_tokens").alias("toks"))
+        .collect()
+    }
+    # correlated selection would deliver ~70k for web; independent
+    # sampling delivers ~30k
+    assert by_src["web"] == pytest.approx(30_000, rel=0.15), by_src
 
 
 def test_unlisted_domains_dropped_and_errors(spark, corpus):
