@@ -1,0 +1,105 @@
+"""BPE training support (operators/bpe.py): the Sennrich et al. worked
+example, histogram semantics, vocabulary construction, and corpus-side
+segmentation parity with a driver-side reference apply.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_olho_vivo_spark.operators import bpe
+
+# the canonical worked example (Sennrich et al. 2016, §3.2)
+SENNRICH = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+
+
+def test_merges_match_published_example():
+    merges = bpe.bpe_merges(SENNRICH, n_merges=5)
+    assert merges[:3] == [("e", "s"), ("es", "t"), ("est", bpe.EOW)]
+    # deterministic: same input, same list
+    assert merges == bpe.bpe_merges(SENNRICH, n_merges=5)
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe.bpe_merges(SENNRICH, n_merges=0)
+
+
+def test_merges_stop_when_nothing_repeats():
+    # a histogram of singleton characters has no repeating pair
+    merges = bpe.bpe_merges([("ab", 1), ("cd", 1)], n_merges=100)
+    assert merges == []
+
+
+def test_vocabulary_contents():
+    vocab = bpe.bpe_vocabulary(SENNRICH, n_merges=3)
+    assert vocab[: len(set("loweristnd"))] == sorted(set("lowernewstid"))
+    assert bpe.EOW in vocab
+    assert vocab[-3:] == ["es", "est", "est" + bpe.EOW]
+
+
+def test_word_histogram(spark):
+    docs = spark.createDataFrame(
+        [(1, "low low  low\nlow low newest"), (2, "newest widest")],
+        ["doc_id", "text"],
+    )
+    h = bpe.word_histogram(docs)
+    rows = [(r["word"], r["n"]) for r in h.collect()]
+    assert rows == [("low", 5), ("newest", 2), ("widest", 1)]
+    # top_k truncation is frequency-ranked with a word tiebreak
+    h2 = [(r["word"], r["n"]) for r in bpe.word_histogram(docs, top_k=2).collect()]
+    assert h2 == [("low", 5), ("newest", 2)]
+    with pytest.raises(ValueError, match="top_k"):
+        bpe.word_histogram(docs, top_k=0)
+
+
+def _py_apply(merges, word):
+    symbols = list(word) + [bpe.EOW]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(symbols):
+            if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        symbols = out
+    return symbols
+
+
+def test_segment_expr_matches_reference_apply(spark):
+    merges = bpe.bpe_merges(SENNRICH, n_merges=10)
+    texts = ["lowest", "low lower", "newest widest wildest", "we", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["seg"]
+        for r in df.select(
+            "doc_id", bpe.bpe_segment_expr(merges).alias("seg")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        want = " ".join(
+            tok for w in t.split() for tok in _py_apply(merges, w)
+        )
+        assert got[i] == want, (t, got[i], want)
+    with pytest.raises(ValueError, match="small merge lists"):
+        bpe.bpe_segment_expr([("a", "b")] * 513)
+
+
+def test_end_to_end_histogram_to_segmentation(spark):
+    """The production shape: one distributed histogram pass, driver
+    merge loop on the bounded table, segmentation as a pure-JVM
+    projection (no Python, no shuffle in the apply)."""
+    docs = spark.createDataFrame(
+        [(i, "low lower newest widest lowest") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    h = bpe.word_histogram(docs, top_k=1000)
+    merges = bpe.bpe_merges(h, n_merges=8)
+    assert merges[0] == ("e", "s")
+    seg = docs.select(bpe.bpe_segment_expr(merges).alias("seg"))
+    plan = seg._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Exchange", "PythonUDF", "BatchEvalPython"):
+        assert bad not in plan, plan[:2000]
+    assert "est" + bpe.EOW in seg.collect()[0]["seg"].split(" ")
