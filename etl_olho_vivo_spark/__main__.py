@@ -304,8 +304,9 @@ def main(argv: list[str] | None = None) -> int:
             # pre-check through Hadoop's FS (works for any scheme the
             # session can read — local, s3a, hdfs): a never-landed day
             # should report "no raw data", not a PATH_NOT_FOUND traceback
-            jpath = spark._jvm.org.apache.hadoop.fs.Path(raw)
-            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            from etl_olho_vivo_spark.io.fsutil import hadoop_fs
+
+            fs, jpath = hadoop_fs(spark, raw)
             if not fs.exists(jpath):
                 raise SystemExit(f"no raw data for {args.date} ({raw})")
         counts = run_daily(spark, raw, args.out, write_fact=not args.no_fact)

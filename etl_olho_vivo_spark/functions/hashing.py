@@ -51,12 +51,13 @@ def seeded_key_expr(col: str, seed: int | str) -> str:
     seed ⇒ same placement", and that contract only holds while they
     hash byte-identically.
 
-    Domain separation: an operator whose keep rule depends on the key's
-    MAGNITUDE (Bernoulli thresholds, keep-lowest-N ranks) must salt its
-    seed (e.g. ``f"mix-{seed}"``) — two magnitude-based operators on
-    the raw shared seed select perfectly correlated row sets.
-    Modulo-based rules (split bands, shuffle shards) are insensitive to
-    a magnitude restriction and may share the raw seed.
+    Domain separation: an operator whose behavior depends on the key's
+    MAGNITUDE must use a unique salt (``"mix-"``, ``"cap-"``,
+    ``"shuffle-"`` — Bernoulli thresholds, keep-lowest-N ranks, and the
+    shuffle's within-shard ORDER all qualify): two magnitude-sensitive
+    operators on the raw shared seed produce perfectly correlated
+    selections/orderings.  Purely modulo-based rules (split bands) are
+    insensitive to a magnitude restriction and use the raw seed.
     """
     return spark_hex2int(f"md5(concat(CAST({col} AS STRING), ':', '{seed}'))")
 

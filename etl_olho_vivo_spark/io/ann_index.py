@@ -51,6 +51,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_olho_vivo_spark.io.fsutil import assert_no_pending_swap
 from etl_olho_vivo_spark.operators.similarity import (
     QUANT,
     _default_centroids,
@@ -118,23 +119,48 @@ _WATERMARK = "compacted_through"
 
 
 def _write_watermark(spark: SparkSession, path: str, batch_id: int) -> None:
-    spark.createDataFrame(
-        [(batch_id,)], "max_batch_id bigint"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_WATERMARK}")
+    """Single small text file, written via create-temp + rename so a
+    crash mid-write can never leave a truncated value in place (a lost
+    watermark would let a folded batch replay as 'new' and duplicate
+    its vectors)."""
+    from etl_olho_vivo_spark.io.fsutil import checked_rename, hadoop_fs
+
+    final = f"{path}/{_WATERMARK}"
+    fs, final_p = hadoop_fs(spark, final)
+    _, tmp_p = hadoop_fs(spark, final + "._tmp")
+    out = fs.create(tmp_p, True)
+    out.write(str(int(batch_id)).encode("ascii"))
+    out.close()
+    fs.delete(final_p, False)
+    checked_rename(fs, tmp_p, final_p)
 
 
 def _read_watermark(spark: SparkSession, path: str) -> int:
     """Highest batch id folded into the base by compaction (-1 = none).
-    Indexes created before watermarking existed read as -1."""
-    from pyspark.errors import AnalysisException
+    Indexes created before watermarking existed read as -1; an
+    unreadable value is a LOUD error (guessing low would duplicate
+    folded batches, guessing high would drop new ones)."""
+    from etl_olho_vivo_spark.io.fsutil import hadoop_fs
 
+    final = f"{path}/{_WATERMARK}"
+    fs, final_p = hadoop_fs(spark, final)
+    if not fs.exists(final_p):
+        return -1
+    stream = fs.open(final_p)
     try:
-        row = spark.read.parquet(f"{path}/{_WATERMARK}").first()
-    except AnalysisException as e:
-        if e.getCondition() in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
-            return -1
-        raise
-    return -1 if row is None else int(row["max_batch_id"])
+        data = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    try:
+        return int(data.strip())
+    except ValueError:
+        raise IOError(
+            f"unreadable compaction watermark at {final} "
+            f"({data!r}); restore it to the highest folded batch id "
+            f"before appending"
+        )
 
 
 def _centroid_frame(spark: SparkSession, path: str) -> DataFrame:
@@ -183,9 +209,14 @@ def append_to_ivf_index(
     at-least-once, retried orchestrator job) replaces its earlier
     attempt instead of appending duplicates.  ``-1`` is reserved for
     the build/compacted base.  A batch id at or below the compaction
-    watermark is REFUSED: its rows already live in the base, so a
-    replay would duplicate every vector — the failure is loud instead
-    (re-send under a fresh id, or rebuild).
+    watermark is a NO-OP: parquet batch writes are job-transactional,
+    so a folded batch was COMPLETE when compaction read it — its rows
+    already live in the base in full, and skipping the replay keeps
+    at-least-once restarts safe even across a compaction (rewriting
+    the partition would duplicate every vector instead).  Caveat, as
+    for the corpus stream: a replay must carry the same content as the
+    original attempt — don't change assignment-relevant config across
+    a restart with uncommitted batches.
     """
     if batch_id < 0:
         raise ValueError(
@@ -193,13 +224,10 @@ def append_to_ivf_index(
             f"got {batch_id}"
         )
     spark = emb_batch.sparkSession
+    assert_no_pending_swap(spark, f"{path}/cells")
     wm = _read_watermark(spark, path)
     if batch_id <= wm:
-        raise ValueError(
-            f"batch_id {batch_id} was already folded into the base by "
-            f"compaction (watermark {wm}); replaying it would duplicate "
-            f"its vectors — use a new batch id or rebuild the index"
-        )
+        return
     cents = _centroid_frame(spark, path)
     n_cells = cents.count()
     assigned = ivf_assign(emb_batch, n_cells, cents)
@@ -215,30 +243,30 @@ def compact_ivf_index(spark: SparkSession, path: str) -> int:
     embeddings are never re-quantized.
 
     Durability: the merged rows are first written to a SIDE directory
-    (``cells_compacting``), then swapped in via delete + rename — at
-    every instant a complete durable copy of the index exists on
-    storage, unlike an in-place overwrite backed only by executor-local
+    (``cells_compacting``), then swapped in under a persistent marker
+    (io/fsutil.py: marker → delete → rename → clear) — at every
+    instant a complete durable copy of the index exists on storage,
+    unlike an in-place overwrite backed only by executor-local
     checkpoint blocks (one lost executor mid-write would otherwise
-    destroy the index).  A crash between delete and rename is repaired
-    by the next compaction call (recovery branch below).  The
-    compaction WATERMARK (highest folded batch id) is recorded before
-    the swap, so a batch replayed after its rows were folded fails
-    loudly in ``append_to_ivf_index`` instead of duplicating vectors —
+    destroy the index).  A crash in the destructive window is repaired
+    here on the next call; writers refuse while the marker exists, so
+    an intervening append can never recreate the directory and trick
+    recovery into overwriting the only complete copy.  The compaction
+    WATERMARK (highest folded batch id) is recorded before the swap,
+    so a batch replayed after its rows were folded is skipped by
+    ``append_to_ivf_index`` instead of duplicating vectors —
     conservatively: a crash after the watermark but before the swap
-    only REJECTS those replays, never duplicates.
+    only SKIPS those replays (their data is still in the pre-swap
+    directory), never duplicates.
 
     Returns the compacted vector count.
     """
-    from etl_olho_vivo_spark.io.fsutil import hadoop_fs
+    from etl_olho_vivo_spark.io.fsutil import recover_pending_swap, swap_dir
 
     cells_dir = f"{path}/cells"
     tmp_dir = f"{path}/cells_compacting"
-    fs, cells_p = hadoop_fs(spark, cells_dir)
-    _, tmp_p = hadoop_fs(spark, tmp_dir)
-    if not fs.exists(cells_p) and fs.exists(tmp_p):
-        # previous compaction crashed between delete and rename —
-        # finish the swap; the side copy is complete by construction
-        fs.rename(tmp_p, cells_p)
+    if recover_pending_swap(spark, tmp_dir, cells_dir):
+        # the crashed compaction's result is now live — done
         return spark.read.parquet(cells_dir).count()
     cells = spark.read.parquet(cells_dir)
     max_id = cells.agg(F.max("ingest_batch_id")).first()[0]
@@ -255,8 +283,7 @@ def compact_ivf_index(spark: SparkSession, path: str) -> int:
     )
     if max_id is not None and max_id > _read_watermark(spark, path):
         _write_watermark(spark, path, int(max_id))
-    fs.delete(cells_p, True)
-    fs.rename(tmp_p, cells_p)
+    swap_dir(spark, tmp_dir, cells_dir)
     return spark.read.parquet(cells_dir).count()
 
 
@@ -269,9 +296,11 @@ def run_embedding_stream(
     """Continuous index ingestion: each micro-batch of new embedding
     rows is assigned against the frozen centroids and lands in its own
     batch partition — idempotent under at-least-once replay by the
-    ``append_to_ivf_index`` overwrite contract.  The index must exist
-    (``build_ivf_index``) before the stream starts; centroid load is
-    validated once per batch through the stamped grid."""
+    ``append_to_ivf_index`` contract (replay overwrites its own
+    partition; a replay of a batch already folded by compaction is a
+    no-op, since its rows live in the base in full).  The index must
+    exist (``build_ivf_index``) before the stream starts; centroid
+    load is validated once per batch through the stamped grid."""
 
     def _append(batch: DataFrame, batch_id: int) -> None:
         append_to_ivf_index(batch, path, int(batch_id))

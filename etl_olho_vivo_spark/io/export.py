@@ -75,7 +75,12 @@ def global_shuffle(
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    h = F.expr(seeded_key_expr(by, seed))
+    # domain-separated seed: the WITHIN-SHARD ORDER is the key's
+    # magnitude, and cap_per_group/sample_mixture select by magnitude
+    # too — on a shared raw seed a capped domain's survivors (all
+    # low-key) would sort to the FRONT of every shard, re-correlating
+    # exactly what this shuffle exists to decorrelate
+    h = F.expr(seeded_key_expr(by, f"shuffle-{seed}"))
     order = ([split_col] if split_col is not None else []) + [
         shard_col, "__h__", by
     ]

@@ -165,24 +165,33 @@ def bpe_segment_expr(
             f"bpe_segment_expr is for small merge lists (<= 512); got "
             f"{len(merges)} — apply a real tokenizer via mapInPandas"
         )
-    # symbols delimited by \x1f — unambiguous vs corpus text; the word
-    # gap is a DOUBLE delimiter, so a single-delimiter merge pattern
-    # can never match across word boundaries
-    m = "\x1f"
+    # Every symbol is ENCLOSED in \x1f markers (m+sym+m), so the merge
+    # pattern m+a+m+m+b+m can only match whole symbols — a bare
+    # a+DELIM+b pattern would also match when a multi-char symbol
+    # merely ENDS with `a` (e.g. symbol "aa" before "b" contains
+    # "a⟂b"), silently producing out-of-vocabulary tokens.  Words are
+    # joined with \x1e.  Both control chars are stripped from the
+    # input first: corpus text containing them would otherwise inject
+    # fake symbol boundaries.
+    m, g = "\x1f", "\x1e"
+    clean = F.regexp_replace(F.col(text), F.lit("[\\x1f\\x1e]"), F.lit(""))
+    enclose = lambda c: F.concat(F.lit(m), c, F.lit(m))  # noqa: E731
     word_syms = F.transform(
-        F.filter(F.split(F.col(text), r"\s+"), lambda w: w != F.lit("")),
+        F.filter(F.split(clean, r"\s+"), lambda w: w != F.lit("")),
         lambda w: F.concat(
-            F.array_join(F.split(w, ""), m), F.lit(m + EOW)
+            F.array_join(F.transform(F.split(w, ""), enclose), ""),
+            F.lit(m + EOW + m),
         ),
     )
-    joined = F.array_join(word_syms, m + m)
+    joined = F.array_join(word_syms, g)
     for a, b in merges:
         joined = F.replace(
-            joined, F.lit(a + m + b), F.lit(a + b)
+            joined,
+            F.lit(m + a + m + m + b + m),
+            F.lit(m + a + b + m),
         )
-    # marker → requested separator; double marker (word gap) first
-    return F.replace(
-        F.replace(joined, F.lit(m + m), F.lit(sep)),
-        F.lit(m),
-        F.lit(sep),
-    )
+    # decode: token gap (m+m) and word gap (g) → separator, then strip
+    # the enclosing markers
+    out = F.replace(joined, F.lit(m + m), F.lit(sep))
+    out = F.replace(out, F.lit(g), F.lit(sep))
+    return F.replace(out, F.lit(m), F.lit(""))

@@ -133,9 +133,13 @@ def cap_per_group(
         raise ValueError(f"n must be >= 1, got {n}")
     from pyspark.sql import Window
 
+    # domain-separated seed ("cap-<seed>"): the rank keeps the N LOWEST
+    # keys, a magnitude-based selection that must stay independent of
+    # the mixture's Bernoulli threshold and the shuffle's within-shard
+    # order (see functions/hashing.seeded_key_expr)
     rank = F.row_number().over(
         Window.partitionBy(group).orderBy(
-            F.expr(seeded_key_expr(id_col, seed)), F.col(id_col)
+            F.expr(seeded_key_expr(id_col, f"cap-{seed}")), F.col(id_col)
         )
     )
     return (

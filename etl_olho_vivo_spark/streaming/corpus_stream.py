@@ -121,6 +121,14 @@ def admit_batch(
     the parquet listing/scan per micro-batch; ``run_corpus_stream``
     does exactly that.
     """
+    from etl_olho_vivo_spark.io.fsutil import assert_no_pending_swap
+
+    # a batch landing while a crashed compaction swap is pending would
+    # recreate the store directory and disable the recovery branch —
+    # the ONLY complete copy of the store would then be overwritten by
+    # the next compaction.  Fail loudly instead; the replay succeeds
+    # after compact_append_store recovers.
+    assert_no_pending_swap(spark, store_dir)
     with CacheBag() as bag:
         sig = bag.add(
             dedup.minhash_signature(batch, text).select(
@@ -203,26 +211,27 @@ def compact_append_store(spark: SparkSession, store_dir: str) -> int:
     partition is complete, not a subset.
 
     Durability: the merged rows are first written to a SIDE directory
-    (``<store>_compacting``), then swapped in via delete + rename — a
-    complete durable copy of the store exists on storage at every
-    instant.  The previous in-place design (overwrite backed only by
+    (``<store>_compacting``), then swapped in under a persistent marker
+    (io/fsutil.py: marker → delete → rename → clear) — a complete
+    durable copy of the store exists on storage at every instant.  The
+    previous in-place design (overwrite backed only by
     ``localCheckpoint``) had a loss window: executor-local checkpoint
     blocks are not fault-tolerant, so one lost executor after the
     overwrite had cleared the directory would destroy the store.  A
-    crash between delete and rename is repaired by the recovery branch
-    below on the next call.
+    crash in the destructive window is repaired here on the next call;
+    ``admit_batch`` refuses to write while the marker exists (a batch
+    landing in the window would otherwise recreate the store directory
+    and trick recovery into discarding the only complete copy).
 
     Returns the number of signatures in the compacted store.
     """
-    from etl_olho_vivo_spark.io.fsutil import hadoop_fs
+    from etl_olho_vivo_spark.io.fsutil import (
+        recover_pending_swap,
+        swap_dir,
+    )
 
     tmp_dir = store_dir.rstrip("/") + "_compacting"
-    fs, store_p = hadoop_fs(spark, store_dir)
-    _, tmp_p = hadoop_fs(spark, tmp_dir)
-    if not fs.exists(store_p) and fs.exists(tmp_p):
-        # previous compaction crashed between delete and rename —
-        # finish the swap; the side copy is complete by construction
-        fs.rename(tmp_p, store_p)
+    if recover_pending_swap(spark, tmp_dir, store_dir):
         return spark.read.parquet(store_dir).count()
     sig = spark.read.parquet(store_dir).select("doc_id", "sh", "minhash")
     (
@@ -231,8 +240,7 @@ def compact_append_store(spark: SparkSession, store_dir: str) -> int:
         .partitionBy("ingest_batch_id")
         .parquet(tmp_dir)
     )
-    fs.delete(store_p, True)
-    fs.rename(tmp_p, store_p)
+    swap_dir(spark, tmp_dir, store_dir)
     return spark.read.parquet(store_dir).count()
 
 

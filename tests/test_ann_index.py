@@ -91,11 +91,15 @@ def test_append_equals_full_rebuild_assignment(spark, emb, tmp_path):
     assert {
         (r["vec_id"], r["cell_id"]) for r in idx3.cells.collect()
     } == want
-    # replaying a FOLDED batch id must fail loudly — its rows live in
-    # the base now; silently rewriting the partition would duplicate
-    # every vector in the batch
-    with pytest.raises(ValueError, match="watermark"):
-        ann_index.append_to_ivf_index(rest, path, batch_id=0)
+    # replaying a FOLDED batch id is a NO-OP — its rows live in the
+    # base in full (batch writes are job-transactional, so compaction
+    # only ever folded complete batches); rewriting the partition
+    # would duplicate every vector.  This keeps an at-least-once
+    # stream restart safe across a compaction.
+    ann_index.append_to_ivf_index(rest, path, batch_id=0)
+    assert ann_index.load_ivf_index(spark, path).cells.count() == (
+        emb.count()
+    )
     # and a post-compaction append under a fresh id still lands cleanly
     ann_index.append_to_ivf_index(
         emb.filter(F.col("vec_id") == 0).withColumn(
@@ -140,6 +144,37 @@ def test_rebuild_clears_stale_batches_and_watermark(spark, emb, tmp_path):
         emb.filter(F.col("vec_id").between(100, 119)), path, batch_id=0
     )
     assert ann_index.load_ivf_index(spark, path).cells.count() == 70
+
+
+def test_compaction_crash_recovery_and_writer_guard(spark, emb, tmp_path):
+    """Simulated crash between the swap's delete and rename: the side
+    copy is the only complete index.  Writers must refuse (an append
+    recreating cells/ would trick recovery into discarding the copy),
+    and the next compaction must restore it losslessly."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "index")
+    ann_index.build_ivf_index(
+        emb.filter(F.col("vec_id") < 100), path, n_cells=4,
+        use_kmeans=False,
+    )
+    n0 = ann_index.load_ivf_index(spark, path).cells.count()
+    # simulate: marker created, cells deleted, rename not yet done
+    shutil.move(f"{path}/cells", f"{path}/cells_compacting")
+    open(f"{path}/cells_swap_pending", "w").close()
+    with pytest.raises(RuntimeError, match="crashed mid-swap"):
+        ann_index.append_to_ivf_index(
+            emb.filter(F.col("vec_id") >= 100), path, batch_id=0
+        )
+    assert ann_index.compact_ivf_index(spark, path) == n0
+    assert not os.path.exists(f"{path}/cells_swap_pending")
+    assert ann_index.load_ivf_index(spark, path).cells.count() == n0
+    # and the guarded append now succeeds
+    ann_index.append_to_ivf_index(
+        emb.filter(F.col("vec_id").between(100, 149)), path, batch_id=0
+    )
+    assert ann_index.load_ivf_index(spark, path).cells.count() == n0 + 50
 
 
 def test_streaming_ingest_into_index(spark, emb, tmp_path):

@@ -87,6 +87,40 @@ def test_segment_expr_matches_reference_apply(spark):
         bpe.bpe_segment_expr([("a", "b")] * 513)
 
 
+def test_segment_expr_boundary_exact(spark):
+    """Regression (review-found): a bare a+DELIM+b replace pattern also
+    matches when a multi-char symbol merely ENDS with `a` — e.g. with
+    merge ('a','b') the word 'baabb' segmented ['b','aab','b'] instead
+    of the reference ['b','aa','b','b'].  Symbols are marker-ENCLOSED
+    now; randomized cross-check against the reference apply."""
+    import random
+
+    rng = random.Random(42)
+    hist = [("bcaac", 7), ("bab", 7), ("ca", 9), ("bcbc", 8)]
+    merges = bpe.bpe_merges(hist, n_merges=10)
+    words = ["baabb"] + [
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 8)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["seg"]
+        for r in df.select(
+            "doc_id", bpe.bpe_segment_expr(merges).alias("seg")
+        ).collect()
+    }
+    for i, w in enumerate(words):
+        assert got[i] == " ".join(_py_apply(merges, w)), (w, got[i])
+    # control chars in corpus text are sanitized, not boundary-corrupting
+    dirty = spark.createDataFrame(
+        [(0, "ba\x1fab\x1eb")], ["doc_id", "text"]
+    )
+    seg = dirty.select(bpe.bpe_segment_expr(merges).alias("seg")).collect()
+    assert seg[0]["seg"] == " ".join(_py_apply(merges, "baabb"))
+
+
 def test_end_to_end_histogram_to_segmentation(spark):
     """The production shape: one distributed histogram pass, driver
     merge loop on the bounded table, segmentation as a pure-JVM
