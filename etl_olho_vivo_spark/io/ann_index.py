@@ -184,7 +184,13 @@ def _centroid_frame(spark: SparkSession, path: str) -> DataFrame:
 
 
 def load_ivf_index(spark: SparkSession, path: str) -> IvfIndex:
-    """Load centroids (collected — n_cells rows) + the lazy cell frame."""
+    """Load centroids (collected — n_cells rows) + the lazy cell frame.
+
+    Refuses while a crashed compaction swap is pending — the cells
+    directory is absent or ambiguous in that state; running the
+    compaction again repairs it (clearer than a PATH_NOT_FOUND
+    from the parquet reader)."""
+    assert_no_pending_swap(spark, f"{path}/cells")
     cents = [
         (r["cell_id"], list(r["qc"]))
         for r in _centroid_frame(spark, path).collect()
