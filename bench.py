@@ -165,6 +165,10 @@ def scale_tier(spark, sf_dir: str) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # record machine load BEFORE the JVM spins up: concurrent load
+    # corrupted the r6 non-headline warm times ~2× (round-6 verdict #1)
+    # and an unstamped bench can't distinguish that from a regression
+    load1, load5, load15 = os.getloadavg()
 
     from etl_olho_vivo_spark import registry
     from etl_olho_vivo_spark.session import get_spark
@@ -237,6 +241,7 @@ def main() -> None:
                 "queries_cold": cold,
                 "errors": errors,
                 "sf": sf,
+                "loadavg_start": [load1, load5, load15],
             }
         )
     )
@@ -247,6 +252,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
         "sf": sf,
+        "loadavg_start": [load1, load5, load15],
     }
     missing = [n for n in HEADLINE if n not in timings]
     if missing:

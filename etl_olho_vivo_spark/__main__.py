@@ -505,9 +505,31 @@ def main(argv: list[str] | None = None) -> int:
             df, args.out, cols[0], cols[1],
             bits=args.bits, n_files=args.files,
         )
+        # per-file occupancy telemetry (same posture as ann-build's
+        # cell_stats): range-partitioned Z-order files skew when the
+        # Z-value distribution does, and a fat file is both a straggler
+        # scan and a pruning-efficiency loss — surface it in the artifact
+        from pyspark.sql import functions as F
+
+        sizes = [
+            int(r["n"])
+            for r in (
+                spark.read.parquet(args.out)
+                .groupBy(F.input_file_name())
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()  # bounded: one row per written file
+            )
+        ]
+        mean = sum(sizes) / len(sizes) if sizes else 0.0
         print(json.dumps({
             "command": "optimize", "by": cols,
-            "rows": spark.read.parquet(args.out).count(),
+            "rows": sum(sizes),
+            "file_stats": {
+                "n_files": len(sizes),
+                "max_file_rows": max(sizes) if sizes else 0,
+                "mean_file_rows": round(mean, 1),
+                "skew_ratio": round(max(sizes) / mean, 2) if sizes else None,
+            },
         }))
         return 0
 
@@ -526,18 +548,33 @@ def main(argv: list[str] | None = None) -> int:
         if args.append:
             bid = args.batch_id
             if bid is None:
-                # next id after whatever has landed (build base is -1)
-                from pyspark.sql import functions as F
+                # next id after whatever has landed — the compaction
+                # watermark participates: after a compact, the live max
+                # is -1 but ids <= watermark are replay-skipped, so
+                # max()+1 over the cells tree alone would silently
+                # drop the append
+                from etl_olho_vivo_spark.io.ann_index import next_batch_id
 
-                bid = (
-                    spark.read.parquet(f"{args.index}/cells")
-                    .agg(F.max("ingest_batch_id"))
-                    .first()[0]
-                    + 1
-                )
-            append_to_ivf_index(emb, args.index, bid)
+                bid = next_batch_id(spark, args.index)
+            written = append_to_ivf_index(emb, args.index, bid)
+            if not written:
+                # an explicit --batch-id at/below the watermark: correct
+                # for a replay of a folded batch, data-loss for new data
+                # — surface it as a failure, the caller knows which
+                print(json.dumps({
+                    "command": "ann-build", "appended": True,
+                    "batch_id": bid, "written": False,
+                    "error": (
+                        f"batch_id {bid} is at or below the compaction "
+                        f"watermark — already folded into the base; for "
+                        f"NEW data omit --batch-id to auto-derive the "
+                        f"next unfolded id"
+                    ),
+                }))
+                return 1
             n = spark.read.parquet(f"{args.index}/cells").count()
         else:
+            bid = None
             n = build_ivf_index(
                 emb, args.index, n_cells=args.cells,
                 use_kmeans=not args.seeded,
@@ -546,8 +583,16 @@ def main(argv: list[str] | None = None) -> int:
             "command": "ann-build", "vectors": n,
             "appended": bool(args.append),
         }
+        if bid is not None:
+            out["batch_id"] = bid
         if args.compact:
             out["compacted"] = compact_ivf_index(spark, args.index)
+        # occupancy telemetry: serving cost per probe is the PROBED
+        # cell's size, so a hot cell is a straggler scan — surface the
+        # skew in the job artifact (rebuild when max/mean exceeds ~4)
+        from etl_olho_vivo_spark.io.ann_index import cell_stats
+
+        out["cell_stats"] = cell_stats(spark, args.index)
         print(json.dumps(out))
         return 0
 

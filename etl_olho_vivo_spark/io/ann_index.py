@@ -119,34 +119,55 @@ _WATERMARK = "compacted_through"
 
 
 def _write_watermark(spark: SparkSession, path: str, batch_id: int) -> None:
-    """Single small text file, written via create-temp + rename so a
-    crash mid-write can never leave a truncated value in place (a lost
-    watermark would let a folded batch replay as 'new' and duplicate
-    its vectors)."""
+    """Single small text file.  A value must survive a crash at ANY
+    instant: a lost watermark reads as -1 and a replayed already-folded
+    batch would duplicate its vectors.  A bare delete-then-rename has a
+    window where no file exists, so the old value is parked as ``.bak``
+    until the new one is in place (the rename-only protocol):
+
+        write tmp → (rename live → .bak) → rename tmp → live → drop .bak
+
+    ``_read_watermark`` falls back to ``.bak`` when the live file is
+    missing — at every instant one durable copy is readable, and the
+    stalest it can be is the previous watermark, which is conservative
+    in the same direction as compaction's own crash ordering (an old
+    value only makes appends SKIP less, and the batch partitions those
+    appends rewrite still exist until the compaction swap completes)."""
     from etl_olho_vivo_spark.io.fsutil import checked_rename, hadoop_fs
 
     final = f"{path}/{_WATERMARK}"
     fs, final_p = hadoop_fs(spark, final)
     _, tmp_p = hadoop_fs(spark, final + "._tmp")
+    _, bak_p = hadoop_fs(spark, final + ".bak")
     out = fs.create(tmp_p, True)
     out.write(str(int(batch_id)).encode("ascii"))
     out.close()
-    fs.delete(final_p, False)
+    if fs.exists(bak_p):
+        fs.delete(bak_p, False)
+    if fs.exists(final_p):
+        checked_rename(fs, final_p, bak_p)
     checked_rename(fs, tmp_p, final_p)
+    fs.delete(bak_p, False)
 
 
 def _read_watermark(spark: SparkSession, path: str) -> int:
     """Highest batch id folded into the base by compaction (-1 = none).
-    Indexes created before watermarking existed read as -1; an
-    unreadable value is a LOUD error (guessing low would duplicate
-    folded batches, guessing high would drop new ones)."""
+    Indexes created before watermarking existed read as -1; a crash
+    inside ``_write_watermark``'s rename window is covered by the
+    ``.bak`` fallback; an unreadable value is a LOUD error (guessing
+    low would duplicate folded batches, guessing high would drop new
+    ones)."""
     from etl_olho_vivo_spark.io.fsutil import hadoop_fs
 
     final = f"{path}/{_WATERMARK}"
     fs, final_p = hadoop_fs(spark, final)
+    read_p = final_p
     if not fs.exists(final_p):
-        return -1
-    stream = fs.open(final_p)
+        _, bak_p = hadoop_fs(spark, final + ".bak")
+        if not fs.exists(bak_p):
+            return -1
+        read_p = bak_p
+    stream = fs.open(read_p)
     try:
         data = spark._jvm.org.apache.commons.io.IOUtils.toString(
             stream, "UTF-8"
@@ -157,10 +178,34 @@ def _read_watermark(spark: SparkSession, path: str) -> int:
         return int(data.strip())
     except ValueError:
         raise IOError(
-            f"unreadable compaction watermark at {final} "
+            f"unreadable compaction watermark at {read_p} "
             f"({data!r}); restore it to the highest folded batch id "
             f"before appending"
         )
+
+
+def next_batch_id(spark: SparkSession, path: str) -> int:
+    """The smallest batch id a fresh append can actually land under.
+
+    ``max(ingest_batch_id) + 1`` alone is WRONG right after a
+    compaction: the fold collapses every batch into -1, so the max
+    reads -1 and the "next" id becomes 0 — at or below the compaction
+    watermark, which ``append_to_ivf_index`` must skip (its rows would
+    otherwise duplicate the folded base on a genuine replay).  The
+    watermark therefore participates: next = max(live max, watermark)
+    + 1.  Streaming ingestion never needs this — its ids come from the
+    checkpoint's monotonic batch counter — but ad-hoc CLI appends do.
+    """
+    cells_max = (
+        spark.read.parquet(f"{path}/cells")
+        .agg(F.max("ingest_batch_id"))
+        .first()[0]
+    )
+    base = max(
+        cells_max if cells_max is not None else -1,
+        _read_watermark(spark, path),
+    )
+    return base + 1
 
 
 def _centroid_frame(spark: SparkSession, path: str) -> DataFrame:
@@ -201,7 +246,7 @@ def load_ivf_index(spark: SparkSession, path: str) -> IvfIndex:
 
 def append_to_ivf_index(
     emb_batch: DataFrame, path: str, batch_id: int
-) -> None:
+) -> bool:
     """Assign a batch of new vectors against the persisted centroids and
     land them under the batch's OWN partition tree.
 
@@ -223,6 +268,11 @@ def append_to_ivf_index(
     for the corpus stream: a replay must carry the same content as the
     original attempt — don't change assignment-relevant config across
     a restart with uncommitted batches.
+
+    Returns True when the batch was written, False when it was skipped
+    as already-folded — callers issuing NEW (non-replay) data must
+    treat False as a loud signal to re-derive the id (``next_batch_id``
+    exists for exactly that), never as success.
     """
     if batch_id < 0:
         raise ValueError(
@@ -233,13 +283,14 @@ def append_to_ivf_index(
     assert_no_pending_swap(spark, f"{path}/cells")
     wm = _read_watermark(spark, path)
     if batch_id <= wm:
-        return
+        return False
     cents = _centroid_frame(spark, path)
     n_cells = cents.count()
     assigned = ivf_assign(emb_batch, n_cells, cents)
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
         f"{path}/cells/ingest_batch_id={batch_id}"
     )
+    return True
 
 
 def compact_ivf_index(spark: SparkSession, path: str) -> int:
@@ -291,6 +342,44 @@ def compact_ivf_index(spark: SparkSession, path: str) -> int:
         _write_watermark(spark, path, int(max_id))
     swap_dir(spark, tmp_dir, cells_dir)
     return spark.read.parquet(cells_dir).count()
+
+
+def cell_stats(spark: SparkSession, path: str) -> dict:
+    """Per-cell occupancy telemetry — the serving-skew dial.
+
+    A hot cell (boilerplate-adjacent embeddings piling into one
+    centroid) turns every probe that selects it into a straggler scan:
+    probed-cell cost is the cell's row count, so serving latency is
+    governed by ``max_cell``, not ``mean_cell``.  One bounded
+    aggregation (n_cells result rows); emitted by the ``ann-build``
+    CLI at build/append/compact time so occupancy drift is visible in
+    the job artifacts.
+
+    Rebuild trigger (documented contract): when ``skew_ratio`` =
+    max_cell/mean_cell exceeds ~4, rebuild with re-trained centroids
+    (and at corpus growth, more cells — n_cells ∝ corpus keeps per-cell
+    density constant); appends never retrain, so a drifting corpus
+    degrades here FIRST, long before recall visibly drops.
+    """
+    counts = [
+        int(r["n"])
+        for r in (
+            spark.read.parquet(f"{path}/cells")
+            .groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: one row per cell
+        )
+    ]
+    if not counts:
+        return {"n_cells_occupied": 0, "max_cell": 0, "mean_cell": 0.0,
+                "skew_ratio": None}
+    mean = sum(counts) / len(counts)
+    return {
+        "n_cells_occupied": len(counts),
+        "max_cell": max(counts),
+        "mean_cell": round(mean, 1),
+        "skew_ratio": round(max(counts) / mean, 2),
+    }
 
 
 def run_embedding_stream(

@@ -18,9 +18,12 @@ corpus-sized.  This module follows that two-phase shape:
    vocabularies reproducible across runs).
 3. ``bpe_segment_expr`` — applying a trained merge list back to the
    corpus as a JVM-side Column expression for SMALL merge lists (each
-   merge is one ``replace`` over a boundary-marked word string); for
-   production-sized vocabularies apply a real tokenizer in
-   ``mapInPandas`` instead (same posture as multimodal decode).
+   merge is one ``replace`` over a boundary-marked word string).
+4. ``bpe_apply`` — the PRODUCTION application path: an Arrow-batched
+   ``mapInPandas`` tokenizer driven by a merge-rank dict (the GPT-2
+   greedy-lowest-rank algorithm, equivalent to applying the merge list
+   in training order), handling arbitrary vocabulary sizes with a
+   per-partition word cache (Zipf makes the hit rate very high).
 
 Relation to the reference (JonasMarma/etl-olho-vivo): none — part of the
 beyond-reference training-data surface (SURVEY §2.11 text analysis).
@@ -163,7 +166,7 @@ def bpe_segment_expr(
     if len(merges) > 512:
         raise ValueError(
             f"bpe_segment_expr is for small merge lists (<= 512); got "
-            f"{len(merges)} — apply a real tokenizer via mapInPandas"
+            f"{len(merges)} — use bpe_apply (mapInPandas) instead"
         )
     # Every symbol is ENCLOSED in \x1f markers (m+sym+m), so the merge
     # pattern m+a+m+m+b+m can only match whole symbols — a bare
@@ -195,3 +198,99 @@ def bpe_segment_expr(
     out = F.replace(joined, F.lit(m + m), F.lit(sep))
     out = F.replace(out, F.lit(g), F.lit(sep))
     return F.replace(out, F.lit(m), F.lit(""))
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text: str = "text",
+    out: str = "bpe_tokens",
+    sep: str = " ",
+) -> DataFrame:
+    """Tokenize a corpus with a trained merge list of ARBITRARY size —
+    the production hand-off from ``bpe_merges`` (30k+ merges) that
+    ``bpe_segment_expr`` caps out of (its expression tree grows per
+    merge).  Appends column ``out``: the ``sep``-joined token stream of
+    the whitespace-split words (same output convention as
+    ``bpe_segment_expr`` — parity-tested in tests/test_bpe.py).
+
+    Algorithm (GPT-2 style): a word starts as its characters + EOW;
+    repeatedly merge the present pair with the LOWEST training rank,
+    one left-to-right non-overlapping pass per round, until no pair is
+    ranked.  This is equivalent to replaying the merge list in
+    training order because a merge can only CREATE pairs containing
+    its own output symbol, and every such pair was trained later (has
+    a higher rank) — so rank order and training order pick the same
+    merges.
+
+    Scale shape: pure map — no shuffle, no driver involvement.  The
+    rank dict ships ONCE per executor via a Spark broadcast (a 30k
+    merge list is ~1 MB; task-closure capture would re-serialize it
+    per task).  Batches cross the JVM↔Python boundary as Arrow
+    columns, and a per-partition word→tokens cache exploits the Zipf
+    distribution (the top few thousand words cover most tokens, so the
+    greedy loop runs roughly once per DISTINCT word per partition, not
+    once per occurrence).
+    """
+    import re
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    if out in docs.columns:
+        raise ValueError(f"output column {out!r} already exists")
+    ranks: dict[tuple[str, str], int] = {
+        (a, b): i for i, (a, b) in enumerate(merges)
+    }
+    bc = docs.sparkSession.sparkContext.broadcast(ranks)
+    schema = StructType(
+        list(docs.schema.fields) + [StructField(out, StringType())]
+    )
+    ws = re.compile(r"\s+")
+    strip = re.compile("[\x1f\x1e]")
+
+    def _encode_batches(batches):
+        rk = bc.value
+        cache: dict[str, str] = {}
+
+        def enc_word(word: str) -> str:
+            hit = cache.get(word)
+            if hit is not None:
+                return hit
+            syms = list(word) + [EOW]
+            while len(syms) > 1:
+                best_rank = None
+                for i in range(len(syms) - 1):
+                    r = rk.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank = r
+                        a, b = syms[i], syms[i + 1]
+                if best_rank is None:
+                    break
+                merged, res, i = a + b, [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            toks = sep.join(syms)
+            cache[word] = toks
+            return toks
+
+        def enc_text(t):
+            if t is None:
+                return None
+            words = [w for w in ws.split(strip.sub("", t)) if w]
+            return sep.join(enc_word(w) for w in words)
+
+        for pdf in batches:
+            yield pdf.assign(**{out: pdf[text].map(enc_text)})
+
+    return docs.mapInPandas(_encode_batches, schema)

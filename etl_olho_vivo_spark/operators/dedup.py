@@ -56,10 +56,13 @@ def dedup_lines(
     mode: str = "keep_first",
     min_count: int = 2,
     drop_empty_docs: bool = True,
+    sep: str = "\n",
 ) -> DataFrame:
     """Corpus-wide line-level dedup (the C4/CCNet pass, public papers:
     Raffel et al. 2020 §2.2, Wenzek et al. 2019): rewrite every
     document with its duplicated lines removed, preserving line order.
+    ``sep`` is the line delimiter ("\\n" for real corpora; the driver
+    oracle uses " " because the synthetic docs are single-line).
 
     Modes:
 
@@ -72,18 +75,26 @@ def dedup_lines(
       deserves it no more than the others).  ``min_count`` defaults to
       2 but is typically raised (e.g. 10) in this mode.
 
-    Scale shape — this is a corpus-granularity operator and its two
-    shuffles are irreducible: (1) lines shuffle on the full md5 line
-    hash (uniform 128-bit key — no skew, slim rows: hash + id + pos,
-    never the line text) for the occurrence ranking; (2) surviving
-    line positions shuffle back on the doc id for reassembly, where
+    Scale shape — this is a corpus-granularity operator with two
+    irreducible line-hash-keyed exchanges plus the reassembly shuffle:
+    (1) per-hash occurrence stats come from a ``groupBy("lh")``
+    AGGREGATE (count + min(struct(id, pos))), not a window — the
+    window form serializes every occurrence of one hash into a single
+    task's sort buffer, and the heavily-repeated boilerplate line a
+    corpus-wide dedup exists to catch ("Privacy Policy" across
+    billions of pages) is precisely such a hot key; the aggregate
+    absorbs hot keys map-side (partial aggregation) into ONE slim row
+    per hash.  (2) lines join back to that stats relation on ``lh`` —
+    a join, not a window, so AQE skew-split can further divide a hot
+    hash's probe partition; rows are slim (hash + id + pos, the line
+    text rides only the streamed side).  (3) surviving line positions
+    shuffle on the doc id for reassembly, where
     ``array_sort(collect_list(struct(pos, line)))`` is bounded by a
     single document's line count.  Empty lines are preserved as
     document structure, not dedup'd (every blank line would otherwise
     collapse corpus-wide into one) — and they BYPASS the line-hash
-    shuffle entirely: routed through the window they would all share
-    ``md5('')``, a guaranteed corpus-wide hot key piling billions of
-    rows into one straggler task on web text (~10% blank lines).
+    exchanges entirely: ``md5('')`` would be a guaranteed corpus-wide
+    hot key on web text (~10% blank lines).
     """
     if mode not in ("keep_first", "drop_boilerplate"):
         raise ValueError(
@@ -91,32 +102,47 @@ def dedup_lines(
         )
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
-    from pyspark.sql import Window
 
+    import re
+
+    # F.split takes a JAVA REGEX: escape the separator so "." or "|"
+    # separators split literally (re.escape only escapes regex
+    # metacharacters — compatible with Java Pattern for those)
     lines = docs.select(
-        id_col, F.posexplode(F.split(F.col(text), "\n")).alias("pos", "line")
+        id_col,
+        F.posexplode(F.split(F.col(text), re.escape(sep), -1)).alias(
+            "pos", "line"
+        ),
     )
-    # blanks are kept unconditionally — route them AROUND the window so
-    # md5('') never becomes a hot partition key (see docstring)
+    # blanks are kept unconditionally — route them AROUND the hash
+    # exchanges so md5('') never becomes a hot key (see docstring)
     blanks = lines.filter(F.col("line") == "")
-    w = Window.partitionBy("lh")
     hashed = lines.filter(F.col("line") != "").withColumn(
         "lh", F.md5("line")
     )
+    # one slim row per distinct line hash: occurrence count + the
+    # first (id, pos) — map-side partial aggregation flattens hot keys
+    stats = hashed.groupBy("lh").agg(
+        F.count(F.lit(1)).alias("__lh_n__"),
+        F.min(F.struct(id_col, "pos")).alias("__lh_first__"),
+    )
+    joined = hashed.join(stats, "lh")
+    rare = F.col("__lh_n__") < F.lit(min_count)
     if mode == "keep_first":
-        rn = F.row_number().over(w.orderBy(id_col, "pos"))
-        keep = (rn == 1) | (F.count(F.lit(1)).over(w) < F.lit(min_count))
+        keep = rare | (
+            (F.col(id_col) == F.col(f"__lh_first__.{id_col}"))
+            & (F.col("pos") == F.col("__lh_first__.pos"))
+        )
     else:
-        keep = F.count(F.lit(1)).over(w) < F.lit(min_count)
+        keep = rare
     survivors = (
-        hashed.withColumn("__keep__", keep)
-        .filter("__keep__")
+        joined.filter(keep)
         .select(id_col, "pos", "line")
         .unionByName(blanks)
     )
     rebuilt = survivors.groupBy(id_col).agg(
         F.concat_ws(
-            "\n",
+            sep,
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "line"))),
                 lambda s: s["line"],

@@ -14,6 +14,8 @@ The actual codec is STUBBED (no image/audio libraries in this container):
 ``decode_media`` computes deterministic fake features (byte stats) with the
 exact batch shape, schema, and Arrow plumbing a real decoder would use —
 swap ``_fake_decode`` for PIL/libav and nothing else changes.
+(Environment re-probed each round — through round 7, PIL/cv2/soundfile/
+imageio all remain absent and installs are not permitted.)
 """
 
 from __future__ import annotations

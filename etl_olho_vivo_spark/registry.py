@@ -37,19 +37,27 @@ from etl_olho_vivo_spark.sources.tables import read_table
 
 @dataclass(frozen=True)
 class Query:
-    """One driver-contract query: Spark impl + optional DuckDB oracle."""
+    """One driver-contract query: Spark impl + optional DuckDB oracle.
+
+    ``driver=False`` keeps a query in REGISTRY (benchmarked by bench.py,
+    usable by tests) but outside the driver's correctness window — the
+    harness records rows for the first 50 registered queries only, so
+    a pattern already oracle-checked by a sibling query can yield its
+    slot to a new operator without losing its own oracle coverage
+    (tests still compare it against ``Query.oracle`` directly)."""
 
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     doc: str = ""
+    driver: bool = True
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = ""):
+def register(name: str, oracle: str | None, doc: str = "", driver: bool = True):
     def deco(fn):
-        REGISTRY[name] = Query(fn=fn, oracle=oracle, doc=doc)
+        REGISTRY[name] = Query(fn=fn, oracle=oracle, doc=doc, driver=driver)
         return fn
 
     return deco
@@ -367,12 +375,16 @@ def q_flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_plugins()
-    return {name: q.fn for name, q in REGISTRY.items()}
+    return {name: q.fn for name, q in REGISTRY.items() if q.driver}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_plugins()
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: q.oracle
+        for name, q in REGISTRY.items()
+        if q.driver and q.oracle is not None
+    }
 
 
 def _load_plugins() -> None:

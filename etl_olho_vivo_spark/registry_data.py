@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from etl_olho_vivo_spark.functions.hashing import (
     MIX,
     P,
+    duck_hex2int,
     duck_token_hash,
     minhash_perm_expr,
     ngram_hash_expr,
@@ -156,6 +157,53 @@ def q_docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep_doc_id").alias("keep_doc_id"),
         "n_dupes",
     )
+
+
+@register(
+    "dedup_corpus_lines",
+    """
+WITH lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS line,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+),
+nonblank AS (
+  SELECT doc_id, pos, line,
+         count(*) OVER (PARTITION BY md5(line)) AS n,
+         row_number() OVER (PARTITION BY md5(line)
+                            ORDER BY doc_id, pos) AS rn
+  FROM lines WHERE line <> ''
+),
+survivors AS (
+  SELECT doc_id, pos, line FROM nonblank WHERE n < 2 OR rn = 1
+  UNION ALL
+  SELECT doc_id, pos, line FROM lines WHERE line = ''
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text
+  FROM survivors GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(r.text, '') AS text
+FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+""",
+    doc="Corpus-wide line-level dedup (operators/dedup.dedup_lines — the "
+    "C4/CCNet pass, Raffel et al. 2020 §2.2 / Wenzek et al. 2019) under "
+    "the driver oracle: keep_first mode, every document rewritten with "
+    "duplicated lines removed, line order preserved, empty docs kept "
+    "(drop_empty_docs=False exercises the outer-join reattach branch).  "
+    "The driver corpus is single-line synthetic text, so the query "
+    "treats the SPACE as the line separator (sep=' ') — same operator, "
+    "same shuffles, a corpus where duplicates actually exist.  The "
+    "oracle's window formulation is the O(n log n)-per-key spec; the "
+    "engine computes identical semantics with a groupBy aggregate + "
+    "join so boilerplate hot keys flatten map-side (operators/dedup.py "
+    "skew note).",
+)
+def q_dedup_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    out = dedup.dedup_lines(d, sep=" ", drop_empty_docs=False)
+    return out.select("doc_id", "text")
 
 
 def _d_minhash_sql() -> str:
@@ -432,6 +480,36 @@ def q_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 23 == 0),
         n=5,
     )
+
+
+_D_SPLIT_KEY = duck_hex2int("md5(CAST(doc_id AS VARCHAR) || ':0')")
+
+
+@register(
+    "assign_splits",
+    f"""
+SELECT doc_id, lang, source,
+       CASE WHEN ({_D_SPLIT_KEY}) % 10000 < 8000 THEN 'train'
+            WHEN ({_D_SPLIT_KEY}) % 10000 < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+    doc="Deterministic 80/10/10 train/val/test assignment "
+    "(operators/split.py, seed 0): split = integer band of "
+    "md5(doc_id ‖ ':0') mod 10000 — a pure map-side projection (no "
+    "shuffle, no rand()), so the same document lands in the same split "
+    "on any cluster, any partitioning, any task retry; the oracle "
+    "reproduces the exact md5 bucket arithmetic, proving the placement "
+    "function itself rather than just the split sizes.",
+)
+def q_assign_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_olho_vivo_spark.operators.split import assign_splits
+
+    d = read_table(spark, sf_dir, "documents")
+    out = assign_splits(
+        d, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=0
+    )
+    return out.select("doc_id", "lang", "source", "split")
 
 
 # ---------------------------------------------------------------------------

@@ -380,7 +380,11 @@ FROM events GROUP BY event_type
     doc="Salted two-phase aggregation over a 5-key (maximally skewed) "
     "group-by: partial agg on (key, hash-salt) spreads each hot key over "
     "16 reducers, the final agg recombines — exact for algebraic "
-    "aggregates, and the oracle (a plain GROUP BY) proves it.",
+    "aggregates, and the oracle (a plain GROUP BY) proves it.  "
+    "driver=False since round 7: salting stays driver-checked via "
+    "salted_skew_join_events (and this query's oracle still runs in "
+    "tests/test_skew_probe.py); the slot went to assign_splits.",
+    driver=False,
 )
 def q_salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_olho_vivo_spark.operators.skew import salted_agg

@@ -204,20 +204,39 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # eval_decontamination in registry_data.py.)
 
 
+_LAPSE_CUTOFF = _epoch_ms_of("1998-01-01")
+
+# (sf_dir, pid) tags whose bucketed layout already exists this process —
+# see q_bucketed_order_rollup
+_BUCKETED_BUILT: set[str] = set()
+
+
 @register(
-    "customers_without_orders",
-    """
+    "lapsed_customers",
+    f"""
 SELECT c_custkey, c_name, c_mktsegment FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND epoch_ms(o.o_orderdate) >= {_LAPSE_CUTOFF})
 """,
-    doc="Anti join (NOT EXISTS) — broadcast left-anti at dim scale, "
-    "shuffled-hash at fact scale (Catalyst/AQE decides).",
+    doc="Anti join (NOT EXISTS) against a date-sliced fact: customers "
+    "with no order since 1998-01-01 — broadcast left-anti at dim scale, "
+    "shuffled-hash at fact scale (Catalyst/AQE decides); the date "
+    "predicate pushes into the orders scan before the anti join.  "
+    "Replaces the round-2..6 `customers_without_orders` row, whose "
+    "anti-set is EMPTY in the driver data (every customer has an "
+    "order) — a 0-row oracle match cannot distinguish a working anti "
+    "join from one that returns empty unconditionally; this slice "
+    "keeps the identical join shape with a non-empty answer.",
 )
-def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
-    orders = read_table(spark, sf_dir, "orders")
+    recent = read_table(
+        spark, sf_dir, "orders",
+        ts_ms_filter=("o_orderdate", ">=", _LAPSE_CUTOFF),
+    )
     return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        recent, cust.c_custkey == recent.o_custkey, "left_anti"
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 
@@ -259,18 +278,27 @@ def q_bucketed_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8] + f"_{os.getpid()}"
     base = f"{tempfile.gettempdir()}/etl_olho_vivo_bucketed/{tag}"
     t_orders, t_li = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
-    write_bucketed(
-        read_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_orderstatus"
-        ),
-        t_orders, ["o_orderkey"], 8, path=f"{base}/orders",
-    )
-    write_bucketed(
-        read_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_quantity", "l_extendedprice"
-        ),
-        t_li, ["l_orderkey"], 8, path=f"{base}/lineitem",
-    )
+    # build-once per (sf_dir, pid): the bucketed layout is the
+    # write-once shuffle this query exists to showcase — rebuilding it
+    # per invocation made bench's min-of-2 report the one-time layout
+    # write (~2.3 s) as if it were the zero-Exchange READ path (~0.3 s)
+    # it actually measures at serving time (round-6 verdict #3)
+    # the catalog probe covers a session restarted within the process
+    # (new in-memory catalog, stale guard entry)
+    if tag not in _BUCKETED_BUILT or not spark.catalog.tableExists(t_orders):
+        write_bucketed(
+            read_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus"
+            ),
+            t_orders, ["o_orderkey"], 8, path=f"{base}/orders",
+        )
+        write_bucketed(
+            read_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_quantity", "l_extendedprice"
+            ),
+            t_li, ["l_orderkey"], 8, path=f"{base}/lineitem",
+        )
+        _BUCKETED_BUILT.add(tag)
     joined = read_bucketed(spark, t_orders).join(
         read_bucketed(spark, t_li).hint("merge"),
         F.col("o_orderkey") == F.col("l_orderkey"),
@@ -489,7 +517,12 @@ SELECT user_id, event_type,
 FROM events GROUP BY user_id, event_type
 """,
     doc="Exact deduplication: canonical-representative per key "
-    "(groupBy+min — the scalable form of dropDuplicates; SURVEY §2.11).",
+    "(groupBy+min — the scalable form of dropDuplicates; SURVEY §2.11).  "
+    "driver=False since round 7: the identical operator is "
+    "oracle-checked by docs_dedup_exact; the slot went to the corpus "
+    "lifecycle (dedup_corpus_lines).  Still benchmarked + oracle-usable "
+    "in tests.",
+    driver=False,
 )
 def q_dedup_events_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events")

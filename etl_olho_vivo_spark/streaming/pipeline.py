@@ -48,7 +48,7 @@ with ``handle.getValueState("last_ping", _STATE_SCHEMA)`` replacing
 ``state.get/update``, ``timeMode="none"`` replacing
 ``GroupStateTimeout.NoTimeout``, and the RocksDB state-store provider
 enabled (TWS requires it); semantics above are unchanged.  Pin
-re-checked rounds 5-6 (``import google.protobuf`` still fails) — re-run
+re-checked rounds 5-7 (``import google.protobuf`` still fails) — re-run
 that probe each round and migrate when it succeeds.
 """
 

@@ -286,3 +286,113 @@ def test_kmeans_build_is_usable(spark, emb, tmp_path):
     ann_index.build_ivf_index(emb, trained, n_cells=8)
     assert recall(trained) >= 12, recall(trained)  # 40% of 30
     assert recall(naive) >= 12, recall(naive)
+
+
+def test_next_batch_id_and_loud_watermark_skip(spark, emb, tmp_path):
+    """The append→compact→append lifecycle: after a compaction folds all
+    batches into -1, max(ingest_batch_id) over the cells tree reads -1,
+    so a naive max+1 default lands at 0 — at/below the watermark, which
+    append_to_ivf_index skips.  next_batch_id must account for the
+    watermark, and the skip must be observable (returns False)."""
+    path = str(tmp_path / "index")
+    ann_index.build_ivf_index(
+        emb.filter(F.col("vec_id") < 100), path, n_cells=4,
+        use_kmeans=False,
+    )
+    assert ann_index.next_batch_id(spark, path) == 0
+    assert ann_index.append_to_ivf_index(
+        emb.filter(F.col("vec_id").between(100, 199)), path, batch_id=0
+    )
+    assert ann_index.next_batch_id(spark, path) == 1
+    ann_index.compact_ivf_index(spark, path)
+    # live max is now -1; the watermark (0) must still advance the id
+    assert ann_index.next_batch_id(spark, path) == 1
+    # a replay of the folded batch is a SKIP, visibly
+    assert not ann_index.append_to_ivf_index(
+        emb.filter(F.col("vec_id").between(100, 199)), path, batch_id=0
+    )
+    assert ann_index.load_ivf_index(spark, path).cells.count() == 200
+    # the derived id lands new data
+    assert ann_index.append_to_ivf_index(
+        emb.filter(F.col("vec_id").between(200, 249)), path,
+        batch_id=ann_index.next_batch_id(spark, path),
+    )
+    assert ann_index.load_ivf_index(spark, path).cells.count() == 250
+
+
+def test_watermark_survives_mid_rename_crash(spark, emb, tmp_path):
+    """_write_watermark parks the live value as .bak before renaming the
+    new one into place; a crash inside that window must read the OLD
+    value (conservative), never -1 (which would replay folded batches
+    as new and duplicate their vectors)."""
+    import os
+
+    path = str(tmp_path / "index")
+    ann_index.build_ivf_index(
+        emb.filter(F.col("vec_id") < 100), path, n_cells=4,
+        use_kmeans=False,
+    )
+    ann_index.append_to_ivf_index(
+        emb.filter(F.col("vec_id").between(100, 199)), path, batch_id=0
+    )
+    ann_index.compact_ivf_index(spark, path)
+    assert ann_index._read_watermark(spark, path) == 0
+    # simulate the crash window: live renamed to .bak, tmp not yet in
+    wm = f"{path}/{ann_index._WATERMARK}"
+    os.rename(wm, wm + ".bak")
+    assert ann_index._read_watermark(spark, path) == 0
+    # and a subsequent write repairs the state cleanly
+    ann_index._write_watermark(spark, path, 3)
+    assert ann_index._read_watermark(spark, path) == 3
+    assert not os.path.exists(wm + ".bak")
+
+
+def test_served_recall_floor_vs_brute_force(spark, emb):
+    """End-to-end retrieval QUALITY of the persisted index: recall@10 of
+    query_ivf_index against brute-force cosine over the sf0.01
+    embeddings (unit-norm, so dot ranking == cosine ranking).  The
+    lifecycle tests prove the index is crash-safe and pruned; this pins
+    that what it RETURNS is still good — a quantizer/probe regression
+    (bad centroids, wrong probe ranking, broken cell routing) drops
+    recall far below these floors.  Measured on the deterministic
+    k-means|| build: probe1 0.305, probe2 0.53, probe4 0.725, probe8
+    (exhaustive) 1.0; floors leave margin for grid tweaks."""
+    import tempfile
+
+    import numpy as np
+
+    path = tempfile.mkdtemp(prefix="ivf_recall_") + "/index"
+    ann_index.build_ivf_index(emb, path, n_cells=8, use_kmeans=True)
+    idx = ann_index.load_ivf_index(spark, path)
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=float)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    ids = sorted(vecs)
+    qids = ids[:: max(1, len(ids) // 10)][:10]
+
+    def brute10(q):
+        sims = sorted(
+            ((float(vecs[i] @ vecs[q]), -i) for i in ids if i != q),
+            reverse=True,
+        )[:10]
+        return {-i for _, i in sims}
+
+    floors = {1: 0.2, 2: 0.4, 4: 0.6, 8: 0.95}
+    prev = 0.0
+    for probe, floor in floors.items():
+        recalls = []
+        for q in qids:
+            served = [
+                r["vec_id"]
+                for r in ann_index.query_ivf_index(
+                    idx, list(vecs[q]), k=11, n_probe=probe
+                ).collect()
+                if r["vec_id"] != q
+            ][:10]
+            recalls.append(len(set(served) & brute10(q)) / 10)
+        mean = sum(recalls) / len(recalls)
+        assert mean >= floor, (probe, mean)
+        # more probes may never hurt recall
+        assert mean >= prev - 1e-9, (probe, mean, prev)
+        prev = mean

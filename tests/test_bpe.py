@@ -137,3 +137,66 @@ def test_end_to_end_histogram_to_segmentation(spark):
     for bad in ("Exchange", "PythonUDF", "BatchEvalPython"):
         assert bad not in plan, plan[:2000]
     assert "est" + bpe.EOW in seg.collect()[0]["seg"].split(" ")
+
+
+def test_bpe_apply_parity_with_segment_expr(spark):
+    """The mapInPandas production tokenizer (greedy-lowest-rank) must
+    segment exactly like the Column-expression path (merge-list replay
+    in training order) wherever both run — the rank-order/training-order
+    equivalence the bpe_apply docstring claims."""
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest newest"),
+            (2, "widest  wide \n victory"),
+            (3, ""),
+            (4, None),
+            (5, "unseen zzz qq"),
+            (6, "aaaa aaa aa a"),  # overlapping-pair pressure
+        ],
+        ["doc_id", "text"],
+    )
+    hist = SENNRICH + [("aaaa", 3), ("aa", 2)]
+    merges = bpe.bpe_merges(hist, n_merges=50)
+    assert 0 < len(merges) <= 512
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe.bpe_apply(docs, merges).collect()
+    }
+    want = {
+        r["doc_id"]: r["seg"]
+        for r in docs.select(
+            "doc_id", bpe.bpe_segment_expr(merges).alias("seg")
+        ).collect()
+    }
+    # the expr path maps NULL text to NULL too
+    assert got == want
+    with pytest.raises(ValueError, match="already exists"):
+        bpe.bpe_apply(docs, merges, out="text")
+
+
+def test_bpe_apply_handles_production_sized_merge_list(spark):
+    """30k merges — far past bpe_segment_expr's cap — must apply
+    mechanically: rank dict broadcast, greedy loop, correct tokens for
+    words covered by the early merges, charwise fallback elsewhere."""
+    real = bpe.bpe_merges(SENNRICH, n_merges=50)
+    # pad with structurally valid merges over symbols that never occur
+    # in the corpus (multi-char left sides keep them inert)
+    pad = [(f"ZZ{i}", f"QQ{i}") for i in range(30_000 - len(real))]
+    merges = real + pad
+    assert len(merges) == 30_000
+    with pytest.raises(ValueError, match="small merge lists"):
+        bpe.bpe_segment_expr(merges)
+    docs = spark.createDataFrame(
+        [(1, "newest low"), (2, "arcane")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe.bpe_apply(docs, merges).collect()
+    }
+    want_newest = {
+        r["doc_id"]: r["seg"]
+        for r in docs.select(
+            "doc_id", bpe.bpe_segment_expr(real).alias("seg")
+        ).collect()
+    }
+    assert got == want_newest  # the pad merges never fire

@@ -189,8 +189,13 @@ def test_ann_build_append_query(spark, tmp_path, capsys):
         "--cells", "4", "--seeded",
     ]) == 0
     built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert built == {"command": "ann-build", "vectors": 25,
-                     "appended": False}
+    assert (built["command"], built["vectors"], built["appended"]) == (
+        "ann-build", 25, False,
+    )
+    # occupancy telemetry rides every ann-build artifact
+    cs = built["cell_stats"]
+    assert cs["n_cells_occupied"] >= 1 and cs["max_cell"] <= 25
+    assert cs["skew_ratio"] >= 1.0
     assert main([
         "--cpus", "8", "ann-build", "--in", half_b, "--index", idx,
         "--append", "--compact",
@@ -212,6 +217,24 @@ def test_ann_build_append_query(spark, tmp_path, capsys):
     assert out["hits"][0]["vec_id"] == 7
     with pytest.raises(SystemExit, match="--vector"):
         main(["ann-query", "--index", idx, "--vector", "not,floats,x"])
+
+    # post-compaction default append: the derived batch id must clear
+    # the compaction watermark (max over cells reads -1 after the fold;
+    # a naive max+1 default would be silently skipped as a "replay")
+    assert main([
+        "--cpus", "8", "ann-build", "--in", half_a, "--index", idx,
+        "--append",
+    ]) == 0
+    again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert again["batch_id"] == 1  # watermark 0 + 1, not max(-1) + 1
+    assert again["vectors"] == emb.count() + 25
+    # an explicit folded id is a LOUD failure, not silent success
+    assert main([
+        "--cpus", "8", "ann-build", "--in", half_a, "--index", idx,
+        "--append", "--batch-id", "0",
+    ]) == 1
+    skipped = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert skipped["written"] is False and "watermark" in skipped["error"]
 
 
 def test_corpus_rejects_zero_shuffle_shards(tmp_path):
@@ -396,7 +419,10 @@ def test_optimize_subcommand(spark, tmp_path, capsys):
     assert main(["--cpus", "8", "optimize", "--path", src, "--out", out,
                  "--by", "a,b"]) == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert res == {"command": "optimize", "by": ["a", "b"], "rows": 500}
+    assert (res["command"], res["by"], res["rows"]) == ("optimize", ["a", "b"], 500)
+    fs = res["file_stats"]
+    assert fs["n_files"] >= 1 and fs["max_file_rows"] <= 500
+    assert fs["skew_ratio"] >= 1.0
 
     import pytest
 

@@ -165,3 +165,37 @@ def test_plan_shuffles_slim_rows_only(spark):
     assert "hashpartitioning(lh" in final, final[:2000]
     for bad in ("PythonUDF", "BatchEvalPython", "CartesianProduct"):
         assert bad not in final
+
+
+def test_hot_boilerplate_line_and_no_window(spark):
+    """The primary target of drop_boilerplate — ONE line repeated across
+    the whole corpus — must (a) compute correctly and (b) never route
+    through a window over the line hash: the round-6 advisor showed the
+    row_number/count window serializes the hot key's entire occurrence
+    set into one task's sort buffer, while the groupBy+join form
+    partial-aggregates it map-side and stays AQE-skew-splittable."""
+    hot = "all rights reserved"
+    rows = [
+        (i, f"{hot}\nbody {i}\n{hot}") for i in range(200)
+    ] + [(1000, "no boilerplate here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = dedup_lines(df, mode="drop_boilerplate", min_count=10)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got[0] == "body 0" and got[199] == "body 199"
+    assert got[1000] == "no boilerplate here"
+    assert len(got) == 201
+
+    keep = dedup_lines(df, mode="keep_first")
+    gk = {r["doc_id"]: r["text"] for r in keep.collect()}
+    # doc 0 owns both copies' first occurrences (pos 0 beats pos 2)
+    assert gk[0] == f"{hot}\nbody 0"
+    assert gk[5] == "body 5"
+
+    for frame in (out, keep):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        # the occurrence stats come from a partial-aggregated groupBy
+        # (HashAggregate), never a Window over the line hash
+        assert "Window" not in final, final[:2000]
+        assert "HashAggregate" in final or "SortAggregate" in final

@@ -20,7 +20,12 @@ def duck():
     con.close()
 
 
-ORACLE_NAMES = sorted(registry.oracle_sql())
+registry.queries()  # load plugin registries
+# ALL registered oracles, including driver=False queries — demotion out
+# of the driver's 50-row window must not lose local oracle coverage
+ORACLE_NAMES = sorted(
+    name for name, q in registry.REGISTRY.items() if q.oracle is not None
+)
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)

@@ -83,12 +83,12 @@ def skew_dir(spark, tmp_path_factory):
 def test_oracle_parity_on_hot_key(spark, skew_dir, name):
     from tests.oracle_check import compare, duck_connection
 
-    import __spark_entry__ as entry_mod
-
     con = duck_connection(skew_dir)
     try:
         sdf = registry.REGISTRY[name].fn(spark, skew_dir)
-        oracle = entry_mod.oracle_sql()[name]
+        # REGISTRY, not entry_mod.oracle_sql(): canaries demoted out of
+        # the driver's 50-row window (driver=False) keep their oracles
+        oracle = registry.REGISTRY[name].oracle
         problems = compare(sdf, con.execute(oracle).df())
         assert not problems, problems
     finally:
