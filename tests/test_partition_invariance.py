@@ -29,6 +29,11 @@ CANARIES = [
     "revenue_by_nation",       # per-order pre-agg + 4-dp cents sums
     "tfidf_top_terms",         # idf doubles + per-doc ranking
     "session_window_stats",    # session_window agg over doubles
+    # round-7 driver rows: placement/survivorship must not depend on
+    # partition layout (the whole point of the md5 discipline)
+    "dedup_corpus_lines",      # corpus-wide min(struct) survivor choice
+    "assign_splits",           # md5 bucket banding
+    "lapsed_customers",        # anti join over a date-sliced fact
 ]
 
 
