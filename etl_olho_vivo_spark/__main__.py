@@ -94,6 +94,15 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     cor.add_argument("--line-min-count", type=int, default=2)
     cor.add_argument(
+        "--drop-spans", choices=["keep_first", "drop_all"],
+        default=None,
+        help="corpus-wide repeated-span removal after line dedup "
+        "(shingle approximation of exact-substring dedup, Lee et al. "
+        "2022)",
+    )
+    cor.add_argument("--span-k", type=int, default=5)
+    cor.add_argument("--span-min-count", type=int, default=2)
+    cor.add_argument(
         "--c4", action="store_true",
         help="apply C4's heuristic cleanup (Raffel et al. 2020): drop "
         "lines not ending in terminal punctuation or under 5 words, "
@@ -354,6 +363,9 @@ def main(argv: list[str] | None = None) -> int:
             c4=args.c4,
             line_dedup=args.dedup_lines,
             line_min_count=args.line_min_count,
+            span_dedup=args.drop_spans,
+            span_k=args.span_k,
+            span_min_count=args.span_min_count,
             dedup_resolution=args.resolution,
             splits=splits,
             split_seed=args.split_seed,

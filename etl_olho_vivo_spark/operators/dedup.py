@@ -162,6 +162,113 @@ def dedup_lines(
     return out.select(*docs.columns)
 
 
+def drop_repeated_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 5,
+    mode: str = "keep_first",
+    min_count: int = 2,
+    drop_empty_docs: bool = True,
+) -> DataFrame:
+    """Corpus-wide repeated-SPAN removal — the shingle approximation of
+    exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better": repeated ≥50-token substrings
+    are removed corpus-wide; here the unit is a ``k``-word gram, the
+    same rolling-hash grams the decontamination operator uses).
+
+    A word position is deleted when it is covered by any REMOVABLE
+    occurrence of a ``k``-gram whose corpus-wide occurrence count is
+    ≥ ``min_count``; under ``keep_first`` the single globally-first
+    occurrence of each gram — smallest (id, gram position) — is not
+    removable (its words survive unless another removable gram overlaps
+    them); ``drop_all`` removes every occurrence (the boilerplate
+    form).  Documents shorter than ``k`` words have no grams and are
+    never touched.  Survivor words are re-joined in order; empty
+    results are dropped or kept per ``drop_empty_docs``, as in
+    ``dedup_lines``.
+
+    Scale shape — deliberately identical to ``dedup_lines``'s hardened
+    form: gram occurrences are slim (hash, id, pos) rows; occurrence
+    stats come from a ``groupBy(gram)`` AGGREGATE (map-side partials
+    flatten the hot boilerplate gram), the probe is a JOIN
+    (AQE-skew-splittable), covered positions are an integer explode of
+    at most ``k`` per removable occurrence, survivors come from a
+    LEFT ANTI join on (id, pos), and reassembly is one doc-keyed
+    aggregation bounded by a single document's length.  The gram pass
+    itself is pure map (one materialized token-hash array per doc —
+    the ``with_token_hashes`` O(tokens²)-inlining guard applies, and
+    the gram explode is ``posexplode_outer`` for the same
+    InferFiltersFromGenerate reason as decontam).
+    """
+    if mode not in ("keep_first", "drop_all"):
+        raise ValueError(f"mode must be keep_first|drop_all, got {mode!r}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from etl_olho_vivo_spark.functions.hashing import ngram_hash_expr
+
+    gram = ngram_hash_expr([f"wh[i + {j}]" for j in range(k)])
+    grams_arr = (
+        f"CASE WHEN size(wh) >= {k} THEN "
+        f"transform(sequence(0, size(wh) - {k}), i -> {gram}) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    occ = (
+        with_token_hashes(docs.select(id_col, text), text)
+        .withColumn("__gs__", F.expr(grams_arr))
+        .select(
+            id_col,
+            F.posexplode_outer("__gs__").alias("gpos", "gh"),
+        )
+        .filter(F.col("gh").isNotNull())
+    )
+    stats = occ.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.min(F.struct(id_col, "gpos")).alias("__first__"),
+    )
+    removable = F.col("__n__") >= F.lit(min_count)
+    if mode == "keep_first":
+        removable = removable & ~(
+            (F.col(id_col) == F.col(f"__first__.{id_col}"))
+            & (F.col("gpos") == F.col("__first__.gpos"))
+        )
+    covered = (
+        occ.join(stats, "gh")
+        .filter(removable)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+    )
+    tokens = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text), " ", -1)).alias("pos", "word"),
+    )
+    survivors = tokens.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = survivors.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias(text)
+    )
+    base = docs.drop(text)
+    if drop_empty_docs:
+        out = base.join(rebuilt.filter(F.length(F.col(text)) > 0), id_col)
+    else:
+        out = base.join(rebuilt, id_col, "left").withColumn(
+            text, F.coalesce(F.col(text), F.lit(""))
+        )
+    return out.select(*docs.columns)
+
+
 def with_token_hashes(
     df: DataFrame, text: str = "text", out: str = "wh"
 ) -> DataFrame:

@@ -67,6 +67,9 @@ def run_corpus(
     c4: bool = False,
     line_dedup: str | None = None,
     line_min_count: int = 2,
+    span_dedup: str | None = None,
+    span_k: int = 5,
+    span_min_count: int = 2,
     dedup_resolution: str = "greedy",
     pack: tuple[int, int, int] | None = None,
     splits: dict[str, float] | None = None,
@@ -115,6 +118,14 @@ def run_corpus(
         # (mode validation happens inside dedup_lines, before any work)
         d = dedup.dedup_lines(
             d, mode=line_dedup, min_count=line_min_count
+        )
+    if span_dedup is not None:
+        # repeated-span removal (Lee et al. 2022 approximation) AFTER
+        # line dedup — whole-line boilerplate is cheaper to cut at line
+        # granularity first, spans catch the remainder; also
+        # pre-profile, for the same rewrites-text reason
+        d = dedup.drop_repeated_spans(
+            d, mode=span_dedup, k=span_k, min_count=span_min_count
         )
     prof = document_profile(d).persist(StorageLevel.MEMORY_AND_DISK)
     survived = None

@@ -206,6 +206,69 @@ def q_dedup_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text")
 
 
+_D_SPAN_GRAM = ngram_hash_expr([f"wh[i+{j + 1}]" for j in range(5)])
+
+
+@register(
+    "repeated_span_dedup",
+    f"""
+WITH w AS (SELECT doc_id, {_D_WH} AS wh FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(wh) >= 5 THEN
+           list_transform(range(0, len(wh) - 4), i -> {_D_SPAN_GRAM})
+         ELSE CAST([] AS BIGINT[]) END AS gs
+  FROM w
+),
+occ AS (
+  SELECT doc_id, unnest(gs) AS gh,
+         generate_subscripts(gs, 1) - 1 AS gpos
+  FROM g
+),
+ranked AS (
+  SELECT doc_id, gh, gpos,
+         count(*) OVER (PARTITION BY gh) AS n,
+         row_number() OVER (PARTITION BY gh
+                            ORDER BY doc_id, gpos) AS rn
+  FROM occ
+),
+covered AS (
+  SELECT DISTINCT doc_id, unnest(range(gpos, gpos + 5)) AS pos
+  FROM ranked WHERE n >= 2 AND rn > 1
+),
+tokens AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+),
+rebuilt AS (
+  SELECT t.doc_id, string_agg(t.word, ' ' ORDER BY t.pos) AS text
+  FROM tokens t LEFT JOIN covered c
+    ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, coalesce(r.text, '') AS text
+FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+""",
+    doc="Repeated-span removal (operators/dedup.drop_repeated_spans) — "
+    "the shingle approximation of exact-substring dedup (Lee et al. "
+    "2022): every word position covered by a non-first occurrence of a "
+    "corpus-wide repeated 5-gram is deleted, documents rewritten in "
+    "order.  Same skew-hardened shape as dedup_corpus_lines (gram "
+    "stats via groupBy aggregate + join, never a window over the gram "
+    "hash; the oracle's window formulation is the spec).  driver=False: "
+    "the 50-row window is full — parity runs in the local oracle suite "
+    "and the query stays benchmarked.",
+    driver=False,
+)
+def q_repeated_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    out = dedup.drop_repeated_spans(d, k=5, drop_empty_docs=False)
+    return out.select("doc_id", "text")
+
+
 def _d_minhash_sql() -> str:
     mh = ",\n    ".join(
         f"{_d_minhash(k)} AS mh{k}" for k in range(dedup.NUM_HASHES)

@@ -72,6 +72,36 @@ def test_corpus_subcommand(tmp_path, capsys):
     assert stats["input"] >= stats["lang_and_length"] >= stats["quality"] > 0
 
 
+def test_corpus_drop_spans_stage(spark, tmp_path, capsys):
+    """--drop-spans rewrites text before profiling (repeated k-gram
+    spans cut corpus-wide, keep-first) and the pipeline still composes;
+    the stage's exact semantics are pinned by tests/test_span_dedup.py
+    and the repeated_span_dedup oracle — here we prove the CLI wiring
+    actually ran it (surviving text strictly shrank)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "corpus")
+    assert main([
+        "--cpus", "8", "corpus", "--sf-dir", "/root/testdata/sf0.001",
+        "--out", out, "--min-tokens", "1",
+        "--drop-spans", "keep_first", "--span-k", "3",
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["command"] == "corpus" and stats["quality"] > 0
+    corpus = spark.read.parquet(out)
+    kept_chars = corpus.agg(
+        F.sum(F.length("text")).alias("c")
+    ).first()["c"]
+    raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    raw_chars = (
+        raw.join(corpus.select("doc_id"), "doc_id")
+        .agg(F.sum(F.length("text")).alias("c"))
+        .first()["c"]
+    )
+    # same surviving docs, strictly less text — the span cut happened
+    assert 0 < kept_chars < raw_chars
+
+
 def test_corpus_split_and_shuffled_export(spark, tmp_path, capsys):
     """--splits stamps a deterministic split column; --shuffle-shards
     turns the JSONL export into seeded decorrelated shards."""
