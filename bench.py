@@ -129,7 +129,18 @@ def scale_tier(spark, sf_dir: str) -> None:
 
             return dedup_lines(read_table(spark, d, "documents"))
 
-        adhoc = {"dedup_lines": _dedup_lines_fn}
+        def _span_dedup_fn(spark, d):
+            from etl_olho_vivo_spark.operators.dedup import (
+                drop_repeated_spans,
+            )
+            from etl_olho_vivo_spark.sources.tables import read_table
+
+            return drop_repeated_spans(read_table(spark, d, "documents"))
+
+        adhoc = {
+            "dedup_lines": _dedup_lines_fn,
+            "drop_repeated_spans": _span_dedup_fn,
+        }
         out: dict[str, dict] = {}
         errors: dict[str, str] = {}
         for name in HEADLINE + PAIR_HEAVY + SCALE_EXTRA + list(adhoc):

@@ -34,6 +34,7 @@ CANARIES = [
     "dedup_corpus_lines",      # corpus-wide min(struct) survivor choice
     "assign_splits",           # md5 bucket banding
     "lapsed_customers",        # anti join over a date-sliced fact
+    "repeated_span_dedup",     # gram-first survivor + span coverage
 ]
 
 
