@@ -103,6 +103,12 @@ def _build_parser() -> argparse.ArgumentParser:
     cor.add_argument("--span-k", type=int, default=5)
     cor.add_argument("--span-min-count", type=int, default=2)
     cor.add_argument(
+        "--bpe-tokenize", type=int, default=None, metavar="N_MERGES",
+        help="train an N-merge BPE vocabulary on the surviving corpus, "
+        "apply it (bpe_tokens column), and persist the merge list at "
+        "<out>_bpe_merges",
+    )
+    cor.add_argument(
         "--c4", action="store_true",
         help="apply C4's heuristic cleanup (Raffel et al. 2020): drop "
         "lines not ending in terminal punctuation or under 5 words, "
@@ -366,6 +372,7 @@ def main(argv: list[str] | None = None) -> int:
             span_dedup=args.drop_spans,
             span_k=args.span_k,
             span_min_count=args.span_min_count,
+            bpe_tokenize=args.bpe_tokenize,
             dedup_resolution=args.resolution,
             splits=splits,
             split_seed=args.split_seed,

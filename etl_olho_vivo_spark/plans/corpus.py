@@ -80,6 +80,7 @@ def run_corpus(
     mixture_budget: int | None = None,
     eval_grams_dir: str | None = None,
     eval_ngram: int = 5,
+    bpe_tokenize: int | None = None,
 ) -> dict[str, int]:
     """Documents table → cleaned corpus parquet.  Returns per-stage counts.
 
@@ -277,6 +278,33 @@ def run_corpus(
             out_cols.append("split")
             for r in kept.groupBy("split").count().collect():
                 stats[f"split_{r['split']}"] = r["count"]
+
+        if bpe_tokenize is not None:
+            # the tokenization hand-off, end-to-end: train the merge
+            # list on the SURVIVING corpus (one histogram scan + the
+            # driver-side merge loop, operators/bpe.py), apply it with
+            # the production mapInPandas tokenizer, and persist the
+            # merge list beside the corpus — training data without its
+            # tokenizer is not reproducible
+            from etl_olho_vivo_spark.operators import bpe as bpeops
+
+            if bpe_tokenize < 1:
+                raise ValueError(
+                    f"bpe_tokenize must be >= 1, got {bpe_tokenize}"
+                )
+            merges = bpeops.bpe_merges(
+                bpeops.word_histogram(kept.select("text")),
+                n_merges=bpe_tokenize,
+            )
+            stats["bpe_merges"] = len(merges)
+            spark.createDataFrame(
+                [(i, a, b) for i, (a, b) in enumerate(merges)],
+                "rank INT, left STRING, right STRING",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                out_dir + "_bpe_merges"
+            )
+            kept = bpeops.bpe_apply(kept, merges)
+            out_cols.append("bpe_tokens")
 
         # plain overwrite (NOT dynamic partition overwrite): this is a
         # full corpus rebuild, and dynamic mode would leave a stale

@@ -102,6 +102,34 @@ def test_corpus_drop_spans_stage(spark, tmp_path, capsys):
     assert 0 < kept_chars < raw_chars
 
 
+def test_corpus_bpe_tokenize_stage(spark, tmp_path, capsys):
+    """--bpe-tokenize trains on the surviving corpus, tokenizes it with
+    the mapInPandas path, and ships the merge list beside the data;
+    the written tokens must equal the ≤512-merge expression path
+    re-applied from the persisted sidecar (train→persist→apply closes
+    consistently)."""
+    from pyspark.sql import functions as F
+
+    from etl_olho_vivo_spark.operators import bpe
+
+    out = str(tmp_path / "corpus")
+    assert main([
+        "--cpus", "8", "corpus", "--sf-dir", "/root/testdata/sf0.001",
+        "--out", out, "--min-tokens", "3", "--bpe-tokenize", "40",
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < stats["bpe_merges"] <= 40
+    side = spark.read.parquet(out + "_bpe_merges").orderBy("rank").collect()
+    merges = [(r["left"], r["right"]) for r in side]
+    assert len(merges) == stats["bpe_merges"]
+    corpus = spark.read.parquet(out)
+    assert corpus.filter(F.col("bpe_tokens").isNull()).count() == 0
+    mismatches = corpus.withColumn(
+        "expected", bpe.bpe_segment_expr(merges)
+    ).filter(F.col("bpe_tokens") != F.col("expected")).count()
+    assert mismatches == 0
+
+
 def test_corpus_split_and_shuffled_export(spark, tmp_path, capsys):
     """--splits stamps a deterministic split column; --shuffle-shards
     turns the JSONL export into seeded decorrelated shards."""
