@@ -103,6 +103,17 @@ def _build_parser() -> argparse.ArgumentParser:
     cor.add_argument("--span-k", type=int, default=5)
     cor.add_argument("--span-min-count", type=int, default=2)
     cor.add_argument(
+        "--lm-max-entropy", type=float, default=None, metavar="NATS",
+        help="CCNet-style LM quality gate: keep documents whose bigram "
+        "cross-entropy (vs --lm-ref, or the surviving corpus itself) "
+        "is at or under this absolute threshold",
+    )
+    cor.add_argument(
+        "--lm-ref", default=None, metavar="PARQUET_DIR",
+        help="trusted reference corpus (parquet with a text column) "
+        "for --lm-max-entropy; defaults to self-training",
+    )
+    cor.add_argument(
         "--bpe-tokenize", type=int, default=None, metavar="N_MERGES",
         help="train an N-merge BPE vocabulary on the surviving corpus, "
         "apply it (bpe_tokens column), and persist the merge list at "
@@ -373,6 +384,8 @@ def main(argv: list[str] | None = None) -> int:
             span_k=args.span_k,
             span_min_count=args.span_min_count,
             bpe_tokenize=args.bpe_tokenize,
+            lm_max_entropy=args.lm_max_entropy,
+            lm_ref_dir=args.lm_ref,
             dedup_resolution=args.resolution,
             splits=splits,
             split_seed=args.split_seed,

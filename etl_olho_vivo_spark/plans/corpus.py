@@ -81,6 +81,8 @@ def run_corpus(
     eval_grams_dir: str | None = None,
     eval_ngram: int = 5,
     bpe_tokenize: int | None = None,
+    lm_max_entropy: float | None = None,
+    lm_ref_dir: str | None = None,
 ) -> dict[str, int]:
     """Documents table → cleaned corpus parquet.  Returns per-stage counts.
 
@@ -188,6 +190,35 @@ def run_corpus(
 
         kept = kept.filter(F.col("quality_score") >= min_quality)
         stats["quality"] = kept.count()
+
+        if lm_max_entropy is not None:
+            # CCNet-style LM gate (operators/lm.py, Wenzek et al. 2019):
+            # score each survivor's bigram cross-entropy under a model
+            # trained on --lm-ref (a trusted corpus) or, by default, the
+            # survivors themselves, and keep docs at or under the
+            # ABSOLUTE threshold (a fixed threshold keeps the selection
+            # deterministic where a quantile cut via approx_percentile
+            # would be partition-order-sensitive; compute the quantile
+            # offline and pass it here).  Docs without bigrams (< 2
+            # tokens) carry no evidence and are dropped — the upstream
+            # min_tokens gate already removes them at its default.
+            from etl_olho_vivo_spark.operators import lm as lmops
+
+            ref = (
+                spark.read.parquet(lm_ref_dir).select("text")
+                if lm_ref_dir is not None
+                else kept.select("text")
+            )
+            uni, big = lmops.bigram_counts(ref)
+            passing = lmops.cross_entropy_scores(
+                kept.select("doc_id", "text"), uni, big
+            ).filter(F.col("cross_entropy") <= lm_max_entropy).select(
+                "doc_id"
+            )
+            kept = stage_caches.add(
+                kept.join(passing, "doc_id", "left_semi")
+            )
+            stats["lm_filter"] = kept.count()
 
         if c4:
             # page-level C4 rejection on the cleaned text (per-row

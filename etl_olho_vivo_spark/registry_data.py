@@ -545,6 +545,54 @@ def q_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_bigram_cross_entropy",
+    f"""
+WITH w AS (SELECT doc_id, {_D_WH} AS wh FROM documents),
+uni AS (
+  SELECT w1h, count(*) AS u_n
+  FROM (SELECT unnest(wh) AS w1h FROM w) GROUP BY w1h
+),
+v AS (SELECT count(*) AS v FROM uni),
+occ AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(wh) - 1), i -> wh[i+1])) AS w1h,
+         unnest(list_transform(range(0, len(wh) - 1), i -> wh[i+2])) AS w2h
+  FROM w WHERE len(wh) >= 2
+),
+big AS (SELECT w1h, w2h, count(*) AS b_n FROM occ GROUP BY w1h, w2h),
+sc AS (
+  SELECT o.doc_id,
+         ln((coalesce(b.b_n, 0) + 0.5)
+            / (coalesce(u.u_n, 0) + 0.5 * v.v)) AS ll
+  FROM occ o
+  LEFT JOIN big b ON o.w1h = b.w1h AND o.w2h = b.w2h
+  LEFT JOIN uni u ON o.w1h = u.w1h
+  CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-avg(ll), 6) AS cross_entropy
+FROM sc GROUP BY doc_id
+""",
+    doc="CCNet-style LM quality scoring (operators/lm.py, Wenzek et al. "
+    "2019): per-document cross-entropy under an add-k-smoothed bigram "
+    "model — here self-trained on the same table (the standard "
+    "train-on-corpus demo; production trains on a trusted reference "
+    "corpus and buckets the score distribution).  Counts are exact "
+    "integers; only log/mean are doubles, rounded 6 dp per the "
+    "engine-wide transcendental rule.  driver=False: the 50-row window "
+    "is full — parity runs in the local oracle suite, and the query "
+    "stays benchmarked.",
+    driver=False,
+)
+def q_doc_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_olho_vivo_spark.operators import lm
+
+    d = read_table(spark, sf_dir, "documents")
+    uni, big = lm.bigram_counts(d)
+    return lm.cross_entropy_scores(d, uni, big)
+
+
 _D_SPLIT_KEY = duck_hex2int("md5(CAST(doc_id AS VARCHAR) || ':0')")
 
 

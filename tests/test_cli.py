@@ -102,6 +102,29 @@ def test_corpus_drop_spans_stage(spark, tmp_path, capsys):
     assert 0 < kept_chars < raw_chars
 
 
+def test_corpus_lm_gate(spark, tmp_path, capsys):
+    """--lm-max-entropy gates on bigram cross-entropy: a huge threshold
+    keeps every quality survivor, a tiny one keeps none, and --lm-ref
+    scores against an external reference corpus."""
+    out = str(tmp_path / "corpus")
+    base = ["--cpus", "8", "corpus", "--sf-dir", "/root/testdata/sf0.001",
+            "--out", out, "--min-tokens", "3"]
+    assert main(base + ["--lm-max-entropy", "1e9"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["lm_filter"] == stats["quality"] > 0
+    assert main(base + ["--lm-max-entropy", "0.0"]) == 0
+    stats0 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats0["lm_filter"] == 0
+    # external reference: gibberish reference makes real docs score high
+    ref = str(tmp_path / "ref")
+    spark.createDataFrame(
+        [("zzz qqq www rrr ttt yyy",)], "text string"
+    ).write.parquet(ref)
+    assert main(base + ["--lm-max-entropy", "1e9", "--lm-ref", ref]) == 0
+    statsr = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert statsr["lm_filter"] == statsr["quality"]
+
+
 def test_corpus_bpe_tokenize_stage(spark, tmp_path, capsys):
     """--bpe-tokenize trains on the surviving corpus, tokenizes it with
     the mapInPandas path, and ships the merge list beside the data;
