@@ -200,6 +200,19 @@ def _build_parser() -> argparse.ArgumentParser:
         "the benchmark",
     )
     cst.add_argument("--eval-ngram", type=int, default=5)
+    cst.add_argument(
+        "--keep-langs", default=None, metavar="L1,L2",
+        help="per-row gate: keep only these lang_guess values "
+        "(applied before signatures — rejected docs never enter the "
+        "corpus or the store)",
+    )
+    cst.add_argument("--min-tokens", dest="stream_min_tokens",
+                     type=int, default=None)
+    cst.add_argument("--min-quality", dest="stream_min_quality",
+                     type=float, default=None)
+    cst.add_argument("--gopher", dest="stream_gopher",
+                     action="store_true")
+    cst.add_argument("--c4", dest="stream_c4", action="store_true")
 
     evi = sub.add_parser(
         "eval-index",
@@ -459,6 +472,19 @@ def main(argv: list[str] | None = None) -> int:
             reader = reader.option(
                 "maxFilesPerTrigger", str(args.max_files_per_trigger)
             )
+        gates = {}
+        if args.keep_langs:
+            gates["keep_langs"] = tuple(
+                s.strip() for s in args.keep_langs.split(",") if s.strip()
+            )
+        if args.stream_min_tokens is not None:
+            gates["min_tokens"] = args.stream_min_tokens
+        if args.stream_min_quality is not None:
+            gates["min_quality"] = args.stream_min_quality
+        if args.stream_gopher:
+            gates["gopher"] = True
+        if args.stream_c4:
+            gates["c4"] = True
         q = run_corpus_stream(
             reader.parquet(args.in_dir),
             args.corpus,
@@ -467,6 +493,7 @@ def main(argv: list[str] | None = None) -> int:
             threshold=args.threshold,
             eval_grams_dir=args.eval_grams,
             eval_ngram=args.eval_ngram,
+            gates=gates or None,
         )
         q.awaitTermination()
         try:

@@ -55,6 +55,53 @@ def document_profile(d: DataFrame) -> DataFrame:
     )
 
 
+def gate_documents(
+    d: DataFrame,
+    *,
+    keep_langs: tuple[str, ...] | None = None,
+    min_tokens: int | None = None,
+    min_quality: float | None = None,
+    gopher: bool = False,
+    c4: bool = False,
+    text: str = "text",
+) -> DataFrame:
+    """The per-ROW quality gates of the batch pipeline as one
+    composable map-side stage: C4 line cleanup + page gate, language,
+    length, heuristic quality, and the Gopher repetition gate — pure
+    Column predicates, no shuffle, original columns out.
+
+    This is the stream-side mirror of ``run_corpus``'s per-row stages:
+    ``admit_batch`` applies it BEFORE signatures are computed, so a
+    gated-out document costs one projection and never reaches the
+    dedup joins, the corpus, or the signature store (the store must
+    mirror the admitted corpus exactly).  ``None``/``False`` disables
+    a gate; with everything disabled the input passes through
+    untouched.
+    """
+    cols = list(d.columns)
+    if c4:
+        d = d.withColumn(text, textops.c4_clean_lines(text))
+        d = textops.c4_gate(d, text).filter(F.col("c4_pass"))
+    if keep_langs is not None or min_tokens is not None or min_quality is not None:
+        if text != "text":
+            raise ValueError(
+                "profile-based gates (keep_langs/min_tokens/min_quality) "
+                "require the text column to be named 'text'"
+            )
+        d = document_profile(d)
+        cond = F.lit(True)
+        if keep_langs is not None:
+            cond = cond & F.col("lang_guess").isin(*keep_langs)
+        if min_tokens is not None:
+            cond = cond & (F.col("n_tokens") >= min_tokens)
+        if min_quality is not None:
+            cond = cond & (F.col("quality_score") >= min_quality)
+        d = d.filter(cond)
+    if gopher:
+        d = textops.gopher_gate(d, text).filter(F.col("gopher_pass"))
+    return d.select(*cols)
+
+
 def run_corpus(
     spark: SparkSession,
     sf_dir: str,

@@ -101,8 +101,16 @@ def admit_batch(
     eval_grams_dir: str | None = None,
     eval_ngram: int = 5,
     eval_grams: DataFrame | None = None,
+    gates: dict | None = None,
 ) -> None:
     """Admit one micro-batch: dedup in-batch + vs store, append survivors.
+
+    ``gates`` (optional) are per-row quality gates applied FIRST —
+    keyword arguments for ``plans.corpus.gate_documents`` (keep_langs,
+    min_tokens, min_quality, gopher, c4).  Gating before signatures
+    keeps a rejected document's cost at one projection and keeps it
+    out of BOTH the corpus and the signature store, preserving the
+    store-mirrors-corpus invariant the incremental dedup depends on.
 
     Deterministic: in-batch pairs keep the smaller doc_id; any batch doc
     near a store doc is dropped (the corpus row wins — it was admitted
@@ -129,6 +137,10 @@ def admit_batch(
     # the next compaction.  Fail loudly instead; the replay succeeds
     # after compact_append_store recovers.
     assert_no_pending_swap(spark, store_dir)
+    if gates:
+        from etl_olho_vivo_spark.plans.corpus import gate_documents
+
+        batch = gate_documents(batch, text=text, **gates)
     with CacheBag() as bag:
         sig = bag.add(
             dedup.minhash_signature(batch, text).select(
@@ -254,6 +266,7 @@ def run_corpus_stream(
     available_now: bool = True,
     eval_grams_dir: str | None = None,
     eval_ngram: int = 5,
+    gates: dict | None = None,
 ):
     """Start the continuous ingestion query over a streaming documents
     frame (any readStream source with doc_id + text columns).
@@ -283,11 +296,27 @@ def run_corpus_stream(
             )
         )
 
+    if gates:
+        # fail at start-up on a bad gate config, not inside the first
+        # foreachBatch: probe the gate composition on an empty frame
+        from etl_olho_vivo_spark.plans.corpus import gate_documents
+
+        unknown = set(gates) - {
+            "keep_langs", "min_tokens", "min_quality", "gopher", "c4",
+        }
+        if unknown:
+            raise ValueError(f"unknown gate(s): {sorted(unknown)}")
+        gate_documents(
+            spark.createDataFrame([], "doc_id LONG, text STRING"),
+            text=text, **gates,
+        )
+
     def _admit(batch: DataFrame, batch_id: int) -> None:
         admit_batch(
             spark, batch, batch_id, corpus_dir, store_dir,
             threshold=threshold, text=text,
             eval_grams=eval_grams, eval_ngram=eval_ngram,
+            gates=gates,
         )
 
     writer = (

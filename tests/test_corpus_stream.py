@@ -331,3 +331,48 @@ def test_replay_of_compacted_batch_keeps_it_complete(spark, dirs):
         r["doc_id"] for r in spark.read.parquet(dirs["corpus"]).collect()
     )
     assert ids == [1, 2]
+
+
+def test_streaming_per_row_gates(spark, dirs):
+    """The gates param applies the batch pipeline's per-row quality
+    gates BEFORE signatures: a gated-out doc reaches neither the corpus
+    nor the signature store (the store must mirror the admitted
+    corpus), and gating happens before dedup so a near-dup of a
+    gated-out doc is still admitted on its own merits."""
+    from etl_olho_vivo_spark.streaming.corpus_stream import (
+        run_corpus_stream,
+    )
+
+    short = "too short"
+    # batch 0: one real doc + one too-short doc
+    _write_batch(spark, dirs["stage"], "b0", [(1, BASE), (2, short)])
+    # batch 1: near-dup of the SHORT doc (would be dropped as its
+    # near-dup if 2 had entered the store) + fresh doc
+    _write_batch(
+        spark, dirs["stage"], "b1", [(10, short + " indeed"), (11, OTHER)]
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dirs["stage"])
+    )
+    q = run_corpus_stream(
+        stream, dirs["corpus"], dirs["store"], dirs["ckpt"],
+        threshold=0.5, gates={"min_tokens": 5},
+    )
+    q.awaitTermination(180)
+    corpus = spark.read.parquet(dirs["corpus"])
+    admitted = sorted(r["doc_id"] for r in corpus.collect())
+    # 2 gated out (2 tokens); 10 gated out too (3 tokens); 1, 11 admitted
+    assert admitted == [1, 11]
+    store = spark.read.parquet(dirs["store"])
+    assert sorted(r["doc_id"] for r in store.select("doc_id").collect()) \
+        == [1, 11]
+    # unknown gate keys fail at start-up, not inside foreachBatch
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown gate"):
+        run_corpus_stream(
+            stream, dirs["corpus"], dirs["store"], dirs["ckpt"] + "2",
+            gates={"min_tokns": 5},
+        )
