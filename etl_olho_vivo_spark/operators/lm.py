@@ -42,10 +42,15 @@ the beyond-reference text-analysis surface (SURVEY §2.11).
 
 from __future__ import annotations
 
+from typing import TYPE_CHECKING
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_olho_vivo_spark.operators.dedup import with_token_hashes
+
+if TYPE_CHECKING:
+    from etl_olho_vivo_spark.caching import CacheBag
 
 
 def _doc_bigrams(docs: DataFrame, id_col: str, text: str) -> DataFrame:
@@ -118,6 +123,7 @@ def cross_entropy_scores(
     text: str = "text",
     k_smooth: float = 0.5,
     round_dp: int = 6,
+    caches: "CacheBag | None" = None,
 ) -> DataFrame:
     """Per-document mean negative log-likelihood (nats) under the add-k
     bigram model — ``(id, n_bigrams, cross_entropy)``.  Lower is more
@@ -129,9 +135,19 @@ def cross_entropy_scores(
     Out-of-vocabulary smoothing: an unseen bigram contributes
     ``log(k / (U(w1) + k·V))`` and an unseen w1 ``log(k / (k·V))`` —
     the standard add-k backstop, so scores are finite everywhere.
+
+    ``caches``: V (the vocabulary size) needs one action on the
+    unigram relation before the scoring joins consume it again — pass
+    a CacheBag so the count materializes the (top_k-bounded) relation
+    once instead of re-running the reference-corpus scan per consumer
+    (the registry query and the pipeline gate both do).  Without it
+    the computation is still correct, just re-derived.
     """
     if k_smooth <= 0:
         raise ValueError(f"k_smooth must be > 0, got {k_smooth}")
+    if caches is not None:
+        unigram = caches.add(unigram)
+        bigram = caches.add(bigram)
     v = unigram.count()  # vocabulary size — one scalar, bounded by top_k
     bg = _doc_bigrams(docs, id_col, text)
     joined = (

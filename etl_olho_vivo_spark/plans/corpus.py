@@ -258,7 +258,8 @@ def run_corpus(
             )
             uni, big = lmops.bigram_counts(ref)
             passing = lmops.cross_entropy_scores(
-                kept.select("doc_id", "text"), uni, big
+                kept.select("doc_id", "text"), uni, big,
+                caches=stage_caches,
             ).filter(F.col("cross_entropy") <= lm_max_entropy).select(
                 "doc_id"
             )

@@ -586,11 +586,15 @@ FROM sc GROUP BY doc_id
     driver=False,
 )
 def q_doc_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_olho_vivo_spark.caching import SESSION_BAG
     from etl_olho_vivo_spark.operators import lm
 
     d = read_table(spark, sf_dir, "documents")
     uni, big = lm.bigram_counts(d)
-    return lm.cross_entropy_scores(d, uni, big)
+    # SESSION_BAG (not a local bag): the returned frame is lazy and its
+    # plan references the cached count relations — same pattern as the
+    # signature-store queries above
+    return lm.cross_entropy_scores(d, uni, big, caches=SESSION_BAG)
 
 
 _D_SPLIT_KEY = duck_hex2int("md5(CAST(doc_id AS VARCHAR) || ':0')")
