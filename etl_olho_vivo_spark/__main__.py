@@ -570,6 +570,8 @@ def main(argv: list[str] | None = None) -> int:
         # scan and a pruning-efficiency loss — surface it in the artifact
         from pyspark.sql import functions as F
 
+        from etl_olho_vivo_spark.io.ann_index import occupancy_stats
+
         sizes = [
             int(r["n"])
             for r in (
@@ -579,15 +581,15 @@ def main(argv: list[str] | None = None) -> int:
                 .collect()  # bounded: one row per written file
             )
         ]
-        mean = sum(sizes) / len(sizes) if sizes else 0.0
+        s = occupancy_stats(sizes)
         print(json.dumps({
             "command": "optimize", "by": cols,
             "rows": sum(sizes),
             "file_stats": {
-                "n_files": len(sizes),
-                "max_file_rows": max(sizes) if sizes else 0,
-                "mean_file_rows": round(mean, 1),
-                "skew_ratio": round(max(sizes) / mean, 2) if sizes else None,
+                "n_files": s["n"],
+                "max_file_rows": s["max"],
+                "mean_file_rows": s["mean"],
+                "skew_ratio": s["skew_ratio"],
             },
         }))
         return 0

@@ -142,9 +142,14 @@ def _write_watermark(spark: SparkSession, path: str, batch_id: int) -> None:
     out = fs.create(tmp_p, True)
     out.write(str(int(batch_id)).encode("ascii"))
     out.close()
-    if fs.exists(bak_p):
-        fs.delete(bak_p, False)
     if fs.exists(final_p):
+        # a stale .bak may only be discarded while the LIVE file exists
+        # — in the crash-recovery path (live missing, .bak the only
+        # durable copy) deleting it first would leave just the
+        # unreadable tmp, and a second crash there reads as -1 and
+        # replays folded batches as duplicates
+        if fs.exists(bak_p):
+            fs.delete(bak_p, False)
         checked_rename(fs, final_p, bak_p)
     checked_rename(fs, tmp_p, final_p)
     fs.delete(bak_p, False)
@@ -344,6 +349,21 @@ def compact_ivf_index(spark: SparkSession, path: str) -> int:
     return spark.read.parquet(cells_dir).count()
 
 
+def occupancy_stats(counts: list[int]) -> dict:
+    """max/mean/skew summary of a bounded bucket-size list — shared by
+    ``cell_stats`` and the Z-order ``optimize`` CLI telemetry so the
+    skew formula/rounding can never drift between the two artifacts."""
+    if not counts:
+        return {"n": 0, "max": 0, "mean": 0.0, "skew_ratio": None}
+    mean = sum(counts) / len(counts)
+    return {
+        "n": len(counts),
+        "max": max(counts),
+        "mean": round(mean, 1),
+        "skew_ratio": round(max(counts) / mean, 2),
+    }
+
+
 def cell_stats(spark: SparkSession, path: str) -> dict:
     """Per-cell occupancy telemetry — the serving-skew dial.
 
@@ -370,15 +390,12 @@ def cell_stats(spark: SparkSession, path: str) -> dict:
             .collect()  # bounded: one row per cell
         )
     ]
-    if not counts:
-        return {"n_cells_occupied": 0, "max_cell": 0, "mean_cell": 0.0,
-                "skew_ratio": None}
-    mean = sum(counts) / len(counts)
+    s = occupancy_stats(counts)
     return {
-        "n_cells_occupied": len(counts),
-        "max_cell": max(counts),
-        "mean_cell": round(mean, 1),
-        "skew_ratio": round(max(counts) / mean, 2),
+        "n_cells_occupied": s["n"],
+        "max_cell": s["max"],
+        "mean_cell": s["mean"],
+        "skew_ratio": s["skew_ratio"],
     }
 
 

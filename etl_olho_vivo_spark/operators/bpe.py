@@ -246,7 +246,13 @@ def bpe_apply(
     schema = StructType(
         list(docs.schema.fields) + [StructField(out, StringType())]
     )
-    ws = re.compile(r"\s+")
+    # Java regex \s (used by word_histogram and bpe_segment_expr) is the
+    # ASCII class [ \t\n\x0B\f\r]; Python's \s is Unicode-aware and
+    # would ALSO split on U+00A0/U+2028/\x1c-\x1f, silently tokenizing
+    # different word shapes than the histogram ever counted and breaking
+    # parity with the expression path on real web text (&nbsp; is
+    # everywhere).  Spell out the Java class exactly.
+    ws = re.compile("[ \t\n\x0b\f\r]+")
     strip = re.compile("[\x1f\x1e]")
 
     def _encode_batches(batches):

@@ -153,6 +153,11 @@ def run_corpus(
         mixops._check_weights(mixture)
     if eval_grams_dir is not None and eval_ngram < 1:
         raise ValueError(f"eval_ngram must be >= 1, got {eval_ngram}")
+    if bpe_tokenize is not None and bpe_tokenize < 1:
+        # same validate-before-work rule: the tokenize stage runs LAST
+        raise ValueError(
+            f"bpe_tokenize must be >= 1, got {bpe_tokenize}"
+        )
     d = read_table(spark, sf_dir, "documents")
     if redact_pii:
         d = d.withColumn("text", textops.redact("text"))
@@ -247,8 +252,10 @@ def run_corpus(
             # deterministic where a quantile cut via approx_percentile
             # would be partition-order-sensitive; compute the quantile
             # offline and pass it here).  Docs without bigrams (< 2
-            # tokens) carry no evidence and are dropped — the upstream
-            # min_tokens gate already removes them at its default.
+            # tokens) carry no entropy EVIDENCE and pass through — a
+            # no-evidence doc failing the gate would silently delete
+            # every one-token survivor under --min-tokens 1 regardless
+            # of threshold; length policy belongs to min_tokens.
             from etl_olho_vivo_spark.operators import lm as lmops
 
             ref = (
@@ -257,14 +264,14 @@ def run_corpus(
                 else kept.select("text")
             )
             uni, big = lmops.bigram_counts(ref)
-            passing = lmops.cross_entropy_scores(
+            failing = lmops.cross_entropy_scores(
                 kept.select("doc_id", "text"), uni, big,
                 caches=stage_caches,
-            ).filter(F.col("cross_entropy") <= lm_max_entropy).select(
+            ).filter(F.col("cross_entropy") > lm_max_entropy).select(
                 "doc_id"
             )
             kept = stage_caches.add(
-                kept.join(passing, "doc_id", "left_semi")
+                kept.join(failing, "doc_id", "left_anti")
             )
             stats["lm_filter"] = kept.count()
 
@@ -358,6 +365,12 @@ def run_corpus(
             for r in kept.groupBy("split").count().collect():
                 stats[f"split_{r['split']}"] = r["count"]
 
+        # pack (below) reads only doc_id/source/text — hold the
+        # pre-tokenizer frame so its plan never crosses the BPE
+        # mapInPandas node (Catalyst cannot prune columns through a
+        # row-count-changing Python node, so packing would otherwise
+        # pay a SECOND full tokenization pass over the corpus)
+        pre_bpe = kept
         if bpe_tokenize is not None:
             # the tokenization hand-off, end-to-end: train the merge
             # list on the SURVIVING corpus (one histogram scan + the
@@ -367,10 +380,6 @@ def run_corpus(
             # tokenizer is not reproducible
             from etl_olho_vivo_spark.operators import bpe as bpeops
 
-            if bpe_tokenize < 1:
-                raise ValueError(
-                    f"bpe_tokenize must be >= 1, got {bpe_tokenize}"
-                )
             merges = bpeops.bpe_merges(
                 bpeops.word_histogram(kept.select("text")),
                 n_merges=bpe_tokenize,
@@ -399,7 +408,8 @@ def run_corpus(
         if pack is not None:
             max_tokens, overlap, budget = pack
             chunks = textops.chunk_docs(
-                kept.select("doc_id", "source", "text"), max_tokens, overlap
+                pre_bpe.select("doc_id", "source", "text"),
+                max_tokens, overlap,
             )
             packed = textops.pack_chunks(
                 chunks, budget=budget, shard_col="source"

@@ -307,7 +307,7 @@ def run_corpus_stream(
         if unknown:
             raise ValueError(f"unknown gate(s): {sorted(unknown)}")
         gate_documents(
-            spark.createDataFrame([], "doc_id LONG, text STRING"),
+            spark.createDataFrame([], f"doc_id LONG, `{text}` STRING"),
             text=text, **gates,
         )
 

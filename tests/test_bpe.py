@@ -152,6 +152,10 @@ def test_bpe_apply_parity_with_segment_expr(spark):
             (4, None),
             (5, "unseen zzz qq"),
             (6, "aaaa aaa aa a"),  # overlapping-pair pressure
+            # U+00A0 is NOT whitespace to Java \s (which the expression
+            # path and word_histogram split on) — both paths must treat
+            # "low low" as ONE word, not two
+            (7, "low low lower"),
         ],
         ["doc_id", "text"],
     )

@@ -115,6 +115,20 @@ def test_corpus_lm_gate(spark, tmp_path, capsys):
     assert main(base + ["--lm-max-entropy", "0.0"]) == 0
     stats0 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats0["lm_filter"] == 0
+    # docs with < 2 tokens carry no entropy evidence and PASS: the gate
+    # must never silently delete them under --min-tokens 1
+    short_in = str(tmp_path / "short")
+    spark.createDataFrame(
+        [(1, "the", "en", "web", 3)],  # 1 token ("the" lang-guesses en)
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(short_in + "/documents.parquet")
+    assert main([
+        "--cpus", "8", "corpus", "--sf-dir", short_in,
+        "--out", str(tmp_path / "c2"), "--min-tokens", "1",
+        "--lm-max-entropy", "0.0",
+    ]) == 0
+    stats1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats1["lm_filter"] == 1
     # external reference: gibberish reference makes real docs score high
     ref = str(tmp_path / "ref")
     spark.createDataFrame(
