@@ -66,13 +66,20 @@ PAIR_HEAVY = [
     "doc_editdist_near_dup",
 ]
 
-# Round-6 corpus operators whose curve the tier also records:
-# eval_decontamination (registry) — broadcast gram probe, expected
-# ≈linear after the explode_outer fix (and the tier would catch the
-# O(tokens²) inferred-filter regression loudly); dedup_lines (ad-hoc —
-# a corpus-granularity operator with no registry row) — two irreducible
-# shuffles, verbatim replicas deepen every duplicate-line group N×.
-SCALE_EXTRA = ["eval_decontamination"]
+# Corpus operators whose curve the tier also records:
+# eval_decontamination — broadcast gram probe, expected ≈linear after
+# the explode_outer fix (and the tier would catch the O(tokens²)
+# inferred-filter regression loudly); repeated_span_dedup — gram
+# aggregate + join + anti join, replicas densify removable occurrences
+# with the data; doc_bigram_cross_entropy — count aggregates + scoring
+# joins, expected ≈linear.  (dedup_lines stays ad-hoc below: its
+# newline-separator operator shape has no registry row — the driver row
+# dedup_corpus_lines uses the space separator.)
+SCALE_EXTRA = [
+    "eval_decontamination",
+    "repeated_span_dedup",
+    "doc_bigram_cross_entropy",
+]
 
 
 def scale_enabled() -> bool:
@@ -129,18 +136,7 @@ def scale_tier(spark, sf_dir: str) -> None:
 
             return dedup_lines(read_table(spark, d, "documents"))
 
-        def _span_dedup_fn(spark, d):
-            from etl_olho_vivo_spark.operators.dedup import (
-                drop_repeated_spans,
-            )
-            from etl_olho_vivo_spark.sources.tables import read_table
-
-            return drop_repeated_spans(read_table(spark, d, "documents"))
-
-        adhoc = {
-            "dedup_lines": _dedup_lines_fn,
-            "drop_repeated_spans": _span_dedup_fn,
-        }
+        adhoc = {"dedup_lines": _dedup_lines_fn}
         out: dict[str, dict] = {}
         errors: dict[str, str] = {}
         for name in HEADLINE + PAIR_HEAVY + SCALE_EXTRA + list(adhoc):
