@@ -126,7 +126,11 @@ def dedup_lines(
         F.count(F.lit(1)).alias("__lh_n__"),
         F.min(F.struct(id_col, "pos")).alias("__lh_first__"),
     )
-    joined = hashed.join(stats, "lh")
+    # symmetric corpus-scaled joins (line stats, rebuilt docs) pinned
+    # merge, like drop_repeated_spans: AQE's runtime broadcast of a
+    # corpus-scaled side dies under a starved driver (30× probe), while
+    # sort-merge spills and keeps AQE's skew-split
+    joined = hashed.join(stats.hint("merge"), "lh")
     rare = F.col("__lh_n__") < F.lit(min_count)
     if mode == "keep_first":
         keep = rare | (
@@ -154,9 +158,12 @@ def dedup_lines(
     # back through an outer join with empty text, not from the groupBy
     base = docs.drop(text)
     if drop_empty_docs:
-        out = base.join(rebuilt.filter(F.length(F.col(text)) > 0), id_col)
+        out = base.join(
+            rebuilt.filter(F.length(F.col(text)) > 0).hint("merge"),
+            id_col,
+        )
     else:
-        out = base.join(rebuilt, id_col, "left").withColumn(
+        out = base.join(rebuilt.hint("merge"), id_col, "left").withColumn(
             text, F.coalesce(F.col(text), F.lit(""))
         )
     return out.select(*docs.columns)
@@ -235,8 +242,15 @@ def drop_repeated_spans(
             (F.col(id_col) == F.col(f"__first__.{id_col}"))
             & (F.col("gpos") == F.col("__first__.gpos"))
         )
+    # every join below is SYMMETRIC corpus-scaled (gram stats, covered
+    # positions, rebuilt docs all grow with the corpus) — pinned merge
+    # per the round-6 join-strategy hardening: AQE's runtime broadcast
+    # of such a side dies with "Not enough memory to build and
+    # broadcast" under a starved driver (reproduced by the 30× probe in
+    # tests/test_memory_probe.py), while sort-merge spills both sides
+    # and still gets AQE's skew-split
     covered = (
-        occ.join(stats, "gh")
+        occ.join(stats.hint("merge"), "gh")
         .filter(removable)
         .select(
             id_col,
@@ -249,7 +263,9 @@ def drop_repeated_spans(
         id_col,
         F.posexplode(F.split(F.col(text), " ", -1)).alias("pos", "word"),
     )
-    survivors = tokens.join(covered, [id_col, "pos"], "left_anti")
+    survivors = tokens.join(
+        covered.hint("merge"), [id_col, "pos"], "left_anti"
+    )
     rebuilt = survivors.groupBy(id_col).agg(
         F.concat_ws(
             " ",
@@ -261,9 +277,12 @@ def drop_repeated_spans(
     )
     base = docs.drop(text)
     if drop_empty_docs:
-        out = base.join(rebuilt.filter(F.length(F.col(text)) > 0), id_col)
+        out = base.join(
+            rebuilt.filter(F.length(F.col(text)) > 0).hint("merge"),
+            id_col,
+        )
     else:
-        out = base.join(rebuilt, id_col, "left").withColumn(
+        out = base.join(rebuilt.hint("merge"), id_col, "left").withColumn(
             text, F.coalesce(F.col(text), F.lit(""))
         )
     return out.select(*docs.columns)

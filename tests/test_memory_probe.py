@@ -223,3 +223,83 @@ def test_fact_join_spills_and_completes_under_starved_memory(
     assert int(rows_line.split()[1]) == expected
     spill = _total_spill(events_dir)
     assert spill > 10 * 1024 * 1024, f"only {spill} bytes spilled"
+
+
+def test_span_dedup_spills_and_completes_under_starved_memory(
+    spark, tmp_path
+):
+    """The round-7 repeated-span operator's spill path: gram aggregate +
+    probe join + covered-position anti join + doc reassembly at 30×
+    documents under a 700 MB heap must complete with the same rewritten
+    corpus the normal session produces (row count + total surviving
+    text length), spilling rather than OOMing — the same guarantee the
+    dedup/relational probes pin for their join families.
+
+    Partition-sizing note: this probe sorts ~10× the rows of the
+    minhash probe; at shuffle.partitions=4 each task's sort produces
+    HUNDREDS of spill files and the SMJ merge phase then opens a 1 MB
+    read buffer per spill file (UnsafeSorterSpillReader, hard 1 MB
+    floor) — the fan-in, not the data, exhausts the heap.  The probe
+    runs with shuffle.partitions=32 and AQE partition coalescing OFF
+    (AQE's 64 MB advisory target would silently coalesce right back to
+    ~4) — not a softening but the engine's own documented sizing rule
+    (size shuffle partitions so a partition's sort fits executor
+    memory): the data is unchanged and the run still spills hard.  The FIRST failure this probe caught —
+    AQE broadcasting the corpus-scaled gram-stats relation, "Not
+    enough memory to build and broadcast" — was a real plan defect and
+    is pinned merge in the operator (and in dedup_lines, same shape)."""
+    from tests.datagen import replicate_documents
+
+    data_dir = str(tmp_path / "docs30")
+    events_dir = str(tmp_path / "events_log")
+    os.makedirs(events_dir)
+    replicate_documents(
+        spark, "/root/testdata/sf0.1/documents.parquet",
+        f"{data_dir}/documents.parquet", REPLICAS,
+    )
+
+    from etl_olho_vivo_spark import registry
+
+    registry.queries()
+    exp = (
+        registry.REGISTRY["repeated_span_dedup"].fn(spark, data_dir)
+        .selectExpr("count(*) AS n", "sum(length(text)) AS chars")
+        .first()
+    )
+
+    script = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[4]")
+            .config("spark.driver.memory", "700m")
+            .config("spark.memory.fraction", "0.15")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.sql.adaptive.coalescePartitions.enabled",
+                    "false")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.dir", {events_dir!r})
+            .config("spark.ui.enabled", "false").getOrCreate())
+        from etl_olho_vivo_spark import registry
+        registry.queries()
+        row = (registry.REGISTRY["repeated_span_dedup"].fn(
+            spark, {data_dir!r})
+            .selectExpr("count(*) AS n", "sum(length(text)) AS chars")
+            .first())
+        print("PROBE_ROWS", row["n"], row["chars"])
+        spark.stop()
+    """)
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=560,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    (rows_line,) = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("PROBE_ROWS")
+    ]
+    _, n, chars = rows_line.split()
+    assert (int(n), int(chars)) == (exp["n"], exp["chars"])
+    spill = _total_spill(events_dir)
+    assert spill > 10 * 1024 * 1024, f"only {spill} bytes spilled"
