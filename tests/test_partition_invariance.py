@@ -35,6 +35,7 @@ CANARIES = [
     "assign_splits",           # md5 bucket banding
     "lapsed_customers",        # anti join over a date-sliced fact
     "repeated_span_dedup",     # gram-first survivor + span coverage
+    "doc_bigram_cross_entropy",  # rounded log-mean over exact counts
 ]
 
 
