@@ -235,3 +235,66 @@ def test_minhash_signature_store_is_cached(spark):
     # (each InMemoryTableScan textually reprints the cached relation's
     # FileScan, so the FileScan string count is not the physical scan count)
     assert plan.count("InMemoryTableScan") >= 3, plan[:1500]
+
+
+def test_lapsed_customers_pushes_date_and_stays_anti(spark):
+    """The date slice must ride into the orders scan as a pushed filter
+    (a post-scan Filter reads the whole fact at 100 TB), and the join
+    must stay a LeftAnti with no Python anywhere."""
+    plan = _plan(spark, "lapsed_customers")
+    assert "LeftAnti" in plan, plan[:2000]
+    pushed_sections = [
+        seg.split("]", 1)[0]
+        for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any("o_orderdate" in seg for seg in pushed_sections), (
+        pushed_sections
+    )
+    for bad in ("PythonUDF", "BatchEvalPython", "CartesianProduct"):
+        assert bad not in plan
+
+
+def test_assign_splits_is_pure_projection(spark):
+    """Split assignment is a map-side md5 projection: ZERO Exchange —
+    the property that makes it retry/partitioning-independent for free."""
+    df = registry.REGISTRY["assign_splits"].fn(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final, final[:2000]
+    for bad in ("PythonUDF", "BatchEvalPython"):
+        assert bad not in final
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_corpus_lines", "repeated_span_dedup"]
+)
+def test_corpus_dedup_joins_never_broadcast(spark, name):
+    """Every join in the line/span dedup rewrites is symmetric
+    corpus-scaled (stats probe, covered positions, rebuilt reattach) —
+    all pinned sort-merge after the round-7 starved probe caught AQE
+    broadcasting the gram-stats relation.  No broadcast join may
+    appear in the FINAL adaptive plan."""
+    df = registry.REGISTRY[name].fn(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" not in final, final[:3000]
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "SortMergeJoin" in final
+    assert "Window" not in final
+
+
+def test_lm_scorer_joins_and_aggregates_only(spark):
+    """The LM scorer is count aggregates + slim hash-keyed joins; its
+    bounded count relations MAY broadcast (top-k-bounded by
+    construction), but no cartesian product or Python may appear and
+    the per-doc rollup must be a partial-aggregated hash aggregate."""
+    df = registry.REGISTRY["doc_bigram_cross_entropy"].fn(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    for bad in ("CartesianProduct", "PythonUDF", "BatchEvalPython",
+                "Window"):
+        assert bad not in final, final[:3000]
+    assert "HashAggregate" in final
