@@ -207,13 +207,22 @@ def bpe_apply(
     text: str = "text",
     out: str = "bpe_tokens",
     sep: str = " ",
+    emit: str = "tokens",
+    vocab: list[str] | None = None,
 ) -> DataFrame:
     """Tokenize a corpus with a trained merge list of ARBITRARY size —
     the production hand-off from ``bpe_merges`` (30k+ merges) that
     ``bpe_segment_expr`` caps out of (its expression tree grows per
-    merge).  Appends column ``out``: the ``sep``-joined token stream of
-    the whitespace-split words (same output convention as
-    ``bpe_segment_expr`` — parity-tested in tests/test_bpe.py).
+    merge).  Appends column ``out``: with ``emit="tokens"`` (default)
+    the ``sep``-joined token stream of the whitespace-split words
+    (same output convention as ``bpe_segment_expr`` — parity-tested in
+    tests/test_bpe.py); with ``emit="ids"`` an ``array<int>`` of token
+    ids under the supplied ``vocab`` (pass ``bpe_vocabulary(...)`` —
+    the id space is the model's input contract and must be pinned
+    explicitly, never re-derived per run).  A token outside the
+    vocabulary (a character the training histogram never saw) maps to
+    ``-1`` — filter or extend the vocabulary upstream; silently
+    skipping would desynchronize ids from text.
 
     Algorithm (GPT-2 style): a word starts as its characters + EOW;
     repeatedly merge the present pair with the LOWEST training rank,
@@ -235,16 +244,35 @@ def bpe_apply(
     """
     import re
 
-    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
 
     if out in docs.columns:
         raise ValueError(f"output column {out!r} already exists")
+    if emit not in ("tokens", "ids"):
+        raise ValueError(f"emit must be tokens|ids, got {emit!r}")
+    if emit == "ids" and vocab is None:
+        raise ValueError(
+            "emit='ids' needs an explicit vocab (bpe_vocabulary(...)) — "
+            "the id space is the model's input contract"
+        )
     ranks: dict[tuple[str, str], int] = {
         (a, b): i for i, (a, b) in enumerate(merges)
     }
-    bc = docs.sparkSession.sparkContext.broadcast(ranks)
+    tok2id = (
+        {t: i for i, t in enumerate(vocab)} if emit == "ids" else None
+    )
+    bc = docs.sparkSession.sparkContext.broadcast((ranks, tok2id))
+    out_type = (
+        ArrayType(IntegerType()) if emit == "ids" else StringType()
+    )
     schema = StructType(
-        list(docs.schema.fields) + [StructField(out, StringType())]
+        list(docs.schema.fields) + [StructField(out, out_type)]
     )
     # Java regex \s (used by word_histogram and bpe_segment_expr) is the
     # ASCII class [ \t\n\x0B\f\r]; Python's \s is Unicode-aware and
@@ -256,10 +284,10 @@ def bpe_apply(
     strip = re.compile("[\x1f\x1e]")
 
     def _encode_batches(batches):
-        rk = bc.value
-        cache: dict[str, str] = {}
+        rk, t2i = bc.value
+        cache: dict[str, list] = {}
 
-        def enc_word(word: str) -> str:
+        def enc_word(word: str) -> list:
             hit = cache.get(word)
             if hit is not None:
                 return hit
@@ -286,15 +314,20 @@ def bpe_apply(
                         res.append(syms[i])
                         i += 1
                 syms = res
-            toks = sep.join(syms)
-            cache[word] = toks
-            return toks
+            cache[word] = syms
+            return syms
 
         def enc_text(t):
             if t is None:
                 return None
             words = [w for w in ws.split(strip.sub("", t)) if w]
-            return sep.join(enc_word(w) for w in words)
+            if t2i is None:
+                return sep.join(
+                    sep.join(enc_word(w)) for w in words
+                )
+            return [
+                t2i.get(s, -1) for w in words for s in enc_word(w)
+            ]
 
         for pdf in batches:
             yield pdf.assign(**{out: pdf[text].map(enc_text)})

@@ -204,3 +204,36 @@ def test_bpe_apply_handles_production_sized_merge_list(spark):
         ).collect()
     }
     assert got == want_newest  # the pad merges never fire
+
+
+def test_bpe_apply_emits_token_ids(spark):
+    """emit='ids': integer ids under an explicit bpe_vocabulary — ids
+    must round-trip to the token stream through the vocabulary, and a
+    character the histogram never saw maps to -1, never silently
+    dropped."""
+    merges = bpe.bpe_merges(SENNRICH, n_merges=50)
+    vocab = bpe.bpe_vocabulary(SENNRICH, n_merges=50)
+    docs = spark.createDataFrame(
+        [(1, "low newest"), (2, "zap")], ["doc_id", "text"]
+    )
+    toks = {
+        r["doc_id"]: r["bpe_tokens"].split(" ")
+        for r in bpe.bpe_apply(docs, merges).collect()
+    }
+    ids = {
+        r["doc_id"]: list(r["ids"])
+        for r in bpe.bpe_apply(
+            docs, merges, emit="ids", vocab=vocab, out="ids"
+        ).collect()
+    }
+    # round-trip: id -> vocab token == the string path's tokens
+    assert [vocab[i] for i in ids[1]] == toks[1]
+    # 'z', 'a', 'p' never appeared in the training histogram -> -1
+    assert -1 in ids[2]
+    assert [vocab[i] if i >= 0 else "?" for i in ids[2]] == [
+        "?" if t in ("z", "a", "p") else t for t in toks[2]
+    ]
+    with pytest.raises(ValueError, match="vocab"):
+        bpe.bpe_apply(docs, merges, emit="ids")
+    with pytest.raises(ValueError, match="emit"):
+        bpe.bpe_apply(docs, merges, emit="bytes")
