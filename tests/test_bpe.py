@@ -237,3 +237,59 @@ def test_bpe_apply_emits_token_ids(spark):
         bpe.bpe_apply(docs, merges, emit="ids")
     with pytest.raises(ValueError, match="emit"):
         bpe.bpe_apply(docs, merges, emit="bytes")
+
+
+def test_fast_merges_match_reference_spec():
+    """The incremental heap/index trainer must produce EXACTLY the
+    reference loop's merge list — counts, non-overlap pass semantics,
+    and the (count desc, pair lex) tiebreak all included.  Randomized
+    over small alphabets (maximal pair collisions and ties) and skewed
+    counts."""
+    import random
+
+    rng = random.Random(2024)
+    assert bpe.bpe_merges(SENNRICH, 50) == bpe._bpe_merges_reference(
+        SENNRICH, 50
+    )
+    for trial in range(25):
+        vocab_sz = rng.choice([2, 3, 5])
+        alphabet = "abcde"[:vocab_sz]
+        hist = [
+            (
+                "".join(
+                    rng.choice(alphabet)
+                    for _ in range(rng.randint(1, 9))
+                ),
+                rng.choice([1, 1, 2, 3, 10, 100]),
+            )
+            for _ in range(rng.randint(1, 40))
+        ]
+        n = rng.choice([1, 3, 10, 100])
+        fast = bpe.bpe_merges(hist, n)
+        ref = bpe._bpe_merges_reference(hist, n)
+        assert fast == ref, (trial, hist, n, fast, ref)
+
+
+def test_fast_merges_scale_smoke():
+    """A production-shaped training input — 20k distinct words, 2000
+    merges — must train in seconds (the naive rescan loop needs
+    minutes-to-hours at this size)."""
+    import random
+    import time
+
+    rng = random.Random(7)
+    hist = [
+        (
+            "".join(
+                rng.choice("abcdefghijklmnop")
+                for _ in range(rng.randint(2, 12))
+            ),
+            rng.randint(1, 1000),
+        )
+        for _ in range(20_000)
+    ]
+    t0 = time.perf_counter()
+    merges = bpe.bpe_merges(hist, n_merges=2000)
+    dt = time.perf_counter() - t0
+    assert len(merges) == 2000
+    assert dt < 30, f"incremental trainer took {dt:.1f}s"
