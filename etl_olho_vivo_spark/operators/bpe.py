@@ -355,9 +355,13 @@ def bpe_apply(
 
     def _encode_batches(batches):
         rk, t2i = bc.value
-        cache: dict[str, list] = {}
+        # the cache holds the MODE-FINAL value (joined string / id
+        # list), so a Zipf-hot word pays the join or id mapping once,
+        # not once per occurrence — the hot path the pinned throughput
+        # number depends on
+        cache: dict[str, object] = {}
 
-        def enc_word(word: str) -> list:
+        def enc_word(word: str):
             hit = cache.get(word)
             if hit is not None:
                 return hit
@@ -371,33 +375,24 @@ def bpe_apply(
                         a, b = syms[i], syms[i + 1]
                 if best_rank is None:
                     break
-                merged, res, i = a + b, [], 0
-                while i < len(syms):
-                    if (
-                        i + 1 < len(syms)
-                        and syms[i] == a
-                        and syms[i + 1] == b
-                    ):
-                        res.append(merged)
-                        i += 2
-                    else:
-                        res.append(syms[i])
-                        i += 1
-                syms = res
-            cache[word] = syms
-            return syms
+                # the ONE merge-pass definition — training and
+                # application must never diverge on overlap handling
+                syms = _merge_word(syms, a, b)
+            final = (
+                sep.join(syms)
+                if t2i is None
+                else [t2i.get(s, -1) for s in syms]
+            )
+            cache[word] = final
+            return final
 
         def enc_text(t):
             if t is None:
                 return None
             words = [w for w in ws.split(strip.sub("", t)) if w]
             if t2i is None:
-                return sep.join(
-                    sep.join(enc_word(w)) for w in words
-                )
-            return [
-                t2i.get(s, -1) for w in words for s in enc_word(w)
-            ]
+                return sep.join(enc_word(w) for w in words)
+            return [i for w in words for i in enc_word(w)]
 
         for pdf in batches:
             yield pdf.assign(**{out: pdf[text].map(enc_text)})

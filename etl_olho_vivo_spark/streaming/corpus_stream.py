@@ -306,9 +306,15 @@ def run_corpus_stream(
         }
         if unknown:
             raise ValueError(f"unknown gate(s): {sorted(unknown)}")
+        from pyspark.sql.types import LongType, StringType, StructType
+
+        probe_schema = (
+            StructType()
+            .add("doc_id", LongType())
+            .add(text, StringType())  # StructType: no DDL-escaping trap
+        )
         gate_documents(
-            spark.createDataFrame([], f"doc_id LONG, `{text}` STRING"),
-            text=text, **gates,
+            spark.createDataFrame([], probe_schema), text=text, **gates
         )
 
     def _admit(batch: DataFrame, batch_id: int) -> None:
