@@ -1,13 +1,17 @@
 #!/usr/bin/env python
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints TWO JSON lines — a full per-query detail line, then a compact
-headline summary as the LAST line (the driver's tail-capture keeps the
-end of stdout, so the parseable record must come last):
-    {"metric": "all_queries_detail", "queries": {...},
-     "queries_cold": {...}, "sf": <sf>}
+Prints THREE JSON lines, least valuable first — the driver's tail-capture
+keeps only the END of stdout, so anything that must survive goes LAST
+(BENCH_r{3,4} lost their headline and BENCH_r07 lost the entire WARM
+per-query dict — the engine's only round-over-round regression detector —
+to front-truncation):
+    {"metric": "all_queries_detail", "queries_cold": {...}, ...}   # may
+        lose its front; cold times are the sacrificial detail
+    {"metric": "warm_queries_detail", "queries": {...}, ...}       # warm
+        per-query dict, penultimate — survives any plausible tail window
     {"metric": "headline_total_wall", "value": <total sec>, "unit": "sec",
-     "queries": {<headline 7 only>}, "sf": <sf>}
+     "queries": {<headline 7 only>}, "sf": <sf>}                   # LAST
 
 The HEADLINE set is frozen (BASELINE comparability across rounds); newer
 registry queries are benchmarked too but only reported in "queries", not in
@@ -236,16 +240,27 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
-    # Full per-query dump first (diagnostic; large), then a COMPACT
-    # summary as the LAST line: the driver's tail-capture keeps only the
-    # end of stdout, so the parseable headline record must come last
-    # (BENCH_r{3,4}.json lost their headline to front-truncation).
+    # Three lines, least valuable first (module docstring): the cold
+    # detail line may lose its front to the driver's tail-capture; the
+    # warm per-query dict gets its OWN penultimate line so it survives
+    # whole (BENCH_r07 lost it entirely when it shared the first line).
     print(
         json.dumps(
             {
                 "metric": "all_queries_detail",
-                "queries": timings,
                 "queries_cold": cold,
+                "errors": errors,
+                "sf": sf,
+                "loadavg_start": [load1, load5, load15],
+            }
+        )
+    )
+    sys.stdout.flush()
+    print(
+        json.dumps(
+            {
+                "metric": "warm_queries_detail",
+                "queries": timings,
                 "errors": errors,
                 "sf": sf,
                 "loadavg_start": [load1, load5, load15],
