@@ -75,8 +75,9 @@ def dedup_lines(
       deserves it no more than the others).  ``min_count`` defaults to
       2 but is typically raised (e.g. 10) in this mode.
 
-    Scale shape — this is a corpus-granularity operator with two
-    irreducible line-hash-keyed exchanges plus the reassembly shuffle:
+    Scale shape — this is a corpus-granularity operator, and LINE TEXT
+    CROSSES EXACTLY ONE EXCHANGE (the final doc-level join); every
+    line-hash-keyed exchange carries only slim ``(lh, id, pos)`` rows:
     (1) per-hash occurrence stats come from a ``groupBy("lh")``
     AGGREGATE (count + min(struct(id, pos))), not a window — the
     window form serializes every occurrence of one hash into a single
@@ -84,17 +85,25 @@ def dedup_lines(
     corpus-wide dedup exists to catch ("Privacy Policy" across
     billions of pages) is precisely such a hot key; the aggregate
     absorbs hot keys map-side (partial aggregation) into ONE slim row
-    per hash.  (2) lines join back to that stats relation on ``lh`` —
-    a join, not a window, so AQE skew-split can further divide a hot
-    hash's probe partition; rows are slim (hash + id + pos, the line
-    text rides only the streamed side).  (3) surviving line positions
-    shuffle on the doc id for reassembly, where
-    ``array_sort(collect_list(struct(pos, line)))`` is bounded by a
-    single document's line count.  Empty lines are preserved as
-    document structure, not dedup'd (every blank line would otherwise
-    collapse corpus-wide into one) — and they BYPASS the line-hash
-    exchanges entirely: ``md5('')`` would be a guaranteed corpus-wide
-    hot key on web text (~10% blank lines).
+    per hash.  (2) the slim line keys join back to that stats relation
+    on ``lh`` — a join, not a window, so AQE skew-split can further
+    divide a hot hash's probe partition, and a hot hash concentrates
+    ~20-byte keys, never text.  (3) the rows marked DELETE collapse to
+    one ``(id, [pos...])`` list per affected document (bounded by the
+    document's own line count), and the original doc rows join that
+    relation on ``id`` — unique keys, so the one text-bearing exchange
+    is skew-free by construction — and are rebuilt in place with a
+    positional ``filter`` over ``split(text)``: O(L·|deleted|) per doc,
+    |deleted| ≪ L on real corpora because only duplicated lines carry
+    positions.  (The round-7 formulation shuffled full line text on
+    ``lh`` AND re-grouped it on ``id`` — two corpus-text exchanges with
+    a hot-key hazard; this shape was the advisor-prompted fix.)  Empty
+    lines are preserved as document structure, not dedup'd (every
+    blank line would otherwise collapse corpus-wide into one) — and
+    they BYPASS the line-hash exchanges entirely: ``md5('')`` would be
+    a guaranteed corpus-wide hot key on web text (~10% blank lines),
+    and since blanks never enter the hash relation they can never be
+    marked for deletion.
     """
     if mode not in ("keep_first", "drop_boilerplate"):
         raise ValueError(
@@ -107,18 +116,18 @@ def dedup_lines(
 
     # F.split takes a JAVA REGEX: escape the separator so "." or "|"
     # separators split literally (re.escape only escapes regex
-    # metacharacters — compatible with Java Pattern for those)
-    lines = docs.select(
+    # metacharacters — compatible with Java Pattern for those).
+    # Blank lines are excluded BEFORE hashing — they bypass every hash
+    # exchange and can never be deleted (see docstring) — and the line
+    # text is dropped in the same projection: only (id, pos, lh) ever
+    # shuffles on the line hash.
+    hashed = docs.select(
         id_col,
         F.posexplode(F.split(F.col(text), re.escape(sep), -1)).alias(
             "pos", "line"
         ),
-    )
-    # blanks are kept unconditionally — route them AROUND the hash
-    # exchanges so md5('') never becomes a hot key (see docstring)
-    blanks = lines.filter(F.col("line") == "")
-    hashed = lines.filter(F.col("line") != "").withColumn(
-        "lh", F.md5("line")
+    ).filter(F.col("line") != "").select(
+        id_col, "pos", F.md5("line").alias("lh")
     )
     # one slim row per distinct line hash: occurrence count + the
     # first (id, pos) — map-side partial aggregation flattens hot keys
@@ -126,46 +135,50 @@ def dedup_lines(
         F.count(F.lit(1)).alias("__lh_n__"),
         F.min(F.struct(id_col, "pos")).alias("__lh_first__"),
     )
-    # symmetric corpus-scaled joins (line stats, rebuilt docs) pinned
+    # symmetric corpus-scaled joins (line stats, deletion lists) pinned
     # merge, like drop_repeated_spans: AQE's runtime broadcast of a
     # corpus-scaled side dies under a starved driver (30× probe), while
     # sort-merge spills and keeps AQE's skew-split
     joined = hashed.join(stats.hint("merge"), "lh")
-    rare = F.col("__lh_n__") < F.lit(min_count)
+    frequent = F.col("__lh_n__") >= F.lit(min_count)
     if mode == "keep_first":
-        keep = rare | (
+        delete = frequent & ~(
             (F.col(id_col) == F.col(f"__lh_first__.{id_col}"))
             & (F.col("pos") == F.col("__lh_first__.pos"))
         )
     else:
-        keep = rare
-    survivors = (
-        joined.filter(keep)
-        .select(id_col, "pos", "line")
-        .unionByName(blanks)
+        delete = frequent
+    # one (id, [pos...]) row per document that loses at least one line
+    # — bounded by the doc's own line count, usually far smaller
+    del_pos = (
+        joined.filter(delete)
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("__del__"))
     )
-    rebuilt = survivors.groupBy(id_col).agg(
-        F.concat_ws(
-            sep,
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
+    # rebuild in place: positional filter over the re-split text keeps
+    # original order for free (no collect_list + array_sort pass) and
+    # costs O(L·|deleted|) per doc; docs with no deletions carry an
+    # empty list through the coalesce
+    out = (
+        docs.join(del_pos.hint("merge"), id_col, "left")
+        .withColumn(
+            "__del__",
+            F.coalesce("__del__", F.expr("CAST(array() AS ARRAY<INT>)")),
+        )
+        .withColumn(
+            text,
+            F.concat_ws(
+                sep,
+                F.filter(
+                    F.split(F.col(text), re.escape(sep), -1),
+                    lambda line, i: ~F.array_contains(F.col("__del__"), i),
+                ),
             ),
-        ).alias(text)
+        )
+        .drop("__del__")
     )
-    # re-attach every non-text column; with drop_empty_docs=False a doc
-    # whose every line was deleted has NO group above, so it must come
-    # back through an outer join with empty text, not from the groupBy
-    base = docs.drop(text)
     if drop_empty_docs:
-        out = base.join(
-            rebuilt.filter(F.length(F.col(text)) > 0).hint("merge"),
-            id_col,
-        )
-    else:
-        out = base.join(rebuilt.hint("merge"), id_col, "left").withColumn(
-            text, F.coalesce(F.col(text), F.lit(""))
-        )
+        out = out.filter(F.length(F.col(text)) > 0)
     return out.select(*docs.columns)
 
 

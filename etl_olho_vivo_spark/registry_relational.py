@@ -284,8 +284,15 @@ def q_bucketed_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # write (~2.3 s) as if it were the zero-Exchange READ path (~0.3 s)
     # it actually measures at serving time (round-6 verdict #3)
     # the catalog probe covers a session restarted within the process
-    # (new in-memory catalog, stale guard entry)
-    if tag not in _BUCKETED_BUILT or not spark.catalog.tableExists(t_orders):
+    # (new in-memory catalog, stale guard entry); BOTH tables are probed
+    # and the guard tag is only recorded after BOTH writes succeed — a
+    # failure between the two writes would otherwise leave a guard entry
+    # that skips the rebuild and fails every later read of t_li
+    if (
+        tag not in _BUCKETED_BUILT
+        or not spark.catalog.tableExists(t_orders)
+        or not spark.catalog.tableExists(t_li)
+    ):
         write_bucketed(
             read_table(spark, sf_dir, "orders").select(
                 "o_orderkey", "o_orderstatus"

@@ -347,7 +347,7 @@ def test_watermark_survives_mid_rename_crash(spark, emb, tmp_path):
     assert not os.path.exists(wm + ".bak")
 
 
-def test_served_recall_floor_vs_brute_force(spark, emb):
+def test_served_recall_floor_vs_brute_force(spark, emb, tmp_path):
     """End-to-end retrieval QUALITY of the persisted index: recall@10 of
     query_ivf_index against brute-force cosine over the sf0.01
     embeddings (unit-norm, so dot ranking == cosine ranking).  The
@@ -357,11 +357,9 @@ def test_served_recall_floor_vs_brute_force(spark, emb):
     recall far below these floors.  Measured on the deterministic
     k-means|| build: probe1 0.305, probe2 0.53, probe4 0.725, probe8
     (exhaustive) 1.0; floors leave margin for grid tweaks."""
-    import tempfile
-
     import numpy as np
 
-    path = tempfile.mkdtemp(prefix="ivf_recall_") + "/index"
+    path = str(tmp_path / "index")
     ann_index.build_ivf_index(emb, path, n_cells=8, use_kmeans=True)
     idx = ann_index.load_ivf_index(spark, path)
     vecs = {
