@@ -39,6 +39,11 @@ from pyspark.sql import functions as F
 #: '</w>' in their text should pre-clean.
 EOW = "</w>"
 
+#: per-partition word-cache bound for ``bpe_apply`` — ~256k entries of
+#: short token strings/id lists is tens of MB, well inside a Python
+#: worker; see the eviction note in ``_encode_batches``.
+_CACHE_CAP = 262_144
+
 
 def word_histogram(
     docs: DataFrame,
@@ -57,11 +62,15 @@ def word_histogram(
     """
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
+    # Strip the \x1f/\x1e marker chars EXACTLY like both application
+    # paths (bpe_segment_expr, bpe_apply) do — training and application
+    # must see identical word shapes, or a corpus containing these
+    # control chars trains on words ('a\x1fb') the tokenizer never
+    # produces ('ab').
+    clean = F.regexp_replace(F.col(text), F.lit("[\\x1f\\x1e]"), F.lit(""))
     words = docs.select(
         F.explode(
-            F.filter(
-                F.split(F.col(text), r"\s+"), lambda w: w != F.lit("")
-            )
+            F.filter(F.split(clean, r"\s+"), lambda w: w != F.lit(""))
         ).alias("word")
     )
     return (
@@ -207,15 +216,23 @@ def bpe_merges(
 
 
 def bpe_vocabulary(
-    histogram: list[tuple[str, int]] | DataFrame, n_merges: int = 1000
+    histogram: list[tuple[str, int]] | DataFrame,
+    n_merges: int = 1000,
+    merges: list[tuple[str, str]] | None = None,
 ) -> list[str]:
     """The token vocabulary implied by a merge list: base characters +
-    EOW + one token per merge, in deterministic order."""
+    EOW + one token per merge, in deterministic order.
+
+    Pass ``merges`` when the list is already trained (the corpus
+    pipeline trains once and derives both artifacts from it) —
+    otherwise it is re-trained here from the histogram, which for a
+    30k-merge production list repeats seconds of driver work."""
     if isinstance(histogram, DataFrame):
         histogram = [
             (r["word"], int(r["n"])) for r in histogram.collect()
         ]
-    merges = bpe_merges(histogram, n_merges)
+    if merges is None:
+        merges = bpe_merges(histogram, n_merges)
     chars = sorted({c for w, _ in histogram for c in w})
     return chars + [EOW] + [a + b for a, b in merges]
 
@@ -279,6 +296,8 @@ def bpe_apply(
     sep: str = " ",
     emit: str = "tokens",
     vocab: list[str] | None = None,
+    ids_out: str = "bpe_ids",
+    cache_cap: int = _CACHE_CAP,
 ) -> DataFrame:
     """Tokenize a corpus with a trained merge list of ARBITRARY size —
     the production hand-off from ``bpe_merges`` (30k+ merges) that
@@ -289,10 +308,14 @@ def bpe_apply(
     tests/test_bpe.py); with ``emit="ids"`` an ``array<int>`` of token
     ids under the supplied ``vocab`` (pass ``bpe_vocabulary(...)`` —
     the id space is the model's input contract and must be pinned
-    explicitly, never re-derived per run).  A token outside the
-    vocabulary (a character the training histogram never saw) maps to
-    ``-1`` — filter or extend the vocabulary upstream; silently
-    skipping would desynchronize ids from text.
+    explicitly, never re-derived per run); with ``emit="both"`` BOTH
+    columns (``out`` and ``ids_out``) from ONE tokenization pass —
+    the corpus pipeline's mode, since a second ``mapInPandas`` pass
+    would re-tokenize the whole corpus to derive what is already in
+    hand.  A token outside the vocabulary (a character the training
+    histogram never saw) maps to ``-1`` — filter or extend the
+    vocabulary upstream; silently skipping would desynchronize ids
+    from text.
 
     Algorithm (GPT-2 style): a word starts as its characters + EOW;
     repeatedly merge the present pair with the LOWEST training rank,
@@ -324,26 +347,33 @@ def bpe_apply(
 
     if out in docs.columns:
         raise ValueError(f"output column {out!r} already exists")
-    if emit not in ("tokens", "ids"):
-        raise ValueError(f"emit must be tokens|ids, got {emit!r}")
-    if emit == "ids" and vocab is None:
+    if emit not in ("tokens", "ids", "both"):
+        raise ValueError(f"emit must be tokens|ids|both, got {emit!r}")
+    if emit in ("ids", "both") and vocab is None:
         raise ValueError(
-            "emit='ids' needs an explicit vocab (bpe_vocabulary(...)) — "
-            "the id space is the model's input contract"
+            f"emit={emit!r} needs an explicit vocab (bpe_vocabulary(...))"
+            " — the id space is the model's input contract"
         )
+    if emit == "both" and ids_out in docs.columns:
+        raise ValueError(f"output column {ids_out!r} already exists")
     ranks: dict[tuple[str, str], int] = {
         (a, b): i for i, (a, b) in enumerate(merges)
     }
-    tok2id = (
-        {t: i for i, t in enumerate(vocab)} if emit == "ids" else None
+    tok2id = {t: i for i, t in enumerate(vocab)} if vocab else None
+    if emit == "tokens":
+        tok2id = None  # tokens mode never consults a vocab
+    bc = docs.sparkSession.sparkContext.broadcast((ranks, tok2id, emit))
+    extra = (
+        [StructField(out, StringType()), StructField(ids_out, ArrayType(IntegerType()))]
+        if emit == "both"
+        else [
+            StructField(
+                out,
+                ArrayType(IntegerType()) if emit == "ids" else StringType(),
+            )
+        ]
     )
-    bc = docs.sparkSession.sparkContext.broadcast((ranks, tok2id))
-    out_type = (
-        ArrayType(IntegerType()) if emit == "ids" else StringType()
-    )
-    schema = StructType(
-        list(docs.schema.fields) + [StructField(out, out_type)]
-    )
+    schema = StructType(list(docs.schema.fields) + extra)
     # Java regex \s (used by word_histogram and bpe_segment_expr) is the
     # ASCII class [ \t\n\x0B\f\r]; Python's \s is Unicode-aware and
     # would ALSO split on U+00A0/U+2028/\x1c-\x1f, silently tokenizing
@@ -354,11 +384,18 @@ def bpe_apply(
     strip = re.compile("[\x1f\x1e]")
 
     def _encode_batches(batches):
-        rk, t2i = bc.value
+        rk, t2i, mode = bc.value
         # the cache holds the MODE-FINAL value (joined string / id
         # list), so a Zipf-hot word pays the join or id mapping once,
         # not once per occurrence — the hot path the pinned throughput
-        # number depends on
+        # number depends on.  BOUNDED: a partition dominated by
+        # high-cardinality words (hashes, numbers, typo soup) would
+        # otherwise grow the dict without limit and OOM the Python
+        # worker; on overflow the whole cache is dropped — Zipf refills
+        # the hot head within a few thousand words, so the hit rate is
+        # preserved while memory stays capped (epoch eviction beats
+        # stop-inserting, which would freeze a cold first-seen set, and
+        # costs no per-hit bookkeeping like an LRU).
         cache: dict[str, object] = {}
 
         def enc_word(word: str):
@@ -378,11 +415,14 @@ def bpe_apply(
                 # the ONE merge-pass definition — training and
                 # application must never diverge on overlap handling
                 syms = _merge_word(syms, a, b)
-            final = (
-                sep.join(syms)
-                if t2i is None
-                else [t2i.get(s, -1) for s in syms]
-            )
+            if mode == "tokens":
+                final = sep.join(syms)
+            elif mode == "ids":
+                final = [t2i.get(s, -1) for s in syms]
+            else:  # both — one cache entry carries the pair
+                final = (sep.join(syms), [t2i.get(s, -1) for s in syms])
+            if len(cache) >= cache_cap:
+                cache.clear()
             cache[word] = final
             return final
 
@@ -390,11 +430,26 @@ def bpe_apply(
             if t is None:
                 return None
             words = [w for w in ws.split(strip.sub("", t)) if w]
-            if t2i is None:
+            if mode == "tokens":
                 return sep.join(enc_word(w) for w in words)
-            return [i for w in words for i in enc_word(w)]
+            if mode == "ids":
+                return [i for w in words for i in enc_word(w)]
+            enc = [enc_word(w) for w in words]
+            return (
+                sep.join(e[0] for e in enc),
+                [i for e in enc for i in e[1]],
+            )
 
         for pdf in batches:
-            yield pdf.assign(**{out: pdf[text].map(enc_text)})
+            if mode != "both":
+                yield pdf.assign(**{out: pdf[text].map(enc_text)})
+                continue
+            pairs = pdf[text].map(enc_text)
+            yield pdf.assign(
+                **{
+                    out: pairs.map(lambda p: None if p is None else p[0]),
+                    ids_out: pairs.map(lambda p: None if p is None else p[1]),
+                }
+            )
 
     return docs.mapInPandas(_encode_batches, schema)

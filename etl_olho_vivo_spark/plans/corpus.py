@@ -375,24 +375,38 @@ def run_corpus(
             # the tokenization hand-off, end-to-end: train the merge
             # list on the SURVIVING corpus (one histogram scan + the
             # driver-side merge loop, operators/bpe.py), apply it with
-            # the production mapInPandas tokenizer, and persist the
-            # merge list beside the corpus — training data without its
-            # tokenizer is not reproducible
+            # the production mapInPandas tokenizer, and persist BOTH
+            # artifacts beside the corpus — the merge list (how to
+            # segment) and the id vocabulary (what the ids mean):
+            # training data without its tokenizer is not reproducible,
+            # and emitted ids without their vocabulary are opaque
             from etl_olho_vivo_spark.operators import bpe as bpeops
 
-            merges = bpeops.bpe_merges(
-                bpeops.word_histogram(kept.select("text")),
-                n_merges=bpe_tokenize,
-            )
+            hist = [
+                (r["word"], int(r["n"]))
+                for r in bpeops.word_histogram(
+                    kept.select("text")
+                ).collect()
+            ]
+            merges = bpeops.bpe_merges(hist, n_merges=bpe_tokenize)
+            vocab = bpeops.bpe_vocabulary(hist, merges=merges)
             stats["bpe_merges"] = len(merges)
+            stats["bpe_vocab"] = len(vocab)
             spark.createDataFrame(
                 [(i, a, b) for i, (a, b) in enumerate(merges)],
                 "rank INT, left STRING, right STRING",
             ).coalesce(1).write.mode("overwrite").parquet(
                 out_dir + "_bpe_merges"
             )
-            kept = bpeops.bpe_apply(kept, merges)
-            out_cols.append("bpe_tokens")
+            spark.createDataFrame(
+                list(enumerate(vocab)), "id INT, token STRING"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                out_dir + "_bpe_vocab"
+            )
+            # ONE tokenization pass emits the human-auditable token
+            # stream AND the model-input ids under the persisted vocab
+            kept = bpeops.bpe_apply(kept, merges, emit="both", vocab=vocab)
+            out_cols.extend(["bpe_tokens", "bpe_ids"])
 
         # plain overwrite (NOT dynamic partition overwrite): this is a
         # full corpus rebuild, and dynamic mode would leave a stale

@@ -239,6 +239,91 @@ def test_bpe_apply_emits_token_ids(spark):
         bpe.bpe_apply(docs, merges, emit="bytes")
 
 
+def test_bpe_apply_both_matches_single_modes(spark):
+    """emit='both' is ONE tokenization pass emitting the token stream
+    AND the id array; its two columns must equal the single-mode
+    outputs exactly (the corpus pipeline relies on this to avoid a
+    second full-corpus pass), including NULL text propagating to both
+    and the precomputed-merges vocabulary shortcut matching the
+    retrained one."""
+    merges = bpe.bpe_merges(SENNRICH, n_merges=50)
+    vocab = bpe.bpe_vocabulary(SENNRICH, merges=merges)
+    assert vocab == bpe.bpe_vocabulary(SENNRICH, n_merges=50)
+    docs = spark.createDataFrame(
+        [(1, "low newest"), (2, "zap low"), (3, None)],
+        "doc_id long, text string",
+    )
+    both = {
+        r["doc_id"]: (r["bpe_tokens"], r["bpe_ids"])
+        for r in bpe.bpe_apply(
+            docs, merges, emit="both", vocab=vocab
+        ).collect()
+    }
+    toks = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe.bpe_apply(docs, merges).collect()
+    }
+    ids = {
+        r["doc_id"]: r["ids"]
+        for r in bpe.bpe_apply(
+            docs, merges, emit="ids", vocab=vocab, out="ids"
+        ).collect()
+    }
+    assert both == {k: (toks[k], ids[k]) for k in toks}
+    assert both[3] == (None, None)
+    with pytest.raises(ValueError, match="vocab"):
+        bpe.bpe_apply(docs, merges, emit="both")
+    with pytest.raises(ValueError, match="already exists"):
+        bpe.bpe_apply(
+            docs.withColumn("bpe_ids", F.lit(1)),
+            merges,
+            emit="both",
+            vocab=vocab,
+        )
+
+
+def test_word_histogram_strips_marker_chars(spark):
+    """Train/apply parity on the \\x1f/\\x1e marker chars: the histogram
+    must count the SAME word shapes the application paths tokenize —
+    'a\\x1fb' is one word to a naive split but both appliers strip the
+    markers and see 'ab', so training must too (round-7 advice)."""
+    docs = spark.createDataFrame(
+        [(1, "a\x1fb a\x1eb ab"), (2, "ab ab")], ["doc_id", "text"]
+    )
+    rows = [(r["word"], r["n"]) for r in bpe.word_histogram(docs).collect()]
+    assert rows == [("ab", 5)]
+    # and the trained merges apply cleanly to the same dirty text —
+    # every word tokenizes to the single trained symbol 'ab</w>'
+    merges = bpe.bpe_merges(rows, n_merges=2)
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe.bpe_apply(docs, merges).collect()
+    }
+    assert got == {1: "ab</w> ab</w> ab</w>", 2: "ab</w> ab</w>"}
+
+
+def test_bpe_apply_cache_eviction_is_output_invariant(spark):
+    """The per-partition word cache is BOUNDED (round-7 advice: a
+    high-cardinality partition would otherwise OOM the Python worker);
+    eviction must never change the emitted tokens.  Run with a cap of 2
+    so every few words trigger a full eviction cycle, compare against
+    the default-cap output."""
+    merges = bpe.bpe_merges(SENNRICH, n_merges=20)
+    texts = [
+        (i, f"low lowest w{i} newest w{i + 1} wider low") for i in range(40)
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"]).coalesce(1)
+    baseline = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe.bpe_apply(docs, merges).collect()
+    }
+    capped = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe.bpe_apply(docs, merges, cache_cap=2).collect()
+    }
+    assert capped == baseline
+
+
 def test_fast_merges_match_reference_spec():
     """The incremental heap/index trainer must produce EXACTLY the
     reference loop's merge list — counts, non-overlap pass semantics,

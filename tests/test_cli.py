@@ -141,10 +141,13 @@ def test_corpus_lm_gate(spark, tmp_path, capsys):
 
 def test_corpus_bpe_tokenize_stage(spark, tmp_path, capsys):
     """--bpe-tokenize trains on the surviving corpus, tokenizes it with
-    the mapInPandas path, and ships the merge list beside the data;
-    the written tokens must equal the ≤512-merge expression path
-    re-applied from the persisted sidecar (train→persist→apply closes
-    consistently)."""
+    the mapInPandas path, and ships the merge list AND id vocabulary
+    beside the data; the written tokens must equal the ≤512-merge
+    expression path re-applied from the persisted sidecar
+    (train→persist→apply closes consistently), and the written ids
+    must decode through the persisted vocabulary back to the written
+    tokens (ids without their vocabulary are opaque — the decode
+    round-trip proves the two sidecars and the data agree)."""
     from pyspark.sql import functions as F
 
     from etl_olho_vivo_spark.operators import bpe
@@ -159,12 +162,36 @@ def test_corpus_bpe_tokenize_stage(spark, tmp_path, capsys):
     side = spark.read.parquet(out + "_bpe_merges").orderBy("rank").collect()
     merges = [(r["left"], r["right"]) for r in side]
     assert len(merges) == stats["bpe_merges"]
+    vocab_rows = spark.read.parquet(out + "_bpe_vocab").orderBy("id").collect()
+    vocab = [r["token"] for r in vocab_rows]
+    assert [r["id"] for r in vocab_rows] == list(range(len(vocab)))
+    assert stats["bpe_vocab"] == len(vocab)
+    # merged tokens appear in the vocabulary exactly once each
+    assert vocab[-len(merges):] == [a + b for a, b in merges]
     corpus = spark.read.parquet(out)
     assert corpus.filter(F.col("bpe_tokens").isNull()).count() == 0
     mismatches = corpus.withColumn(
         "expected", bpe.bpe_segment_expr(merges)
     ).filter(F.col("bpe_tokens") != F.col("expected")).count()
     assert mismatches == 0
+    # ids ↔ tokens round-trip under the persisted vocabulary: no id is
+    # out-of-vocabulary, and decoding reproduces the token stream
+    decoded = corpus.withColumn(
+        "decoded",
+        F.array_join(
+            F.transform(
+                "bpe_ids",
+                lambda i: F.element_at(
+                    F.lit(vocab), i + F.lit(1)  # element_at is 1-based
+                ),
+            ),
+            " ",
+        ),
+    )
+    assert decoded.filter(F.array_contains("bpe_ids", -1)).count() == 0
+    assert decoded.filter(
+        F.col("decoded") != F.col("bpe_tokens")
+    ).count() == 0
 
 
 def test_corpus_split_and_shuffled_export(spark, tmp_path, capsys):
