@@ -298,3 +298,26 @@ def test_lm_scorer_joins_and_aggregates_only(spark):
                 "Window"):
         assert bad not in final, final[:3000]
     assert "HashAggregate" in final
+
+
+def test_editdist_band_join_is_banded_and_pruned(spark):
+    """The length-band escape's three load-bearing plan facts: (1) the
+    SMJ keys include the band column (the quadratic split is IN the
+    shuffle key, not a post-join filter); (2) the DP is the 3-arg
+    threshold-banded levenshtein (O(len·T), and the |len diff| prune
+    sits beside it in the join condition so non-candidates never touch
+    a DP cell); (3) corpus never broadcast, exchange pinned by number
+    (AQE must not coalesce the compute-bound stage)."""
+    df = registry.REGISTRY["doc_editdist_near_dup"].fn(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in final, final[:3000]
+    assert "BroadcastHashJoin" not in final
+    assert "REPARTITION_BY_NUM" in final
+    join_line = next(
+        line for line in final.splitlines() if "SortMergeJoin" in line
+    )
+    assert "levenshtein" in join_line and "Some(60)" in join_line, join_line
+    assert "abs(" in join_line, join_line
+    assert "band" in join_line, join_line  # band is a JOIN KEY
