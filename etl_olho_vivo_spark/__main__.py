@@ -114,10 +114,17 @@ def _build_parser() -> argparse.ArgumentParser:
         "for --lm-max-entropy; defaults to self-training",
     )
     cor.add_argument(
+        "--lm-order", type=int, default=2, metavar="N",
+        help="n-gram order for the --lm-max-entropy gate (default 2; "
+        "CCNet uses 5) — higher orders sharpen the gibberish/boilerplate "
+        "separation at the cost of larger count relations",
+    )
+    cor.add_argument(
         "--bpe-tokenize", type=int, default=None, metavar="N_MERGES",
         help="train an N-merge BPE vocabulary on the surviving corpus, "
-        "apply it (bpe_tokens column), and persist the merge list at "
-        "<out>_bpe_merges",
+        "apply it (bpe_tokens + integer bpe_ids columns), and persist "
+        "the merge list at <out>_bpe_merges and the id vocabulary at "
+        "<out>_bpe_vocab",
     )
     cor.add_argument(
         "--c4", action="store_true",
@@ -399,6 +406,7 @@ def main(argv: list[str] | None = None) -> int:
             bpe_tokenize=args.bpe_tokenize,
             lm_max_entropy=args.lm_max_entropy,
             lm_ref_dir=args.lm_ref,
+            lm_order=args.lm_order,
             dedup_resolution=args.resolution,
             splits=splits,
             split_seed=args.split_seed,

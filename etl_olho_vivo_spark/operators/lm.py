@@ -5,10 +5,15 @@ CCNet (Wenzek et al. 2019) ranks crawl documents by the perplexity of a
 KenLM 5-gram model trained on a trusted corpus and keeps the head/middle
 buckets; the same shape filters gibberish, boilerplate soup, and
 non-linguistic text that per-row heuristics (quality_score) miss.  This
-module implements the distributed statistics core with an add-k-smoothed
-BIGRAM model — the order is a dial, not a design change (a production
-deployment would raise it or plug a trained KenLM binary into a
-mapInPandas scorer, the same posture as the multimodal codec).
+module implements the distributed statistics core with add-k smoothing
+at ANY order: the original BIGRAM pair (``bigram_counts`` /
+``cross_entropy_scores``, kept verbatim — their column contract is
+load-bearing for the registry oracle) and the order-n generalization
+(``ngram_counts`` / ``ngram_cross_entropy_scores``) whose context keys
+are the shared rolling hash, so a 5-gram CCNet-shaped gate runs under
+the same DuckDB oracle.  A production deployment could still plug a
+trained KenLM binary into a mapInPandas scorer, the same posture as
+the multimodal codec.
 
 Two phases, both bounded:
 
@@ -168,5 +173,168 @@ def cross_entropy_scores(
     )
     return joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-F.avg("ll"), round_dp).alias("cross_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-n generalization — the "order is a dial" claim above, executable.
+#
+# The context of an n-gram is its first n-1 tokens, identified by the
+# rolling hash `ngram_hash_expr` (functions/hashing.py) folded over the
+# n-1 token hashes — one slim BIGINT key per context, bit-identical in
+# DuckDB, so arbitrary-order models stay under the oracle.  At order 2
+# the fold of a single hash is the hash itself, and the whole path
+# reduces EXACTLY to the bigram relations above (parity-pinned in
+# tests/test_lm.py) — kept as separate named functions because the
+# (w1h, w2h) column contract of the bigram path is load-bearing for the
+# existing registry oracle.
+# ---------------------------------------------------------------------------
+
+
+def _doc_windows(
+    docs: DataFrame, id_col: str, text: str, width: int, with_next: bool
+) -> DataFrame:
+    """Slim per-document sliding windows over the token-hash array.
+
+    ``with_next=False``: one row per ``width``-token window — (id, ctx_h).
+    ``with_next=True``: one row per (window, following token) —
+    (id, ctx_h, w_h); the n-gram rows of an order ``width+1`` model.
+
+    ``posexplode_outer`` for the InferFiltersFromGenerate reason
+    documented in decontam.py.
+    """
+    need = width + (1 if with_next else 0)
+    from etl_olho_vivo_spark.functions.hashing import ngram_hash_expr
+
+    ctx = ngram_hash_expr([f"wh[i + {j}]" for j in range(width)])
+    if with_next:
+        struct = f"struct({ctx} AS ctx_h, wh[i + {width}] AS w_h)"
+        empty = "CAST(array() AS ARRAY<STRUCT<ctx_h: BIGINT, w_h: BIGINT>>)"
+    else:
+        struct = f"struct({ctx} AS ctx_h)"
+        empty = "CAST(array() AS ARRAY<STRUCT<ctx_h: BIGINT>>)"
+    grams = (
+        f"CASE WHEN size(wh) >= {need} THEN "
+        f"transform(sequence(0, size(wh) - {need}), i -> {struct}) "
+        f"ELSE {empty} END"
+    )
+    cols = [id_col, "g.ctx_h"] + (["g.w_h"] if with_next else [])
+    return (
+        with_token_hashes(docs.select(id_col, text), text)
+        .withColumn("__g__", F.expr(grams))
+        .select(id_col, F.posexplode_outer("__g__").alias("__i__", "g"))
+        .filter(F.col("g").isNotNull())
+        .select(*cols)
+    )
+
+
+def ngram_counts(
+    ref_docs: DataFrame,
+    *,
+    order: int = 2,
+    text: str = "text",
+    top_k: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(context, ngram, unigram) count relations for an order-n model.
+
+    context: (ctx_h, c_n) — every (n-1)-token window, INCLUDING those at
+    document end with no following token (mirrors the bigram path, whose
+    denominators count all unigram occurrences); ngram: (ctx_h, w_h,
+    g_n); unigram: (w1h, u_n) — the vocabulary relation whose row count
+    is the smoothing V.  Each truncated to its ``top_k`` most frequent
+    entries (deterministic hash tiebreak) so the model is bounded
+    regardless of corpus size; at order 2 the context relation IS the
+    unigram relation (one scan, aliased — not recomputed).
+    """
+    if order < 2:
+        raise ValueError(f"order must be >= 2, got {order}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    ref = ref_docs.select(text).withColumn("__rid__", F.lit(0))
+    uni = (
+        with_token_hashes(ref_docs.select(text), text)
+        .select(F.explode_outer("wh").alias("w1h"))
+        .filter(F.col("w1h").isNotNull())
+        .groupBy("w1h")
+        .agg(F.count(F.lit(1)).alias("u_n"))
+        .orderBy(F.desc("u_n"), "w1h")
+        .limit(top_k)
+    )
+    if order == 2:
+        ctx = uni.select(
+            F.col("w1h").alias("ctx_h"), F.col("u_n").alias("c_n")
+        )
+    else:
+        ctx = (
+            _doc_windows(ref, "__rid__", text, order - 1, False)
+            .groupBy("ctx_h")
+            .agg(F.count(F.lit(1)).alias("c_n"))
+            .orderBy(F.desc("c_n"), "ctx_h")
+            .limit(top_k)
+        )
+    ng = (
+        _doc_windows(ref, "__rid__", text, order - 1, True)
+        .groupBy("ctx_h", "w_h")
+        .agg(F.count(F.lit(1)).alias("g_n"))
+        .orderBy(F.desc("g_n"), "ctx_h", "w_h")
+        .limit(top_k)
+    )
+    return ctx, ng, uni
+
+
+def ngram_cross_entropy_scores(
+    docs: DataFrame,
+    context: DataFrame,
+    ngram: DataFrame,
+    unigram: DataFrame,
+    *,
+    order: int = 2,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k_smooth: float = 0.5,
+    round_dp: int = 6,
+    caches: "CacheBag | None" = None,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood (nats) under the add-k
+    order-n model — ``(id, n_ngrams, cross_entropy)``:
+
+        H(doc) = -(1/m) Σ log (G(ctx, w) + k) / (C(ctx) + k·V)
+
+    with V the unigram-relation row count.  Documents with fewer than
+    ``order`` tokens have no n-grams and are omitted (no evidence
+    either way — same contract as the bigram scorer).  Scale shape
+    identical to the bigram path: slim hash-keyed rows, aggregate-first
+    joins (broadcastable when the count relations fit, shuffle
+    otherwise), one partial-aggregated rollup per document.
+    """
+    if order < 2:
+        raise ValueError(f"order must be >= 2, got {order}")
+    if k_smooth <= 0:
+        raise ValueError(f"k_smooth must be > 0, got {k_smooth}")
+    if caches is not None:
+        context = caches.add(context)
+        ngram = caches.add(ngram)
+        unigram = caches.add(unigram)
+    v = unigram.count()  # smoothing V — one scalar, bounded by top_k
+    bg = _doc_windows(docs.select(id_col, text), id_col, text, order - 1, True)
+    joined = (
+        bg.join(ngram, ["ctx_h", "w_h"], "left")
+        .join(context, "ctx_h", "left")
+        .select(
+            id_col,
+            (
+                F.log(
+                    (F.coalesce(F.col("g_n"), F.lit(0)) + F.lit(k_smooth))
+                    / (
+                        F.coalesce(F.col("c_n"), F.lit(0))
+                        + F.lit(k_smooth) * F.lit(v)
+                    )
+                )
+            ).alias("ll"),
+        )
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
         F.round(-F.avg("ll"), round_dp).alias("cross_entropy"),
     )

@@ -130,6 +130,7 @@ def run_corpus(
     bpe_tokenize: int | None = None,
     lm_max_entropy: float | None = None,
     lm_ref_dir: str | None = None,
+    lm_order: int = 2,
 ) -> dict[str, int]:
     """Documents table → cleaned corpus parquet.  Returns per-stage counts.
 
@@ -158,6 +159,9 @@ def run_corpus(
         raise ValueError(
             f"bpe_tokenize must be >= 1, got {bpe_tokenize}"
         )
+    if lm_order < 2:
+        # same rule — the LM gate runs mid-pipeline, after dedup
+        raise ValueError(f"lm_order must be >= 2, got {lm_order}")
     d = read_table(spark, sf_dir, "documents")
     if redact_pii:
         d = d.withColumn("text", textops.redact("text"))
@@ -245,14 +249,15 @@ def run_corpus(
 
         if lm_max_entropy is not None:
             # CCNet-style LM gate (operators/lm.py, Wenzek et al. 2019):
-            # score each survivor's bigram cross-entropy under a model
-            # trained on --lm-ref (a trusted corpus) or, by default, the
-            # survivors themselves, and keep docs at or under the
-            # ABSOLUTE threshold (a fixed threshold keeps the selection
-            # deterministic where a quantile cut via approx_percentile
-            # would be partition-order-sensitive; compute the quantile
-            # offline and pass it here).  Docs without bigrams (< 2
-            # tokens) carry no entropy EVIDENCE and pass through — a
+            # score each survivor's order-``lm_order`` cross-entropy
+            # under a model trained on --lm-ref (a trusted corpus) or,
+            # by default, the survivors themselves, and keep docs at or
+            # under the ABSOLUTE threshold (a fixed threshold keeps the
+            # selection deterministic where a quantile cut via
+            # approx_percentile would be partition-order-sensitive;
+            # compute the quantile offline and pass it here).  Docs
+            # with fewer than ``lm_order`` tokens have no n-grams,
+            # carry no entropy EVIDENCE, and pass through — a
             # no-evidence doc failing the gate would silently delete
             # every one-token survivor under --min-tokens 1 regardless
             # of threshold; length policy belongs to min_tokens.
@@ -263,10 +268,10 @@ def run_corpus(
                 if lm_ref_dir is not None
                 else kept.select("text")
             )
-            uni, big = lmops.bigram_counts(ref)
-            failing = lmops.cross_entropy_scores(
-                kept.select("doc_id", "text"), uni, big,
-                caches=stage_caches,
+            ctx, ng, uni = lmops.ngram_counts(ref, order=lm_order)
+            failing = lmops.ngram_cross_entropy_scores(
+                kept.select("doc_id", "text"), ctx, ng, uni,
+                order=lm_order, caches=stage_caches,
             ).filter(F.col("cross_entropy") > lm_max_entropy).select(
                 "doc_id"
             )

@@ -780,3 +780,64 @@ FROM documents
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return multimodal.decode_media(multimodal.attach_media(d))
+
+_D_CTX2 = ngram_hash_expr(["wh[i+1]", "wh[i+2]"])
+
+@register(
+    "doc_trigram_cross_entropy",
+    f"""
+WITH w AS (SELECT doc_id, {_D_WH} AS wh FROM documents),
+uni AS (
+  SELECT w1h, count(*) AS u_n
+  FROM (SELECT unnest(wh) AS w1h FROM w) GROUP BY w1h
+),
+v AS (SELECT count(*) AS v FROM uni),
+ctx AS (
+  SELECT ctx_h, count(*) AS c_n
+  FROM (SELECT unnest(list_transform(range(0, len(wh) - 1),
+                                     i -> {_D_CTX2})) AS ctx_h
+        FROM w WHERE len(wh) >= 2)
+  GROUP BY ctx_h
+),
+occ AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(wh) - 2), i -> {_D_CTX2})) AS ctx_h,
+         unnest(list_transform(range(0, len(wh) - 2), i -> wh[i+3])) AS w_h
+  FROM w WHERE len(wh) >= 3
+),
+tri AS (SELECT ctx_h, w_h, count(*) AS g_n FROM occ GROUP BY ctx_h, w_h),
+sc AS (
+  SELECT o.doc_id,
+         ln((coalesce(t.g_n, 0) + 0.5)
+            / (coalesce(c.c_n, 0) + 0.5 * v.v)) AS ll
+  FROM occ o
+  LEFT JOIN tri t ON o.ctx_h = t.ctx_h AND o.w_h = t.w_h
+  LEFT JOIN ctx c ON o.ctx_h = c.ctx_h
+  CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+       round(-avg(ll), 6) AS cross_entropy
+FROM sc GROUP BY doc_id
+""",
+    doc="The order-n LM gate, executable past the bigram demo: per-doc "
+    "cross-entropy under an add-k TRIGRAM model via the general "
+    "ngram_counts/ngram_cross_entropy_scores path (operators/lm.py).  "
+    "Context identity is the shared rolling hash over the two leading "
+    "token hashes (functions/hashing.ngram_hash_expr — one formula, "
+    "both engines), so arbitrary-order models stay under the oracle; "
+    "the context denominator counts ALL (n-1)-token windows including "
+    "document-final ones, mirroring the bigram path's all-occurrences "
+    "unigram denominator.  V is the unigram vocabulary.  driver=False: "
+    "the 50-row window is full — parity runs in the local oracle suite "
+    "(tests/test_lm.py), and the query stays benchmarked.",
+    driver=False,
+)
+def q_doc_trigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_olho_vivo_spark.caching import SESSION_BAG
+    from etl_olho_vivo_spark.operators import lm
+
+    d = read_table(spark, sf_dir, "documents")
+    ctx, ng, uni = lm.ngram_counts(d, order=3)
+    return lm.ngram_cross_entropy_scores(
+        d, ctx, ng, uni, order=3, caches=SESSION_BAG
+    )

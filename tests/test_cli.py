@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from etl_olho_vivo_spark.__main__ import main
 
 
@@ -129,14 +131,19 @@ def test_corpus_lm_gate(spark, tmp_path, capsys):
     ]) == 0
     stats1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats1["lm_filter"] == 1
-    # external reference: gibberish reference makes real docs score high
+    # external reference: gibberish reference makes real docs score high;
+    # --lm-order 3 exercises the order-n path end-to-end through the CLI
     ref = str(tmp_path / "ref")
     spark.createDataFrame(
         [("zzz qqq www rrr ttt yyy",)], "text string"
     ).write.parquet(ref)
-    assert main(base + ["--lm-max-entropy", "1e9", "--lm-ref", ref]) == 0
+    assert main(base + ["--lm-max-entropy", "1e9", "--lm-ref", ref,
+                        "--lm-order", "3"]) == 0
     statsr = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert statsr["lm_filter"] == statsr["quality"]
+    # invalid order dies before any work (validate-before-work rule)
+    with pytest.raises(ValueError, match="lm_order"):
+        main(base + ["--lm-max-entropy", "1e9", "--lm-order", "1"])
 
 
 def test_corpus_bpe_tokenize_stage(spark, tmp_path, capsys):

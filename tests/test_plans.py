@@ -285,12 +285,16 @@ def test_corpus_dedup_joins_never_broadcast(spark, name):
     assert "Window" not in final
 
 
-def test_lm_scorer_joins_and_aggregates_only(spark):
-    """The LM scorer is count aggregates + slim hash-keyed joins; its
-    bounded count relations MAY broadcast (top-k-bounded by
-    construction), but no cartesian product or Python may appear and
-    the per-doc rollup must be a partial-aggregated hash aggregate."""
-    df = registry.REGISTRY["doc_bigram_cross_entropy"].fn(spark, SF)
+@pytest.mark.parametrize(
+    "name", ["doc_bigram_cross_entropy", "doc_trigram_cross_entropy"]
+)
+def test_lm_scorer_joins_and_aggregates_only(spark, name):
+    """The LM scorer (bigram demo AND the order-n generalization) is
+    count aggregates + slim hash-keyed joins; its bounded count
+    relations MAY broadcast (top-k-bounded by construction), but no
+    cartesian product or Python may appear and the per-doc rollup must
+    be a partial-aggregated hash aggregate."""
+    df = registry.REGISTRY[name].fn(spark, SF)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
