@@ -27,6 +27,69 @@ def test_scale_tier_emits_complete_ratio_line(spark, capsys, monkeypatch):
         assert rec["ratio"] is not None
 
 
+def test_warm_lines_survive_2000_char_tail_capture():
+    """The driver keeps only the LAST 2000 chars of bench stdout
+    (len(tail)==2000 in BENCH_r07/r08) and a straddled JSON line is
+    wholly unparseable.  Every warm per-query time must be recoverable
+    from that window: parts 1..k + the headline line must fit whole, and
+    the straddler (if any) must be part 0, whose keys the headline
+    line's "queries" dict duplicates.  Simulated with the real round-8
+    registry names + headroom for several future registrations."""
+    import bench
+
+    names = [
+        "velocidades_agregadas", "lentidao", "acessiveis", "lag_window",
+        "interval_30min", "haversine_pairs", "flatten_roundtrip",
+    ] + [f"operator_query_{i:02d}" for i in range(52)]
+    timings = {n: round(0.5 + i * 0.01, 3) for i, n in enumerate(names)}
+    load = [1.1, 1.2, 1.3]
+    lines = bench._warm_lines(timings, "0.1", load)
+    for ln in lines:
+        assert len(ln) <= bench.WARM_CHUNK_CHARS, len(ln)
+    headline = json.dumps({
+        "metric": "headline_total_wall", "value": 3.7, "unit": "sec",
+        "queries": {n: timings[n] for n in bench.HEADLINE},
+        "sf": "0.1", "loadavg_start": load,
+    })
+    stream = "\n".join(["x" * 5000] + lines + [headline]) + "\n"
+    recovered: dict[str, float] = {}
+    for ln in stream[-2000:].splitlines():
+        try:
+            d = json.loads(ln)
+        except ValueError:
+            continue
+        recovered.update(d.get("queries", {}))
+    assert recovered == timings
+
+
+def test_warm_lines_clip_cheapest_first():
+    """When the registry grows past the window, the chunk that straddles
+    (= is lost) must hold the CHEAPEST non-headline queries: expensive
+    operators are the regression signal the artifact exists for."""
+    import bench
+
+    names = bench.HEADLINE + [f"q{i:03d}" for i in range(60)]
+    timings = {n: round(0.1 + i * 0.05, 3) for i, n in enumerate(names)}
+    lines = bench._warm_lines(timings, "0.1", [1.0, 1.0, 1.0])
+    seen: list[float] = []
+    for ln in lines[1:]:
+        seen.extend(json.loads(ln)["queries"].values())
+    assert seen == sorted(seen)
+
+
+def test_wait_for_idle_disabled_and_bounded(monkeypatch):
+    """SPARK_GRAFT_BENCH_MAX_LOAD=0 disables the gate; a huge threshold
+    passes immediately without sleeping."""
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_MAX_LOAD", "0")
+    load, ok = bench._wait_for_idle()
+    assert ok and len(load) == 3
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_MAX_LOAD", "1e9")
+    load, ok = bench._wait_for_idle()
+    assert ok
+
+
 def test_scale_env_zero_means_off(monkeypatch):
     """SPARK_GRAFT_SCALE=0/false must run the NORMAL sweep (regression
     for the truthy-string env trap) — exercised through the SAME
