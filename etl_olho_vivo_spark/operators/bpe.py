@@ -349,9 +349,12 @@ def bpe_apply(
         raise ValueError(f"output column {out!r} already exists")
     if emit not in ("tokens", "ids", "both"):
         raise ValueError(f"emit must be tokens|ids|both, got {emit!r}")
-    if emit in ("ids", "both") and vocab is None:
+    if emit in ("ids", "both") and not vocab:
+        # `not vocab` (not `is None`): an EMPTY vocab list must also fail
+        # fast on the driver — it would otherwise crash with an opaque
+        # AttributeError inside the executor (round-8 advice)
         raise ValueError(
-            f"emit={emit!r} needs an explicit vocab (bpe_vocabulary(...))"
+            f"emit={emit!r} needs a non-empty vocab (bpe_vocabulary(...))"
             " — the id space is the model's input contract"
         )
     if emit == "both" and ids_out in docs.columns:
@@ -359,7 +362,7 @@ def bpe_apply(
     ranks: dict[tuple[str, str], int] = {
         (a, b): i for i, (a, b) in enumerate(merges)
     }
-    tok2id = {t: i for i, t in enumerate(vocab)} if vocab else None
+    tok2id = {t: i for i, t in enumerate(vocab)} if vocab is not None else None
     if emit == "tokens":
         tok2id = None  # tokens mode never consults a vocab
     bc = docs.sparkSession.sparkContext.broadcast((ranks, tok2id, emit))

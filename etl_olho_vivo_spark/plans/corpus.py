@@ -268,7 +268,9 @@ def run_corpus(
                 if lm_ref_dir is not None
                 else kept.select("text")
             )
-            ctx, ng, uni = lmops.ngram_counts(ref, order=lm_order)
+            ctx, ng, uni = lmops.ngram_counts(
+                ref, order=lm_order, caches=stage_caches
+            )
             failing = lmops.ngram_cross_entropy_scores(
                 kept.select("doc_id", "text"), ctx, ng, uni,
                 order=lm_order, caches=stage_caches,

@@ -829,7 +829,11 @@ FROM sc GROUP BY doc_id
     "document-final ones, mirroring the bigram path's all-occurrences "
     "unigram denominator.  V is the unigram vocabulary.  driver=False: "
     "the 50-row window is full — parity runs in the local oracle suite "
-    "(tests/test_lm.py), and the query stays benchmarked.",
+    "(tests/test_lm.py), and the query stays benchmarked.  BOUND: the "
+    "Spark path truncates each count relation at top_k=1,000,000 while "
+    "this oracle SQL does not — parity holds while the corpus stays "
+    "under top_k distinct entries per relation, which the local parity "
+    "test asserts explicitly (tests/test_lm.py).",
     driver=False,
 )
 def q_doc_trigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -837,7 +841,7 @@ def q_doc_trigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_olho_vivo_spark.operators import lm
 
     d = read_table(spark, sf_dir, "documents")
-    ctx, ng, uni = lm.ngram_counts(d, order=3)
+    ctx, ng, uni = lm.ngram_counts(d, order=3, caches=SESSION_BAG)
     return lm.ngram_cross_entropy_scores(
         d, ctx, ng, uni, order=3, caches=SESSION_BAG
     )

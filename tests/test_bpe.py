@@ -176,6 +176,13 @@ def test_bpe_apply_parity_with_segment_expr(spark):
     assert got == want
     with pytest.raises(ValueError, match="already exists"):
         bpe.bpe_apply(docs, merges, out="text")
+    # an EMPTY vocab must fail fast on the driver, not AttributeError in
+    # the executor (round-8 advice: `if vocab` treated [] as absent)
+    for emit in ("ids", "both"):
+        with pytest.raises(ValueError, match="non-empty vocab"):
+            bpe.bpe_apply(docs, merges, emit=emit, vocab=[])
+        with pytest.raises(ValueError, match="non-empty vocab"):
+            bpe.bpe_apply(docs, merges, emit=emit, vocab=None)
 
 
 def test_bpe_apply_handles_production_sized_merge_list(spark):

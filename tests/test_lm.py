@@ -201,3 +201,25 @@ def test_trigram_registry_query_matches_oracle(spark):
     ).df()
     assert len(duck) > 0
     assert compare(df, duck) == []
+    # The oracle SQL has NO top_k truncation while the Spark path
+    # truncates each relation at 1,000,000 — parity is only meaningful
+    # while every relation stays under the bound (round-8 advice).
+    # DuckDB-side distinct counts are exact and cheap at test SF.
+    bounds = {
+        "unigram": "SELECT count(DISTINCT w1h) FROM (SELECT unnest("
+                   "list_transform(string_split_regex(trim(text), '\\s+'),"
+                   " w -> hash(w))) AS w1h FROM documents"
+                   " WHERE trim(text) != '')",
+        "trigram_rows": "SELECT count(*) FROM documents",
+    }
+    n_docs = con.sql(bounds["trigram_rows"]).fetchone()[0]
+    max_tokens = con.sql(
+        "SELECT max(len(string_split_regex(trim(text), '\\s+')))"
+        " FROM documents"
+    ).fetchone()[0]
+    # crude but sufficient upper bound on every relation's cardinality:
+    # total windows <= docs * max_tokens
+    assert n_docs * max_tokens < 1_000_000, (
+        "corpus outgrew the top_k bound — the oracle SQL must grow a"
+        " matching truncation before parity means anything"
+    )

@@ -325,3 +325,32 @@ def test_editdist_band_join_is_banded_and_pruned(spark):
     assert "levenshtein" in join_line and "Some(60)" in join_line, join_line
     assert "abs(" in join_line, join_line
     assert "band" in join_line, join_line  # band is a JOIN KEY
+
+
+def test_trigram_counts_share_one_cached_windows_aggregate(spark):
+    """The order-n single-scan rewrite (round-8 verdict #3): at order
+    >= 3 BOTH the context and n-gram relations must read the SAME
+    persisted (ctx_h, w_h, n) windows aggregate — an InMemoryTableScan
+    over base — instead of each re-running its own corpus windows pass,
+    so the reference corpus is scanned twice total (unigram + windows)
+    rather than three times."""
+    from etl_olho_vivo_spark.caching import CacheBag, release_session_caches
+    from etl_olho_vivo_spark.operators import lm
+    from etl_olho_vivo_spark.sources.tables import read_table
+
+    # an earlier registry run may have left ctx/ng cached in the session
+    # bag; Spark's cache manager would then substitute those relations
+    # wholesale and nest their reprints, skewing the textual counts
+    release_session_caches()
+    d = read_table(spark, SF, "documents")
+    bag = CacheBag()
+    try:
+        ctx, ng, _ = lm.ngram_counts(d, order=3, caches=bag)
+        for df in (ctx, ng):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            # exactly one cache read and no scan OUTSIDE it (the single
+            # FileScan string is the cached relation's textual reprint)
+            assert plan.count("InMemoryTableScan") == 1, plan[:2000]
+            assert plan.count("FileScan") == 1, plan[:2000]
+    finally:
+        bag.release()
