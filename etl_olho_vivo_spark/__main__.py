@@ -279,6 +279,17 @@ def _build_parser() -> argparse.ArgumentParser:
         help="first-vectors quantizer instead of k-means|| (demo/oracle "
         "parity mode)",
     )
+    anb.add_argument(
+        "--rebuild-if-skewed", action="store_true",
+        help="after the append/compact, rebuild the whole index with "
+        "re-trained centroids when cell occupancy skew (max/mean) "
+        "exceeds --max-skew — the drift repair appends themselves "
+        "never perform",
+    )
+    anb.add_argument(
+        "--max-skew", type=float, default=4.0,
+        help="skew_ratio threshold for --rebuild-if-skewed (default 4.0)",
+    )
 
     anq = sub.add_parser(
         "ann-query",
@@ -656,9 +667,19 @@ def main(argv: list[str] | None = None) -> int:
             out["batch_id"] = bid
         if args.compact:
             out["compacted"] = compact_ivf_index(spark, args.index)
+        if args.rebuild_if_skewed:
+            from etl_olho_vivo_spark.io.ann_index import (
+                maybe_rebuild_ivf_index,
+            )
+
+            out["rebuild"] = maybe_rebuild_ivf_index(
+                spark, args.index, max_skew=args.max_skew,
+                use_kmeans=not args.seeded,
+            )
         # occupancy telemetry: serving cost per probe is the PROBED
         # cell's size, so a hot cell is a straggler scan — surface the
-        # skew in the job artifact (rebuild when max/mean exceeds ~4)
+        # skew in the job artifact (rebuild when max/mean exceeds ~4,
+        # or pass --rebuild-if-skewed to have the repair run itself)
         from etl_olho_vivo_spark.io.ann_index import cell_stats
 
         out["cell_stats"] = cell_stats(spark, args.index)

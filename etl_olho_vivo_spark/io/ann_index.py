@@ -375,11 +375,12 @@ def cell_stats(spark: SparkSession, path: str) -> dict:
     CLI at build/append/compact time so occupancy drift is visible in
     the job artifacts.
 
-    Rebuild trigger (documented contract): when ``skew_ratio`` =
-    max_cell/mean_cell exceeds ~4, rebuild with re-trained centroids
-    (and at corpus growth, more cells — n_cells ∝ corpus keeps per-cell
-    density constant); appends never retrain, so a drifting corpus
-    degrades here FIRST, long before recall visibly drops.
+    Rebuild trigger: when ``skew_ratio`` = max_cell/mean_cell exceeds
+    ~4, rebuild with re-trained centroids (and at corpus growth, more
+    cells — n_cells ∝ corpus keeps per-cell density constant); appends
+    never retrain, so a drifting corpus degrades here FIRST, long
+    before recall visibly drops.  ``maybe_rebuild_ivf_index`` (or
+    ``ann-build --rebuild-if-skewed``) executes exactly this contract.
     """
     counts = [
         int(r["n"])
@@ -396,6 +397,108 @@ def cell_stats(spark: SparkSession, path: str) -> dict:
         "max_cell": s["max"],
         "mean_cell": s["mean"],
         "skew_ratio": s["skew_ratio"],
+    }
+
+
+def dequantized_cells(spark: SparkSession, path: str) -> DataFrame:
+    """The resident vectors reconstructed from the stored quantized
+    components — ``(vec_id, label, embedding)`` with ``embedding =
+    qv / QUANT`` — the self-contained rebuild source.
+
+    Losslessness: every downstream index computation consumes the
+    QUANTIZED components only, and requantizing the reconstruction
+    reproduces them exactly — ``round((q/QUANT)·QUANT) == q`` for any
+    ``|q| < 2^51`` (one double divide + multiply perturbs by ≪ 0.5) —
+    so an index rebuilt from this frame is bit-identical to one rebuilt
+    from the original float embeddings."""
+    return spark.read.parquet(f"{path}/cells").select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(qv, x -> CAST(x AS DOUBLE) / {QUANT})"
+        ).alias("embedding"),
+    )
+
+
+_REBUILD_SRC = "rebuild_src"
+
+
+def maybe_rebuild_ivf_index(
+    spark: SparkSession,
+    path: str,
+    max_skew: float = 4.0,
+    n_cells: int | None = None,
+    use_kmeans: bool = True,
+    **kmeans_kwargs,
+) -> dict:
+    """The occupancy rebuild trigger — ``cell_stats``'s documented
+    contract, executable: when ``skew_ratio`` (max_cell/mean_cell)
+    exceeds ``max_skew``, rebuild the index with RE-TRAINED centroids
+    over every resident vector (base + all batch partitions), restoring
+    balanced cells and the recall the frozen quantizer has drifted away
+    from.  Appends never retrain (their docstring says why), so this is
+    the one sanctioned retraining path.
+
+    ``n_cells=None`` keeps the stamped cell count; pass a larger value
+    as the corpus grows (n_cells ∝ corpus keeps per-cell density — and
+    probe cost — constant).
+
+    Crash safety (snapshot-then-rebuild): residents are first exported
+    to ``<path>/rebuild_src`` (dequantized — see ``dequantized_cells``),
+    and the rebuild consumes ONLY that snapshot — never the cells tree
+    it is overwriting (Spark cannot overwrite a path a job is reading).
+    A crash mid-rebuild leaves the snapshot (with parquet's _SUCCESS
+    marker) in place; the next call detects it and resumes the rebuild
+    from the snapshot REGARDLESS of current skew — the cells tree may be
+    half-overwritten at that point, so the snapshot is the authoritative
+    corpus and re-running the build from it is idempotent.  The snapshot
+    is deleted only after the rebuild (centroids + cells + watermark
+    reset) completes.  Single-writer assumption, as for compaction.
+
+    Returns ``{"rebuilt": False, "stats": ...}`` when under threshold,
+    else ``{"rebuilt": True, "stats_before": ... | None (crash resume),
+    "stats_after": ..., "n_cells": N}``.
+    """
+    from etl_olho_vivo_spark.io.fsutil import hadoop_fs
+
+    if max_skew <= 0:
+        raise ValueError(f"max_skew must be > 0, got {max_skew}")
+    snap = f"{path}/{_REBUILD_SRC}"
+    fs, success_p = hadoop_fs(spark, f"{snap}/_SUCCESS")
+    resuming = fs.exists(success_p)
+    before = None
+    if not resuming:
+        assert_no_pending_swap(spark, f"{path}/cells")
+        before = cell_stats(spark, path)
+        if before["skew_ratio"] is None or before["skew_ratio"] <= max_skew:
+            return {"rebuilt": False, "stats": before}
+        # stamp the cell count INTO the snapshot so a crash-resume does
+        # not depend on the (possibly half-overwritten) centroid table
+        stamped = n_cells if n_cells is not None else int(
+            spark.read.parquet(f"{path}/centroids")
+            .select("n_cells").first()["n_cells"]
+        )
+        (
+            dequantized_cells(spark, path)
+            .withColumn("__n_cells__", F.lit(stamped))
+            .write.mode("overwrite")
+            .parquet(snap)
+        )
+    emb = spark.read.parquet(snap)
+    if n_cells is None:
+        n_cells = int(emb.select("__n_cells__").first()["__n_cells__"])
+    build_ivf_index(
+        emb.drop("__n_cells__"), path, n_cells=n_cells,
+        use_kmeans=use_kmeans, **kmeans_kwargs,
+    )
+    _, snap_p = hadoop_fs(spark, snap)
+    fs.delete(snap_p, True)
+    after = cell_stats(spark, path)
+    return {
+        "rebuilt": True,
+        "stats_before": before,
+        "stats_after": after,
+        "n_cells": n_cells,
     }
 
 

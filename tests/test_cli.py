@@ -568,3 +568,34 @@ def test_optimize_subcommand(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="bits"):
         main(["--cpus", "8", "optimize", "--path", src,
               "--out", out, "--by", "a,b", "--bits", "40"])
+
+
+def test_ann_build_rebuild_if_skewed_flag(spark, tmp_path, capsys):
+    """--rebuild-if-skewed surfaces maybe_rebuild_ivf_index through the
+    CLI: under threshold it reports rebuilt=False and leaves the index
+    alone; with a forced tiny --max-skew it retrains and the emitted
+    cell_stats reflect the rebuilt index."""
+    from pyspark.sql import functions as F
+
+    from etl_olho_vivo_spark.sources.tables import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    src = str(tmp_path / "src")
+    emb.write.parquet(src)
+    idx = str(tmp_path / "index")
+    assert main([
+        "--cpus", "8", "ann-build", "--in", src, "--index", idx,
+        "--cells", "4", "--rebuild-if-skewed", "--max-skew", "1e9",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rebuild"]["rebuilt"] is False
+    assert out["rebuild"]["stats"] == out["cell_stats"]
+    # skew_ratio >= 1 by construction, so max-skew 0.5 always triggers
+    assert main([
+        "--cpus", "8", "ann-build", "--in", src, "--index", idx,
+        "--cells", "4", "--rebuild-if-skewed", "--max-skew", "0.5",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rebuild"]["rebuilt"] is True
+    assert out["rebuild"]["stats_after"] == out["cell_stats"]
+    assert out["vectors"] == emb.count()

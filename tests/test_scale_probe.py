@@ -212,3 +212,72 @@ def test_embedding_pairs_blocked_join_at_10x(spark, scale10_dir):
     # plan string instead
     assert "TableCacheQueryStage" in final, final[:2000]
     assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+
+
+@pytest.mark.slow
+def test_trigram_lm_pins_hold_at_10x(spark, scale10_dir):
+    """The order-3 LM query (round 8) gets its measured 10× point: on
+    10× documents the final adaptive plan must stay aggregate-first
+    joins + hash aggregates with the single-scan windows base (round 9)
+    read through the cache — no cartesian, no Python, no nested-loop,
+    and the base aggregate feeding ctx AND ng as InMemoryTableScan
+    consumers."""
+    plan, n = _final_plan(spark, "doc_trigram_cross_entropy", scale10_dir)
+    assert n > 0
+    final = plan.split("== Initial Plan ==")[0]
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                "PythonUDF", "BatchEvalPython", "Window"):
+        assert bad not in final, final[:2000]
+    assert "HashAggregate" in final
+    # the cached single-scan base feeds both derived count relations
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+
+
+@pytest.mark.slow
+def test_editdist_band_area_measured_at_10x(spark, scale10_dir):
+    """The length-band escape's area claim, MEASURED on the 10× corpus
+    instead of argued: candidate volume under (lang, source, band ±1)
+    vs the naive (lang, source) quadratic.  Computed from block counts
+    (no pair materialization — the measurement itself must scale).
+    Replicas are verbatim copies so every block grows 10× and both
+    volumes grow 100×; the ratio is the banding's true cut.  Measured
+    0.44 at this length distribution (the ~3/n_bands worst-case bound
+    with avg ~3.5 occupied bands per block predicts <= ~0.86, and a
+    spread length distribution does better)."""
+    from pyspark.sql import functions as F
+
+    from etl_olho_vivo_spark.registry_ingest import _EDITDIST_T
+    from etl_olho_vivo_spark.sources.tables import read_table
+
+    d = read_table(spark, scale10_dir, "documents")
+    band = (F.length("text") / (_EDITDIST_T + 1)).cast("int")
+    blocks = (
+        d.groupBy("lang", "source", band.alias("band"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    try:
+        naive = (
+            blocks.groupBy("lang", "source")
+            .agg(F.sum("n").alias("tot"))
+            .agg(F.sum(F.expr("tot * tot")).alias("v"))
+            .first()["v"]
+        )
+        a = blocks.select("lang", "source", "band", F.col("n").alias("na"))
+        b = blocks.select(
+            "lang", "source", F.col("band").alias("bb"),
+            F.col("n").alias("nb"),
+        )
+        banded = (
+            a.join(b, ["lang", "source"])
+            .filter(F.abs(F.col("band") - F.col("bb")) <= 1)
+            .agg(F.sum(F.expr("na * nb")).alias("v"))
+            .first()["v"]
+        )
+    finally:
+        blocks.unpersist()
+    assert naive > 0 and banded > 0
+    # the escape must cut candidate area at least 2x on real data —
+    # if lengths collapse into one band this fails and the band width
+    # (or a second blocking key) needs revisiting
+    assert banded * 2 <= naive, (banded, naive)
