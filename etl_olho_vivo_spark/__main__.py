@@ -301,6 +301,33 @@ def _build_parser() -> argparse.ArgumentParser:
     anq.add_argument("--k", type=int, default=10)
     anq.add_argument("--probe", type=int, default=1)
 
+    lmc = sub.add_parser(
+        "lm-cuts",
+        help="derive CCNet head/middle/tail cross-entropy cut points "
+        "from a corpus (offline approxQuantile) and persist them — the "
+        "hand-off that turns a target keep-fraction into the absolute "
+        "--lm-max-entropy threshold the deterministic gate consumes",
+    )
+    lmc.add_argument("--in", dest="in_dir", required=True,
+                     help="documents parquet (doc_id, text)")
+    lmc.add_argument(
+        "--ref", default=None, metavar="PARQUET_DIR",
+        help="trusted reference corpus for the model counts "
+        "(default: self-train on --in)",
+    )
+    lmc.add_argument("--order", type=int, default=2)
+    lmc.add_argument(
+        "--fractions", default="0.3333,0.6667", metavar="F1,F2,...",
+        help="ascending cumulative fractions in (0,1); the first cut "
+        "bounds the CCNet 'head', the second head+middle "
+        "(default 0.3333,0.6667)",
+    )
+    lmc.add_argument(
+        "--out", required=True, metavar="JSON_PATH",
+        help="where to persist the cut points (one small JSON file, "
+        "beside the corpus)",
+    )
+
     prof = sub.add_parser(
         "profile", help="one-scan per-column profile of a parquet table"
     )
@@ -720,6 +747,67 @@ def main(argv: list[str] | None = None) -> int:
                 for r in hits
             ],
         }))
+        return 0
+
+    if args.command == "lm-cuts":
+        from etl_olho_vivo_spark.caching import CacheBag
+        from etl_olho_vivo_spark.operators import lm as lmops
+        from etl_olho_vivo_spark.sources.tables import (
+            pin_parquet_instant_confs,
+        )
+
+        try:
+            fractions = tuple(
+                float(x) for x in args.fractions.split(",") if x.strip()
+            )
+        except ValueError:
+            raise SystemExit(
+                f"--fractions must be comma-separated floats, got "
+                f"{args.fractions!r}"
+            )
+        if args.order < 2:
+            raise SystemExit(f"--order must be >= 2, got {args.order}")
+        pin_parquet_instant_confs(spark)
+        docs = spark.read.parquet(args.in_dir)
+        ref = (
+            spark.read.parquet(args.ref).select("text")
+            if args.ref is not None
+            else docs.select("text")
+        )
+        bag = CacheBag()
+        try:
+            ctx, ng, uni = lmops.ngram_counts(
+                ref, order=args.order, caches=bag
+            )
+            scores = lmops.ngram_cross_entropy_scores(
+                docs.select("doc_id", "text"), ctx, ng, uni,
+                order=args.order, caches=bag,
+            )
+            try:
+                cuts = lmops.entropy_cut_points(scores, fractions)
+            except ValueError as e:
+                raise SystemExit(str(e))
+            n_docs = scores.count()
+        finally:
+            bag.release()
+        payload = {
+            "command": "lm-cuts",
+            "order": args.order,
+            "fractions": list(fractions),
+            "cut_points": cuts,
+            "n_scored_docs": n_docs,
+            "ref": args.ref,
+        }
+        # one tiny driver-side file beside the corpus — the persisted
+        # constants the deterministic gate consumes (--lm-max-entropy)
+        import os as _os
+
+        _os.makedirs(
+            _os.path.dirname(_os.path.abspath(args.out)), exist_ok=True
+        )
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(json.dumps(payload))
         return 0
 
     if args.command == "profile":

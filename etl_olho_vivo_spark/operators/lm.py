@@ -402,3 +402,36 @@ def ngram_cross_entropy_scores(
         F.count(F.lit(1)).alias("n_ngrams"),
         F.round(-F.avg("ll"), round_dp).alias("cross_entropy"),
     )
+
+
+def entropy_cut_points(
+    scores: DataFrame,
+    fractions: tuple[float, ...] = (1 / 3, 2 / 3),
+    col: str = "cross_entropy",
+    rel_err: float = 0.001,
+) -> list[float]:
+    """CCNet bucket cut points: the head/middle/tail thresholds derived
+    from a scored corpus's cross-entropy distribution (Wenzek et al.
+    2019 keep the head+middle ~2/3).
+
+    This runs OFFLINE, once, on the scored reference/sample — the
+    resulting scalars are what you persist and hand to the absolute
+    gate (``corpus --lm-max-entropy``, or ``filter_by_cross_entropy``).
+    The gate itself never computes quantiles inline: approxQuantile's
+    Greenwald-Khanna sketch is partition-merge-order sensitive in the
+    last ulps, so an inline quantile would make the SELECTION
+    partitioning-dependent; a persisted constant keeps it deterministic
+    (the same reason plans/corpus.py documents the absolute threshold).
+
+    ``fractions`` are cumulative: (1/3, 2/3) returns the cut below
+    which the best-scoring third ("head") lives and the cut bounding
+    head+middle.  One bounded-driver-result job over the scores.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    fr = list(fractions)
+    if any(not 0.0 < f < 1.0 for f in fr) or fr != sorted(fr):
+        raise ValueError(
+            f"fractions must be ascending and inside (0, 1), got {fr}"
+        )
+    return scores.approxQuantile(col, fr, rel_err)

@@ -10,12 +10,19 @@ Design for 100 TB of mixed media:
   vectorized within the batch.  Partition count controls decode
   parallelism; the schema out of the UDF is explicit.
 
-The actual codec is STUBBED (no image/audio libraries in this container):
-``decode_media`` computes deterministic fake features (byte stats) with the
-exact batch shape, schema, and Arrow plumbing a real decoder would use —
-swap ``_fake_decode`` for PIL/libav and nothing else changes.
-(Environment re-probed each round — through round 7, PIL/cv2/soundfile/
-imageio all remain absent and installs are not permitted.)
+Codec status (round 9): ``decode_media`` now REALLY decodes the two
+classic dependency-free raster formats — BMP (BITMAPINFOHEADER) and
+binary PNM (P5/P6) — with a pure-stdlib parser shipped by value inside
+the mapInPandas closure: parsed width/height from the header and the
+mean pixel value over the payload (padding-aware for 24-bit BMP rows).
+Every other byte stream (including this corpus' text/plain media) takes
+the ``opaque`` fallback: deterministic byte statistics with
+checksum-derived pseudo-dimensions, the original stub semantics — so a
+corrupt or unknown file NEVER crashes a 100 TB decode job, it just
+reports ``media_kind='opaque'``.  Compressed formats (PNG/JPEG/audio/
+video) still need PIL/libav, absent from this container (re-probed each
+round); they would slot into ``_media_parser`` without touching the
+Spark plumbing.
 """
 
 from __future__ import annotations
@@ -32,8 +39,10 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("checksum", T.LongType()),
-        T.StructField("fake_width", T.IntegerType()),
-        T.StructField("fake_height", T.IntegerType()),
+        T.StructField("media_kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_pixel", T.DoubleType()),
     ]
 )
 
@@ -55,44 +64,134 @@ def attach_media(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _fake_decode(media: bytes) -> tuple[int, int, int, int]:
-    """Deterministic stand-in for a real codec.
+def _media_parser():
+    """Factory for the per-row media feature extractor — defined inside
+    a factory (not at module top level) so cloudpickle ships the
+    returned function BY VALUE with the mapInPandas closure: Spark's
+    Python workers do not have this package on ``sys.path`` (the driver
+    controls the session), and a module-global reference would fail
+    with ``ModuleNotFoundError`` on the worker.  Tests call the factory
+    directly, so there is exactly ONE definition to keep correct.
 
-    A real implementation would be::
+    The returned ``parse(media) -> (n_bytes, checksum, media_kind,
+    width, height, mean_pixel)``:
 
-        img = PIL.Image.open(io.BytesIO(media))   # needs pillow
-        return img.width, img.height, ...
-
-    which is unavailable here — so features are exact byte statistics
-    (deterministic, oracle-checkable through the Arrow boundary).
+    - **BMP** (``BM`` magic, BITMAPINFOHEADER): width/height are the
+      signed int32 LE fields at offsets 18/22 (|height| — negative
+      means top-down row order); for the uncompressed 24-bit layout the
+      mean pixel EXCLUDES the per-row padding to the 4-byte boundary,
+      other layouts fall back to the raw payload mean.
+    - **PNM** (``P5`` grayscale / ``P6`` RGB, binary): header tokens
+      (whitespace-separated, ``#`` comments legal) give width, height,
+      maxval; mean over the sample payload bytes.
+    - anything else (or any malformed header): ``opaque`` — byte count,
+      checksum, checksum-derived pseudo-dimensions (``% 640``/``% 480``,
+      the original stub semantics, still what the registry oracle
+      recomputes for this corpus' text media) and NULL mean_pixel.
+      Malformed real-format bytes degrade to opaque instead of raising:
+      one corrupt file must not kill a 100 TB decode job.
     """
-    n = len(media)
-    checksum = sum(media) % 2147483647
-    return n, checksum, checksum % 640, checksum % 480
+
+    def parse_bmp(m: bytes):
+        # anything shorter than the 14-byte file header + 40-byte
+        # INFOHEADER cannot be a decodable file — opaque, not a guess
+        if len(m) < 54:
+            return None
+        # BITMAPINFOHEADER (and its V4/V5 extensions) only — the ancient
+        # 12-byte COREHEADER packs int16 dims at different offsets and
+        # would read as garbage here, so it degrades to opaque
+        if int.from_bytes(m[14:18], "little") < 40:
+            return None
+        w = int.from_bytes(m[18:22], "little", signed=True)
+        h = int.from_bytes(m[22:26], "little", signed=True)
+        if w <= 0 or h == 0:
+            return None
+        height = abs(h)
+        offset = int.from_bytes(m[10:14], "little")
+        bpp = int.from_bytes(m[28:30], "little")
+        compression = int.from_bytes(m[30:34], "little")
+        payload = m[offset:]
+        if bpp == 24 and compression == 0:
+            row = ((w * 3 + 3) // 4) * 4
+            if len(payload) >= row * height:
+                tot = cnt = 0
+                for r in range(height):
+                    chunk = payload[r * row : r * row + w * 3]
+                    tot += sum(chunk)
+                    cnt += len(chunk)
+                return w, height, round(tot / cnt, 4) if cnt else None
+        if payload:
+            return w, height, round(sum(payload) / len(payload), 4)
+        return w, height, None
+
+    def parse_pnm(m: bytes):
+        # P5/P6 header: magic, width, height, maxval — whitespace
+        # separated with '#'-to-EOL comments; payload starts after the
+        # single whitespace byte following maxval
+        pos, tokens = 2, []
+        while len(tokens) < 3 and pos < len(m):
+            c = m[pos : pos + 1]
+            if c == b"#":
+                nl = m.find(b"\n", pos)
+                if nl < 0:
+                    return None
+                pos = nl + 1
+            elif c.isspace():
+                pos += 1
+            else:
+                end = pos
+                while end < len(m) and not m[end : end + 1].isspace():
+                    end += 1
+                tokens.append(m[pos:end])
+                pos = end
+        if len(tokens) < 3 or pos >= len(m):
+            return None
+        try:
+            w, h, maxval = (int(t) for t in tokens)
+        except ValueError:
+            return None
+        if w <= 0 or h <= 0 or not 0 < maxval < 65536:
+            return None
+        channels = 3 if m[:2] == b"P6" else 1
+        sample = 2 if maxval > 255 else 1
+        need = w * h * channels * sample
+        payload = m[pos + 1 : pos + 1 + need]
+        if len(payload) < need:
+            return None
+        return w, h, round(sum(payload) / len(payload), 4)
+
+    def parse(media):
+        # NULL media (null text upstream) → NULL features, never a crash
+        if media is None:
+            return None, None, None, None, None, None
+        m = bytes(media)
+        n = len(m)
+        checksum = sum(m) % 2147483647
+        parsed, kind = None, "opaque"
+        if m[:2] == b"BM":
+            parsed = parse_bmp(m)
+            kind = "bmp"
+        elif m[:2] in (b"P5", b"P6"):
+            parsed = parse_pnm(m)
+            kind = "pnm"
+        if parsed is None:
+            return n, checksum, "opaque", checksum % 640, checksum % 480, None
+        w, h, mean = parsed
+        return n, checksum, kind, w, h, mean
+
+    return parse
 
 
 def decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Arrow-batched decode/feature-extract over the binary column.
-
-    The shipped closure must be fully self-contained: Spark's Python
-    workers do not have this package on their ``sys.path`` (the driver
-    controls the session), so referencing module globals from ``batches``
-    would make cloudpickle serialize them by reference and fail with
-    ``ModuleNotFoundError`` on the worker.  Hence the codec is inlined.
-    """
+    """Arrow-batched decode/feature-extract over the binary column —
+    real header+payload decode for BMP/PNM, deterministic byte stats
+    for everything else (module docstring).  The parser comes from
+    ``_media_parser`` so the shipped closure is self-contained."""
+    parse = _media_parser()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def fake_decode(media) -> tuple:
-            # inlined _fake_decode (keep the two in sync); NULL media
-            # (null text upstream) → NULL features, never a worker crash
-            if media is None:
-                return None, None, None, None
-            n = len(media)
-            checksum = sum(media) % 2147483647
-            return n, checksum, checksum % 640, checksum % 480
-
         for pdf in it:
-            feats = [fake_decode(m) for m in pdf["media"]]
+            feats = [parse(m) for m in pdf["media"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -102,11 +201,17 @@ def decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "checksum": pd.Series(
                         [f[1] for f in feats], dtype="Int64"
                     ),
-                    "fake_width": pd.Series(
-                        [f[2] for f in feats], dtype="Int32"
+                    "media_kind": pd.Series(
+                        [f[2] for f in feats], dtype="object"
                     ),
-                    "fake_height": pd.Series(
+                    "width": pd.Series(
                         [f[3] for f in feats], dtype="Int32"
+                    ),
+                    "height": pd.Series(
+                        [f[4] for f in feats], dtype="Int32"
+                    ),
+                    "mean_pixel": pd.Series(
+                        [f[5] for f in feats], dtype="Float64"
                     ),
                 }
             )

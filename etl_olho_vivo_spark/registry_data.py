@@ -764,18 +764,23 @@ SELECT doc_id,
        CAST(list_sum(list_transform(range(0, strlen(text)),
          i -> ascii(substring(text, i + 1, 1)))) % 2147483647 AS BIGINT)
          AS checksum,
+       'opaque' AS media_kind,
        CAST(CAST(list_sum(list_transform(range(0, strlen(text)),
          i -> ascii(substring(text, i + 1, 1)))) % 2147483647 AS BIGINT)
-         % 640 AS INT) AS fake_width,
+         % 640 AS INT) AS width,
        CAST(CAST(list_sum(list_transform(range(0, strlen(text)),
          i -> ascii(substring(text, i + 1, 1)))) % 2147483647 AS BIGINT)
-         % 480 AS INT) AS fake_height
+         % 480 AS INT) AS height,
+       CAST(NULL AS DOUBLE) AS mean_pixel
 FROM documents
 """,
     doc="Multimodal plumbing: binary media column + metadata struct, decoded "
-    "via Arrow-batched mapInPandas (stubbed codec — byte stats stand in for "
-    "real decode; swap _fake_decode for PIL/libav unchanged).  The oracle "
-    "recomputes the byte stats in SQL, validating the Python/Arrow boundary.",
+    "via Arrow-batched mapInPandas.  decode_media REALLY parses BMP and "
+    "binary PNM (pure-stdlib header+payload decode, round 9); this corpus' "
+    "media is text/plain, so every row takes the deterministic 'opaque' "
+    "byte-stats path the oracle recomputes in SQL, validating the "
+    "Python/Arrow boundary; the real-format paths are pinned against "
+    "generated BMP/P6 fixtures in tests/test_operators.py.",
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")

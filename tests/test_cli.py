@@ -599,3 +599,46 @@ def test_ann_build_rebuild_if_skewed_flag(spark, tmp_path, capsys):
     assert out["rebuild"]["rebuilt"] is True
     assert out["rebuild"]["stats_after"] == out["cell_stats"]
     assert out["vectors"] == emb.count()
+
+
+def test_lm_cuts_subcommand_hands_off_to_gate(spark, tmp_path, capsys):
+    """lm-cuts derives head/middle cut points offline, persists them as
+    a JSON file beside the corpus, and the first cut fed back to the
+    corpus gate as --lm-max-entropy keeps ~the head fraction — the
+    deterministic CCNet bucket workflow end-to-end."""
+    import pytest
+
+    docs_dir = str(tmp_path / "docs")
+    sf = "/root/testdata/sf0.001"
+    spark.read.parquet(f"{sf}/documents.parquet").write.parquet(
+        docs_dir + "/documents.parquet"
+    )
+    cuts_path = str(tmp_path / "corpus_meta" / "lm_cuts.json")
+    assert main([
+        "--cpus", "8", "lm-cuts", "--in", docs_dir + "/documents.parquet",
+        "--out", cuts_path, "--fractions", "0.3333,0.6667",
+    ]) == 0
+    emitted = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    persisted = json.load(open(cuts_path))
+    assert persisted == emitted
+    head, mid = emitted["cut_points"]
+    assert head <= mid and emitted["n_scored_docs"] > 0
+    assert emitted["order"] == 2
+
+    # the hand-off: head cut as the absolute gate keeps ~1/3 of the
+    # scorable survivors (exact fraction shifts with ties/short docs)
+    out = str(tmp_path / "corpus")
+    assert main([
+        "--cpus", "8", "corpus", "--sf-dir", docs_dir, "--out", out,
+        "--min-tokens", "2", "--lm-max-entropy", str(head),
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    frac = stats["lm_filter"] / emitted["n_scored_docs"]
+    assert 0.2 <= frac <= 0.5, stats
+
+    with pytest.raises(SystemExit, match="fractions"):
+        main(["lm-cuts", "--in", docs_dir + "/documents.parquet",
+              "--out", cuts_path, "--fractions", "nope"])
+    with pytest.raises(SystemExit, match="order"):
+        main(["lm-cuts", "--in", docs_dir + "/documents.parquet",
+              "--out", cuts_path, "--order", "1"])

@@ -223,3 +223,45 @@ def test_trigram_registry_query_matches_oracle(spark):
         "corpus outgrew the top_k bound — the oracle SQL must grow a"
         " matching truncation before parity means anything"
     )
+
+
+def test_entropy_cut_points_quantiles_and_validation(spark):
+    """The CCNet bucket helper: cut points on a synthetic score
+    distribution land within tolerance of the true quantiles, thresholds
+    derived from them select ~the requested head fraction, and bad
+    fraction lists fail loudly."""
+    n = 3000
+    scores = spark.createDataFrame(
+        [(i, i / n) for i in range(n)], "doc_id long, cross_entropy double"
+    )
+    head, mid = lm.entropy_cut_points(scores, (0.3, 0.7))
+    assert abs(head - 0.3) < 0.02 and abs(mid - 0.7) < 0.02
+    kept = scores.filter(scores.cross_entropy <= head).count()
+    assert abs(kept / n - 0.3) < 0.02
+    for bad in ((), (0.7, 0.3), (0.0, 0.5), (0.5, 1.0)):
+        with pytest.raises(ValueError, match="fractions"):
+            lm.entropy_cut_points(scores, bad)
+
+
+def test_entropy_cut_points_feed_the_absolute_gate(spark):
+    """End-to-end determinism hand-off: score a mixed corpus, derive
+    the head cut, and the absolute filter keeps exactly the docs at or
+    under it — reference-like text in, scrambled text out."""
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(4)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the cat sat on the mat again"),
+         (3, "mat the on sat cat the"),
+         (4, "zzz qqq www eee rrr ttt")],
+        "doc_id long, text string",
+    )
+    uni, big = lm.bigram_counts(ref)
+    scores = lm.cross_entropy_scores(target, uni, big)
+    (cut,) = lm.entropy_cut_points(scores, (0.5,))
+    kept = {r["doc_id"]
+            for r in scores.filter(scores.cross_entropy <= cut).collect()}
+    assert 1 in kept and 4 not in kept
+    assert len(kept) == 2

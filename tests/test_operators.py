@@ -1375,3 +1375,102 @@ def test_interval_label_pre_1970(spark):
     df = spark.createDataFrame([(-3600,), (-1,)], "t long")
     got = [r[0] for r in df.select(interval_30min_label(F.col("t"))).collect()]
     assert got == ["23:00-23:30", "23:30-00:00"]
+
+
+def _make_bmp(width, height, pixel):
+    """Minimal 24-bit uncompressed BMP with every pixel = ``pixel``
+    (b, g, r) — the deterministic fixture whose header/mean the decode
+    must reproduce."""
+    row = ((width * 3 + 3) // 4) * 4
+    data_size = row * height
+    header = (
+        b"BM"
+        + (54 + data_size).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")       # pixel data offset
+        + (40).to_bytes(4, "little")       # BITMAPINFOHEADER
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")        # planes
+        + (24).to_bytes(2, "little")       # bpp
+        + (0).to_bytes(4, "little")        # BI_RGB (uncompressed)
+        + data_size.to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    assert len(header) == 54
+    rowbytes = bytes(pixel) * width + b"\xff" * (row - width * 3)
+    return header + rowbytes * height
+
+
+def _make_p6(width, height, rgb, comment=False):
+    hdr = b"P6\n"
+    if comment:
+        hdr += b"# fixture comment\n"
+    hdr += f"{width} {height}\n255\n".encode()
+    return hdr + bytes(rgb) * (width * height)
+
+
+def test_decode_media_real_bmp_and_pnm(spark):
+    """The round-9 real codec: generated BMP/P6 fixtures with KNOWN
+    width/height/mean must decode exactly — including BMP row padding
+    exclusion (padding bytes are 0xff here precisely so including them
+    would shift the mean) — while malformed/unknown bytes keep the
+    deterministic opaque fallback."""
+    bmp = _make_bmp(3, 2, (10, 20, 30))       # row pad = 3 bytes of 0xff
+    p6 = _make_p6(4, 3, (100, 150, 200))
+    p6c = _make_p6(2, 2, (0, 0, 255), comment=True)
+    p5 = b"P5\n2 2\n255\n" + bytes([7, 9, 11, 13])
+    truncated_bmp = bmp[:30]                  # header cut mid-dims
+    rows = [
+        (1, bytearray(bmp)),
+        (2, bytearray(p6)),
+        (3, bytearray(p6c)),
+        (4, bytearray(p5)),
+        (5, bytearray(truncated_bmp)),
+        (6, bytearray(b"plain old text")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {r["doc_id"]: r for r in multimodal.decode_media(df).collect()}
+
+    assert (out[1]["media_kind"], out[1]["width"], out[1]["height"]) == (
+        "bmp", 3, 2,
+    )
+    assert out[1]["mean_pixel"] == 20.0       # (10+20+30)/3, pad excluded
+    assert out[1]["n_bytes"] == len(bmp)
+
+    assert (out[2]["media_kind"], out[2]["width"], out[2]["height"]) == (
+        "pnm", 4, 3,
+    )
+    assert out[2]["mean_pixel"] == 150.0
+    assert (out[3]["media_kind"], out[3]["width"], out[3]["height"]) == (
+        "pnm", 2, 2,
+    )
+    assert out[3]["mean_pixel"] == round(255 / 3, 4)
+    assert (out[4]["media_kind"], out[4]["width"], out[4]["height"]) == (
+        "pnm", 2, 2,
+    )
+    assert out[4]["mean_pixel"] == 10.0
+
+    # malformed real-format header → opaque fallback, never a crash
+    for doc in (5, 6):
+        r = out[doc]
+        assert r["media_kind"] == "opaque"
+        assert r["width"] == r["checksum"] % 640
+        assert r["height"] == r["checksum"] % 480
+        assert r["mean_pixel"] is None
+
+
+def test_media_parser_is_shipped_by_value():
+    """The parser factory returns a plain nested function — the form
+    cloudpickle serializes by value, keeping the mapInPandas closure
+    self-contained (workers lack this package on sys.path)."""
+    import pickle
+
+    import cloudpickle
+
+    parse = multimodal._media_parser()
+    blob = cloudpickle.dumps(parse)
+    clone = pickle.loads(blob)
+    bmp = _make_bmp(2, 1, (1, 2, 3))
+    assert clone(bmp) == parse(bmp)
+    assert clone(None) == (None,) * 6
