@@ -522,7 +522,7 @@ def connected_components(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
     try:
-        for _ in range(max_iter):
+        for it in range(max_iter):
             msgs = both.join(
                 labels, both.src == labels.node
             ).select(F.col("dst").alias("node"), "comp")
@@ -538,13 +538,27 @@ def connected_components(
             # (both already hash-partitioned by node) and is label-type
             # agnostic — unlike a sum()-based checksum, which is NULL
             # for string ids and would falsely declare convergence.
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .limit(1)
-                .count()
-            )
+            # (A round-9 experiment folded this check into the stepped
+            # frame as an old-vs-new flag column to save the action —
+            # the extra join defeated AQE's post-shuffle coalescing and
+            # cost MORE per round than the action it removed; keep the
+            # two-action form.)
+            if it == 0:
+                # round 1 always moves a label on an a<b pair graph
+                # (every edge's larger endpoint adopts a smaller one) —
+                # materialize the cache with a plain count and skip the
+                # comparison job.  Worst case (degenerate all-self-loop
+                # input) this costs one extra round, never wrong labels.
+                new_labels.count()
+                changed = 1
+            else:
+                changed = (
+                    new_labels.alias("n")
+                    .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                    .filter(F.col("n.comp") != F.col("o.comp"))
+                    .limit(1)
+                    .count()
+                )
             labels.unpersist()
             labels = new_labels
             if changed == 0:  # min-labels are monotone ↓: fixpoint
@@ -566,6 +580,76 @@ def connected_components(
     finally:
         labels.unpersist()
         both.unpersist()
+
+
+def keep_best_per_component(
+    pairs: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    a: str = "doc_a",
+    b: str = "doc_b",
+    caches: "CacheBag | None" = None,
+) -> DataFrame:
+    """Cluster-representative selection over near-dup pairs — the
+    SemDeDup/FineWeb resolution step: group the pair graph into
+    connected components, keep exactly ONE document per component (the
+    highest-``quality_col``, ties to the smallest id), mark the rest as
+    duplicates to drop.
+
+    Returns (id_col, component, quality_col, kept) for every node of
+    the pair graph.  Docs with no near-dup pair are not emitted — they
+    are trivially kept and a caller filters them through unchanged
+    (left-anti join on this result's ``kept = false`` rows).  Ids must
+    be numeric (the smallest-id tiebreak rides the ``-id`` component of
+    one max(struct) aggregate); string-keyed corpora map ids through a
+    dense numeric surrogate first, which they need for the MinHash
+    band join anyway.
+
+    Scale shape: components come from the iterative hash-min
+    propagation of :func:`connected_components` (diameter-bounded
+    rounds, all exchanges on the doc id); the per-component argmax is a
+    ``groupBy(component).agg(max(struct(quality, -id)))`` — a partial
+    (map-side-combining) aggregate that a window over ``component``
+    would NOT be: one viral boilerplate cluster with 10^7 members would
+    serialize a window's rank into a single task, while max(struct)
+    reduces it tree-wise.  The kept-id join-back is on ``component``
+    (cardinality = number of clusters, hot only if one cluster
+    dominates — which AQE skew-split handles since the probe side
+    carries slim rows).
+
+    The greedy edge-drop in plans/corpus.py is the cheap approximation
+    of this operator; this one is exact and quality-aware.
+    """
+    # the pair relation is consumed twice inside connected_components
+    # (node extraction + the symmetric edge frame) — persist it so an
+    # expensive pair pipeline (MinHash verify joins) runs once
+    pairs = _persist(pairs.select(a, b), caches)
+    comps = connected_components(pairs, a=a, b=b, caches=caches)
+    # labeled feeds BOTH the per-component argmax and the final kept
+    # join — persisted, or each side re-runs the comps-quality join
+    # (measured: the unpersisted final join alone cost 6 s at sf0.1)
+    labeled = _persist(
+        comps.join(quality.select(id_col, quality_col), id_col), caches
+    )
+    best = (
+        labeled.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(quality_col).alias("q"),
+                    (-F.col(id_col)).alias("nid"),
+                )
+            ).alias("m")
+        )
+        .select("component", (-F.col("m.nid")).alias("kept_id"))
+    )
+    return labeled.join(best, "component").select(
+        id_col,
+        "component",
+        quality_col,
+        (F.col(id_col) == F.col("kept_id")).alias("kept"),
+    )
 
 
 def write_signature_store(

@@ -850,3 +850,169 @@ def q_doc_trigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.ngram_cross_entropy_scores(
         d, ctx, ng, uni, order=3, caches=SESSION_BAG
     )
+
+
+@register(
+    "bloom_gram_overlap",
+    f"""
+WITH docs AS (SELECT doc_id, {_D_WH} AS wh FROM documents),
+shs AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM docs),
+ref AS (SELECT DISTINCT unnest(sh) AS gh FROM shs WHERE doc_id % 2 = 0),
+new_g AS (SELECT doc_id, unnest(sh) AS gh FROM shs WHERE doc_id % 2 = 1),
+hit AS (
+  SELECT g.doc_id,
+         count(*) AS n_grams,
+         CAST(sum(CASE WHEN r.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hit
+  FROM new_g g LEFT JOIN ref r ON g.gh = r.gh
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_grams, 0) AS n_grams,
+       coalesce(h.n_hit, 0) AS n_hit,
+       CASE WHEN coalesce(h.n_grams, 0) > 0
+            THEN h.n_hit / h.n_grams ELSE 0.0 END AS overlap,
+       CASE WHEN coalesce(h.n_grams, 0) > 0
+            AND h.n_hit / h.n_grams >= 0.5
+            THEN TRUE ELSE FALSE END AS flagged
+FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 2 = 1
+""",
+    doc="Dolma-style inter-snapshot dedup behind a distributed Bloom "
+    "filter (operators/bloom.py): new-crawl docs (odd ids) scored by "
+    "the fraction of their distinct 3-gram shingles already present in "
+    "the reference snapshot (even ids), flagged at >= 0.5 overlap.  "
+    "The membership set is NOT broadcast and NOT fully joined: a "
+    "(word, bits) bitmap relation — built with one uniform bit_or "
+    "shuffle, at most num_bits/64 rows — prefilters probe grams via an "
+    "equi-join on the hash-uniform word index, and only Bloom-passing "
+    "grams (true members + fpp of the rest) reach the exact verify "
+    "semi-join, which is what makes the result bit-exact membership "
+    "(no FN by construction, FPs removed by verify) and hence "
+    "oracle-checkable while the filter internals stay engine-side "
+    "(xxhash64).  eval_decontamination is the broadcast-gram-set "
+    "sibling; this is the path for a reference set too large to "
+    "broadcast.  verify=False (not exercised here) is the pure-Bloom "
+    "production trade at 100 TB: FP rate <= fpp, zero reference "
+    "re-join.  Overlap is an int/int double division — engine-exact, "
+    "no rounding needed.",
+)
+def q_bloom_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_olho_vivo_spark.caching import SESSION_BAG
+    from etl_olho_vivo_spark.operators import bloom as bloomop
+
+    d = read_table(spark, sf_dir, "documents")
+    # Persist the shingle ARRAYS, then explode from the cache.  Both
+    # halves matter: (a) one shingle pass feeds all downstream consumers
+    # (reference distinct, probe distinct, mark join) instead of one
+    # text-scan + md5 pipeline per consumer; (b) the persist boundary
+    # sits BEFORE the explode — under a Generate, Catalyst collapses the
+    # token-hash projection back into the shingle lambda (the exact
+    # O(words²)-md5 inlining hazard documented at
+    # dedup.with_token_hashes), measured 73 s for a 260k-row explode at
+    # sf0.1 vs <1 s exploding materialized arrays.
+    sh_docs = SESSION_BAG.add(dedup.with_shingles(d).select("doc_id", "sh"))
+    grams = sh_docs.select("doc_id", F.explode("sh").alias("gh"))
+    new_g = grams.filter(F.col("doc_id") % 2 == 1)
+    ref_g = grams.filter(F.col("doc_id") % 2 == 0).select("gh")
+    marked = bloomop.mark_members(
+        new_g, ref_g, "gh", fpp=0.01, verify=True, caches=SESSION_BAG
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.col("is_member").cast("long")).alias("n_hit"),
+    )
+    n_g = F.coalesce(F.col("n_grams"), F.lit(0).cast("long"))
+    n_h = F.coalesce(F.col("n_hit"), F.lit(0).cast("long"))
+    overlap = F.when(
+        n_g > 0, F.col("n_hit") / F.col("n_grams")
+    ).otherwise(F.lit(0.0))
+    return (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_g.alias("n_grams"),
+            n_h.alias("n_hit"),
+            overlap.alias("overlap"),
+            ((n_g > 0) & (overlap >= 0.5)).alias("flagged"),
+        )
+    )
+
+
+def _d_cluster_sql() -> str:
+    mh = ",\n    ".join(
+        f"{_d_minhash(k)} AS mh{k}" for k in range(dedup.NUM_HASHES)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, CAST(mh{2 * b} AS VARCHAR) || '_' || "
+        f"CAST(mh{2 * b + 1} AS VARCHAR) AS band_sig FROM sig"
+        for b in range(dedup.NUM_BANDS)
+    )
+    return f"""
+WITH RECURSIVE
+docs AS (SELECT doc_id, {_D_WH} AS wh FROM documents),
+shs AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM docs),
+sig AS (SELECT doc_id, sh, {mh} FROM shs WHERE len(sh) > 0),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN shs sa ON sa.doc_id = c.doc_a
+  JOIN shs sb ON sb.doc_id = c.doc_b
+  WHERE len(list_intersect(sa.sh, sb.sh))
+        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+        >= 0.5
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b),
+lab AS (SELECT a AS doc_id, least(a, min(b)) AS component
+        FROM reach GROUP BY a),
+ranked AS (
+  SELECT l.doc_id, l.component, d.n_chars,
+         row_number() OVER (PARTITION BY l.component
+                            ORDER BY d.n_chars DESC, l.doc_id ASC) AS rn
+  FROM lab l JOIN documents d ON d.doc_id = l.doc_id
+)
+SELECT doc_id, component, n_chars, (rn = 1) AS kept FROM ranked
+"""
+
+
+@register(
+    "dedup_cluster_keep_best",
+    _d_cluster_sql(),
+    doc="Cluster-representative selection (SemDeDup/FineWeb resolution): "
+    "full-corpus MinHash-LSH pairs at jaccard >= 0.5 -> connected "
+    "components (operators/dedup.connected_components: iterative "
+    "hash-min label propagation, diameter-bounded rounds) -> keep "
+    "exactly the highest-n_chars doc per component, smallest doc_id on "
+    "ties (operators/dedup.keep_best_per_component).  The per-component "
+    "argmax is a partial-aggregating max(struct(quality, -id)) — "
+    "deliberately NOT a window over component, which would serialize a "
+    "viral boilerplate cluster into one task at corpus scale; the "
+    "oracle's row_number formulation is the spec, the aggregate is the "
+    "scale-safe implementation.  The oracle computes components via a "
+    "recursive-CTE transitive closure — an independent formulation of "
+    "the same min-label fixpoint, so the iterative propagation is "
+    "value-checked end-to-end, not just unit-tested.",
+)
+def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_olho_vivo_spark.caching import SESSION_BAG
+
+    d = read_table(spark, sf_dir, "documents")
+    sig = SESSION_BAG.add(
+        dedup.minhash_signature(d).select("doc_id", "sh", "minhash")
+    )
+    pairs = dedup.near_duplicates(sig=sig, threshold=0.5)
+    return dedup.keep_best_per_component(
+        pairs, d, quality_col="n_chars", caches=SESSION_BAG
+    )

@@ -96,7 +96,12 @@ FROM events GROUP BY event_type
     "sketch landed within 10%% (5 sigma at rsd 0.02 — deterministically "
     "true).  At 100 TB the sketch is the only viable plan: constant "
     "memory per group, mergeable partial state, no distinct-expand "
-    "shuffle of raw user_ids.",
+    "shuffle of raw user_ids.  driver=False since round 9 (rotation "
+    "policy category 3: the row's value is mostly plan-shape, pinned in "
+    "tests/test_plans.py, and the exact-count value semantics stay "
+    "driver-covered by distinct_suppliers_per_part); local parity via "
+    "tests/test_oracle_parity.py.",
+    driver=False,
 )
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events")
@@ -210,7 +215,11 @@ FROM part
     doc="Unpivot/melt (wide→long) via stack(): narrow-row shape for "
     "per-measure pipelines, produced in the scan projection with no "
     "shuffle and no second pass over the fact.  Inverse of the pivot "
-    "query (order_priority_pivot).",
+    "query (order_priority_pivot).  driver=False since round 9 "
+    "(rotation policy category 2: parameter variant of a driver row — "
+    "the pivot/unpivot pair keeps order_priority_pivot in the window); "
+    "local parity via tests/test_oracle_parity.py.",
+    driver=False,
 )
 def q_unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = read_table(spark, sf_dir, "part")
