@@ -81,8 +81,21 @@ def _build_parser() -> argparse.ArgumentParser:
     cor.add_argument("--sf-dir", required=True, help="input tables directory")
     cor.add_argument("--out", required=True, help="corpus output directory")
     cor.add_argument(
-        "--resolution", choices=["greedy", "components"], default="greedy"
+        "--resolution",
+        choices=["greedy", "components", "keep_best"],
+        default="greedy",
+        help="near-dup pair-graph resolution: greedy (drop larger id "
+        "per pair), components (exact clustering, keep min id), "
+        "keep_best (exact clustering, keep highest quality_score)",
     )
+    cor.add_argument(
+        "--snapshot-filter", default=None, metavar="FILTER_DIR",
+        help="drop docs whose 3-gram overlap with a previous crawl's "
+        "persisted Bloom filter (see bloom-build) reaches "
+        "--snapshot-overlap — inter-snapshot dedup without re-reading "
+        "the prior crawl",
+    )
+    cor.add_argument("--snapshot-overlap", type=float, default=0.5)
     cor.add_argument("--min-tokens", type=int, default=5)
     cor.add_argument("--jaccard-threshold", type=float, default=0.6)
     cor.add_argument("--redact-pii", action="store_true")
@@ -328,6 +341,29 @@ def _build_parser() -> argparse.ArgumentParser:
         "beside the corpus)",
     )
 
+    blo = sub.add_parser(
+        "bloom-build",
+        help="build (or extend) a persisted Bloom filter over a "
+        "corpus's distinct 3-gram shingles — the membership artifact "
+        "corpus --snapshot-filter probes for inter-snapshot dedup",
+    )
+    blo.add_argument(
+        "--in", dest="in_dir", required=True,
+        help="documents parquet (needs a text column)",
+    )
+    blo.add_argument("--out", required=True, help="filter output dir")
+    blo.add_argument("--text-col", default="text")
+    blo.add_argument(
+        "--fpp", type=float, default=0.01,
+        help="target false-positive rate (sizes the bitmap)",
+    )
+    blo.add_argument(
+        "--merge", default=None, metavar="FILTER_DIR",
+        help="fold this corpus INTO an existing filter: geometry comes "
+        "from FILTER_DIR's manifest (--fpp ignored) and the merged "
+        "filter lands at --out, which must differ from FILTER_DIR",
+    )
+
     prof = sub.add_parser(
         "profile", help="one-scan per-column profile of a parquet table"
     )
@@ -446,6 +482,8 @@ def main(argv: list[str] | None = None) -> int:
             lm_ref_dir=args.lm_ref,
             lm_order=args.lm_order,
             dedup_resolution=args.resolution,
+            snapshot_filter_dir=args.snapshot_filter,
+            snapshot_overlap=args.snapshot_overlap,
             splits=splits,
             split_seed=args.split_seed,
             gopher=args.gopher,
@@ -808,6 +846,72 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.out, "w") as f:
             json.dump(payload, f, indent=1)
         print(json.dumps(payload))
+        return 0
+
+    if args.command == "bloom-build":
+        from etl_olho_vivo_spark.caching import CacheBag
+        from etl_olho_vivo_spark.operators import bloom as bloomop
+        from etl_olho_vivo_spark.operators import dedup
+        from etl_olho_vivo_spark.sources.tables import (
+            pin_parquet_instant_confs,
+        )
+        from pyspark.sql import functions as F
+
+        pin_parquet_instant_confs(spark)
+        d = spark.read.parquet(args.in_dir)
+        if args.text_col not in d.columns:
+            raise SystemExit(
+                f"--text-col {args.text_col!r} not in {d.columns}"
+            )
+        bag = CacheBag()
+        try:
+            # persist the ARRAYS before exploding — the persist
+            # boundary is what stops Catalyst collapsing the token-hash
+            # projection into the Generate lambda (O(words²) md5, see
+            # operators/bloom.py); the distinct keys are persisted too
+            # for their two consumers (sizing count + filter build)
+            sh = bag.add(
+                dedup.with_shingles(d, text=args.text_col).select("sh")
+            )
+            keys = bag.add(
+                sh.select(F.explode("sh").alias("gh")).distinct()
+            )
+            if args.merge:
+                if args.merge == args.out:
+                    # the merged bitmap is written lazily FROM the
+                    # existing one — writing over the input would read
+                    # and truncate the same files
+                    raise SystemExit(
+                        "--out must differ from --merge (the merged "
+                        "filter reads the existing one while writing)"
+                    )
+                existing, nb, nh = bloomop.read_bloom_filter(
+                    spark, args.merge
+                )
+                filt = bloomop.merge_bloom_filters(
+                    existing, bloomop.build_bloom_filter(keys, "gh", nb, nh)
+                )
+                n_keys = keys.count()
+            else:
+                n_keys = keys.count()
+                nb, nh = bloomop.bloom_parameters(
+                    max(1, n_keys), args.fpp
+                )
+                filt = bloomop.build_bloom_filter(keys, "gh", nb, nh)
+            bloomop.write_bloom_filter(filt, args.out, nb, nh)
+        finally:
+            bag.release()
+        print(
+            json.dumps(
+                {
+                    "command": "bloom-build",
+                    "n_keys": n_keys,
+                    "num_bits": nb,
+                    "num_hashes": nh,
+                    "merged_into": args.merge,
+                }
+            )
+        )
         return 0
 
     if args.command == "profile":

@@ -140,6 +140,64 @@ def probe_bloom(
     )
 
 
+def gram_overlap_vs_filter(
+    df: DataFrame,
+    filt: DataFrame,
+    num_bits: int,
+    num_hashes: int,
+    id_col: str = "doc_id",
+    text: str = "text",
+    out: str = "snapshot_overlap",
+    caches=None,
+) -> DataFrame:
+    """Per-document fraction of distinct 3-gram shingles present in a
+    persisted Bloom filter — the pure-Bloom (verify-free) snapshot-dedup
+    gate: the reference corpus is represented ONLY by its filter, so
+    the per-gram decision carries the filter's FP rate (overlap can
+    read high by ≤ ~fpp, never low — no false negatives).
+
+    Adds ``out`` (double in [0,1]; 0.0 for docs too short to shingle)
+    to ``df``.  The shingle arrays are persisted BEFORE the explode
+    (the Generate-inlining hazard — see ``bloom_gram_overlap``'s
+    registry doc) and the filter is probed once per distinct gram, not
+    per occurrence."""
+    from etl_olho_vivo_spark.operators.dedup import _persist, with_shingles
+
+    if out in df.columns:
+        raise ValueError(f"output column {out!r} already exists")
+    sh_docs = _persist(
+        with_shingles(df, text).select(id_col, "sh"), caches
+    )
+    grams = sh_docs.select(
+        id_col, F.explode_outer("sh").alias("gh")
+    )
+    keys = grams.filter(F.col("gh").isNotNull()).select("gh").distinct()
+    hits = (
+        probe_bloom(keys, filt, "gh", num_bits, num_hashes)
+        .filter(F.col("bloom_maybe"))
+        .drop("bloom_maybe")
+        .withColumn("hit", F.lit(1).cast("long"))
+    )
+    per_doc = (
+        grams.join(hits, "gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("gh").alias("__n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0).cast("long")).alias("__n_hit"),
+        )
+        .select(
+            id_col,
+            F.when(
+                F.col("__n_grams") > 0,
+                F.col("__n_hit") / F.col("__n_grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(out),
+        )
+    )
+    return df.join(per_doc, id_col, "left").fillna({out: 0.0})
+
+
 def merge_bloom_filters(a: DataFrame, b: DataFrame) -> DataFrame:
     """OR two bitmap relations of the SAME geometry (num_bits,
     num_hashes) into one — the incremental-snapshot path: build a

@@ -31,6 +31,14 @@ Scale notes (the 100 TB story):
   (``dedup.connected_components`` hash-min label propagation, one
   join+groupBy per round, diameter rounds) and keeps each cluster's min
   doc_id — its drop set is always a superset of greedy's.
+  ``dedup_resolution="keep_best"`` keeps each cluster's highest-
+  quality_score doc instead (``dedup.keep_best_per_component``) — same
+  drop-set size as components, quality-aware survivor choice;
+- inter-snapshot dedup (``snapshot_filter_dir``): docs whose 3-gram
+  overlap with a previous crawl's persisted Bloom filter reaches the
+  threshold are dropped BEFORE within-corpus dedup — the prior crawl is
+  never re-read, only its (word, bits) bitmap relation is probed
+  (``operators/bloom.py``; build filters with the ``bloom-build`` CLI).
 """
 
 from __future__ import annotations
@@ -118,6 +126,8 @@ def run_corpus(
     span_k: int = 5,
     span_min_count: int = 2,
     dedup_resolution: str = "greedy",
+    snapshot_filter_dir: str | None = None,
+    snapshot_overlap: float = 0.5,
     pack: tuple[int, int, int] | None = None,
     splits: dict[str, float] | None = None,
     split_seed: int = 0,
@@ -162,6 +172,17 @@ def run_corpus(
     if lm_order < 2:
         # same rule — the LM gate runs mid-pipeline, after dedup
         raise ValueError(f"lm_order must be >= 2, got {lm_order}")
+    if snapshot_filter_dir is not None and not (0.0 < snapshot_overlap <= 1.0):
+        raise ValueError(
+            f"snapshot_overlap must be in (0, 1], got {snapshot_overlap}"
+        )
+    if dedup_resolution not in ("greedy", "components", "keep_best"):
+        # validated HERE too: the resolution stage runs after the band
+        # join has already shuffled the corpus
+        raise ValueError(
+            f"dedup_resolution must be greedy|components|keep_best, "
+            f"got {dedup_resolution!r}"
+        )
     d = read_table(spark, sf_dir, "documents")
     if redact_pii:
         d = d.withColumn("text", textops.redact("text"))
@@ -200,6 +221,27 @@ def run_corpus(
         )
         stats["lang_and_length"] = kept.count()
 
+        if snapshot_filter_dir is not None:
+            # inter-snapshot dedup BEFORE within-corpus dedup (Dolma's
+            # ordering): docs already covered by a previous crawl —
+            # persisted as a Bloom filter by `bloom-build`, the crawl
+            # itself never re-read — are dropped on pure-Bloom gram
+            # overlap (operators/bloom.py: no FN, overlap reads high by
+            # at most ~fpp).  Runs after the cheap per-row gates so the
+            # probe join only sees plausible survivors.
+            from etl_olho_vivo_spark.operators import bloom as bloomop
+
+            filt, nb, nh = bloomop.read_bloom_filter(
+                spark, snapshot_filter_dir
+            )
+            kept = bloomop.gram_overlap_vs_filter(
+                kept, filt, nb, nh, caches=stage_caches
+            )
+            kept = kept.filter(
+                F.col("snapshot_overlap") < snapshot_overlap
+            ).drop("snapshot_overlap")
+            stats["snapshot_dedup"] = kept.count()
+
         # exact dedup: deterministic survivor (min doc_id) per fingerprint
         survivors = dedup.exact_dedup(kept, ["fp_md5"], "doc_id").select(
             "fp_md5", F.col("keep_doc_id").alias("doc_id")
@@ -222,12 +264,26 @@ def run_corpus(
             drops = comp.filter(
                 F.col("doc_id") != F.col("component")
             ).select("doc_id")
+        elif dedup_resolution == "keep_best":
+            # quality-aware resolution (SemDeDup/FineWeb): same exact
+            # clustering, but each cluster keeps its highest-
+            # quality_score doc (ties to smallest doc_id) instead of
+            # blindly the min id — the drop SET SIZE matches
+            # components (one survivor per cluster), the survivor
+            # choice differs
+            resolved = dedup.keep_best_per_component(
+                pairs,
+                kept.select("doc_id", "quality_score"),
+                quality_col="quality_score",
+                caches=drop_caches,
+            )
+            drops = resolved.filter(~F.col("kept")).select("doc_id")
         elif dedup_resolution == "greedy":
             drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
         else:
             raise ValueError(
-                f"dedup_resolution must be greedy|components, got "
-                f"{dedup_resolution!r}"
+                f"dedup_resolution must be greedy|components|keep_best, "
+                f"got {dedup_resolution!r}"
             )
         # eagerly materialize the (small) drop list so the LSH band +
         # verify joins never re-execute, then release the signature

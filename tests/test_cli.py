@@ -642,3 +642,60 @@ def test_lm_cuts_subcommand_hands_off_to_gate(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="order"):
         main(["lm-cuts", "--in", docs_dir + "/documents.parquet",
               "--out", cuts_path, "--order", "1"])
+
+
+def test_bloom_build_then_snapshot_dedup_corpus(spark, tmp_path, capsys):
+    """The inter-snapshot loop as operated: bloom-build persists the
+    previous crawl's gram filter, corpus --snapshot-filter probes it
+    and drops covered docs; a second bloom-build --merge folds a new
+    batch into the filter without re-reading the first crawl."""
+    from pyspark.sql import functions as F
+
+    from etl_olho_vivo_spark.operators import bloom
+    from etl_olho_vivo_spark.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_table(spark, sf, "documents")
+    prev_dir = str(tmp_path / "prev")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(prev_dir)
+    fdir = str(tmp_path / "filter")
+
+    assert main(["--cpus", "8", "bloom-build", "--in", prev_dir,
+                 "--out", fdir]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["command"] == "bloom-build"
+    assert built["n_keys"] > 0 and built["num_bits"] % 64 == 0
+
+    out = str(tmp_path / "clean")
+    assert main(["--cpus", "8", "corpus", "--sf-dir", sf, "--out", out,
+                 "--min-tokens", "3", "--snapshot-filter", fdir,
+                 "--snapshot-overlap", "0.9"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["snapshot_dedup"] < stats["lang_and_length"]
+    back = spark.read.parquet(out)
+    assert back.filter(F.col("doc_id") % 2 == 0).count() == 0
+
+    # merge a new batch under the EXISTING geometry
+    batch_dir = str(tmp_path / "batch")
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(batch_dir)
+    fdir2 = str(tmp_path / "filter2")
+    assert main(["--cpus", "8", "bloom-build", "--in", batch_dir,
+                 "--out", fdir2, "--merge", fdir]) == 0
+    merged = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert merged["merged_into"] == fdir
+    assert merged["num_bits"] == built["num_bits"]
+    # the merged filter still has no false negatives for BOTH halves
+    filt, nb, nh = bloom.read_bloom_filter(spark, fdir2)
+    from etl_olho_vivo_spark.operators import dedup as dd
+
+    all_keys = (
+        dd.with_shingles(docs).select("sh")
+        .select(F.explode("sh").alias("gh")).distinct()
+    )
+    probed = bloom.probe_bloom(all_keys, filt, "gh", nb, nh)
+    assert probed.filter(~F.col("bloom_maybe")).count() == 0
+
+    # --merge refuses to overwrite its own input
+    with pytest.raises(SystemExit, match="must differ"):
+        main(["--cpus", "8", "bloom-build", "--in", batch_dir,
+              "--out", fdir, "--merge", fdir])

@@ -208,3 +208,97 @@ def test_run_corpus_leaves_no_caches(spark, tmp_path, resolution):
         dedup_resolution=resolution,
     )
     assert jmap().size() == before
+
+
+def test_keep_best_resolution_same_drop_count_as_components(spark, tmp_path):
+    """keep_best clusters identically to components (same pair graph,
+    same connected components) — only the survivor CHOICE differs, so
+    the near_dedup counts must be equal and the keep_best survivors'
+    total quality_score cannot be lower than components' (per cluster,
+    the argmax-quality doc >= whatever the min-id rule kept; docs
+    outside any cluster are identical in both runs).  The per-cluster
+    argmax itself is value-checked by the dedup_cluster_keep_best
+    oracle row."""
+    from etl_olho_vivo_spark.plans.corpus import run_corpus
+
+    kw = dict(spark=spark, sf_dir="/root/testdata/sf0.001",
+              min_tokens=3, jaccard_threshold=0.5)
+    c = run_corpus(
+        out_dir=str(tmp_path / "c"), dedup_resolution="components", **kw
+    )
+    kb = run_corpus(
+        out_dir=str(tmp_path / "kb"), dedup_resolution="keep_best", **kw
+    )
+    assert kb["near_dedup"] == c["near_dedup"]
+    back_c = {
+        r["doc_id"]: r["quality_score"]
+        for r in spark.read.parquet(str(tmp_path / "c")).collect()
+    }
+    back_kb = {
+        r["doc_id"]: r["quality_score"]
+        for r in spark.read.parquet(str(tmp_path / "kb")).collect()
+    }
+    assert len(back_kb) == len(back_c)
+    assert sum(back_kb.values()) >= sum(back_c.values())
+
+
+def test_snapshot_filter_drops_previous_crawl(spark, tmp_path):
+    """Inter-snapshot dedup: docs fully covered by the previous crawl's
+    Bloom filter (their own grams — overlap exactly 1.0, no false
+    negatives) are dropped; the stat lands between the lang gate and
+    exact dedup."""
+    from pyspark.sql import functions as F
+
+    from etl_olho_vivo_spark.caching import CacheBag
+    from etl_olho_vivo_spark.operators import bloom, dedup
+    from etl_olho_vivo_spark.plans.corpus import run_corpus
+    from etl_olho_vivo_spark.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    prev = read_table(spark, sf, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    bag = CacheBag()
+    sh = bag.add(dedup.with_shingles(prev).select("sh"))
+    keys = sh.select(F.explode("sh").alias("gh")).distinct()
+    m, k = bloom.bloom_parameters(keys.count(), 0.01)
+    filt = bloom.build_bloom_filter(keys, "gh", m, k)
+    fdir = str(tmp_path / "filter")
+    bloom.write_bloom_filter(filt, fdir, m, k)
+    bag.release()
+
+    stats = run_corpus(
+        spark, sf, str(tmp_path / "clean"),
+        min_tokens=3, jaccard_threshold=0.5,
+        snapshot_filter_dir=fdir, snapshot_overlap=0.9,
+    )
+    assert list(stats)[:4] == [
+        "input", "lang_and_length", "snapshot_dedup", "exact_dedup"
+    ]
+    assert 0 < stats["snapshot_dedup"] < stats["lang_and_length"]
+    back = spark.read.parquet(str(tmp_path / "clean"))
+    # no false negatives: every even (previous-crawl) doc is gone
+    assert back.filter(F.col("doc_id") % 2 == 0).count() == 0
+    assert back.count() > 0
+
+    with pytest.raises(ValueError, match="snapshot_overlap"):
+        run_corpus(
+            spark, sf, str(tmp_path / "bad"),
+            snapshot_filter_dir=fdir, snapshot_overlap=0.0,
+        )
+
+
+def test_run_corpus_keep_best_leaves_no_caches(spark, tmp_path):
+    from etl_olho_vivo_spark.plans.corpus import run_corpus
+
+    jmap = spark.sparkContext._jsc.getPersistentRDDs
+    before = jmap().size()
+    run_corpus(
+        spark,
+        "/root/testdata/sf0.001",
+        str(tmp_path / "clean_kb"),
+        min_tokens=3,
+        jaccard_threshold=0.5,
+        dedup_resolution="keep_best",
+    )
+    assert jmap().size() == before

@@ -281,3 +281,69 @@ def test_editdist_band_area_measured_at_10x(spark, scale10_dir):
     # if lengths collapse into one band this fails and the band width
     # (or a second blocking key) needs revisiting
     assert banded * 2 <= naive, (banded, naive)
+
+
+@pytest.mark.slow
+def test_bloom_overlap_pins_hold_at_10x(spark, scale10_dir):
+    """The Bloom snapshot-dedup query (round 9) on 10× documents: the
+    final adaptive plan must keep (a) zero pair enumeration (no
+    cartesian/nested-loop anywhere — membership is join + aggregate),
+    (b) the shingle arrays flowing out of ONE cached pass (ref
+    distinct, probe distinct and the mark join are all
+    InMemoryTableScan consumers), and (c) exactly one token-hashing
+    pass in the optimized plan — the O(words²) md5 inlining hazard
+    (InferFiltersFromGenerate / CollapseProject under a Generate)
+    measured 73 s vs <1 s at sf0.1, so the guard is structural, not a
+    timing."""
+    df = registry.REGISTRY["bloom_gram_overlap"].fn(spark, scale10_dir)
+    n = len(df.collect())
+    assert n > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    release_session_caches()
+    final = plan.split("== Initial Plan ==")[0]
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                "PythonUDF", "BatchEvalPython"):
+        assert bad not in final, final[:2000]
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+    # the inlining-hazard guard: every Generate must explode a bare
+    # cached ATTRIBUTE (sh#N), never an inlined shingle expression —
+    # CollapseProject under a Generate would substitute the token-hash
+    # transform into the lambda and re-evaluate it per gram.  (A plain
+    # substring count over the optimized plan cannot express this:
+    # every InMemoryRelation reference re-prints its cached child plan,
+    # so the transform legitimately appears once per cache consumer.)
+    import re
+
+    for m in re.finditer(r"Generate explode\(([^#,)]*)", optimized):
+        head = m.group(1)
+        assert "transform" not in head and "CASE" not in head, (
+            m.group(0), optimized[:3000]
+        )
+
+
+@pytest.mark.slow
+def test_cluster_keep_best_pins_hold_at_10x(spark, scale10_dir):
+    """Cluster-representative selection (round 9) on 10× documents:
+    the per-component argmax must stay a partial-aggregating
+    max(struct) — NO Window over component in the final adaptive plan
+    (a viral cluster would serialize a window rank into one task) —
+    with the labeled frame cached once for both the argmax and the
+    kept join, and exactly one representative kept per component."""
+    from collections import Counter
+
+    df = registry.REGISTRY["dedup_cluster_keep_best"].fn(spark, scale10_dir)
+    rows = df.collect()
+    assert rows
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    release_session_caches()
+    final = plan.split("== Initial Plan ==")[0]
+    for bad in ("Window", "CartesianProduct", "BroadcastNestedLoopJoin",
+                "PythonUDF", "BatchEvalPython"):
+        assert bad not in final, final[:2000]
+    assert "HashAggregate" in final
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+    kept_per_comp = Counter(r["component"] for r in rows if r["kept"])
+    comps = {r["component"] for r in rows}
+    assert set(kept_per_comp) == comps  # every component keeps one
+    assert all(v == 1 for v in kept_per_comp.values())
