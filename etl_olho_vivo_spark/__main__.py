@@ -233,6 +233,18 @@ def _build_parser() -> argparse.ArgumentParser:
     cst.add_argument("--gopher", dest="stream_gopher",
                      action="store_true")
     cst.add_argument("--c4", dest="stream_c4", action="store_true")
+    cst.add_argument(
+        "--snapshot-filter", dest="stream_snapshot_filter",
+        default=None, metavar="FILTER_DIR",
+        help="reject batch docs whose 3-gram overlap with a previous "
+        "crawl's Bloom filter (bloom-build) reaches "
+        "--snapshot-overlap — the filter stays frozen for the drain; "
+        "advance it between crawls with bloom-build --merge",
+    )
+    cst.add_argument(
+        "--snapshot-overlap", dest="stream_snapshot_overlap",
+        type=float, default=0.5,
+    )
 
     evi = sub.add_parser(
         "eval-index",
@@ -578,6 +590,8 @@ def main(argv: list[str] | None = None) -> int:
             eval_grams_dir=args.eval_grams,
             eval_ngram=args.eval_ngram,
             gates=gates or None,
+            snapshot_filter_dir=args.stream_snapshot_filter,
+            snapshot_overlap=args.stream_snapshot_overlap,
         )
         q.awaitTermination()
         try:

@@ -102,8 +102,20 @@ def admit_batch(
     eval_ngram: int = 5,
     eval_grams: DataFrame | None = None,
     gates: dict | None = None,
+    snapshot_filter: "tuple[DataFrame, int, int] | None" = None,
+    snapshot_overlap: float = 0.5,
 ) -> None:
     """Admit one micro-batch: dedup in-batch + vs store, append survivors.
+
+    ``snapshot_filter`` = ``(bitmap, num_bits, num_hashes)`` from
+    ``bloom.read_bloom_filter`` — inter-SNAPSHOT dedup: batch docs
+    whose 3-gram overlap with a previous crawl's persisted Bloom filter
+    reaches ``snapshot_overlap`` are rejected before the signature pass
+    even runs (the prior crawl is never re-read; cost ∝ batch).  The
+    filter stays FROZEN for the stream's lifetime — within-THIS-corpus
+    dedup is the signature store's job, and the filter is advanced
+    offline between crawls (``bloom-build --merge``), so the two
+    mechanisms never overlap in responsibility.
 
     ``gates`` (optional) are per-row quality gates applied FIRST —
     keyword arguments for ``plans.corpus.gate_documents`` (keep_langs,
@@ -142,6 +154,16 @@ def admit_batch(
 
         batch = gate_documents(batch, text=text, **gates)
     with CacheBag() as bag:
+        if snapshot_filter is not None:
+            from etl_olho_vivo_spark.operators import bloom as bloomop
+
+            filt, nb, nh = snapshot_filter
+            batch = bloomop.gram_overlap_vs_filter(
+                batch, filt, nb, nh, text=text, caches=bag
+            )
+            batch = batch.filter(
+                F.col("snapshot_overlap") < snapshot_overlap
+            ).drop("snapshot_overlap")
         sig = bag.add(
             dedup.minhash_signature(batch, text).select(
                 "doc_id", "sh", "minhash"
@@ -267,6 +289,8 @@ def run_corpus_stream(
     eval_grams_dir: str | None = None,
     eval_ngram: int = 5,
     gates: dict | None = None,
+    snapshot_filter_dir: str | None = None,
+    snapshot_overlap: float = 0.5,
 ):
     """Start the continuous ingestion query over a streaming documents
     frame (any readStream source with doc_id + text columns).
@@ -296,6 +320,22 @@ def run_corpus_stream(
             )
         )
 
+    snapshot_filter = None
+    if snapshot_filter_dir is not None:
+        if not (0.0 < snapshot_overlap <= 1.0):
+            # fail at start-up, not inside the first foreachBatch
+            raise ValueError(
+                f"snapshot_overlap must be in (0, 1], got {snapshot_overlap}"
+            )
+        from etl_olho_vivo_spark.caching import SESSION_BAG
+        from etl_olho_vivo_spark.operators import bloom as bloomop
+
+        # loaded + geometry-verified ONCE; the bitmap is persisted for
+        # the stream's lifetime (like the eval gram store) so each
+        # micro-batch probes cached blocks instead of re-reading parquet
+        filt, nb, nh = bloomop.read_bloom_filter(spark, snapshot_filter_dir)
+        snapshot_filter = (SESSION_BAG.add(filt), nb, nh)
+
     if gates:
         # fail at start-up on a bad gate config, not inside the first
         # foreachBatch: probe the gate composition on an empty frame
@@ -323,6 +363,8 @@ def run_corpus_stream(
             threshold=threshold, text=text,
             eval_grams=eval_grams, eval_ngram=eval_ngram,
             gates=gates,
+            snapshot_filter=snapshot_filter,
+            snapshot_overlap=snapshot_overlap,
         )
 
     writer = (

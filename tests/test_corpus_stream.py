@@ -376,3 +376,63 @@ def test_streaming_per_row_gates(spark, dirs):
             stream, dirs["corpus"], dirs["store"], dirs["ckpt"] + "2",
             gates={"min_tokns": 5},
         )
+
+
+def test_snapshot_filter_rejects_previous_crawl_docs(spark, dirs, tmp_path):
+    """Inter-snapshot dedup in the stream: a batch doc fully covered by
+    the previous crawl's Bloom filter (overlap 1.0 — no false
+    negatives) is rejected BEFORE the signature pass, so it reaches
+    neither the corpus nor the signature store; unrelated docs admit
+    normally and within-stream dedup still works on top."""
+    from pyspark.sql import functions as F
+
+    from etl_olho_vivo_spark.caching import CacheBag
+    from etl_olho_vivo_spark.operators import bloom, dedup
+    from etl_olho_vivo_spark.streaming.corpus_stream import run_corpus_stream
+
+    # previous crawl = BASE; persist its gram filter
+    prev = spark.createDataFrame([(100, BASE)], SCHEMA)
+    bag = CacheBag()
+    sh = bag.add(dedup.with_shingles(prev).select("sh"))
+    keys = sh.select(F.explode("sh").alias("gh")).distinct()
+    m, k = bloom.bloom_parameters(keys.count(), 0.01)
+    bloom.write_bloom_filter(
+        bloom.build_bloom_filter(keys, "gh", m, k),
+        str(tmp_path / "snap"), m, k,
+    )
+    bag.release()
+
+    # batch 0: a doc the previous crawl already covers + a fresh doc;
+    # batch 1: an exact dup of the fresh doc (within-stream dedup)
+    _write_batch(spark, dirs["stage"], "b0", [(1, BASE), (2, OTHER)])
+    _write_batch(spark, dirs["stage"], "b1", [(10, OTHER), (11, THIRD)])
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dirs["stage"])
+    )
+    q = run_corpus_stream(
+        stream, dirs["corpus"], dirs["store"], dirs["ckpt"],
+        threshold=0.5,
+        snapshot_filter_dir=str(tmp_path / "snap"),
+        snapshot_overlap=0.9,
+    )
+    q.awaitTermination(180)
+
+    admitted = sorted(
+        r["doc_id"] for r in spark.read.parquet(dirs["corpus"]).collect()
+    )
+    assert admitted == [2, 11]  # 1 vs snapshot; 10 vs store
+    in_store = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(dirs["store"]).select("doc_id").collect()
+    )
+    assert in_store == [2, 11]  # the rejected doc's signature never lands
+
+    with pytest.raises(ValueError, match="snapshot_overlap"):
+        run_corpus_stream(
+            stream, dirs["corpus"], dirs["store"], dirs["ckpt"],
+            snapshot_filter_dir=str(tmp_path / "snap"),
+            snapshot_overlap=1.5,
+        )
