@@ -36,6 +36,11 @@ CANARIES = [
     "lapsed_customers",        # anti join over a date-sliced fact
     "repeated_span_dedup",     # gram-first survivor + span coverage
     "doc_bigram_cross_entropy",  # rounded log-mean over exact counts
+    # round-9 driver rows: the Bloom overlap ratio must not see a
+    # partition-dependent gram set, and the cluster argmax (min-label
+    # fixpoint + max(struct)) must be layout-independent
+    "bloom_gram_overlap",
+    "dedup_cluster_keep_best",
 ]
 
 
