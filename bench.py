@@ -125,7 +125,8 @@ def _wait_for_idle() -> tuple[list[float], bool]:
 
 
 def _warm_lines(
-    timings: dict[str, float], sf: str, load: list[float]
+    timings: dict[str, float], sf: str, load: list[float],
+    gate_ok: bool = True,
 ) -> list[str]:
     """Serialize warm per-query times as chunked JSON lines (docstring:
     part 0 = headline-redundant, parts 1..k = the rest, each chunk's
@@ -156,14 +157,19 @@ def _warm_lines(
         used += cost
     if cur:
         chunks.append(cur)
+    # taint marker on EVERY line (module contract): the artifact is read
+    # in tail-truncated form, so a consumer must see the taint on
+    # whichever line survives, not only on the summary
+    taint = {} if gate_ok else {"load_gate": "exceeded"}
     lines = [json.dumps(
         {"metric": "warm_queries_detail", "part": 0, "of": 1 + len(chunks),
-         "queries": part0, "sf": sf, "loadavg_start": load},
+         "queries": part0, "sf": sf, "loadavg_start": load, **taint},
         **compact,
     )]
     for i, q in enumerate(chunks):
         lines.append(json.dumps(
-            {"metric": "warm_queries_detail", "part": i + 1, "queries": q},
+            {"metric": "warm_queries_detail", "part": i + 1, "queries": q,
+             **taint},
             **compact,
         ))
     return lines
@@ -328,19 +334,18 @@ def main() -> None:
     # Lines least valuable first (module docstring): cold detail is
     # sacrificial; warm times go out in chunked lines so whole chunks
     # survive the 2000-char tail window; headline is LAST.
-    print(
-        json.dumps(
-            {
-                "metric": "all_queries_detail",
-                "queries_cold": cold,
-                "errors": errors,
-                "sf": sf,
-                "loadavg_start": load,
-            }
-        )
-    )
+    detail = {
+        "metric": "all_queries_detail",
+        "queries_cold": cold,
+        "errors": errors,
+        "sf": sf,
+        "loadavg_start": load,
+    }
+    if not gate_ok:
+        detail["load_gate"] = "exceeded"
+    print(json.dumps(detail))
     sys.stdout.flush()
-    for line in _warm_lines(timings, sf, load):
+    for line in _warm_lines(timings, sf, load, gate_ok=gate_ok):
         print(line)
         sys.stdout.flush()
     summary = {

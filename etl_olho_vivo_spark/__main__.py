@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -831,9 +832,14 @@ def main(argv: list[str] | None = None) -> int:
             ctx, ng, uni = lmops.ngram_counts(
                 ref, order=args.order, caches=bag
             )
-            scores = lmops.ngram_cross_entropy_scores(
-                docs.select("doc_id", "text"), ctx, ng, uni,
-                order=args.order, caches=bag,
+            # persisted: approxQuantile and the count below would each
+            # re-execute the full scoring pipeline (windows explode +
+            # count-relation joins) from scratch otherwise
+            scores = bag.add(
+                lmops.ngram_cross_entropy_scores(
+                    docs.select("doc_id", "text"), ctx, ng, uni,
+                    order=args.order, caches=bag,
+                )
             )
             try:
                 cuts = lmops.entropy_cut_points(scores, fractions)
@@ -891,10 +897,14 @@ def main(argv: list[str] | None = None) -> int:
                 sh.select(F.explode("sh").alias("gh")).distinct()
             )
             if args.merge:
-                if args.merge == args.out:
-                    # the merged bitmap is written lazily FROM the
-                    # existing one — writing over the input would read
-                    # and truncate the same files
+                # realpath, not string equality: 'f1/' vs 'f1' or a
+                # relative vs absolute spelling of the same directory
+                # would slip a raw comparison, and overwriting the
+                # bitmap the merged plan is lazily reading destroys the
+                # only copy of the reference filter
+                if os.path.realpath(args.merge) == os.path.realpath(
+                    args.out
+                ):
                     raise SystemExit(
                         "--out must differ from --merge (the merged "
                         "filter reads the existing one while writing)"

@@ -282,6 +282,11 @@ def mark_members(
     twice (distinct probe keys + the final mark join)."""
     from etl_olho_vivo_spark.operators.dedup import _persist
 
+    if out in df.columns:
+        # fail at the call site — the final left join would otherwise
+        # produce two identically-named columns and die much later in
+        # an AMBIGUOUS_REFERENCE deep inside the plan
+        raise ValueError(f"output column {out!r} already exists")
     ref = _persist(reference_keys.select(key).distinct(), caches)
     if n_items is None:
         n_items = ref.count()

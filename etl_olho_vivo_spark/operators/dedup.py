@@ -543,12 +543,15 @@ def connected_components(
             # the extra join defeated AQE's post-shuffle coalescing and
             # cost MORE per round than the action it removed; keep the
             # two-action form.)
-            if it == 0:
+            if it == 0 and max_iter > 1:
                 # round 1 always moves a label on an a<b pair graph
                 # (every edge's larger endpoint adopts a smaller one) —
                 # materialize the cache with a plain count and skip the
                 # comparison job.  Worst case (degenerate all-self-loop
                 # input) this costs one extra round, never wrong labels.
+                # (max_iter == 1 must still run the real check: forcing
+                # changed=1 there would turn a trivially-converged
+                # graph into a spurious convergence failure.)
                 new_labels.count()
                 changed = 1
             else:

@@ -99,8 +99,19 @@ def _media_parser():
             return None
         # BITMAPINFOHEADER (and its V4/V5 extensions) only — the ancient
         # 12-byte COREHEADER packs int16 dims at different offsets and
-        # would read as garbage here, so it degrades to opaque
-        if int.from_bytes(m[14:18], "little") < 40:
+        # would read as garbage here, so it degrades to opaque.  The
+        # size must be one of the EXACT published header sizes, not
+        # merely >= 40: a text document that happens to start with
+        # "BM" ("BMW dealership …") decodes its ASCII bytes at offset
+        # 14 to some huge int, and a >= test would sail past it and
+        # report garbage dimensions as a real bitmap
+        if int.from_bytes(m[14:18], "little") not in (40, 52, 56, 108, 124):
+            return None
+        # plausibility gates a real encoder always satisfies and ASCII
+        # text essentially never does: planes is mandated == 1, bpp is
+        # one of the legal depths, pixel data starts at or after the
+        # 54-byte headers and inside the buffer
+        if int.from_bytes(m[26:28], "little") != 1:
             return None
         w = int.from_bytes(m[18:22], "little", signed=True)
         h = int.from_bytes(m[22:26], "little", signed=True)
@@ -108,7 +119,11 @@ def _media_parser():
             return None
         height = abs(h)
         offset = int.from_bytes(m[10:14], "little")
+        if not 54 <= offset <= len(m):
+            return None
         bpp = int.from_bytes(m[28:30], "little")
+        if bpp not in (1, 4, 8, 16, 24, 32):
+            return None
         compression = int.from_bytes(m[30:34], "little")
         payload = m[offset:]
         if bpp == 24 and compression == 0:

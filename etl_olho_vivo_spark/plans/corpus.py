@@ -237,9 +237,16 @@ def run_corpus(
             kept = bloomop.gram_overlap_vs_filter(
                 kept, filt, nb, nh, caches=stage_caches
             )
-            kept = kept.filter(
-                F.col("snapshot_overlap") < snapshot_overlap
-            ).drop("snapshot_overlap")
+            # persist the GATED frame: its lineage now carries the
+            # probe join + per-doc aggregate, and five downstream
+            # consumers (this count, exact dedup's two sides, the
+            # signature pass, the final anti-join) would each re-run
+            # that whole subtree otherwise
+            kept = stage_caches.add(
+                kept.filter(
+                    F.col("snapshot_overlap") < snapshot_overlap
+                ).drop("snapshot_overlap")
+            )
             stats["snapshot_dedup"] = kept.count()
 
         # exact dedup: deterministic survivor (min doc_id) per fingerprint

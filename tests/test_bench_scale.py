@@ -104,3 +104,23 @@ def test_scale_env_zero_means_off(monkeypatch):
         assert bench.scale_enabled(), on
     monkeypatch.delenv("SPARK_GRAFT_SCALE")
     assert not bench.scale_enabled()
+
+
+def test_warm_lines_carry_taint_on_every_line():
+    """The module contract: a load-tainted bench marks EVERY output
+    line, because the artifact is read tail-truncated and whichever
+    line survives must carry the marker."""
+    import json as _json
+
+    import bench
+
+    timings = {f"q{i}": 0.1 * i for i in range(40)}
+    timings.update({n: 0.5 for n in bench.HEADLINE})
+    tainted = bench._warm_lines(timings, "0.1", [9.0, 9.0, 9.0],
+                                gate_ok=False)
+    assert len(tainted) >= 2
+    for line in tainted:
+        assert _json.loads(line)["load_gate"] == "exceeded"
+    clean = bench._warm_lines(timings, "0.1", [0.1, 0.1, 0.1], gate_ok=True)
+    for line in clean:
+        assert "load_gate" not in _json.loads(line)

@@ -212,3 +212,15 @@ def test_keep_best_selection_is_aggregate_not_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert out.count() == 2
+
+
+def test_mark_members_rejects_column_collision(spark):
+    df = _keys(spark, ["a"]).withColumn("is_member", F.lit(True))
+    with pytest.raises(ValueError, match="already exists"):
+        bloom.mark_members(df, _keys(spark, ["a"]), "k")
+    df2 = _keys(spark, ["a"]).withColumn("snapshot_overlap", F.lit(0.0))
+    with pytest.raises(ValueError, match="already exists"):
+        bloom.gram_overlap_vs_filter(
+            df2.withColumnRenamed("k", "text").withColumn("doc_id", F.lit(1)),
+            _keys(spark, ["x"]), 64, 1,
+        )

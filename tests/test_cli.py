@@ -699,3 +699,24 @@ def test_bloom_build_then_snapshot_dedup_corpus(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="must differ"):
         main(["--cpus", "8", "bloom-build", "--in", batch_dir,
               "--out", fdir, "--merge", fdir])
+
+
+def test_bloom_build_merge_guard_sees_path_aliases(spark, tmp_path, capsys):
+    """The --merge/--out same-directory guard must compare REAL paths:
+    'f1/' vs 'f1' (or relative vs absolute) spell the same directory,
+    and overwriting the bitmap the merged plan lazily reads would
+    destroy the only copy of the reference filter."""
+    from pyspark.sql import functions as F
+
+    from etl_olho_vivo_spark.sources.tables import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    prev_dir = str(tmp_path / "prev2")
+    docs.filter(F.col("doc_id") < 50).write.parquet(prev_dir)
+    fdir = str(tmp_path / "filter_alias")
+    assert main(["--cpus", "8", "bloom-build", "--in", prev_dir,
+                 "--out", fdir]) == 0
+    capsys.readouterr()
+    with pytest.raises(SystemExit, match="must differ"):
+        main(["--cpus", "8", "bloom-build", "--in", prev_dir,
+              "--out", fdir, "--merge", fdir + "/"])

@@ -1474,3 +1474,39 @@ def test_media_parser_is_shipped_by_value():
     bmp = _make_bmp(2, 1, (1, 2, 3))
     assert clone(bmp) == parse(bmp)
     assert clone(None) == (None,) * 6
+
+
+def test_decode_media_text_starting_with_bm_stays_opaque(spark):
+    """A plain-text document that happens to begin with 'BM' must NOT be
+    classified as a bitmap: the exact-header-size / planes==1 / legal-bpp
+    plausibility gates reject ASCII bytes, so the row keeps the opaque
+    checksum-derived semantics the registry oracle recomputes."""
+    texts = [
+        b"BMW dealership on the corner sells many fine cars and motorbikes "
+        b"to enthusiastic customers every single day of the week",
+        b"BM" + bytes(range(52)) * 3,  # binary junk with the magic
+    ]
+    rows = [(i, bytearray(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    for r in multimodal.decode_media(df).collect():
+        assert r["media_kind"] == "opaque"
+        assert r["width"] == r["checksum"] % 640
+        assert r["height"] == r["checksum"] % 480
+        assert r["mean_pixel"] is None
+
+
+def test_connected_components_max_iter_one_trivial_graph(spark):
+    """max_iter=1 must still detect trivially-converged graphs (the
+    round-1 skip-the-check shortcut may not force a spurious
+    non-convergence), and a real edge within max_iter=1 still raises."""
+    from pyspark.sql import Row
+
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = dedup.connected_components(empty, max_iter=1)
+    assert out.count() == 0
+
+    one_edge = spark.createDataFrame([Row(doc_a=1, doc_b=2)])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(one_edge, max_iter=1)
