@@ -303,3 +303,129 @@ def test_span_dedup_spills_and_completes_under_starved_memory(
     assert (int(n), int(chars)) == (exp["n"], exp["chars"])
     spill = _total_spill(events_dir)
     assert spill > 10 * 1024 * 1024, f"only {spill} bytes spilled"
+
+
+def test_bloom_overlap_completes_under_starved_memory(spark, tmp_path):
+    """The Bloom snapshot-dedup path under starvation: filter build
+    (bit_or aggregate), probe join, verify semi-join, and the per-doc
+    overlap aggregate over 30× documents must complete with the exact
+    healthy-session row count in a 700 MB JVM — the filter relation is
+    bounded by num_bits/64 regardless of corpus size, so nothing on the
+    probe path holds corpus-scaled state in memory."""
+    from tests.datagen import replicate_documents
+
+    data_dir = str(tmp_path / "docs30b")
+    events_dir = str(tmp_path / "events_log")
+    os.makedirs(events_dir)
+    replicate_documents(
+        spark, "/root/testdata/sf0.1/documents.parquet",
+        f"{data_dir}/documents.parquet", REPLICAS,
+    )
+
+    from etl_olho_vivo_spark import registry
+    from etl_olho_vivo_spark.caching import release_session_caches
+
+    registry.queries()
+    expected = registry.REGISTRY["bloom_gram_overlap"].fn(
+        spark, data_dir
+    ).count()
+    release_session_caches()
+
+    script = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[4]")
+            .config("spark.driver.memory", "700m")
+            .config("spark.memory.fraction", "0.15")
+            .config("spark.sql.shuffle.partitions", "4")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.dir", {events_dir!r})
+            .config("spark.ui.enabled", "false").getOrCreate())
+        from etl_olho_vivo_spark import registry
+        registry.queries()
+        df = registry.REGISTRY["bloom_gram_overlap"].fn(
+            spark, {data_dir!r})
+        print("PROBE_ROWS", df.count())
+        spark.stop()
+    """)
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=560,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    (rows_line,) = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("PROBE_ROWS")
+    ]
+    assert int(rows_line.split()[1]) == expected
+
+
+def test_cluster_keep_best_completes_with_partition_sizing(
+    spark, tmp_path
+):
+    """The full-corpus pair graph at 30× density is the engine's
+    spill-fan-in wall made concrete: at shuffle.partitions=4 the verify
+    SMJ's per-partition sort produces so many spill files that the
+    merge phase's per-file 1 MB read buffers OOM the 700 MB heap
+    (measured round 9 — this is ~4× the density the minhash probe
+    survives, since the store/batch split there quarters the block
+    area).  The engine's own partition-sizing rule is the fix and is
+    what this probe pins: 16 shuffle partitions + AQE coalescing off
+    completes with the exact healthy-session row count (150k kept/drop
+    verdicts at 30×) and substantial spill — proving keep-best's
+    clustering path spills instead of OOMing once partitions are sized
+    to the density, with no plan change needed."""
+    from tests.datagen import replicate_documents
+
+    data_dir = str(tmp_path / "docs30c")
+    events_dir = str(tmp_path / "events_log")
+    os.makedirs(events_dir)
+    replicate_documents(
+        spark, "/root/testdata/sf0.1/documents.parquet",
+        f"{data_dir}/documents.parquet", REPLICAS,
+    )
+
+    from etl_olho_vivo_spark import registry
+    from etl_olho_vivo_spark.caching import release_session_caches
+
+    registry.queries()
+    expected = registry.REGISTRY["dedup_cluster_keep_best"].fn(
+        spark, data_dir
+    ).count()
+    release_session_caches()
+
+    script = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[4]")
+            .config("spark.driver.memory", "700m")
+            .config("spark.memory.fraction", "0.15")
+            .config("spark.sql.shuffle.partitions", "16")
+            .config("spark.sql.adaptive.coalescePartitions.enabled",
+                    "false")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.dir", {events_dir!r})
+            .config("spark.ui.enabled", "false").getOrCreate())
+        from etl_olho_vivo_spark import registry
+        registry.queries()
+        df = registry.REGISTRY["dedup_cluster_keep_best"].fn(
+            spark, {data_dir!r})
+        print("PROBE_ROWS", df.count())
+        spark.stop()
+    """)
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=560,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    (rows_line,) = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("PROBE_ROWS")
+    ]
+    assert int(rows_line.split()[1]) == expected
+    spill = _total_spill(events_dir)
+    assert spill > 10 * 1024 * 1024, f"only {spill} bytes spilled"
