@@ -19,10 +19,13 @@ Every other byte stream (including this corpus' text/plain media) takes
 the ``opaque`` fallback: deterministic byte statistics with
 checksum-derived pseudo-dimensions, the original stub semantics — so a
 corrupt or unknown file NEVER crashes a 100 TB decode job, it just
-reports ``media_kind='opaque'``.  Compressed formats (PNG/JPEG/audio/
+reports ``media_kind='opaque'``.  ``decode_audio`` does the same for
+the audio leg: real RIFF/WAVE PCM chunk parsing (channels / sample rate
+/ bit depth / frames / duration / numpy-vectorized mean amplitude),
+opaque-with-NULLs otherwise.  Compressed formats (PNG/JPEG/MP3/
 video) still need PIL/libav, absent from this container (re-probed each
-round); they would slot into ``_media_parser`` without touching the
-Spark plumbing.
+round); they would slot into ``_media_parser``/``_audio_parser``
+without touching the Spark plumbing.
 """
 
 from __future__ import annotations
@@ -232,6 +235,141 @@ def decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "media").mapInPandas(batches, DECODED_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("media_kind", T.StringType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("mean_abs_amplitude", T.DoubleType()),
+    ]
+)
+
+
+def _audio_parser():
+    """Factory for the WAV feature extractor — same by-value shipping
+    rationale as ``_media_parser`` (workers lack this package).
+
+    The returned ``parse(media) -> (n_bytes, media_kind, n_channels,
+    sample_rate, bits_per_sample, n_frames, duration_s,
+    mean_abs_amplitude)`` REALLY decodes RIFF/WAVE PCM — the one audio
+    container parseable with zero dependencies:
+
+    - walks the chunk list (4-byte id, uint32 LE size, word-aligned
+      bodies — a LIST/INFO chunk before ``fmt `` is legal and skipped),
+      takes the FIRST ``fmt `` and ``data`` chunks;
+    - accepts only what it can honestly decode: format tag 1 (integer
+      PCM), 8- or 16-bit, ``block_align == n_channels * bytes_per_sample``
+      (a lying block_align would mis-frame every sample after the first);
+    - amplitude is the mean |sample| normalized to [0, 1] (8-bit is
+      unsigned around 128, 16-bit signed LE), vectorized via
+      ``numpy.frombuffer`` — no per-sample Python loop on a 100 TB
+      decode job;
+    - anything else — truncated chunk, float/ADPCM/extensible formats,
+      a text document starting with "RIFF" — degrades to ``opaque``
+      with NULL audio fields, never an executor crash.
+    """
+
+    def parse_wav(m: bytes):
+        if len(m) < 44 or m[:4] != b"RIFF" or m[8:12] != b"WAVE":
+            return None
+        fmt = data = None
+        pos = 12
+        while pos + 8 <= len(m):
+            cid = m[pos : pos + 4]
+            size = int.from_bytes(m[pos + 4 : pos + 8], "little")
+            body = m[pos + 8 : pos + 8 + size]
+            if len(body) < size:
+                return None  # truncated chunk — not a decodable file
+            if cid == b"fmt " and fmt is None:
+                fmt = body
+            elif cid == b"data" and data is None:
+                data = body
+            pos += 8 + size + (size & 1)  # bodies are word-aligned
+        if fmt is None or data is None or len(fmt) < 16:
+            return None
+        audio_format = int.from_bytes(fmt[0:2], "little")
+        n_channels = int.from_bytes(fmt[2:4], "little")
+        sample_rate = int.from_bytes(fmt[4:8], "little")
+        block_align = int.from_bytes(fmt[12:14], "little")
+        bits = int.from_bytes(fmt[14:16], "little")
+        if audio_format != 1 or n_channels < 1 or sample_rate <= 0:
+            return None
+        if bits not in (8, 16) or block_align != n_channels * (bits // 8):
+            return None
+        n_frames = len(data) // block_align
+        duration = round(n_frames / sample_rate, 6)
+        usable = data[: n_frames * block_align]
+        if not usable:
+            mean = None
+        else:
+            import numpy as np
+
+            if bits == 8:  # unsigned, silence at 128
+                s = np.frombuffer(usable, dtype=np.uint8).astype(np.int16)
+                mean = float(np.abs(s - 128).mean() / 128.0)
+            else:  # signed 16-bit little-endian
+                s = np.frombuffer(usable, dtype="<i2")
+                mean = float(np.abs(s.astype(np.int32)).mean() / 32768.0)
+            mean = round(mean, 6)
+        return n_channels, sample_rate, bits, n_frames, duration, mean
+
+    def parse(media):
+        if media is None:  # NULL media → NULL features, never a crash
+            return (None,) * 8
+        m = bytes(media)
+        parsed = parse_wav(m) if m[:4] == b"RIFF" else None
+        if parsed is None:
+            return (len(m), "opaque") + (None,) * 6
+        return (len(m), "wav") + parsed
+
+    return parse
+
+
+def decode_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched audio decode over the binary column — real
+    RIFF/WAVE PCM parsing (``_audio_parser``), ``opaque`` with NULL
+    audio fields for everything else.  Same 100 TB shape as
+    ``decode_media``: metadata-first schema, partition-parallel,
+    one self-contained closure."""
+    parse = _audio_parser()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [parse(m) for m in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": pd.Series([f[0] for f in feats], dtype="Int32"),
+                    "media_kind": pd.Series(
+                        [f[1] for f in feats], dtype="object"
+                    ),
+                    "n_channels": pd.Series(
+                        [f[2] for f in feats], dtype="Int32"
+                    ),
+                    "sample_rate": pd.Series(
+                        [f[3] for f in feats], dtype="Int32"
+                    ),
+                    "bits_per_sample": pd.Series(
+                        [f[4] for f in feats], dtype="Int32"
+                    ),
+                    "n_frames": pd.Series([f[5] for f in feats], dtype="Int32"),
+                    "duration_s": pd.Series(
+                        [f[6] for f in feats], dtype="Float64"
+                    ),
+                    "mean_abs_amplitude": pd.Series(
+                        [f[7] for f in feats], dtype="Float64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(batches, AUDIO_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(

@@ -786,6 +786,36 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return multimodal.decode_media(multimodal.attach_media(d))
 
+
+@register(
+    "multimodal_audio",
+    """
+SELECT doc_id,
+       CAST(strlen(text) AS INT) AS n_bytes,
+       'opaque' AS media_kind,
+       CAST(NULL AS INT) AS n_channels,
+       CAST(NULL AS INT) AS sample_rate,
+       CAST(NULL AS INT) AS bits_per_sample,
+       CAST(NULL AS INT) AS n_frames,
+       CAST(NULL AS DOUBLE) AS duration_s,
+       CAST(NULL AS DOUBLE) AS mean_abs_amplitude
+FROM documents
+""",
+    doc="Audio leg of the multimodal surface: decode_audio REALLY parses "
+    "RIFF/WAVE PCM (chunk walk, fmt validation, numpy-vectorized mean "
+    "|amplitude|; operators/multimodal.py round 9).  This corpus' media "
+    "is text/plain, so every row takes the opaque-with-NULL-audio-fields "
+    "path the oracle recomputes — validating the Arrow boundary and the "
+    "nullable audio schema; the real WAV path is pinned against "
+    "stdlib-wave-encoded fixtures in tests/test_operators.py.  "
+    "driver=False: the 50-row window is full — parity runs in the local "
+    "oracle suite.",
+    driver=False,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return multimodal.decode_audio(multimodal.attach_media(d))
+
 _D_CTX2 = ngram_hash_expr(["wh[i+1]", "wh[i+2]"])
 
 @register(
@@ -849,6 +879,94 @@ def q_doc_trigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx, ng, uni = lm.ngram_counts(d, order=3, caches=SESSION_BAG)
     return lm.ngram_cross_entropy_scores(
         d, ctx, ng, uni, order=3, caches=SESSION_BAG
+    )
+
+
+@register(
+    "doc_stupid_backoff",
+    f"""
+WITH w AS (SELECT doc_id, {_D_WH} AS wh FROM documents),
+ref AS (SELECT * FROM w WHERE doc_id % 2 = 0),
+uni AS (
+  SELECT w1h, count(*) AS u_n
+  FROM (SELECT unnest(wh) AS w1h FROM ref) GROUP BY w1h
+),
+v AS (SELECT count(*) AS v, CAST(sum(u_n) AS BIGINT) AS n_tok FROM uni),
+ctx3 AS (
+  SELECT ctx_h, count(*) AS c_n
+  FROM (SELECT unnest(list_transform(range(0, len(wh) - 1),
+                                     i -> {_D_CTX2})) AS ctx_h
+        FROM ref WHERE len(wh) >= 2)
+  GROUP BY ctx_h
+),
+tri AS (
+  SELECT ctx_h, w_h, count(*) AS g_n FROM (
+    SELECT unnest(list_transform(range(0, len(wh) - 2),
+                                 i -> {_D_CTX2})) AS ctx_h,
+           unnest(list_transform(range(0, len(wh) - 2), i -> wh[i+3])) AS w_h
+    FROM ref WHERE len(wh) >= 3) GROUP BY ctx_h, w_h
+),
+big AS (
+  SELECT w1h, w2h, count(*) AS b_n FROM (
+    SELECT unnest(list_transform(range(0, len(wh) - 1), i -> wh[i+1])) AS w1h,
+           unnest(list_transform(range(0, len(wh) - 1), i -> wh[i+2])) AS w2h
+    FROM ref WHERE len(wh) >= 2) GROUP BY w1h, w2h
+),
+occ AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(wh) - 2),
+                               i -> {_D_CTX2})) AS ctx2_h,
+         unnest(list_transform(range(0, len(wh) - 2), i -> wh[i+2])) AS w2h,
+         unnest(list_transform(range(0, len(wh) - 2), i -> wh[i+3])) AS w_h
+  FROM w WHERE doc_id % 2 = 1 AND len(wh) >= 3
+),
+sc AS (
+  SELECT o.doc_id,
+         CASE WHEN t.g_n IS NOT NULL THEN ln(t.g_n / c.c_n)
+              WHEN b.b_n IS NOT NULL THEN ln(0.4 * (b.b_n / u2.u_n))
+              ELSE ln(0.4 * 0.4 *
+                   ((coalesce(u3.u_n, 0) + 0.5) / (v.n_tok + 0.5 * v.v)))
+         END AS ll
+  FROM occ o
+  LEFT JOIN tri t ON o.ctx2_h = t.ctx_h AND o.w_h = t.w_h
+  LEFT JOIN ctx3 c ON o.ctx2_h = c.ctx_h
+  LEFT JOIN big b ON o.w2h = b.w1h AND o.w_h = b.w2h
+  LEFT JOIN uni u2 ON o.w2h = u2.w1h
+  LEFT JOIN uni u3 ON o.w_h = u3.w1h
+  CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+       round(-avg(ll), 6) AS sb_score
+FROM sc GROUP BY doc_id
+""",
+    doc="Stupid-backoff trigram scoring (Brants et al. 2007 — the "
+    "smoothing scheme DESIGNED for distributed n-gram models at this "
+    "engine's target scale: counts and a fixed 0.4 penalty, no "
+    "discount/normalization passes).  Trained on the even-doc_id half, "
+    "scored on the odd half, so all three branches — trigram hit, "
+    "bigram fallback, add-k unigram leaf (the documented OOV "
+    "deviation) — carry weight under the oracle rather than only the "
+    "self-trained top branch.  Backoff identity is the shared rolling "
+    "context hash; one corpus-sized window relation, every model "
+    "relation top_k-bounded/broadcastable (operators/lm.py).  "
+    "driver=False: the 50-row window is full — parity runs in the "
+    "local oracle suite (tests/test_lm.py + the all-oracle sweep), and "
+    "the query stays benchmarked.  BOUND: the Spark path truncates "
+    "each count relation at top_k=1,000,000 while this oracle does "
+    "not — the local parity test asserts the corpus stays under the "
+    "bound, same discipline as doc_trigram_cross_entropy.",
+    driver=False,
+)
+def q_doc_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_olho_vivo_spark.caching import SESSION_BAG
+    from etl_olho_vivo_spark.operators import lm
+
+    d = read_table(spark, sf_dir, "documents")
+    ref = d.filter((F.col("doc_id") % 2) == 0)
+    tgt = d.filter((F.col("doc_id") % 2) == 1)
+    uni, models = lm.backoff_counts(ref, order=3, caches=SESSION_BAG)
+    return lm.stupid_backoff_scores(
+        tgt, uni, models, order=3, caches=SESSION_BAG
     )
 
 

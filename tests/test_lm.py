@@ -265,3 +265,112 @@ def test_entropy_cut_points_feed_the_absolute_gate(spark):
             for r in scores.filter(scores.cross_entropy <= cut).collect()}
     assert 1 in kept and 4 not in kept
     assert len(kept) == 2
+
+
+def test_stupid_backoff_hand_computed_all_branches(spark):
+    """Every branch of the Brants et al. chain carries a hand-computed
+    expectation: trigram hit, bigram fallback (one alpha), seen-unigram
+    leaf and OOV leaf (two alphas + add-k) — arithmetic written in the
+    exact left-assoc order the Column expression and the oracle SQL
+    share."""
+    ref = spark.createDataFrame(
+        [(0, "a b c"), (2, "a b d a")], "doc_id long, text string"
+    )
+    # uni: a:3 b:2 c:1 d:1 -> V=4, N=7
+    # tri: (a,b,c):1 (a,b,d):1 (b,d,a):1; ctx3: (a,b):2 (b,c):1 (b,d):1 (d,a):1
+    # big: (a,b):2 (b,c):1 (b,d):1 (d,a):1
+    targets = spark.createDataFrame(
+        [(1, "a b c d z"), (3, "c b d"), (5, "q")],
+        "doc_id long, text string",
+    )
+    uni, models = lm.backoff_counts(ref, order=3)
+    out = {
+        r["doc_id"]: (r["n_ngrams"], r["sb_score"])
+        for r in lm.stupid_backoff_scores(
+            targets, uni, models, order=3
+        ).collect()
+    }
+    n, v = 7, 4
+    leaf = lambda u: 0.4 * 0.4 * ((u + 0.5) / (n + 0.5 * v))  # noqa: E731
+    ll_1 = [
+        math.log(1 / 2),          # (a,b,c): tri hit, ctx (a,b)=2
+        math.log(leaf(1)),        # (b,c,d): no tri, no big (c,d); u(d)=1
+        math.log(leaf(0)),        # (c,d,z): OOV leaf
+    ]
+    ll_3 = [math.log(0.4 * (1 / 2))]  # (c,b,d): big (b,d)=1 / u(b)=2
+    assert out == {
+        1: (3, round(-sum(ll_1) / 3, 6)),
+        3: (1, round(-ll_3[0], 6)),
+    }  # doc 5 has < order tokens -> omitted entirely
+
+
+def test_stupid_backoff_validation(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    uni, models = lm.backoff_counts(docs, order=3)
+    with pytest.raises(ValueError, match="order"):
+        lm.backoff_counts(docs, order=1)
+    with pytest.raises(ValueError, match="alpha"):
+        lm.stupid_backoff_scores(docs, uni, models, order=3, alpha=0.0)
+    with pytest.raises(ValueError, match="models must cover"):
+        lm.stupid_backoff_scores(docs, uni, {2: models[2]}, order=3)
+    with pytest.raises(ValueError, match="k_smooth"):
+        lm.stupid_backoff_scores(
+            docs, uni, models, order=3, k_smooth=0.0
+        )
+
+
+def test_stupid_backoff_orders_reference_like_docs_first(spark):
+    """The gate property: a reference-like document must outscore
+    gibberish, and a doc forcing backoff must land between a pure
+    trigram-hit doc and an all-OOV doc."""
+    ref = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (2, "the dog sat on the rug")],
+        "doc_id long, text string",
+    )
+    targets = spark.createDataFrame(
+        [
+            (10, "the cat sat on the mat"),   # pure trigram hits
+            (11, "the cat sat on the dog"),   # hits + one bigram fallback
+                                              # ((on,the,dog) unseen;
+                                              # (the,dog) seen)
+            (12, "zzz qqq www eee rrr ttt"),  # all OOV leaves
+        ],
+        "doc_id long, text string",
+    )
+    uni, models = lm.backoff_counts(ref, order=3)
+    sc = {
+        r["doc_id"]: r["sb_score"]
+        for r in lm.stupid_backoff_scores(
+            targets, uni, models, order=3
+        ).collect()
+    }
+    assert sc[10] < sc[11] < sc[12]
+    assert all(math.isfinite(s) for s in sc.values())
+
+
+def test_stupid_backoff_registry_query_matches_oracle(spark):
+    """doc_stupid_backoff is driver=False (the 50-row window is full) —
+    its DuckDB parity is pinned HERE, under the same top_k-bound
+    discipline as the trigram row (the all-oracle sweep in
+    tests/test_oracle_parity.py covers it too; this adds the bound
+    assertion and a non-empty result guard)."""
+    from etl_olho_vivo_spark import registry
+    from tests.oracle_check import compare, duck_connection
+
+    registry.queries()
+    sf = "/root/testdata/sf0.001"
+    df = registry.REGISTRY["doc_stupid_backoff"].fn(spark, sf)
+    con = duck_connection(sf)
+    duck = con.sql(registry.REGISTRY["doc_stupid_backoff"].oracle).df()
+    assert len(duck) > 0
+    assert compare(df, duck) == []
+    n_docs = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+    max_tokens = con.sql(
+        "SELECT max(len(string_split_regex(trim(text), '\\s+')))"
+        " FROM documents"
+    ).fetchone()[0]
+    con.close()
+    assert n_docs * max_tokens < 1_000_000, (
+        "corpus outgrew the top_k bound — the oracle SQL must grow a"
+        " matching truncation before parity means anything"
+    )

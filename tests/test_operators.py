@@ -1495,6 +1495,118 @@ def test_decode_media_text_starting_with_bm_stays_opaque(spark):
         assert r["mean_pixel"] is None
 
 
+def _make_wav(n_channels, sampwidth, framerate, frames):
+    """Generate PCM WAV bytes with the stdlib ``wave`` module — an
+    independent encoder, so the hand-written RIFF walker in
+    ``_audio_parser`` is tested against bytes it did not produce."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(framerate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_decode_audio_real_wav(spark):
+    """RIFF/WAVE PCM decode against stdlib-wave-encoded fixtures with
+    KNOWN samples: channels / rate / bit depth / frame count / duration
+    come from the fmt chunk, mean |amplitude| from the data payload
+    (16-bit signed LE, 8-bit unsigned-around-128)."""
+    import struct
+
+    stereo16 = _make_wav(
+        2, 2, 8000, struct.pack("<4h", 1000, -2000, 3000, -4000)
+    )
+    mono8 = _make_wav(1, 1, 16000, bytes([128, 138, 118, 128]))
+    rows = [(1, bytearray(stereo16)), (2, bytearray(mono8))]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {r["doc_id"]: r for r in multimodal.decode_audio(df).collect()}
+
+    r = out[1]
+    assert (r["media_kind"], r["n_channels"], r["sample_rate"]) == (
+        "wav", 2, 8000,
+    )
+    assert (r["bits_per_sample"], r["n_frames"]) == (16, 2)
+    assert r["duration_s"] == round(2 / 8000, 6)
+    assert r["mean_abs_amplitude"] == round(2500 / 32768, 6)
+    assert r["n_bytes"] == len(stereo16)
+
+    r = out[2]
+    assert (r["media_kind"], r["n_channels"], r["sample_rate"]) == (
+        "wav", 1, 16000,
+    )
+    assert (r["bits_per_sample"], r["n_frames"]) == (8, 4)
+    assert r["duration_s"] == round(4 / 16000, 6)
+    assert r["mean_abs_amplitude"] == round(5 / 128, 6)
+
+
+def test_decode_audio_chunk_walk_and_fallbacks(spark):
+    """The chunk walker must skip a LIST chunk (odd-size, so the
+    word-alignment padding is exercised) before fmt/data, and every
+    non-decodable stream — RIFF-but-not-WAVE, truncated data chunk,
+    float PCM (format 3), plain text, NULL — degrades to opaque/NULLs
+    instead of crashing the executor."""
+    import struct
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    data = bytes([128, 228, 28])
+    body = chunk(b"LIST", b"INFOx") + chunk(b"fmt ", fmt) + chunk(b"data", data)
+    wav_with_list = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    fmt_float = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body_f = chunk(b"fmt ", fmt_float) + chunk(b"data", b"\x00" * 8)
+    wav_float = b"RIFF" + struct.pack("<I", 4 + len(body_f)) + b"WAVE" + body_f
+
+    good = _make_wav(1, 1, 8000, bytes([128] * 4))
+    truncated = good[: len(good) - 2]  # data chunk shorter than its size
+    rows = [
+        (1, bytearray(wav_with_list)),
+        (2, bytearray(wav_float)),
+        (3, bytearray(truncated)),
+        (4, bytearray(b"RIFFmisc" + b"JUNK" * 12)),
+        (5, bytearray(b"plain old text document")),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {r["doc_id"]: r for r in multimodal.decode_audio(df).collect()}
+
+    r = out[1]
+    assert (r["media_kind"], r["n_channels"], r["n_frames"]) == ("wav", 1, 3)
+    assert r["mean_abs_amplitude"] == round((0 + 100 + 100) / 3 / 128, 6)
+    for doc in (2, 3, 4, 5):
+        r = out[doc]
+        assert r["media_kind"] == "opaque"
+        assert r["n_channels"] is None
+        assert r["mean_abs_amplitude"] is None
+        assert r["n_bytes"] == len(bytes(rows[doc - 1][1]))
+    assert out[6]["media_kind"] is None
+    assert out[6]["n_bytes"] is None
+
+
+def test_audio_parser_is_shipped_by_value():
+    """Same by-value contract as ``_media_parser``: the closure must
+    survive a cloudpickle round-trip without this package on sys.path."""
+    import pickle
+    import struct
+
+    import cloudpickle
+
+    parse = multimodal._audio_parser()
+    clone = pickle.loads(cloudpickle.dumps(parse))
+    wav = _make_wav(1, 2, 8000, struct.pack("<2h", 5, -5))
+    assert clone(wav) == parse(wav)
+    assert clone(None) == (None,) * 8
+
+
 def test_connected_components_max_iter_one_trivial_graph(spark):
     """max_iter=1 must still detect trivially-converged graphs (the
     round-1 skip-the-check shortcut may not force a spurious

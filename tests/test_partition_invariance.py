@@ -41,6 +41,10 @@ CANARIES = [
     # fixpoint + max(struct)) must be layout-independent
     "bloom_gram_overlap",
     "dedup_cluster_keep_best",
+    # the backoff CASE chain picks a branch per window from exact
+    # counts — layout must not change which branch (or the rounded
+    # mean) any document sees
+    "doc_stupid_backoff",
 ]
 
 
