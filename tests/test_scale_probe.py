@@ -234,6 +234,27 @@ def test_trigram_lm_pins_hold_at_10x(spark, scale10_dir):
 
 
 @pytest.mark.slow
+def test_stupid_backoff_pins_hold_at_10x(spark, scale10_dir):
+    """The backoff scorer's load-bearing asymmetry, measured at 10×:
+    every model relation is top_k-bounded and joins the corpus-sized
+    window relation as a BROADCAST build (one per model level plus the
+    leaf), while the corpus side itself is never sort-merge-joined,
+    never broadcast, and never crosses an exchange before the per-doc
+    rollup.  If a future change let a model relation grow past the
+    broadcast pick, the corpus would shuffle 2(order-1) times — this
+    is the probe that would catch it."""
+    plan, n = _final_plan(spark, "doc_stupid_backoff", scale10_dir)
+    assert n > 0
+    final = plan.split("== Initial Plan ==")[0]
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                "SortMergeJoin", "ShuffledHashJoin", "PythonUDF",
+                "BatchEvalPython", "Window"):
+        assert bad not in final, final[:2000]
+    assert final.count("BroadcastHashJoin") >= 5, final[:2000]
+    assert "HashAggregate" in final
+
+
+@pytest.mark.slow
 def test_editdist_band_area_measured_at_10x(spark, scale10_dir):
     """The length-band escape's area claim, MEASURED on the 10× corpus
     instead of argued: candidate volume under (lang, source, band ±1)
