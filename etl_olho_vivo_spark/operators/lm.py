@@ -19,8 +19,8 @@ Round 9 adds the scheme actually built FOR this scale: stupid backoff
 (Brants et al. 2007 — ``backoff_counts`` / ``stupid_backoff_scores``),
 whose count-ratio-plus-fixed-penalty chain needs no discounting or
 normalization passes and scores a document with one corpus-sized
-window relation plus 2(order-1) broadcast joins against top_k-bounded
-relations.
+window relation plus 2(order-1)+1 broadcast joins (each level's n-gram
+and context, plus the unigram leaf) against top_k-bounded relations.
 
 Two phases, both bounded:
 
@@ -519,8 +519,9 @@ def stupid_backoff_scores(
 
     Scale shape: the corpus-sized window relation is traversed ONCE and
     every model relation is ``top_k``-bounded (broadcastable) — order n
-    costs 2(n-1) broadcast-hash joins on slim integer keys, zero
-    corpus shuffles before the per-document rollup.  ``v``/``n_tokens``
+    costs 2(n-1)+1 broadcast-hash joins (n-gram + context per level,
+    plus the unigram leaf) on slim integer keys, zero corpus shuffles
+    before the per-document rollup.  ``v``/``n_tokens``
     mirror the ``ngram_cross_entropy_scores`` contract: computed here
     (two bounded jobs over the unigram relation) when not supplied.
     BOUND: like the add-k scorer, parity with an untruncated oracle
@@ -536,16 +537,25 @@ def stupid_backoff_scores(
             f"models must cover orders 2..{order}, got {sorted(models)}"
         )
     if caches is not None:
+        # the order-2 context is an alias projection of the unigram
+        # relation; Spark's CacheManager normalizes both to the same
+        # cache entry (it logs "Asked to cache already cached data" and
+        # reuses the existing one — no double materialization)
         unigram = caches.add(unigram)
         models = {
             m: (caches.add(c), caches.add(g)) for m, (c, g) in models.items()
         }
-    if v is None:
-        v = unigram.count()  # bounded by top_k
-    if n_tokens is None:
-        # total reference token occurrences (top_k-truncated tail
-        # excluded, same bound discipline as every relation here)
-        n_tokens = unigram.agg(F.sum("u_n")).collect()[0][0] or 0
+    if v is None or n_tokens is None:
+        # ONE bounded job yields both scalars (vocabulary size and total
+        # token occurrences; the top_k-truncated tail is excluded, same
+        # bound discipline as every relation here)
+        row = unigram.agg(
+            F.count(F.lit(1)).alias("v"), F.sum("u_n").alias("n")
+        ).collect()[0]
+        if v is None:
+            v = row["v"]
+        if n_tokens is None:
+            n_tokens = row["n"] or 0
 
     w = _doc_backoff_windows(docs.select(id_col, text), id_col, text,
                              order - 1)
@@ -582,20 +592,28 @@ def stupid_backoff_scores(
     ).drop("__uw__")
 
     def _penalty(levels_down: int):
-        # repeated literal multiplication, left-assoc — the exact
-        # arithmetic the oracle SQL writes, so doubles match bit-for-bit
+        # repeated literal multiplication, left-assoc, all-double — the
+        # oracle SQL casts its alpha literals to DOUBLE so both engines
+        # run the same IEEE fold (DuckDB's bare 0.4*0.4 is DECIMAL and
+        # exactly 0.16, one ulp off the double product); round_dp is
+        # defense in depth, not the parity mechanism
         p = None
         for _ in range(levels_down):
             p = F.lit(alpha) if p is None else p * F.lit(alpha)
         return p
 
+    # each level requires BOTH its n-gram and its context row: past the
+    # top_k bound the two relations truncate independently, and a g
+    # without its c must BACK OFF (next level still scores it) rather
+    # than emit ln(g/NULL) = NULL — which F.avg would silently skip
+    # while n_ngrams still counts the window
     ll = F.when(
-        F.col(f"g{order}").isNotNull(),
+        F.col(f"g{order}").isNotNull() & F.col(f"c{order}").isNotNull(),
         F.log(F.col(f"g{order}") / F.col(f"c{order}")),
     )
     for m in range(order - 1, 1, -1):
         ll = ll.when(
-            F.col(f"g{m}").isNotNull(),
+            F.col(f"g{m}").isNotNull() & F.col(f"c{m}").isNotNull(),
             F.log(_penalty(order - m) * (F.col(f"g{m}") / F.col(f"c{m}"))),
         )
     leaf = (F.coalesce(F.col("u_leaf"), F.lit(0)) + F.lit(k_smooth)) / (

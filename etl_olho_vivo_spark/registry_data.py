@@ -923,9 +923,11 @@ occ AS (
 sc AS (
   SELECT o.doc_id,
          CASE WHEN t.g_n IS NOT NULL THEN ln(t.g_n / c.c_n)
-              WHEN b.b_n IS NOT NULL THEN ln(0.4 * (b.b_n / u2.u_n))
-              ELSE ln(0.4 * 0.4 *
-                   ((coalesce(u3.u_n, 0) + 0.5) / (v.n_tok + 0.5 * v.v)))
+              WHEN b.b_n IS NOT NULL THEN
+                ln(CAST(0.4 AS DOUBLE) * (b.b_n / u2.u_n))
+              ELSE ln(CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) *
+                   ((coalesce(u3.u_n, 0) + CAST(0.5 AS DOUBLE))
+                    / (v.n_tok + CAST(0.5 AS DOUBLE) * v.v)))
          END AS ll
   FROM occ o
   LEFT JOIN tri t ON o.ctx2_h = t.ctx_h AND o.w_h = t.w_h

@@ -311,12 +311,13 @@ def test_bloom_overlap_completes_under_starved_memory(spark, tmp_path):
     overlap aggregate over 30× documents must complete with the exact
     healthy-session row count in a 700 MB JVM — the filter relation is
     bounded by num_bits/64 regardless of corpus size, so nothing on the
-    probe path holds corpus-scaled state in memory."""
+    probe path holds corpus-scaled state in memory.  (No spill
+    assertion here, unlike the sibling probes: the bounded-filter path
+    is not EXPECTED to spill — completing is the claim — so no event
+    log is configured.)"""
     from tests.datagen import replicate_documents
 
     data_dir = str(tmp_path / "docs30b")
-    events_dir = str(tmp_path / "events_log")
-    os.makedirs(events_dir)
     replicate_documents(
         spark, "/root/testdata/sf0.1/documents.parquet",
         f"{data_dir}/documents.parquet", REPLICAS,
@@ -340,9 +341,6 @@ def test_bloom_overlap_completes_under_starved_memory(spark, tmp_path):
             .config("spark.memory.fraction", "0.15")
             .config("spark.sql.shuffle.partitions", "4")
             .config("spark.sql.session.timeZone", "UTC")
-            .config("spark.eventLog.enabled", "true")
-            .config("spark.eventLog.compress", "false")
-            .config("spark.eventLog.dir", {events_dir!r})
             .config("spark.ui.enabled", "false").getOrCreate())
         from etl_olho_vivo_spark import registry
         registry.queries()
