@@ -134,6 +134,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "separation at the cost of larger count relations",
     )
     cor.add_argument(
+        "--lm-scheme", choices=("addk", "backoff"), default="addk",
+        help="smoothing for the --lm-max-entropy gate: addk (CCNet-style "
+        "cross-entropy, default) or backoff (stupid backoff, Brants et "
+        "al. 2007 — count ratios with a fixed 0.4 penalty; the threshold "
+        "then bounds -(1/m) SUM ln S, which is 0 for perfectly predicted "
+        "text rather than strictly positive)",
+    )
+    cor.add_argument(
         "--bpe-tokenize", type=int, default=None, metavar="N_MERGES",
         help="train an N-merge BPE vocabulary on the surviving corpus, "
         "apply it (bpe_tokens + integer bpe_ids columns), and persist "
@@ -494,6 +502,7 @@ def main(argv: list[str] | None = None) -> int:
             lm_max_entropy=args.lm_max_entropy,
             lm_ref_dir=args.lm_ref,
             lm_order=args.lm_order,
+            lm_scheme=args.lm_scheme,
             dedup_resolution=args.resolution,
             snapshot_filter_dir=args.snapshot_filter,
             snapshot_overlap=args.snapshot_overlap,

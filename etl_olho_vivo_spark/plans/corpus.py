@@ -141,6 +141,7 @@ def run_corpus(
     lm_max_entropy: float | None = None,
     lm_ref_dir: str | None = None,
     lm_order: int = 2,
+    lm_scheme: str = "addk",
 ) -> dict[str, int]:
     """Documents table → cleaned corpus parquet.  Returns per-stage counts.
 
@@ -172,6 +173,10 @@ def run_corpus(
     if lm_order < 2:
         # same rule — the LM gate runs mid-pipeline, after dedup
         raise ValueError(f"lm_order must be >= 2, got {lm_order}")
+    if lm_scheme not in ("addk", "backoff"):
+        raise ValueError(
+            f"lm_scheme must be addk or backoff, got {lm_scheme!r}"
+        )
     if snapshot_filter_dir is not None and not (0.0 < snapshot_overlap <= 1.0):
         raise ValueError(
             f"snapshot_overlap must be in (0, 1], got {snapshot_overlap}"
@@ -331,15 +336,30 @@ def run_corpus(
                 if lm_ref_dir is not None
                 else kept.select("text")
             )
-            ctx, ng, uni = lmops.ngram_counts(
-                ref, order=lm_order, caches=stage_caches
-            )
-            failing = lmops.ngram_cross_entropy_scores(
-                kept.select("doc_id", "text"), ctx, ng, uni,
-                order=lm_order, caches=stage_caches,
-            ).filter(F.col("cross_entropy") > lm_max_entropy).select(
-                "doc_id"
-            )
+            if lm_scheme == "backoff":
+                # stupid backoff (Brants et al. 2007): same gate
+                # contract, count-ratio scores with a fixed penalty —
+                # the scheme built for web-scale reference corpora,
+                # where add-k's single smoothed distribution washes out
+                uni, mods = lmops.backoff_counts(
+                    ref, order=lm_order, caches=stage_caches
+                )
+                failing = lmops.stupid_backoff_scores(
+                    kept.select("doc_id", "text"), uni, mods,
+                    order=lm_order, caches=stage_caches,
+                ).filter(F.col("sb_score") > lm_max_entropy).select(
+                    "doc_id"
+                )
+            else:
+                ctx, ng, uni = lmops.ngram_counts(
+                    ref, order=lm_order, caches=stage_caches
+                )
+                failing = lmops.ngram_cross_entropy_scores(
+                    kept.select("doc_id", "text"), ctx, ng, uni,
+                    order=lm_order, caches=stage_caches,
+                ).filter(F.col("cross_entropy") > lm_max_entropy).select(
+                    "doc_id"
+                )
             kept = stage_caches.add(
                 kept.join(failing, "doc_id", "left_anti")
             )

@@ -146,6 +146,39 @@ def test_corpus_lm_gate(spark, tmp_path, capsys):
         main(base + ["--lm-max-entropy", "1e9", "--lm-order", "1"])
 
 
+def test_corpus_lm_gate_backoff_scheme(spark, tmp_path, capsys):
+    """--lm-scheme backoff swaps the gate's scorer for stupid backoff
+    (Brants et al. 2007): a huge threshold keeps every quality
+    survivor; a threshold BELOW ZERO drops every scorable doc (sb_score
+    = -(1/m) Σ ln S is >= 0, and 0 exactly for perfectly-predicted
+    text — which self-training makes reachable, so -1 is the
+    drop-everything probe where addk uses 0); an external gibberish
+    reference sends every real doc to the OOV leaf and the order-3
+    path still gates end-to-end."""
+    out = str(tmp_path / "corpus")
+    base = ["--cpus", "8", "corpus", "--sf-dir", "/root/testdata/sf0.001",
+            "--out", out, "--min-tokens", "3",
+            "--lm-scheme", "backoff", "--lm-order", "3"]
+    assert main(base + ["--lm-max-entropy", "1e9"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["lm_filter"] == stats["quality"] > 0
+    assert main(base + ["--lm-max-entropy", "-1.0"]) == 0
+    stats0 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats0["lm_filter"] == 0
+    ref = str(tmp_path / "ref")
+    spark.createDataFrame(
+        [("zzz qqq www rrr ttt yyy",)], "text string"
+    ).write.parquet(ref)
+    assert main(base + ["--lm-max-entropy", "1e9", "--lm-ref", ref]) == 0
+    statsr = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert statsr["lm_filter"] == statsr["quality"]
+    with pytest.raises(ValueError, match="lm_scheme"):
+        from etl_olho_vivo_spark.plans.corpus import run_corpus
+
+        run_corpus(spark, "/root/testdata/sf0.001", out,
+                   lm_max_entropy=1.0, lm_scheme="kneser-ney")
+
+
 def test_corpus_bpe_tokenize_stage(spark, tmp_path, capsys):
     """--bpe-tokenize trains on the surviving corpus, tokenizes it with
     the mapInPandas path, and ships the merge list AND id vocabulary
