@@ -351,6 +351,11 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     lmc.add_argument("--order", type=int, default=2)
     lmc.add_argument(
+        "--scheme", choices=("addk", "backoff"), default="addk",
+        help="scorer to derive cuts for — must match the --lm-scheme "
+        "the gate will run with (the two score scales differ)",
+    )
+    lmc.add_argument(
         "--fractions", default="0.3333,0.6667", metavar="F1,F2,...",
         help="ascending cumulative fractions in (0,1); the first cut "
         "bounds the CCNet 'head', the second head+middle "
@@ -838,20 +843,35 @@ def main(argv: list[str] | None = None) -> int:
         )
         bag = CacheBag()
         try:
-            ctx, ng, uni = lmops.ngram_counts(
-                ref, order=args.order, caches=bag
-            )
-            # persisted: approxQuantile and the count below would each
-            # re-execute the full scoring pipeline (windows explode +
-            # count-relation joins) from scratch otherwise
-            scores = bag.add(
-                lmops.ngram_cross_entropy_scores(
-                    docs.select("doc_id", "text"), ctx, ng, uni,
-                    order=args.order, caches=bag,
+            # persisted either way: approxQuantile and the count below
+            # would each re-execute the full scoring pipeline (windows
+            # explode + count-relation joins) from scratch otherwise
+            if args.scheme == "backoff":
+                uni, mods = lmops.backoff_counts(
+                    ref, order=args.order, caches=bag
                 )
-            )
+                scores = bag.add(
+                    lmops.stupid_backoff_scores(
+                        docs.select("doc_id", "text"), uni, mods,
+                        order=args.order, caches=bag,
+                    )
+                )
+                score_col = "sb_score"
+            else:
+                ctx, ng, uni = lmops.ngram_counts(
+                    ref, order=args.order, caches=bag
+                )
+                scores = bag.add(
+                    lmops.ngram_cross_entropy_scores(
+                        docs.select("doc_id", "text"), ctx, ng, uni,
+                        order=args.order, caches=bag,
+                    )
+                )
+                score_col = "cross_entropy"
             try:
-                cuts = lmops.entropy_cut_points(scores, fractions)
+                cuts = lmops.entropy_cut_points(
+                    scores, fractions, col=score_col
+                )
             except ValueError as e:
                 raise SystemExit(str(e))
             n_docs = scores.count()
@@ -860,6 +880,7 @@ def main(argv: list[str] | None = None) -> int:
         payload = {
             "command": "lm-cuts",
             "order": args.order,
+            "scheme": args.scheme,
             "fractions": list(fractions),
             "cut_points": cuts,
             "n_scored_docs": n_docs,

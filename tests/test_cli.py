@@ -676,6 +676,28 @@ def test_lm_cuts_subcommand_hands_off_to_gate(spark, tmp_path, capsys):
         main(["lm-cuts", "--in", docs_dir + "/documents.parquet",
               "--out", cuts_path, "--order", "1"])
 
+    # --scheme backoff derives cuts on the sb_score scale and the
+    # hand-off to the matching gate scheme keeps ~the head fraction
+    cuts_b = str(tmp_path / "corpus_meta" / "lm_cuts_backoff.json")
+    assert main([
+        "--cpus", "8", "lm-cuts", "--in", docs_dir + "/documents.parquet",
+        "--out", cuts_b, "--order", "3", "--scheme", "backoff",
+        "--fractions", "0.3333,0.6667",
+    ]) == 0
+    emitted_b = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert emitted_b["scheme"] == "backoff"
+    head_b, mid_b = emitted_b["cut_points"]
+    assert head_b <= mid_b and emitted_b["n_scored_docs"] > 0
+    out_b = str(tmp_path / "corpus_b")
+    assert main([
+        "--cpus", "8", "corpus", "--sf-dir", docs_dir, "--out", out_b,
+        "--min-tokens", "3", "--lm-max-entropy", str(head_b),
+        "--lm-scheme", "backoff", "--lm-order", "3",
+    ]) == 0
+    stats_b = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    frac_b = stats_b["lm_filter"] / emitted_b["n_scored_docs"]
+    assert 0.2 <= frac_b <= 0.5, stats_b
+
 
 def test_bloom_build_then_snapshot_dedup_corpus(spark, tmp_path, capsys):
     """The inter-snapshot loop as operated: bloom-build persists the
