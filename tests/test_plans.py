@@ -78,9 +78,9 @@ def test_cosine_topk_broadcasts_query_vector(spark):
 
 
 def test_no_python_in_jvm_only_queries(spark):
-    """Every query except the intentional Arrow decode stays JVM-side."""
+    """Every query except the intentional Arrow decodes stays JVM-side."""
     for name in registry.REGISTRY:
-        if name == "multimodal_decode":
+        if name in ("multimodal_decode", "multimodal_audio"):
             continue
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, name
@@ -88,8 +88,9 @@ def test_no_python_in_jvm_only_queries(spark):
         assert "MapInPandas" not in plan, name
 
 
-def test_multimodal_decode_is_arrow_batched(spark):
-    plan = _plan(spark, "multimodal_decode")
+@pytest.mark.parametrize("name", ["multimodal_decode", "multimodal_audio"])
+def test_multimodal_decodes_are_arrow_batched(spark, name):
+    plan = _plan(spark, name)
     # mapInPandas (Arrow), never row-at-a-time pickling
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
