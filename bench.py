@@ -92,11 +92,14 @@ PAIR_HEAVY = [
 # with the data; doc_bigram_cross_entropy — count aggregates + scoring
 # joins, expected ≈linear.  (dedup_lines stays ad-hoc below: its
 # newline-separator operator shape has no registry row — the driver row
-# dedup_corpus_lines uses the space separator.)
+# dedup_corpus_lines uses the space separator.)  doc_stupid_backoff
+# (round 9) — per-order count aggregates + broadcast-join scoring,
+# expected ≈linear like the other count-relation LM row.
 SCALE_EXTRA = [
     "eval_decontamination",
     "repeated_span_dedup",
     "doc_bigram_cross_entropy",
+    "doc_stupid_backoff",
 ]
 
 
