@@ -374,3 +374,109 @@ def test_stupid_backoff_registry_query_matches_oracle(spark):
         "corpus outgrew the top_k bound — the oracle SQL must grow a"
         " matching truncation before parity means anything"
     )
+
+
+def _bf_tok(w):
+    import hashlib
+
+    return int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+
+
+def _bf_ctx(hs):
+    from etl_olho_vivo_spark.functions.hashing import MIX, P
+
+    acc = hs[0]
+    for h in hs[1:]:
+        acc = (acc * MIX + h) % P
+    return acc
+
+
+def _bf_backoff(ref_texts, tgt_docs, order, alpha=0.4, k=0.5):
+    """Third independent derivation of stupid backoff (pure Python, no
+    Spark/DuckDB): md5 token hashes + the rolling context fold from
+    functions/hashing.py, counts as Counters, the same left-assoc
+    penalty arithmetic.  Exact at these corpus sizes."""
+    from collections import Counter
+
+    uni = Counter()
+    for t in ref_texts:
+        for w in t.split(" "):
+            uni[_bf_tok(w)] += 1
+    n_tok, v = sum(uni.values()), len(uni)
+    ng = {m: Counter() for m in range(2, order + 1)}
+    cx = {m: Counter() for m in range(2, order + 1)}
+    for t in ref_texts:
+        hs = [_bf_tok(w) for w in t.split(" ")]
+        for m in range(2, order + 1):
+            wd = m - 1
+            for i in range(0, len(hs) - wd + 1):
+                cx[m][_bf_ctx(hs[i:i + wd])] += 1
+            for i in range(0, len(hs) - wd):
+                ng[m][(_bf_ctx(hs[i:i + wd]), hs[i + wd])] += 1
+    out = {}
+    for doc_id, t in tgt_docs:
+        hs = [_bf_tok(w) for w in t.split(" ")]
+        wd = order - 1
+        lls = []
+        for i in range(0, len(hs) - wd):
+            w_h = hs[i + wd]
+            ll = None
+            for m in range(order, 1, -1):
+                ch = _bf_ctx(hs[i + wd - (m - 1):i + wd])
+                g, c = ng[m].get((ch, w_h)), cx[m].get(ch)
+                if g and c:
+                    pen = None
+                    for _ in range(order - m):
+                        pen = alpha if pen is None else pen * alpha
+                    val = (g / c) if pen is None else pen * (g / c)
+                    ll = math.log(val)
+                    break
+            if ll is None:
+                pen = alpha
+                for _ in range(order - 2):
+                    pen = pen * alpha
+                ll = math.log(pen * ((uni.get(w_h, 0) + k) / (n_tok + k * v)))
+            lls.append(ll)
+        if lls:
+            out[doc_id] = (len(lls), round(-sum(lls) / len(lls), 6))
+    return out
+
+
+@pytest.mark.parametrize("seed,order", [
+    (0, 2), (1, 2), (0, 3), (1, 3), (2, 3), (0, 4), (2, 4),
+])
+def test_stupid_backoff_fuzz_vs_brute_force(spark, seed, order):
+    """Randomized corpora (seeded — deterministic) against the pure-
+    Python derivation: small vocab forces a mix of top-order hits,
+    mid-level fallbacks, and leaf scores at every order; edge targets
+    (too-short, single-token, boundary-length, OOV-heavy) ride along.
+    Any divergence in window extraction, per-level guard, penalty
+    arithmetic, or the n_ngrams/score rollup fails exactly."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(8)]
+    ref_texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12)))
+        for _ in range(6)
+    ]
+    tgt_docs = [(100 + i,
+                 " ".join(rng.choice(vocab + ["oovx", "oovy"])
+                          for _ in range(rng.randint(1, 10))))
+                for i in range(5)]
+    tgt_docs += [
+        (200, "w0"),                           # < order -> omitted
+        (201, " ".join(["w1"] * order)),       # exactly one window
+        (202, "oovz " * (order + 1)),          # trailing space token mix
+    ]
+    ref = spark.createDataFrame([(t,) for t in ref_texts], "text string")
+    tgt = spark.createDataFrame(tgt_docs, "doc_id long, text string")
+    uni, models = lm.backoff_counts(ref, order=order)
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["sb_score"])
+        for r in lm.stupid_backoff_scores(
+            tgt, uni, models, order=order
+        ).collect()
+    }
+    want = _bf_backoff(ref_texts, tgt_docs, order)
+    assert got == want
