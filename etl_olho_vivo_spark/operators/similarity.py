@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two strategies (SURVEY §2.11):
+Three strategies (SURVEY §2.11):
 - **brute-force cosine top-k** — the correctness baseline; a broadcast of
   the query vector + one JVM-side fold per row, then TakeOrdered(k).
   O(n·d) scan, no shuffle: at 100 TB this is a single pass.
@@ -11,6 +11,19 @@ Two strategies (SURVEY §2.11):
   so assignment is exact integer math — deterministic across engines and
   across partial-aggregation orders, the same trick scalar-quantized IVF
   indexes use.
+- **PQ/ADC top-k** (Jégou et al. 2011, product quantization) — the
+  memory-bounded scan path: each vector is encoded once at ingest as
+  ``m_sub`` small codebook indices (bytes instead of d floats); a query
+  precomputes an ``m_sub × k_codes`` distance lookup table and scores
+  every row with ``m_sub`` table lookups — the whole query is ONE scan
+  with a zero-corpus-shuffle plan (codebooks and the LUT ride in the
+  expression as bounded literals), followed by an exact integer-L2
+  re-rank of a bounded candidate pool (the classic two-stage ADC
+  pipeline).  Codebooks here are seed-pinned (subvectors of the first
+  ``k_codes`` vectors, quantized) so the DuckDB oracle replicates the
+  whole computation exactly — the same demo-seeding contract as
+  ``_default_centroids``; ``kmeans_centroids``-style refinement per
+  subspace would slot in without changing the query shape.
 
 All vector math is ``zip_with``/``aggregate`` higher-order Column
 expressions — JVM-side, Arrow-free, codegen'd.
@@ -300,5 +313,183 @@ def ivf_topk(
     return (
         cand.select("vec_id", "label", "cell_id", dot.alias("dot_q"))
         .orderBy(F.col("dot_q").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def _sql_bigint_array(vals) -> str:
+    """SQL literal for a bounded list of Python ints (BIGINT elements)."""
+    return "array(" + ", ".join(f"{int(v)}L" for v in vals) + ")"
+
+
+def pq_codebooks(
+    emb: DataFrame, m_sub: int = 8, k_codes: int = 16, dim: int | None = None
+) -> list[list[list[int]]]:
+    """Seed-pinned PQ codebooks: ``codebooks[s][j]`` is the ``s``-th
+    subvector of the ``j``-th seed vector (``vec_id < k_codes``),
+    integer-quantized — the deterministic demo seeding the SQL oracle
+    replicates verbatim (same contract as ``_default_centroids``).
+
+    Returned as plain Python lists because the whole structure is
+    BOUNDED (``m_sub · k_codes · dim/m_sub = k_codes · dim`` ints) and
+    rides into the encode/query expressions as literals — collecting it
+    is a k_codes-row driver job, the same class as the centroid
+    collects."""
+    if m_sub < 1 or k_codes < 1:
+        raise ValueError(f"m_sub/k_codes must be >= 1, got {m_sub}/{k_codes}")
+    rows = (
+        emb.filter(F.col("vec_id") < k_codes)
+        .select("vec_id", F.expr(_quantize("embedding")).alias("qv"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    if len(rows) < k_codes:
+        raise ValueError(
+            f"need vec_id 0..{k_codes - 1} as PQ seeds, found {len(rows)}"
+        )
+    if dim is None:
+        dim = len(rows[0]["qv"])
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub_len = dim // m_sub
+    return [
+        [list(r["qv"][s * sub_len:(s + 1) * sub_len]) for r in rows]
+        for s in range(m_sub)
+    ]
+
+
+def _pq_codes_expr(codebooks: list[list[list[int]]]) -> str:
+    """SQL expression computing the PQ code array for a quantized vector
+    column ``qv``: per subspace, the argmin-L2 codebook index (strict
+    ``<`` keeps the LOWEST index on ties — deterministic).  Codebooks
+    are inlined as literals, so encoding is a pure per-row projection:
+    zero shuffle, embarrassingly parallel, exactly what a 100 TB ingest
+    encode must be."""
+    m_sub = len(codebooks)
+    sub_len = len(codebooks[0][0])
+    k = len(codebooks[0])
+    codes = []
+    for s, cb in enumerate(codebooks):
+        cb_lit = "array(" + ", ".join(_sql_bigint_array(c) for c in cb) + ")"
+        sub = f"slice(qv, {s * sub_len + 1}, {sub_len})"
+        d_j = _l2sq_int(sub, f"element_at({cb_lit}, j + 1)")
+        codes.append(
+            f"aggregate(sequence(0, {k - 1}), "
+            f"named_struct('d', 9223372036854775807L, 'c', -1), "
+            f"(acc, j) -> CASE WHEN {d_j} < acc.d "
+            f"THEN named_struct('d', {d_j}, 'c', j) ELSE acc END).c"
+        )
+    return "array(" + ", ".join(codes) + ")"
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[int]]] | None = None,
+    m_sub: int = 8,
+    k_codes: int = 16,
+) -> DataFrame:
+    """Encode every vector as its PQ code array — ``(vec_id, label,
+    codes)``, the persistable ingest-time index (m_sub small ints per
+    row instead of d floats; at 100 TB this is the column you scan)."""
+    if codebooks is None:
+        codebooks = pq_codebooks(emb, m_sub=m_sub, k_codes=k_codes)
+    return emb.select(
+        "vec_id",
+        "label",
+        F.expr(_quantize("embedding")).alias("qv"),
+    ).select(
+        "vec_id", "label", F.expr(_pq_codes_expr(codebooks)).alias("codes")
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    rerank: int = 50,
+    codebooks: list[list[list[int]]] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage PQ/ADC top-k (Jégou et al. 2011): rank ALL vectors by
+    the asymmetric-distance approximation (sum of m_sub lookups into a
+    per-query distance table), keep the ``rerank`` best, then order
+    those by EXACT integer squared L2 — ``(vec_id, label, adc_dist,
+    l2_exact)``, final order (l2_exact, vec_id), k rows.
+
+    Scale shape: the ADC stage is one scan over the (persistable)
+    code column with the LUT inlined as a literal — the final plan has
+    NO corpus-side exchange, just two TakeOrdered reductions; the exact
+    arithmetic runs only on the ``rerank``-bounded pool (its qv fetch
+    is a column-pruned scan with the pool broadcast into it — a serving
+    deployment would back that point lookup with a keyed store).  All
+    arithmetic is exact integers (quantized grid), so the DuckDB oracle
+    matches hash-exactly with no rounding.
+
+    ``rerank`` is the recall dial (ADC ranks are approximate; the exact
+    re-rank repairs ordering inside the pool).  ``codes`` accepts a
+    persisted ``pq_encode`` result — the serving path; without it the
+    encode runs inline (demo/oracle path), same contract as
+    ``ivf_topk``'s ``assigned``."""
+    if rerank < k:
+        raise ValueError(f"rerank pool {rerank} smaller than k {k}")
+    if codebooks is None:
+        codebooks = pq_codebooks(emb, m_sub=m_sub, k_codes=k_codes)
+    m_sub = len(codebooks)
+    sub_len = len(codebooks[0][0])
+    q_rows = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(F.expr(_quantize("embedding")).alias("qv"))
+        .collect()
+    )
+    if not q_rows:
+        raise ValueError(f"query_vec_id {query_vec_id} not in embeddings")
+    q = list(q_rows[0]["qv"])
+    # the m_sub × k_codes LUT: exact integer math over already-collected
+    # bounded ints — computed driver-side in Python, inlined as a literal
+    # (the same integers either engine would derive)
+    lut = [
+        [
+            sum(
+                (a - b) * (a - b)
+                for a, b in zip(q[s * sub_len:(s + 1) * sub_len], cb_j)
+            )
+            for cb_j in codebooks[s]
+        ]
+        for s in range(m_sub)
+    ]
+    lut_lit = "array(" + ", ".join(_sql_bigint_array(r) for r in lut) + ")"
+    adc = (
+        f"aggregate(sequence(0, {m_sub - 1}), 0L, (acc, s) -> "
+        f"acc + element_at(element_at({lut_lit}, s + 1), "
+        f"element_at(codes, s + 1) + 1))"
+    )
+    if codes is None:
+        base = emb.filter(F.col("vec_id") != query_vec_id).select(
+            "vec_id", "label", F.expr(_quantize("embedding")).alias("qv")
+        ).select(
+            "vec_id", "label", "qv",
+            F.expr(_pq_codes_expr(codebooks)).alias("codes"),
+        )
+    else:
+        # serving path: scan the slim code column; qv joins back only
+        # for the bounded re-rank pool below
+        base = codes.filter(F.col("vec_id") != query_vec_id)
+    pool = (
+        base.select("vec_id", "label", F.expr(adc).alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(rerank)
+    )
+    qv_rel = emb.select(
+        "vec_id", F.expr(_quantize("embedding")).alias("qv")
+    )
+    exact = _l2sq_int("qv", _sql_bigint_array(q))
+    return (
+        pool.join(qv_rel, "vec_id")
+        .select(
+            "vec_id", "label", "adc_dist", F.expr(exact).alias("l2_exact")
+        )
+        .orderBy("l2_exact", "vec_id")
         .limit(k)
     )

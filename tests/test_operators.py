@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from etl_olho_vivo_spark.operators import dedup, multimodal
+from etl_olho_vivo_spark.operators import dedup, multimodal, similarity
 from etl_olho_vivo_spark.operators.asof import asof_join
 
 
@@ -1622,3 +1622,193 @@ def test_connected_components_max_iter_one_trivial_graph(spark):
     one_edge = spark.createDataFrame([Row(doc_a=1, doc_b=2)])
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(one_edge, max_iter=1)
+
+
+# ---------------------------------------------------------------------------
+# similarity: product quantization (PQ/ADC)
+# ---------------------------------------------------------------------------
+
+
+def _pq_brute(vecs, m_sub, k_codes, qid, k, rerank):
+    """Pure-Python PQ/ADC rederivation (third independent path beside
+    the Column expressions and the DuckDB oracle): quantize -> seed
+    codebooks -> argmin encode (lowest index on ties) -> LUT -> ADC
+    rank -> exact re-rank.  ``vecs`` = [(vec_id, label, [float32-safe
+    floats])]."""
+    import numpy as np
+
+    def quant(xs):
+        # mirror CAST(float AS DOUBLE) * 1e6 -> round; generator
+        # excludes half-sample values so nearest == HALF_UP
+        return [round(float(np.float32(x)) * 1e6) for x in xs]
+
+    q = {vid: quant(xs) for vid, _, xs in vecs}
+    dim = len(next(iter(q.values())))
+    sub = dim // m_sub
+    seeds = sorted(vid for vid, _, _ in vecs if vid < k_codes)
+    cbs = [
+        [q[vid][s * sub:(s + 1) * sub] for vid in seeds]
+        for s in range(m_sub)
+    ]
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def codes(vq):
+        out = []
+        for s in range(m_sub):
+            ds = [l2(vq[s * sub:(s + 1) * sub], c) for c in cbs[s]]
+            out.append(min(range(len(ds)), key=lambda j: (ds[j], j)))
+        return out
+
+    qq = q[qid]
+    lut = [
+        [l2(qq[s * sub:(s + 1) * sub], c) for c in cbs[s]]
+        for s in range(m_sub)
+    ]
+    rows = []
+    for vid, label, _ in vecs:
+        if vid == qid:
+            continue
+        cs = codes(q[vid])
+        adc = sum(lut[s][cs[s]] for s in range(m_sub))
+        rows.append((vid, label, adc))
+    pool = sorted(rows, key=lambda r: (r[2], r[0]))[:rerank]
+    final = sorted(
+        ((vid, label, adc, l2(q[vid], qq)) for vid, label, adc in pool),
+        key=lambda r: (r[3], r[0]),
+    )[:k]
+    return final
+
+
+def _pq_vec(rng, dim):
+    """Random embedding whose float32->double->1e6 quantization is
+    never near a half-sample (keeps HALF_UP == nearest in the brute
+    force)."""
+    import numpy as np
+
+    out = []
+    while len(out) < dim:
+        x = rng.randint(-999, 999) / 1000
+        frac = abs(float(np.float32(x)) * 1e6) % 1.0
+        if abs(frac - 0.5) > 1e-3:
+            out.append(x)
+    return out
+
+
+@pytest.mark.parametrize("seed,m_sub,rerank", [
+    (0, 2, 6), (1, 2, 29), (2, 4, 6), (3, 4, 29),
+])
+def test_pq_fuzz_vs_brute_force(spark, seed, m_sub, rerank):
+    """Randomized vectors against the pure-Python PQ rederivation —
+    codes, ADC ranking, pool cut, and exact re-rank must match row for
+    row at every (m_sub, rerank)."""
+    import random
+
+    rng = random.Random(seed)
+    vecs = [(i, i % 3, _pq_vec(rng, 8)) for i in range(30)]
+    df = spark.createDataFrame(
+        [(v, lb, xs) for v, lb, xs in vecs],
+        "vec_id long, label long, embedding array<float>",
+    )
+    got = [
+        tuple(r)
+        for r in similarity.pq_topk(
+            df, query_vec_id=0, k=6, m_sub=m_sub, k_codes=4, rerank=rerank
+        ).collect()
+    ]
+    want = _pq_brute(vecs, m_sub, 4, qid=0, k=6, rerank=rerank)
+    assert got == want
+
+
+def test_pq_full_rerank_equals_exact_search(spark, embeddings):
+    """With the pool opened to every candidate, the exact re-rank must
+    reproduce brute-force integer-L2 top-k exactly — ADC affects only
+    WHICH candidates reach the pool, never the final metric."""
+    from etl_olho_vivo_spark.operators.similarity import (
+        _l2sq_int,
+        _quantize,
+    )
+
+    n = embeddings.count()
+    got = [
+        (r["vec_id"], r["l2_exact"])
+        for r in similarity.pq_topk(
+            embeddings, query_vec_id=0, k=10, rerank=n
+        ).collect()
+    ]
+    q = embeddings.filter(F.col("vec_id") == 0).select(
+        F.expr(_quantize("embedding")).alias("q_qv")
+    )
+    exact = (
+        embeddings.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.expr(
+                _l2sq_int(_quantize("embedding"), "q_qv")
+            ).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    )
+    assert got == [(r["vec_id"], r["d"]) for r in exact]
+
+
+def test_pq_rerank_is_the_recall_dial(spark, embeddings):
+    """recall@10 vs exact integer-L2 must not decrease as the re-rank
+    pool widens, and the default pool must clear a floor."""
+    n = embeddings.count()
+    truth = {
+        r["vec_id"]
+        for r in similarity.pq_topk(
+            embeddings, query_vec_id=0, k=10, rerank=n
+        ).collect()
+    }
+    rec = {}
+    for rr in (10, 50, n):
+        got = {
+            r["vec_id"]
+            for r in similarity.pq_topk(
+                embeddings, query_vec_id=0, k=10, rerank=rr
+            ).collect()
+        }
+        rec[rr] = len(got & truth) / 10
+    assert rec[10] <= rec[50] <= rec[n] == 1.0
+    assert rec[50] >= 0.5, rec
+
+
+def test_pq_serving_path_and_plan(spark, embeddings, tmp_path):
+    """The persisted-codes serving path returns the identical result,
+    and the ADC stage's final plan has ZERO corpus-side hash exchanges
+    — the one-scan-plus-TakeOrdered shape is the whole point of PQ."""
+    inline = [
+        tuple(r)
+        for r in similarity.pq_topk(embeddings, query_vec_id=0).collect()
+    ]
+    cbs = similarity.pq_codebooks(embeddings)
+    codes_dir = str(tmp_path / "pq_codes")
+    similarity.pq_encode(embeddings, cbs).write.parquet(codes_dir)
+    served_df = similarity.pq_topk(
+        embeddings, query_vec_id=0,
+        codebooks=cbs, codes=spark.read.parquet(codes_dir),
+    )
+    assert [tuple(r) for r in served_df.collect()] == inline
+    plan = served_df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange hashpartitioning" not in final, final[:2000]
+    assert final.count("TakeOrderedAndProject") >= 2, final[:2000]
+
+
+def test_pq_validation(spark, embeddings):
+    with pytest.raises(ValueError, match="rerank"):
+        similarity.pq_topk(embeddings, query_vec_id=0, k=10, rerank=5)
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.pq_codebooks(embeddings, m_sub=7)
+    with pytest.raises(ValueError, match="seeds"):
+        similarity.pq_codebooks(
+            embeddings.filter(F.col("vec_id") >= 10), k_codes=16
+        )
+    with pytest.raises(ValueError, match="not in embeddings"):
+        similarity.pq_topk(embeddings, query_vec_id=10**9)
