@@ -323,7 +323,7 @@ def _sql_bigint_array(vals) -> str:
 
 
 def pq_codebooks(
-    emb: DataFrame, m_sub: int = 8, k_codes: int = 16, dim: int | None = None
+    emb: DataFrame, m_sub: int = 8, k_codes: int = 16
 ) -> list[list[list[int]]]:
     """Seed-pinned PQ codebooks: ``codebooks[s][j]`` is the ``s``-th
     subvector of the ``j``-th seed vector (``vec_id < k_codes``),
@@ -347,8 +347,11 @@ def pq_codebooks(
         raise ValueError(
             f"need vec_id 0..{k_codes - 1} as PQ seeds, found {len(rows)}"
         )
-    if dim is None:
-        dim = len(rows[0]["qv"])
+    # dim always derives from the seed row itself — a caller-supplied
+    # dim smaller than the real vector length would silently encode a
+    # PREFIX of every vector (scoring half the components while the
+    # exact re-rank uses all of them), so the parameter does not exist
+    dim = len(rows[0]["qv"])
     if dim % m_sub != 0:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     sub_len = dim // m_sub
@@ -365,7 +368,6 @@ def _pq_codes_expr(codebooks: list[list[list[int]]]) -> str:
     are inlined as literals, so encoding is a pure per-row projection:
     zero shuffle, embarrassingly parallel, exactly what a 100 TB ingest
     encode must be."""
-    m_sub = len(codebooks)
     sub_len = len(codebooks[0][0])
     k = len(codebooks[0])
     codes = []
@@ -373,11 +375,18 @@ def _pq_codes_expr(codebooks: list[list[list[int]]]) -> str:
         cb_lit = "array(" + ", ".join(_sql_bigint_array(c) for c in cb) + ")"
         sub = f"slice(qv, {s * sub_len + 1}, {sub_len})"
         d_j = _l2sq_int(sub, f"element_at({cb_lit}, j + 1)")
+        # the k distances materialize ONCE into (d, j) structs before
+        # the argmin fold — Spark does not CSE inside HOF lambdas, so a
+        # d_j repeated in the CASE condition and branch would double
+        # the ingest-encode arithmetic
+        pairs = (
+            f"zip_with(transform(sequence(0, {k - 1}), j -> {d_j}), "
+            f"sequence(0, {k - 1}), (d, j) -> named_struct('d', d, 'c', j))"
+        )
         codes.append(
-            f"aggregate(sequence(0, {k - 1}), "
+            f"aggregate({pairs}, "
             f"named_struct('d', 9223372036854775807L, 'c', -1), "
-            f"(acc, j) -> CASE WHEN {d_j} < acc.d "
-            f"THEN named_struct('d', {d_j}, 'c', j) ELSE acc END).c"
+            f"(acc, e) -> CASE WHEN e.d < acc.d THEN e ELSE acc END).c"
         )
     return "array(" + ", ".join(codes) + ")"
 
@@ -474,7 +483,18 @@ def pq_topk(
         )
     else:
         # serving path: scan the slim code column; qv joins back only
-        # for the bounded re-rank pool below
+        # for the bounded re-rank pool below.  Guard the code width
+        # against the LUT FIRST: a codes column built with a different
+        # m_sub would make element_at return NULL past the end, every
+        # adc_dist NULL, and NULLS-FIRST ordering would fill the pool
+        # with arbitrary rows — silently, since nothing else errors
+        head = codes.select(F.size("codes").alias("n")).head()
+        if head is not None and head["n"] != m_sub:
+            raise ValueError(
+                f"codes column has {head['n']} subspaces but the "
+                f"codebooks/LUT have {m_sub} — the persisted index was "
+                f"encoded with a different m_sub"
+            )
         base = codes.filter(F.col("vec_id") != query_vec_id)
     pool = (
         base.select("vec_id", "label", F.expr(adc).alias("adc_dist"))
@@ -484,9 +504,17 @@ def pq_topk(
     qv_rel = emb.select(
         "vec_id", F.expr(_quantize("embedding")).alias("qv")
     )
-    exact = _l2sq_int("qv", _sql_bigint_array(q))
+    # LEFT join + raise_error: with a stale persisted index (codes rows
+    # whose vec_id no longer exists in emb) an inner join would quietly
+    # return fewer than k rows — fail loudly instead
+    exact = (
+        f"CASE WHEN qv IS NULL THEN CAST(raise_error('pq_topk: codes "
+        f"index contains vec_ids missing from embeddings (stale "
+        f"index?)') AS BIGINT) "
+        f"ELSE {_l2sq_int('qv', _sql_bigint_array(q))} END"
+    )
     return (
-        pool.join(qv_rel, "vec_id")
+        pool.join(qv_rel, "vec_id", "left")
         .select(
             "vec_id", "label", "adc_dist", F.expr(exact).alias("l2_exact")
         )

@@ -1812,3 +1812,32 @@ def test_pq_validation(spark, embeddings):
         )
     with pytest.raises(ValueError, match="not in embeddings"):
         similarity.pq_topk(embeddings, query_vec_id=10**9)
+
+
+def test_pq_mismatched_and_stale_codes_fail_loudly(spark, embeddings):
+    """A persisted index encoded with a different m_sub must be
+    rejected before any scan (NULL adc_dist would otherwise fill the
+    pool via NULLS-FIRST ordering), and a pool candidate whose vec_id
+    vanished from the embeddings table must raise, not silently return
+    fewer than k rows."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    codes8 = similarity.pq_encode(embeddings)  # m_sub=8
+    with pytest.raises(ValueError, match="different m_sub"):
+        similarity.pq_topk(
+            embeddings, query_vec_id=0, m_sub=16,
+            codebooks=similarity.pq_codebooks(embeddings, m_sub=16),
+            codes=codes8,
+        )
+    # stale index: codes built over ALL vectors, embeddings missing some
+    shrunk = embeddings.filter(
+        (F.col("vec_id") < 100) | (F.col("vec_id") % 2 == 0)
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException),
+                       match="stale index"):
+        similarity.pq_topk(
+            shrunk, query_vec_id=0,
+            codebooks=similarity.pq_codebooks(embeddings),
+            codes=codes8, rerank=400,
+        ).collect()
