@@ -45,6 +45,9 @@ CANARIES = [
     # counts — layout must not change which branch (or the rounded
     # mean) any document sees
     "doc_stupid_backoff",
+    # two chained TakeOrdered cuts (ADC pool, exact top-k) — the pool
+    # boundary must not depend on which partition saw a row first
+    "pq_topk",
 ]
 
 
