@@ -480,3 +480,43 @@ def test_stupid_backoff_fuzz_vs_brute_force(spark, seed, order):
     }
     want = _bf_backoff(ref_texts, tgt_docs, order)
     assert got == want
+
+
+def test_order5_ccnet_shape_end_to_end(spark):
+    """CCNet's actual order (5-grams) through BOTH scorers — the order
+    dial must not be a 2/3-only demo: counts, scoring, and the
+    brute-force parity all hold at order 5 (fuzz covers 2-4; this pins
+    the published operating point)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(6)]
+    ref_texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 14)))
+        for _ in range(5)
+    ]
+    tgt_docs = [
+        (300 + i, " ".join(rng.choice(vocab + ["oovq"])
+                           for _ in range(rng.randint(4, 12))))
+        for i in range(4)
+    ]
+    ref = spark.createDataFrame([(t,) for t in ref_texts], "text string")
+    tgt = spark.createDataFrame(tgt_docs, "doc_id long, text string")
+    uni, models = lm.backoff_counts(ref, order=5)
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["sb_score"])
+        for r in lm.stupid_backoff_scores(
+            tgt, uni, models, order=5
+        ).collect()
+    }
+    assert got == _bf_backoff(ref_texts, tgt_docs, 5)
+    # add-k path at order 5 scores the same windows (same count and
+    # finite scores; values differ by scheme)
+    ctx, ng, uni2 = lm.ngram_counts(ref, order=5)
+    addk = {
+        r["doc_id"]: r["n_ngrams"]
+        for r in lm.ngram_cross_entropy_scores(
+            tgt, ctx, ng, uni2, order=5
+        ).collect()
+    }
+    assert addk == {d: n for d, (n, _) in got.items()}
