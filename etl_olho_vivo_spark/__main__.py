@@ -142,6 +142,33 @@ def _build_parser() -> argparse.ArgumentParser:
         "text rather than strictly positive)",
     )
     cor.add_argument(
+        "--dsir-target", default=None, metavar="PARQUET_DIR",
+        help="target corpus (parquet with a text column) for DSIR "
+        "importance selection (Xie et al. 2023): survivors are scored "
+        "by hashed-n-gram log importance weight against this "
+        "distribution and kept when the weight clears --dsir-min-logw",
+    )
+    cor.add_argument(
+        "--dsir-min-logw", type=float, default=None, metavar="X",
+        help="absolute log-weight floor for --dsir-target (required "
+        "with it; derive offline via the dsir-cuts subcommand — the "
+        "gate never computes quantiles inline, same determinism "
+        "contract as --lm-max-entropy)",
+    )
+    cor.add_argument(
+        "--dsir-sampled", action="store_true",
+        help="perturb each weight with the seeded Gumbel key before "
+        "thresholding — importance RESAMPLING (keep ∝ weight) instead "
+        "of a hard floor, still a pure deterministic filter",
+    )
+    cor.add_argument("--dsir-seed", type=int, default=0)
+    cor.add_argument(
+        "--dsir-buckets", type=int, default=None, metavar="B",
+        help="hashed feature buckets (default 10000, the paper's "
+        "operating point; must match the dsir-cuts run that produced "
+        "--dsir-min-logw)",
+    )
+    cor.add_argument(
         "--bpe-tokenize", type=int, default=None, metavar="N_MERGES",
         help="train an N-merge BPE vocabulary on the surviving corpus, "
         "apply it (bpe_tokens + integer bpe_ids columns), and persist "
@@ -367,6 +394,37 @@ def _build_parser() -> argparse.ArgumentParser:
         "beside the corpus)",
     )
 
+    dsc = sub.add_parser(
+        "dsir-cuts",
+        help="derive the DSIR log-weight threshold from a raw corpus "
+        "and a target corpus (offline approxQuantile) and persist it — "
+        "the hand-off that turns a keep-fraction into the absolute "
+        "--dsir-min-logw the deterministic gate consumes",
+    )
+    dsc.add_argument("--in", dest="in_dir", required=True,
+                     help="raw documents parquet (doc_id, text)")
+    dsc.add_argument(
+        "--target", required=True, metavar="PARQUET_DIR",
+        help="target corpus parquet (text column)",
+    )
+    dsc.add_argument("--buckets", type=int, default=None, metavar="B")
+    dsc.add_argument(
+        "--sampled", action="store_true",
+        help="quantile the Gumbel-perturbed keys (seed via --seed) "
+        "instead of the raw weights — match the gate's --dsir-sampled",
+    )
+    dsc.add_argument("--seed", type=int, default=0)
+    dsc.add_argument(
+        "--keep-fractions", default="0.25", metavar="F1,F2,...",
+        help="descending keep fractions in (0,1): each emitted cut is "
+        "the log-weight floor that keeps that fraction of the corpus "
+        "(default 0.25 — keep the most target-like quarter)",
+    )
+    dsc.add_argument(
+        "--out", required=True, metavar="JSON_PATH",
+        help="where to persist the cut points (one small JSON file)",
+    )
+
     blo = sub.add_parser(
         "bloom-build",
         help="build (or extend) a persisted Bloom filter over a "
@@ -508,6 +566,11 @@ def main(argv: list[str] | None = None) -> int:
             lm_ref_dir=args.lm_ref,
             lm_order=args.lm_order,
             lm_scheme=args.lm_scheme,
+            dsir_target_dir=args.dsir_target,
+            dsir_min_logw=args.dsir_min_logw,
+            dsir_sampled=args.dsir_sampled,
+            dsir_seed=args.dsir_seed,
+            dsir_buckets=args.dsir_buckets,
             dedup_resolution=args.resolution,
             snapshot_filter_dir=args.snapshot_filter,
             snapshot_overlap=args.snapshot_overlap,
@@ -888,6 +951,96 @@ def main(argv: list[str] | None = None) -> int:
         }
         # one tiny driver-side file beside the corpus — the persisted
         # constants the deterministic gate consumes (--lm-max-entropy)
+        import os as _os
+
+        _os.makedirs(
+            _os.path.dirname(_os.path.abspath(args.out)), exist_ok=True
+        )
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(json.dumps(payload))
+        return 0
+
+    if args.command == "dsir-cuts":
+        from pyspark.sql import functions as F
+
+        from etl_olho_vivo_spark.caching import CacheBag
+        from etl_olho_vivo_spark.operators import dsir as dsirops
+        from etl_olho_vivo_spark.operators import lm as lmops
+        from etl_olho_vivo_spark.sources.tables import (
+            pin_parquet_instant_confs,
+        )
+
+        try:
+            keep = [
+                float(x)
+                for x in args.keep_fractions.split(",")
+                if x.strip()
+            ]
+        except ValueError:
+            raise SystemExit(
+                f"--keep-fractions must be comma-separated floats, got "
+                f"{args.keep_fractions!r}"
+            )
+        if not keep or any(not 0.0 < f < 1.0 for f in keep):
+            raise SystemExit(
+                f"--keep-fractions must be inside (0, 1), got {keep}"
+            )
+        if keep != sorted(keep, reverse=True):
+            raise SystemExit(
+                f"--keep-fractions must be descending, got {keep}"
+            )
+        pin_parquet_instant_confs(spark)
+        docs = spark.read.parquet(args.in_dir)
+        buckets = (
+            args.buckets if args.buckets is not None else dsirops.N_BUCKETS
+        )
+        bag = CacheBag()
+        try:
+            # persisted: approxQuantile and the count would each re-run
+            # the two feature scans + scoring joins from scratch
+            scores = bag.add(
+                dsirops.dsir_log_weights(
+                    docs.select("doc_id", "text"),
+                    spark.read.parquet(args.target).select("text"),
+                    n_buckets=buckets,
+                    caches=bag,
+                )
+            )
+            col = "log_w"
+            if args.sampled:
+                scores = bag.add(
+                    scores.withColumn(
+                        "sel_key",
+                        F.round(
+                            F.col("log_w")
+                            + F.expr(
+                                dsirops.gumbel_expr("doc_id", args.seed)
+                            ),
+                            6,
+                        ),
+                    )
+                )
+                col = "sel_key"
+            # keep-fraction f ⇒ the (1−f) quantile is the floor; the
+            # shared quantile helper wants ascending fractions, which a
+            # descending keep list produces naturally
+            cuts = lmops.entropy_cut_points(
+                scores, tuple(1.0 - f for f in keep), col=col
+            )
+            n_docs = scores.count()
+        finally:
+            bag.release()
+        payload = {
+            "command": "dsir-cuts",
+            "buckets": buckets,
+            "sampled": bool(args.sampled),
+            "seed": args.seed,
+            "keep_fractions": keep,
+            "cut_points": cuts,
+            "n_scored_docs": n_docs,
+            "target": args.target,
+        }
         import os as _os
 
         _os.makedirs(

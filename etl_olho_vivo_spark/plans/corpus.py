@@ -142,6 +142,11 @@ def run_corpus(
     lm_ref_dir: str | None = None,
     lm_order: int = 2,
     lm_scheme: str = "addk",
+    dsir_target_dir: str | None = None,
+    dsir_min_logw: float | None = None,
+    dsir_sampled: bool = False,
+    dsir_seed: int = 0,
+    dsir_buckets: int | None = None,
 ) -> dict[str, int]:
     """Documents table → cleaned corpus parquet.  Returns per-stage counts.
 
@@ -176,6 +181,14 @@ def run_corpus(
     if lm_scheme not in ("addk", "backoff"):
         raise ValueError(
             f"lm_scheme must be addk or backoff, got {lm_scheme!r}"
+        )
+    if dsir_target_dir is not None and dsir_min_logw is None:
+        # same validate-before-work rule: the DSIR stage runs after the
+        # shuffling dedup stages, and the threshold is the selection —
+        # silently defaulting it would keep (or drop) the whole corpus
+        raise ValueError(
+            "dsir_target_dir requires dsir_min_logw (derive it offline "
+            "with the dsir-cuts CLI, like lm-cuts for the LM gate)"
         )
     if snapshot_filter_dir is not None and not (0.0 < snapshot_overlap <= 1.0):
         raise ValueError(
@@ -415,6 +428,47 @@ def run_corpus(
                 )
             )
             stats["gopher"] = kept.count()
+
+        if dsir_target_dir is not None:
+            # DSIR selection (operators/dsir.py, Xie et al. 2023) AFTER
+            # the quality gates (they judge each doc alone; DSIR ranks
+            # the survivors against the target distribution) and BEFORE
+            # the budget stages (caps/mixture enforce volume on whatever
+            # selection ships).  Threshold form, not top-k: a global
+            # top-k at corpus scale funnels k rows through the driver,
+            # while `key >= cut` is a pure filter — the cut comes from
+            # the offline quantile helper (dsir-cuts CLI), the same
+            # absolute-threshold contract as the LM gate above.
+            # --dsir-sampled perturbs the weight with the seeded Gumbel
+            # before thresholding, turning the hard floor into
+            # importance RESAMPLING (sample ∝ w) with the same plan.
+            from etl_olho_vivo_spark.operators import dsir as dsirops
+
+            w = dsirops.dsir_log_weights(
+                kept.select("doc_id", "text"),
+                spark.read.parquet(dsir_target_dir).select("text"),
+                n_buckets=(
+                    dsir_buckets
+                    if dsir_buckets is not None
+                    else dsirops.N_BUCKETS
+                ),
+                caches=stage_caches,
+            )
+            key = F.col("log_w")
+            if dsir_sampled:
+                key = F.round(
+                    key + F.expr(dsirops.gumbel_expr("doc_id", dsir_seed)),
+                    6,
+                )
+            # anti-join on the FAILING side (same contract as the LM
+            # gate): a doc with no features has no row in `w` — no
+            # evidence under either distribution — and passes through
+            # rather than being silently deleted by a semi join
+            failing = w.filter(key < dsir_min_logw).select("doc_id")
+            kept = stage_caches.add(
+                kept.join(failing, "doc_id", "left_anti")
+            )
+            stats["dsir"] = kept.count()
 
         if max_per_source is not None:
             # C4/Gopher domain cap: deterministic seeded top-n per

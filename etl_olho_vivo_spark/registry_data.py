@@ -627,6 +627,75 @@ def q_assign_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source", "split")
 
 
+def _dsir_oracle() -> str:
+    """DuckDB twin of operators/dsir.py — the bucket expressions derive
+    from dsir.feature_expr / N_BUCKETS so the two sides cannot drift."""
+    from etl_olho_vivo_spark.operators import dsir
+
+    b = dsir.N_BUCKETS
+    bigram = dsir.feature_expr(b, "wh[i+1]", "wh[i+2]")
+    key = duck_hex2int("md5(CAST(doc_id AS VARCHAR) || ':dsir-0')")
+    return f"""
+WITH w AS (SELECT doc_id, {_D_WH} AS wh FROM documents),
+f AS (
+  SELECT doc_id, unnest(
+    list_transform(wh, h -> h % {b})
+    || CASE WHEN len(wh) >= 2 THEN
+         list_transform(range(0, len(wh) - 1), i -> {bigram})
+       ELSE CAST([] AS BIGINT[]) END
+  ) AS bucket
+  FROM w
+),
+t AS (SELECT bucket, count(*) AS t_n FROM f WHERE doc_id % 7 = 0 GROUP BY bucket),
+r AS (SELECT bucket, count(*) AS r_n FROM f GROUP BY bucket),
+tt AS (SELECT sum(t_n) AS t_tot FROM t),
+rt AS (SELECT sum(r_n) AS r_tot FROM r),
+sc AS (
+  SELECT f.doc_id,
+         ln(coalesce(t.t_n, 0) + 1.0) - ln(tt.t_tot + {b})
+         - ln(coalesce(r.r_n, 0) + 1.0) + ln(rt.r_tot + {b}) AS ll
+  FROM f LEFT JOIN t USING (bucket) LEFT JOIN r USING (bucket)
+  CROSS JOIN tt CROSS JOIN rt
+),
+wgt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         round(sum(ll), 6) AS log_w
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, n_feats, log_w,
+       round(log_w + (-ln(-ln((({key}) + 1.0) / 4294967297.0))), 6) AS sel_key
+FROM wgt
+ORDER BY sel_key DESC, doc_id
+LIMIT 100
+"""
+
+
+@register(
+    "dsir_select",
+    _dsir_oracle(),
+    doc="DSIR data selection (Xie et al. 2023; operators/dsir.py): hashed "
+    "unigram+bigram bucket features (10k buckets, md5-derived), add-1 "
+    "smoothed target/raw bucket distributions, per-doc log importance "
+    "weight, and Gumbel top-k resampling (k=100, seed 0) — the standard "
+    "'select raw docs that look like the target corpus' pass of a "
+    "pre-training pipeline.  Target here = doc_id % 7 == 0 (the "
+    "train-on-subset demo; production passes any target DataFrame).  "
+    "Counts exact BIGINTs; the log sum and the Gumbel key are the only "
+    "doubles, rounded 6 dp before emit/ranking with doc_id tiebreak, so "
+    "the selected set is bit-stable across engines and partitionings.  "
+    "Plan: both bucket histograms (≤10k rows) broadcast; the corpus "
+    "crosses ONE exchange (the per-doc sum on the unique doc id); "
+    "selection is TakeOrderedAndProject, never a global sort.",
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_olho_vivo_spark.operators import dsir
+
+    d = read_table(spark, sf_dir, "documents")
+    return dsir.dsir_select(
+        d, d.filter(F.col("doc_id") % 7 == 0), k=100, seed=0
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -108,7 +108,12 @@ FROM (
     "partial state, so each map task ships ONE candidate per key and no "
     "full sort ever happens (the row_number-window plan the oracle uses "
     "would sort the whole 100 TB fact).  Tiebreak on event_id makes the "
-    "winner unique and engine-independent.",
+    "winner unique and engine-independent.  driver=False (round 9, "
+    "yielding its slot to dsir_select): README rotation category 1 — "
+    "the max_by/max(struct) argmax pattern keeps a driver row via "
+    "dedup_cluster_keep_best on documents; this row stays benchmarked "
+    "and local-parity-swept.",
+    driver=False,
 )
 def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events")

@@ -775,3 +775,83 @@ def test_bloom_build_merge_guard_sees_path_aliases(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="must differ"):
         main(["--cpus", "8", "bloom-build", "--in", prev_dir,
               "--out", fdir, "--merge", fdir + "/"])
+
+
+def test_dsir_cuts_subcommand_hands_off_to_gate(spark, tmp_path, capsys):
+    """dsir-cuts derives the log-weight floor offline (keep-fraction →
+    (1−f) quantile), persists it, and the cut fed back to the corpus
+    gate as --dsir-min-logw keeps ~that fraction — the absolute-
+    threshold DSIR workflow end-to-end, threshold and sampled modes."""
+    from pyspark.sql import functions as F
+
+    docs_dir = str(tmp_path / "docs")
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs.write.parquet(docs_dir + "/documents.parquet")
+    tgt_dir = str(tmp_path / "target")
+    docs.filter(F.col("doc_id") % 7 == 0).select("text").write.parquet(
+        tgt_dir
+    )
+    cuts_path = str(tmp_path / "corpus_meta" / "dsir_cuts.json")
+    assert main([
+        "--cpus", "8", "dsir-cuts", "--in",
+        docs_dir + "/documents.parquet", "--target", tgt_dir,
+        "--out", cuts_path, "--keep-fractions", "0.5,0.25",
+    ]) == 0
+    emitted = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    persisted = json.load(open(cuts_path))
+    assert persisted == emitted
+    half_cut, quarter_cut = emitted["cut_points"]
+    assert half_cut <= quarter_cut  # keeping less needs a higher floor
+    assert emitted["n_scored_docs"] > 0
+    assert emitted["buckets"] == 10_000 and emitted["sampled"] is False
+
+    # hand-off: the keep-0.5 floor keeps ~half the survivors reaching
+    # the stage (cuts were derived on the RAW corpus, the gate sees
+    # post-dedup survivors — loose bounds absorb that drift)
+    out = str(tmp_path / "corpus")
+    assert main([
+        "--cpus", "8", "corpus", "--sf-dir", docs_dir, "--out", out,
+        "--min-tokens", "2", "--dsir-target", tgt_dir,
+        "--dsir-min-logw", str(half_cut),
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    frac = stats["dsir"] / stats["quality"]
+    assert 0.3 <= frac <= 0.7, stats
+
+    # sampled mode: Gumbel-perturbed keys on both sides of the hand-off
+    cuts_s = str(tmp_path / "corpus_meta" / "dsir_cuts_sampled.json")
+    assert main([
+        "--cpus", "8", "dsir-cuts", "--in",
+        docs_dir + "/documents.parquet", "--target", tgt_dir,
+        "--out", cuts_s, "--keep-fractions", "0.5", "--sampled",
+        "--seed", "3",
+    ]) == 0
+    emitted_s = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )
+    assert emitted_s["sampled"] is True and emitted_s["seed"] == 3
+    out_s = str(tmp_path / "corpus_sampled")
+    assert main([
+        "--cpus", "8", "corpus", "--sf-dir", docs_dir, "--out", out_s,
+        "--min-tokens", "2", "--dsir-target", tgt_dir,
+        "--dsir-min-logw", str(emitted_s["cut_points"][0]),
+        "--dsir-sampled", "--dsir-seed", "3",
+    ]) == 0
+    stats_s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.3 <= stats_s["dsir"] / stats_s["quality"] <= 0.7, stats_s
+
+    # validation: the gate refuses a target without its floor BEFORE
+    # any work; dsir-cuts rejects malformed/ascending fractions
+    with pytest.raises(ValueError, match="dsir_min_logw"):
+        main(["--cpus", "8", "corpus", "--sf-dir", docs_dir, "--out",
+              out, "--dsir-target", tgt_dir])
+    capsys.readouterr()
+    with pytest.raises(SystemExit, match="keep-fractions"):
+        main(["dsir-cuts", "--in", docs_dir + "/documents.parquet",
+              "--target", tgt_dir, "--out", cuts_path,
+              "--keep-fractions", "nope"])
+    with pytest.raises(SystemExit, match="descending"):
+        main(["dsir-cuts", "--in", docs_dir + "/documents.parquet",
+              "--target", tgt_dir, "--out", cuts_path,
+              "--keep-fractions", "0.25,0.5"])
