@@ -112,19 +112,26 @@ WARM_CHUNK_CHARS = 450
 
 
 def _wait_for_idle() -> tuple[list[float], bool]:
-    """Block until loadavg1 < $SPARK_GRAFT_BENCH_MAX_LOAD (default 2.0),
-    polling every 10 s for up to 36 tries (~6 min).  Returns the final
-    loadavg triple and whether the gate was satisfied.  "0" disables."""
+    """Block until max(loadavg1, loadavg5) < $SPARK_GRAFT_BENCH_MAX_LOAD
+    (default 2.0), polling every 10 s for up to 90 tries (~15 min).
+    Returns the final loadavg triple and whether the gate was satisfied.
+    "0" disables.
+
+    Round 10: the gate now includes loadavg5 — BENCH_r09 started at
+    loadavg1 1.86 (under the old 1-minute-only gate) but loadavg5 3.60,
+    and the artifact read ~20% above the same-round idle measurement
+    (round-9 verdict "What's wrong" #1).  The 5-minute average decays
+    with a 5-min time constant, hence the longer wait ceiling."""
     max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
     load = list(os.getloadavg())
     if max_load <= 0:
         return load, True
-    for _ in range(36):
-        if load[0] < max_load:
+    for _ in range(90):
+        if max(load[0], load[1]) < max_load:
             return load, True
         time.sleep(10)
         load = list(os.getloadavg())
-    return load, load[0] < max_load
+    return load, max(load[0], load[1]) < max_load
 
 
 def _warm_lines(
@@ -143,12 +150,21 @@ def _warm_lines(
         ((n, t) for n, t in timings.items() if n not in HEADLINE),
         key=lambda nt: nt[1],
     )
+    # Redundant lead key (round 10): BENCH_r09's capture boundary landed
+    # just inside warm part 1, eating its first key's name (round-9
+    # verdict "What's wrong" #2).  Every part >= 1 now LEADS with a
+    # duplicate of a headline key that is already guaranteed to survive
+    # on the tail summary line — a clip at any part's front destroys
+    # only redundant data.
+    pad_key = next((n for n in HEADLINE if n in timings), None)
+    pad = {pad_key: timings[pad_key]} if pad_key is not None else {}
+    pad_cost = len(json.dumps(pad, **compact)) if pad else 0
     chunks: list[dict[str, float]] = []
     cur: dict[str, float] = {}
     base_overhead = len(json.dumps(
         {"metric": "warm_queries_detail", "part": 99, "queries": {}},
         **compact,
-    ))
+    )) + pad_cost
     budget = WARM_CHUNK_CHARS - base_overhead
     used = 0
     for n, t in rest:
@@ -171,8 +187,8 @@ def _warm_lines(
     )]
     for i, q in enumerate(chunks):
         lines.append(json.dumps(
-            {"metric": "warm_queries_detail", "part": i + 1, "queries": q,
-             **taint},
+            {"metric": "warm_queries_detail", "part": i + 1,
+             "queries": {**pad, **q}, **taint},
             **compact,
         ))
     return lines

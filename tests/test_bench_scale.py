@@ -65,7 +65,9 @@ def test_warm_lines_survive_2000_char_tail_capture():
 def test_warm_lines_clip_cheapest_first():
     """When the registry grows past the window, the chunk that straddles
     (= is lost) must hold the CHEAPEST non-headline queries: expensive
-    operators are the regression signal the artifact exists for."""
+    operators are the regression signal the artifact exists for.
+    (Each part's first entry is the redundant headline pad key — skip
+    it when checking the cheapest-first ordering.)"""
     import bench
 
     names = bench.HEADLINE + [f"q{i:03d}" for i in range(60)]
@@ -73,8 +75,38 @@ def test_warm_lines_clip_cheapest_first():
     lines = bench._warm_lines(timings, "0.1", [1.0, 1.0, 1.0])
     seen: list[float] = []
     for ln in lines[1:]:
-        seen.extend(json.loads(ln)["queries"].values())
+        q = json.loads(ln)["queries"]
+        assert next(iter(q)) in bench.HEADLINE
+        seen.extend(v for k, v in q.items() if k not in bench.HEADLINE)
     assert seen == sorted(seen)
+
+
+def test_warm_lines_lead_every_part_with_redundant_headline_key():
+    """Round 10: BENCH_r09's capture boundary clipped warm part 1's
+    first key.  Every part >= 1 must now LEAD with a headline key
+    (already guaranteed on the tail summary line), so a front clip of
+    any chunk destroys only redundant data — and the pad must not push
+    any line over the chunk budget."""
+    import bench
+
+    names = bench.HEADLINE + [f"q{i:03d}" for i in range(60)]
+    timings = {n: round(0.1 + i * 0.05, 3) for i, n in enumerate(names)}
+    lines = bench._warm_lines(timings, "0.1", [1.0, 1.0, 1.0])
+    assert len(lines) >= 3
+    for ln in lines:
+        assert len(ln) <= bench.WARM_CHUNK_CHARS, len(ln)
+    for ln in lines[1:]:
+        q = json.loads(ln)["queries"]
+        first = next(iter(q))
+        assert first in bench.HEADLINE
+        assert q[first] == timings[first]
+    # simulate a clip eating each part's first key: all non-headline
+    # data must still be recoverable
+    recovered: set[str] = set()
+    for ln in lines[1:]:
+        q = json.loads(ln)["queries"]
+        recovered.update(list(q)[1:])
+    assert recovered == {n for n in timings if n not in bench.HEADLINE}
 
 
 def test_wait_for_idle_disabled_and_bounded(monkeypatch):
@@ -86,6 +118,23 @@ def test_wait_for_idle_disabled_and_bounded(monkeypatch):
     load, ok = bench._wait_for_idle()
     assert ok and len(load) == 3
     monkeypatch.setenv("SPARK_GRAFT_BENCH_MAX_LOAD", "1e9")
+    load, ok = bench._wait_for_idle()
+    assert ok
+
+
+def test_wait_for_idle_gates_on_loadavg5_too(monkeypatch):
+    """Round 10: the gate must consider loadavg5, not just loadavg1 —
+    BENCH_r09 slipped through at loadavg1 1.86 / loadavg5 3.60 and read
+    ~20% hot.  With a fake loadavg of (1.0, 5.0, 5.0) and a threshold
+    of 2.0 the gate must NOT pass."""
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0")
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (1.0, 5.0, 5.0))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    load, ok = bench._wait_for_idle()
+    assert not ok
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (1.0, 1.5, 5.0))
     load, ok = bench._wait_for_idle()
     assert ok
 
