@@ -153,7 +153,13 @@ def _build_parser() -> argparse.ArgumentParser:
         help="absolute log-weight floor for --dsir-target (required "
         "with it; derive offline via the dsir-cuts subcommand — the "
         "gate never computes quantiles inline, same determinism "
-        "contract as --lm-max-entropy)",
+        "contract as --lm-max-entropy).  NOTE: unlike the LM gate "
+        "(scores stable per doc), DSIR weights depend on the POOL the "
+        "p_raw histogram is fit on — the gate refits on the "
+        "post-dedup/quality survivors, so derive the cut with dsir-cuts "
+        "on a pool matching what reaches this stage (e.g. a prior "
+        "run's pre-DSIR output), or treat the keep-fraction "
+        "calibration as approximate",
     )
     cor.add_argument(
         "--dsir-sampled", action="store_true",
@@ -399,7 +405,10 @@ def _build_parser() -> argparse.ArgumentParser:
         help="derive the DSIR log-weight threshold from a raw corpus "
         "and a target corpus (offline approxQuantile) and persist it — "
         "the hand-off that turns a keep-fraction into the absolute "
-        "--dsir-min-logw the deterministic gate consumes",
+        "--dsir-min-logw the deterministic gate consumes.  Derive on a "
+        "pool matching what reaches the corpus gate (weights refit "
+        "p_raw on the pool, so a raw-input cut applied to post-dedup "
+        "survivors makes the keep-fraction approximate)",
     )
     dsc.add_argument("--in", dest="in_dir", required=True,
                      help="raw documents parquet (doc_id, text)")
@@ -986,9 +995,12 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit(
                 f"--keep-fractions must be inside (0, 1), got {keep}"
             )
-        if keep != sorted(keep, reverse=True):
+        if keep != sorted(keep, reverse=True) or len(set(keep)) != len(keep):
+            # STRICTLY descending: duplicate fractions produce redundant
+            # identical cut points, inconsistent with entropy_cut_points'
+            # strictly-ascending contract
             raise SystemExit(
-                f"--keep-fractions must be descending, got {keep}"
+                f"--keep-fractions must be strictly descending, got {keep}"
             )
         pin_parquet_instant_confs(spark)
         docs = spark.read.parquet(args.in_dir)

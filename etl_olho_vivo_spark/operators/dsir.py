@@ -157,7 +157,23 @@ def dsir_log_weights(
     # 1-row total frames, broadcast-cross-joined: the normalization
     # constants stay INSIDE the lazy plan (no eager .count() at
     # construction) and the oracle SQL mirrors the same CROSS JOIN.
-    t_tot = t_rel.agg(F.sum("t_n").alias("t_tot"))
+    # A feature-less target (empty corpus or all-empty texts) makes the
+    # sum NULL, which would NULL-out every log_w and let a downstream
+    # `key < floor` gate silently keep the whole corpus — fail loudly
+    # instead, still lazily (the CASE evaluates when the 1-row frame
+    # does, no extra job).
+    t_tot = t_rel.agg(F.sum("t_n").alias("t_tot")).select(
+        F.when(F.col("t_tot").isNotNull(), F.col("t_tot"))
+        .otherwise(
+            F.raise_error(
+                "DSIR target corpus has no features (empty corpus or "
+                "all-empty texts) — every importance weight would be "
+                "NULL and a threshold gate would silently keep "
+                "everything; fix the target input"
+            ).cast("bigint")
+        )
+        .alias("t_tot")
+    )
     r_tot = r_rel.agg(F.sum("r_n").alias("r_tot"))
     # Same textual operation order as the oracle SQL — left-associated
     # ((a − b) − c) + d — so both engines round the same double.

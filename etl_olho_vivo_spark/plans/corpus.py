@@ -190,6 +190,21 @@ def run_corpus(
             "dsir_target_dir requires dsir_min_logw (derive it offline "
             "with the dsir-cuts CLI, like lm-cuts for the LM gate)"
         )
+    if dsir_target_dir is None and (
+        dsir_min_logw is not None
+        or dsir_sampled
+        or dsir_seed != 0
+        or dsir_buckets is not None
+    ):
+        # the reverse direction of the check above: DSIR tuning flags
+        # without a target would be silently ignored and ship an
+        # ungated corpus the user believed was filtered
+        raise ValueError(
+            "DSIR flags (dsir_min_logw / dsir_sampled / dsir_seed / "
+            "dsir_buckets) require dsir_target_dir — without a target "
+            "the DSIR stage does not run and the corpus would ship "
+            "unfiltered"
+        )
     if snapshot_filter_dir is not None and not (0.0 < snapshot_overlap <= 1.0):
         raise ValueError(
             f"snapshot_overlap must be in (0, 1], got {snapshot_overlap}"

@@ -855,3 +855,19 @@ def test_dsir_cuts_subcommand_hands_off_to_gate(spark, tmp_path, capsys):
         main(["dsir-cuts", "--in", docs_dir + "/documents.parquet",
               "--target", tgt_dir, "--out", cuts_path,
               "--keep-fractions", "0.25,0.5"])
+    # STRICTLY descending: duplicates produce redundant identical cuts
+    with pytest.raises(SystemExit, match="descending"):
+        main(["dsir-cuts", "--in", docs_dir + "/documents.parquet",
+              "--target", tgt_dir, "--out", cuts_path,
+              "--keep-fractions", "0.5,0.5"])
+    # the reverse of the target-without-floor check: DSIR tuning flags
+    # without a target must be rejected, not silently ignored (an
+    # ungated corpus the user believed was filtered)
+    with pytest.raises(ValueError, match="require dsir_target_dir"):
+        main(["--cpus", "8", "corpus", "--sf-dir", docs_dir, "--out",
+              out, "--dsir-min-logw", "0.0"])
+    capsys.readouterr()
+    with pytest.raises(ValueError, match="require dsir_target_dir"):
+        main(["--cpus", "8", "corpus", "--sf-dir", docs_dir, "--out",
+              out, "--dsir-sampled"])
+    capsys.readouterr()

@@ -185,6 +185,31 @@ def test_validation(spark, frames):
         dsir.dsir_select(raw_df, tgt_df, 0)
 
 
+def test_featureless_target_raises_loudly(spark, frames):
+    """An empty or all-empty-text target corpus would NULL the t_tot
+    normalizer, NULL every log_w, and let a `key < floor` corpus gate
+    silently keep everything — the scoring plan must raise at execution
+    instead (round-9 ADVICE).  A non-degenerate target keeps working."""
+    from pyspark.errors import SparkRuntimeException
+
+    _, _, raw_df, tgt_df = frames
+    empty_tgt = tgt_df.filter(F.lit(False))
+    w = dsir.dsir_log_weights(raw_df, empty_tgt, n_buckets=B)
+    with pytest.raises(SparkRuntimeException, match="no features"):
+        w.collect()
+    # all-NULL texts (rows exist but no tokens hash out — empty STRINGS
+    # do tokenize to the empty-string unigram, so they are not
+    # degenerate) — same guard
+    blank_tgt = spark.createDataFrame(
+        [(None,), (None,)], "text string"
+    )
+    w2 = dsir.dsir_log_weights(raw_df, blank_tgt, n_buckets=B)
+    with pytest.raises(SparkRuntimeException, match="no features"):
+        w2.collect()
+    # healthy target still scores every raw doc
+    assert dsir.dsir_log_weights(raw_df, tgt_df, n_buckets=B).count() > 0
+
+
 def test_plan_shape(spark):
     """The 100 TB pins: bucket histograms broadcast, top-k compiled to
     TakeOrdered (no global sort), no Python, no cartesian over data
