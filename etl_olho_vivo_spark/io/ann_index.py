@@ -56,7 +56,12 @@ from etl_olho_vivo_spark.operators.similarity import (
     QUANT,
     _default_centroids,
     _dot_int,
+    _ivfpq_adc_case,
+    _l2sq_int,
+    _sql_bigint_array,
     ivf_assign,
+    ivfpq_codebooks,
+    ivfpq_encode,
     kmeans_centroids,
 )
 
@@ -335,9 +340,11 @@ def compact_ivf_index(spark: SparkSession, path: str) -> int:
     # constant batch -1 keeps the two-level ingest_batch_id/cell_id
     # layout UNIFORM — a flat cell_id-only rewrite would leave mixed
     # directory depths once the next append lands, breaking partition
-    # discovery for the whole table
+    # discovery for the whole table.  Column-preserving (drop/re-add the
+    # batch column instead of naming data columns) so an IVF-PQ index's
+    # ``codes`` column survives compaction.
     (
-        cells.select("vec_id", "label", "qv", "cell_id")
+        cells.drop("ingest_batch_id")
         .withColumn("ingest_batch_id", F.lit(-1))
         .write.mode("overwrite")
         .partitionBy("ingest_batch_id", "cell_id")
@@ -473,24 +480,52 @@ def maybe_rebuild_ivf_index(
         if before["skew_ratio"] is None or before["skew_ratio"] <= max_skew:
             return {"rebuilt": False, "stats": before}
         # stamp the cell count INTO the snapshot so a crash-resume does
-        # not depend on the (possibly half-overwritten) centroid table
+        # not depend on the (possibly half-overwritten) centroid table.
+        # An IVF-PQ index stamps its codebook shape too — the rebuild
+        # must go through build_ivfpq_index or the codes column (and
+        # the ADC serving path with it) would silently vanish.
         stamped = n_cells if n_cells is not None else int(
             spark.read.parquet(f"{path}/centroids")
             .select("n_cells").first()["n_cells"]
         )
+        m_sub, k_codes = -1, -1
+        _, pq_p = hadoop_fs(spark, f"{path}/{_PQ_DIR}")
+        if fs.exists(pq_p):
+            meta = (
+                spark.read.parquet(f"{path}/{_PQ_DIR}")
+                .select("m_sub", "k_codes").first()
+            )
+            m_sub, k_codes = int(meta["m_sub"]), int(meta["k_codes"])
         (
             dequantized_cells(spark, path)
             .withColumn("__n_cells__", F.lit(stamped))
+            .withColumn("__m_sub__", F.lit(m_sub))
+            .withColumn("__k_codes__", F.lit(k_codes))
             .write.mode("overwrite")
             .parquet(snap)
         )
     emb = spark.read.parquet(snap)
     if n_cells is None:
         n_cells = int(emb.select("__n_cells__").first()["__n_cells__"])
-    build_ivf_index(
-        emb.drop("__n_cells__"), path, n_cells=n_cells,
-        use_kmeans=use_kmeans, **kmeans_kwargs,
-    )
+    if "__m_sub__" not in emb.columns:
+        # snapshot written before the IVF-PQ stamp existed — plain IVF
+        emb = emb.withColumn("__m_sub__", F.lit(-1)).withColumn(
+            "__k_codes__", F.lit(-1)
+        )
+    shape = emb.select("__m_sub__", "__k_codes__").first()
+    src = emb.drop("__n_cells__", "__m_sub__", "__k_codes__")
+    if int(shape["__m_sub__"]) > 0:
+        build_ivfpq_index(
+            src, path, n_cells=n_cells,
+            m_sub=int(shape["__m_sub__"]),
+            k_codes=int(shape["__k_codes__"]),
+            use_kmeans=use_kmeans, **kmeans_kwargs,
+        )
+    else:
+        build_ivf_index(
+            src, path, n_cells=n_cells,
+            use_kmeans=use_kmeans, **kmeans_kwargs,
+        )
     _, snap_p = hadoop_fs(spark, snap)
     fs.delete(snap_p, True)
     after = cell_stats(spark, path)
@@ -528,6 +563,27 @@ def run_embedding_stream(
     return writer.start()
 
 
+def _quantize_py(vector: list[float]) -> list[int]:
+    """Driver-side quantization of an EXTERNAL query vector.  Spark's
+    round() is HALF_UP (away from zero); Python's round() is banker's —
+    a component landing exactly on the grid midpoint (e.g. 2.5e-06)
+    would quantize differently on the two sides and can flip the probe
+    cell / break ranking parity with the stored assignment.  Replicate
+    HALF_UP explicitly — shared by the IVF and IVF-PQ query paths so
+    the two grids can never drift."""
+    import math
+
+    def _q(x: float) -> int:
+        d = float(x) * QUANT
+        return (
+            int(math.floor(d + 0.5))
+            if d >= 0
+            else -int(math.floor(-d + 0.5))
+        )
+
+    return [_q(x) for x in vector]
+
+
 def query_ivf_index(
     index: IvfIndex,
     vector: list[float],
@@ -550,22 +606,7 @@ def query_ivf_index(
         raise ValueError(
             f"query vector has dim {len(vector)}, index has dim {dim}"
         )
-    # Spark's round() is HALF_UP (away from zero); Python's round() is
-    # banker's — a component landing exactly on the grid midpoint
-    # (e.g. 2.5e-06) would quantize differently on the two sides and
-    # can flip the probe cell / break ranking parity with the stored
-    # assignment.  Replicate HALF_UP explicitly.
-    import math
-
-    def _q(x: float) -> int:
-        d = float(x) * QUANT
-        return (
-            int(math.floor(d + 0.5))
-            if d >= 0
-            else -int(math.floor(-d + 0.5))
-        )
-
-    q = [_q(x) for x in vector]
+    q = _quantize_py(vector)
     ranked = sorted(
         (sum((a - b) * (a - b) for a, b in zip(qc, q)), cell_id)
         for cell_id, qc in index.centroids
@@ -582,5 +623,262 @@ def query_ivf_index(
             F.expr(_dot_int("qv", "q_qv")).alias("dot_q"),
         )
         .orderBy(F.col("dot_q").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the composed index (coarse cells + residual PQ codes) — the
+# standard two-level serving architecture (Jégou et al. 2011 §IVFADC)
+# ---------------------------------------------------------------------------
+
+_PQ_DIR = "pq_codebooks"
+
+
+@dataclass
+class IvfPqIndex:
+    """A loaded IVF-PQ index: bounded driver-side centroids + residual
+    codebooks, plus the lazy cell-partitioned code frame."""
+
+    centroids: list[tuple[int, list[int]]]  # (cell_id, quantized centroid)
+    codebooks: list[list[list[int]]]  # [sub][code] -> residual subvector
+    cells: DataFrame  # vec_id, label, qv, codes (+ partition columns)
+    path: str
+
+
+def _write_pq_codebooks(
+    spark: SparkSession, path: str, codebooks: list[list[list[int]]]
+) -> None:
+    """Persist the bounded codebook structure as one small parquet
+    relation (``m_sub · k_codes`` rows), stamped with its shape and the
+    quantization grid — same validate-at-load contract as the centroid
+    table."""
+    rows = [
+        (s, j, list(map(int, cb)))
+        for s, subs in enumerate(codebooks)
+        for j, cb in enumerate(subs)
+    ]
+    (
+        spark.createDataFrame(
+            rows, "sub_id int, code_id int, qc array<bigint>"
+        )
+        .withColumn("m_sub", F.lit(len(codebooks)))
+        .withColumn("k_codes", F.lit(len(codebooks[0])))
+        .withColumn("quant", F.lit(QUANT))
+        .write.mode("overwrite")
+        .parquet(f"{path}/{_PQ_DIR}")
+    )
+
+
+def _load_pq_codebooks(
+    spark: SparkSession, path: str
+) -> list[list[list[int]]]:
+    """Load + validate the persisted residual codebooks (bounded
+    collect).  A grid or shape mismatch is a loud error — ADC over
+    incommensurate integers would rank garbage silently."""
+    from etl_olho_vivo_spark.io.fsutil import hadoop_fs
+
+    fs, pq_p = hadoop_fs(spark, f"{path}/{_PQ_DIR}")
+    if not fs.exists(pq_p):
+        raise ValueError(
+            f"{path} has no codebook table — a plain IVF index; build "
+            f"with build_ivfpq_index (or query via query_ivf_index)"
+        )
+    df = spark.read.parquet(f"{path}/{_PQ_DIR}")
+    meta = df.select("m_sub", "k_codes", "quant").first()
+    if meta is None:
+        raise ValueError(f"IVF-PQ index at {path} has an empty codebook table")
+    if meta["quant"] != QUANT:
+        raise ValueError(
+            f"IVF-PQ index at {path} was built on quantization grid "
+            f"{meta['quant']}, engine uses {QUANT}; rebuild the index"
+        )
+    m_sub, k_codes = int(meta["m_sub"]), int(meta["k_codes"])
+    books: list[list[list[int] | None]] = [
+        [None] * k_codes for _ in range(m_sub)
+    ]
+    for r in df.select("sub_id", "code_id", "qc").collect():
+        books[int(r["sub_id"])][int(r["code_id"])] = list(r["qc"])
+    if any(c is None for sub in books for c in sub):
+        raise ValueError(
+            f"IVF-PQ codebook table at {path} is incomplete "
+            f"(expected {m_sub}x{k_codes} entries)"
+        )
+    return books  # type: ignore[return-value]
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    use_kmeans: bool = True,
+    **kmeans_kwargs,
+) -> int:
+    """Build the composed index: coarse quantizer → residual codebooks →
+    per-vector (cell_id, codes) — the cells tree carries BOTH the
+    quantized vector (for exact re-rank / rebuilds) and the slim code
+    array (what the ADC stage scans; parquet columnar layout means an
+    ADC scan never reads the qv bytes).  Same partition layout,
+    watermark, and overwrite discipline as ``build_ivf_index``."""
+    if n_cells < 1:
+        raise ValueError(f"n_cells must be >= 1, got {n_cells}")
+    cents = (
+        kmeans_centroids(emb, n_cells, **kmeans_kwargs)
+        if use_kmeans
+        else _default_centroids(emb, n_cells)
+    )
+    spark = emb.sparkSession
+    (
+        cents.withColumn("n_cells", F.lit(n_cells))
+        .withColumn("quant", F.lit(QUANT))
+        .write.mode("overwrite")
+        .parquet(f"{path}/centroids")
+    )
+    cent_frame = _centroid_frame(spark, path)
+    books = ivfpq_codebooks(
+        emb, cent_frame, n_cells=n_cells, m_sub=m_sub, k_codes=k_codes
+    )
+    _write_pq_codebooks(spark, path, books)
+    encoded = ivfpq_encode(emb, cent_frame, books, n_cells=n_cells)
+    (
+        encoded.withColumn("ingest_batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("ingest_batch_id", "cell_id")
+        .parquet(f"{path}/cells")
+    )
+    _write_watermark(spark, path, -1)
+    return spark.read.parquet(f"{path}/cells").count()
+
+
+def load_ivfpq_index(spark: SparkSession, path: str) -> IvfPqIndex:
+    """Load centroids + codebooks (collected — both bounded) and the
+    lazy cell frame; refuses plain-IVF trees and pending swaps."""
+    assert_no_pending_swap(spark, f"{path}/cells")
+    cents = [
+        (r["cell_id"], list(r["qc"]))
+        for r in _centroid_frame(spark, path).collect()
+    ]
+    books = _load_pq_codebooks(spark, path)
+    cells = spark.read.parquet(f"{path}/cells")
+    if "codes" not in cells.columns:
+        raise ValueError(
+            f"{path} has no codes column — a plain IVF index; build "
+            f"with build_ivfpq_index (or query via query_ivf_index)"
+        )
+    return IvfPqIndex(centroids=cents, codebooks=books, cells=cells,
+                      path=path)
+
+
+def append_to_ivfpq_index(
+    emb_batch: DataFrame, path: str, batch_id: int
+) -> bool:
+    """Assign + residual-encode a batch against the PERSISTED centroids
+    and codebooks and land it under its own partition tree — the same
+    frozen-quantizer, idempotent-per-batch contract as
+    ``append_to_ivf_index`` (whose docstring carries the full replay /
+    watermark reasoning)."""
+    if batch_id < 0:
+        raise ValueError(
+            f"batch_id must be >= 0 (-1 is the build partition), "
+            f"got {batch_id}"
+        )
+    spark = emb_batch.sparkSession
+    assert_no_pending_swap(spark, f"{path}/cells")
+    if batch_id <= _read_watermark(spark, path):
+        return False
+    cents = _centroid_frame(spark, path)
+    n_cells = cents.count()
+    books = _load_pq_codebooks(spark, path)
+    encoded = ivfpq_encode(emb_batch, cents, books, n_cells=n_cells)
+    encoded.write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{path}/cells/ingest_batch_id={batch_id}"
+    )
+    return True
+
+
+def query_ivfpq_index(
+    index: IvfPqIndex,
+    vector: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 50,
+) -> DataFrame:
+    """Serve an EXTERNAL query vector through the composed stack: probe
+    the ``n_probe`` nearest cells (pure Python over the collected
+    centroids), ADC-score ONLY those cells' codes with per-cell residual
+    LUTs (the scan prunes to the probed cell partitions and reads the
+    slim codes column), exact-integer re-rank the ``rerank``-best pool
+    (its qv fetch reads the same pruned partitions).
+
+    Returns ``(vec_id, label, cell_id, adc_dist, l2_exact)`` ordered by
+    ascending exact distance with vec_id tiebreak — distance semantics
+    (for the unit-norm corpora real retrieval uses, the ranking matches
+    ``query_ivf_index``'s descending dot)."""
+    if rerank < k:
+        raise ValueError(f"rerank pool {rerank} smaller than k {k}")
+    if not index.centroids:
+        raise ValueError("empty centroid table")
+    dim = len(index.centroids[0][1])
+    if len(vector) != dim:
+        raise ValueError(
+            f"query vector has dim {len(vector)}, index has dim {dim}"
+        )
+    m_sub = len(index.codebooks)
+    sub_len = len(index.codebooks[0][0])
+    if dim != m_sub * sub_len:
+        raise ValueError(
+            f"index dim {dim} != codebook dim {m_sub * sub_len}"
+        )
+    q = _quantize_py(vector)
+    ranked = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qc, q)), cid)
+        for cid, qc in index.centroids
+    )
+    probes = [cid for _, cid in ranked[: max(1, n_probe)]]
+    cents = dict(index.centroids)
+    luts = {}
+    for cid in probes:
+        rq = [a - b for a, b in zip(q, cents[cid])]
+        luts[cid] = [
+            [
+                sum(
+                    (a - b) * (a - b)
+                    for a, b in zip(rq[s * sub_len:(s + 1) * sub_len], cb_j)
+                )
+                for cb_j in index.codebooks[s]
+            ]
+            for s in range(m_sub)
+        ]
+    pool = (
+        index.cells.filter(F.col("cell_id").isin(probes))
+        .select(
+            "vec_id",
+            "label",
+            "cell_id",
+            F.expr(_ivfpq_adc_case(probes, luts)).alias("adc_dist"),
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(rerank)
+    )
+    # qv fetch for the bounded pool — same pruned partitions, and the
+    # pool side broadcasts into the scan (rerank rows)
+    qv_rel = index.cells.filter(F.col("cell_id").isin(probes)).select(
+        "vec_id", "qv"
+    )
+    return (
+        pool.join(qv_rel, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            "cell_id",
+            "adc_dist",
+            F.expr(
+                _l2sq_int("qv", _sql_bigint_array(q))
+            ).alias("l2_exact"),
+        )
+        .orderBy("l2_exact", "vec_id")
         .limit(k)
     )

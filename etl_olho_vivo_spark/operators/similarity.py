@@ -361,9 +361,12 @@ def pq_codebooks(
     ]
 
 
-def _pq_codes_expr(codebooks: list[list[list[int]]]) -> str:
+def _pq_codes_expr(
+    codebooks: list[list[list[int]]], col: str = "qv"
+) -> str:
     """SQL expression computing the PQ code array for a quantized vector
-    column ``qv``: per subspace, the argmin-L2 codebook index (strict
+    column ``col`` (default ``qv``; IVF-PQ encodes the RESIDUAL column):
+    per subspace, the argmin-L2 codebook index (strict
     ``<`` keeps the LOWEST index on ties — deterministic).  Codebooks
     are inlined as literals, so encoding is a pure per-row projection:
     zero shuffle, embarrassingly parallel, exactly what a 100 TB ingest
@@ -373,7 +376,7 @@ def _pq_codes_expr(codebooks: list[list[list[int]]]) -> str:
     codes = []
     for s, cb in enumerate(codebooks):
         cb_lit = "array(" + ", ".join(_sql_bigint_array(c) for c in cb) + ")"
-        sub = f"slice(qv, {s * sub_len + 1}, {sub_len})"
+        sub = f"slice({col}, {s * sub_len + 1}, {sub_len})"
         d_j = _l2sq_int(sub, f"element_at({cb_lit}, j + 1)")
         # the k distances materialize ONCE into (d, j) structs before
         # the argmin fold — Spark does not CSE inside HOF lambdas, so a
@@ -517,6 +520,267 @@ def pq_topk(
         pool.join(qv_rel, "vec_id", "left")
         .select(
             "vec_id", "label", "adc_dist", F.expr(exact).alias("l2_exact")
+        )
+        .orderBy("l2_exact", "vec_id")
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the composed two-level serving stack (probe cells → per-cell
+# residual ADC → exact re-rank)
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_codebooks(
+    emb: DataFrame,
+    centroids: DataFrame | None = None,
+    n_cells: int = 8,
+    m_sub: int = 8,
+    k_codes: int = 16,
+) -> list[list[list[int]]]:
+    """Seed-pinned RESIDUAL codebooks for IVF-PQ: ``codebooks[s][j]`` is
+    the ``s``-th subvector of the residual (``qv − qc`` of the assigned
+    cell) of seed vector ``vec_id = n_cells + j`` — integer arithmetic
+    end to end, so the SQL oracle replicates the derivation verbatim
+    (same demo-seeding contract as ``pq_codebooks``).
+
+    Seeds start AT ``n_cells`` on purpose: under the default coarse
+    quantizer the first ``n_cells`` vectors ARE the centroids, so their
+    residuals are identically zero — seeding from them would fill the
+    codebook with duplicate zero words.  ``kmeans_centroids``-trained
+    quantizers use the same seed range for determinism.
+
+    Bounded driver state: one ``k_codes``-row collect (the same class as
+    the centroid collects).
+    """
+    if m_sub < 1 or k_codes < 1:
+        raise ValueError(f"m_sub/k_codes must be >= 1, got {m_sub}/{k_codes}")
+    if centroids is None:
+        centroids = _default_centroids(emb, n_cells)
+    seeds = emb.filter(
+        (F.col("vec_id") >= n_cells)
+        & (F.col("vec_id") < n_cells + k_codes)
+    )
+    rows = (
+        ivf_assign(seeds, n_cells, centroids)
+        .join(F.broadcast(centroids.select("cell_id", "qc")), "cell_id")
+        .select(
+            "vec_id",
+            F.expr("zip_with(qv, qc, (x, y) -> x - y)").alias("rv"),
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    if len(rows) < k_codes:
+        raise ValueError(
+            f"need vec_id {n_cells}..{n_cells + k_codes - 1} as IVF-PQ "
+            f"residual seeds, found {len(rows)}"
+        )
+    dim = len(rows[0]["rv"])
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub_len = dim // m_sub
+    return [
+        [list(r["rv"][s * sub_len:(s + 1) * sub_len]) for r in rows]
+        for s in range(m_sub)
+    ]
+
+
+def ivfpq_encode(
+    emb: DataFrame,
+    centroids: DataFrame | None = None,
+    codebooks: list[list[list[int]]] | None = None,
+    n_cells: int = 8,
+    m_sub: int = 8,
+    k_codes: int = 16,
+) -> DataFrame:
+    """The IVF-PQ ingest encode — ``(vec_id, label, cell_id, qv,
+    codes)``: assign each vector to its coarse cell, PQ-encode the
+    RESIDUAL against that cell's centroid.  Cell assignment is the only
+    wide-ish step (and it is a broadcast cross of the tiny centroid
+    table + a per-vec_id argmin); the residual and code projections are
+    pure map-side expressions with the codebooks inlined as literals —
+    the shape a 100 TB ingest encode must have."""
+    if centroids is None:
+        centroids = _default_centroids(emb, n_cells)
+    if codebooks is None:
+        codebooks = ivfpq_codebooks(
+            emb, centroids, n_cells=n_cells, m_sub=m_sub, k_codes=k_codes
+        )
+    return (
+        ivf_assign(emb, n_cells, centroids)
+        .join(F.broadcast(centroids.select("cell_id", "qc")), "cell_id")
+        .withColumn("rv", F.expr("zip_with(qv, qc, (x, y) -> x - y)"))
+        .select(
+            "vec_id",
+            "label",
+            "cell_id",
+            "qv",
+            F.expr(_pq_codes_expr(codebooks, "rv")).alias("codes"),
+        )
+    )
+
+
+def _ivfpq_adc_case(
+    probes: list[int],
+    luts: dict[int, list[list[int]]],
+) -> str:
+    """The probed-cells ADC expression: per cell a literal
+    ``m_sub × k_codes`` LUT folded with ``m_sub`` array lookups —
+    one CASE branch per probed cell (n_probe branches, bounded)."""
+    m_sub = len(next(iter(luts.values())))
+    branches = []
+    for cid in probes:
+        lut_lit = (
+            "array("
+            + ", ".join(_sql_bigint_array(r) for r in luts[cid])
+            + ")"
+        )
+        adc = (
+            f"aggregate(sequence(0, {m_sub - 1}), 0L, (acc, s) -> "
+            f"acc + element_at(element_at({lut_lit}, s + 1), "
+            f"element_at(codes, s + 1) + 1))"
+        )
+        branches.append(f"WHEN cell_id = {int(cid)} THEN {adc}")
+    return "CASE " + " ".join(branches) + " END"
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    rerank: int = 50,
+    centroids: DataFrame | None = None,
+    codebooks: list[list[list[int]]] | None = None,
+    coded: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ top-k — the standard composed vector-serving architecture
+    (Jégou et al. 2011 §IVFADC): probe the ``n_probe`` coarse cells
+    nearest the query, ADC-score ONLY those cells' codes against
+    per-cell residual LUTs, exact-integer re-rank the ``rerank``-best
+    pool.  Output ``(vec_id, label, cell_id, adc_dist, l2_exact)``,
+    final order (l2_exact, vec_id), k rows — every stage exact integer
+    arithmetic, so the DuckDB oracle matches hash-exactly.
+
+    Scale shape: candidate work is confined to the probed fraction of
+    the corpus (against a persisted index the scan PRUNES to the probed
+    cell partitions — see ``io.ann_index.query_ivfpq_index``); the
+    per-cell LUTs (``n_probe · m_sub · k_codes`` ints) and probe
+    selection are bounded driver arithmetic over the collected centroid
+    table, exactly like ``query_ivf_index``; the ADC stage reads the
+    slim ``codes`` column only; the exact re-rank touches ``rerank``
+    rows.  Zero corpus-side shuffle.
+
+    ``coded`` accepts a persisted ``ivfpq_encode`` result (the serving
+    path — pass the SAME ``centroids`` and ``codebooks`` that produced
+    it); without it the encode runs inline (demo/oracle path)."""
+    if rerank < k:
+        raise ValueError(f"rerank pool {rerank} smaller than k {k}")
+    if coded is not None and (centroids is None or codebooks is None):
+        raise ValueError(
+            "ivfpq_topk: pass the same `centroids` and `codebooks` that "
+            "produced `coded` (probe LUTs and stored codes must share "
+            "one quantization)"
+        )
+    if centroids is None:
+        centroids = _default_centroids(emb, n_cells)
+    cent_rows = centroids.select("cell_id", "qc").collect()
+    if not cent_rows:
+        raise ValueError("empty centroid table")
+    if codebooks is None:
+        codebooks = ivfpq_codebooks(
+            emb, centroids, n_cells=n_cells, m_sub=m_sub, k_codes=k_codes
+        )
+    m_sub = len(codebooks)
+    sub_len = len(codebooks[0][0])
+    if coded is not None:
+        # same silent-NULL hazard as pq_topk: codes built with another
+        # m_sub would NULL every adc_dist and fill the pool arbitrarily
+        head = coded.select(F.size("codes").alias("n")).head()
+        if head is not None and head["n"] != m_sub:
+            raise ValueError(
+                f"codes column has {head['n']} subspaces but the "
+                f"codebooks/LUTs have {m_sub} — the persisted index was "
+                f"encoded with a different m_sub"
+            )
+    q_rows = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(F.expr(_quantize("embedding")).alias("qv"))
+        .collect()
+    )
+    if not q_rows:
+        raise ValueError(f"query_vec_id {query_vec_id} not in embeddings")
+    q = list(q_rows[0]["qv"])
+    if len(q) != m_sub * sub_len:
+        raise ValueError(
+            f"query dim {len(q)} != codebook dim {m_sub * sub_len}"
+        )
+    # probe selection + per-cell residual LUTs: pure Python over the
+    # bounded centroid list (same driver posture as query_ivf_index)
+    cents = {int(r["cell_id"]): list(r["qc"]) for r in cent_rows}
+    ranked = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qc, q)), cid)
+        for cid, qc in cents.items()
+    )
+    probes = [cid for _, cid in ranked[: max(1, n_probe)]]
+    luts = {}
+    for cid in probes:
+        rq = [a - b for a, b in zip(q, cents[cid])]
+        luts[cid] = [
+            [
+                sum(
+                    (a - b) * (a - b)
+                    for a, b in zip(
+                        rq[s * sub_len:(s + 1) * sub_len], cb_j
+                    )
+                )
+                for cb_j in codebooks[s]
+            ]
+            for s in range(m_sub)
+        ]
+    base = (
+        coded
+        if coded is not None
+        else ivfpq_encode(emb, centroids, codebooks, n_cells=n_cells)
+    )
+    pool = (
+        base.filter(
+            F.col("cell_id").isin(probes)
+            & (F.col("vec_id") != query_vec_id)
+        )
+        .select(
+            "vec_id",
+            "label",
+            "cell_id",
+            F.expr(_ivfpq_adc_case(probes, luts)).alias("adc_dist"),
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(rerank)
+    )
+    qv_rel = emb.select(
+        "vec_id", F.expr(_quantize("embedding")).alias("qv")
+    )
+    # LEFT join + raise_error: the same stale-index guard as pq_topk —
+    # an inner join would quietly return fewer than k rows
+    exact = (
+        f"CASE WHEN qv IS NULL THEN CAST(raise_error('ivfpq_topk: codes "
+        f"index contains vec_ids missing from embeddings (stale "
+        f"index?)') AS BIGINT) "
+        f"ELSE {_l2sq_int('qv', _sql_bigint_array(q))} END"
+    )
+    return (
+        pool.join(qv_rel, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            "cell_id",
+            "adc_dist",
+            F.expr(exact).alias("l2_exact"),
         )
         .orderBy("l2_exact", "vec_id")
         .limit(k)

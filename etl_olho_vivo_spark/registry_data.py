@@ -904,6 +904,122 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_RSUB = "list_slice(r.rv, c2.sub_id*8 + 1, (c2.sub_id+1)*8)"
+
+
+@register(
+    "ivfpq_topk",
+    f"""
+WITH v AS (
+  SELECT vec_id, label, {_D_QUANT.format(a='embedding')} AS qv
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cell_id, qv AS qc FROM v WHERE vec_id < 8),
+d AS (
+  SELECT v.vec_id, v.label, v.qv, c.cell_id, c.qc,
+         CAST({_D_L2('v.qv', 'c.qc')} AS BIGINT) AS dist
+  FROM v, c
+),
+r AS (
+  SELECT vec_id, label, cell_id, qv,
+         list_transform(range(0, len(qv)),
+                        i -> qv[i+1] - qc[i+1]) AS rv
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cell_id) AS rn FROM d
+  ) WHERE rn = 1
+),
+subs AS (SELECT unnest(range(0, 8)) AS sub_id),
+cb AS (
+  SELECT s.sub_id, r.vec_id - 8 AS code_id,
+         list_slice(r.rv, s.sub_id*8 + 1, (s.sub_id+1)*8) AS qc
+  FROM r, subs s WHERE r.vec_id >= 8 AND r.vec_id < 24
+),
+enc AS (
+  SELECT vec_id, sub_id, code_id FROM (
+    SELECT r.vec_id, c2.sub_id, c2.code_id,
+           row_number() OVER (PARTITION BY r.vec_id, c2.sub_id
+                              ORDER BY CAST({_D_L2(_IVFPQ_RSUB, 'c2.qc')}
+                                       AS BIGINT), c2.code_id) AS rn
+    FROM r, cb c2
+  ) WHERE rn = 1
+),
+q AS (SELECT qv AS q_qv FROM v WHERE vec_id = 0),
+pd AS (
+  SELECT c.cell_id, c.qc,
+         CAST({_D_L2('c.qc', 'q.q_qv')} AS BIGINT) AS cd
+  FROM c, q
+),
+probe AS (
+  SELECT cell_id, qc FROM (
+    SELECT *, row_number() OVER (ORDER BY cd, cell_id) AS rn FROM pd
+  ) WHERE rn <= 2
+),
+rq AS (
+  SELECT p.cell_id,
+         list_transform(range(0, len(q.q_qv)),
+                        i -> q.q_qv[i+1] - p.qc[i+1]) AS rqv
+  FROM probe p, q
+),
+dt AS (
+  SELECT rq.cell_id, c2.sub_id, c2.code_id,
+         CAST({_D_L2("list_slice(rq.rqv, c2.sub_id*8 + 1, (c2.sub_id+1)*8)",
+                     'c2.qc')} AS BIGINT) AS dq
+  FROM rq, cb c2
+),
+adc AS (
+  SELECT r.vec_id, r.label, r.cell_id,
+         CAST(sum(dt.dq) AS BIGINT) AS adc_dist
+  FROM r
+  JOIN enc e ON r.vec_id = e.vec_id
+  JOIN dt ON dt.cell_id = r.cell_id AND dt.sub_id = e.sub_id
+         AND dt.code_id = e.code_id
+  WHERE r.vec_id <> 0
+  GROUP BY r.vec_id, r.label, r.cell_id
+  ORDER BY adc_dist, r.vec_id LIMIT 50
+)
+SELECT a.vec_id, a.label, a.cell_id, a.adc_dist,
+       CAST({_D_L2('v.qv', 'q.q_qv')} AS BIGINT) AS l2_exact
+FROM adc a JOIN v ON a.vec_id = v.vec_id CROSS JOIN q
+ORDER BY l2_exact, a.vec_id LIMIT 10
+""",
+    doc="IVF-PQ top-k — the two halves composed into the standard "
+    "serving architecture (Jegou et al. 2011 IVFADC): probe the 2 "
+    "coarse cells nearest the query, ADC-score ONLY those cells' "
+    "RESIDUAL codes against per-cell LUTs (residual = qv - centroid, "
+    "exact integer subtraction; codebooks seed-pinned to the residuals "
+    "of vec_id 8..23 — seeds start past the centroids because the "
+    "first n_cells residuals are identically zero), exact-integer "
+    "re-rank of the 50-best pool.  The candidate scan touches only the "
+    "probed cells' codes (against the persisted index the scan PRUNES "
+    "to the probed cell partitions — io/ann_index.py "
+    "build/load/append/query_ivfpq_index), per-cell LUTs are bounded "
+    "driver arithmetic, and every stage is integer math, so the oracle "
+    "matches hash-exactly.  driver=False: the 50-row window is full — "
+    "parity runs in the local oracle suite, and the query stays "
+    "benchmarked.",
+    driver=False,
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_olho_vivo_spark.caching import SESSION_BAG
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    # serving shape, as for pq_topk: the coded relation is the
+    # ingest-time index, session-cached; the query scans its probed
+    # cells and never re-encodes the corpus
+    cents = similarity._default_centroids(emb, 8)
+    books = similarity.ivfpq_codebooks(
+        emb, cents, n_cells=8, m_sub=8, k_codes=16
+    )
+    coded = SESSION_BAG.add(
+        similarity.ivfpq_encode(emb, cents, books, n_cells=8)
+    )
+    return similarity.ivfpq_topk(
+        emb, query_vec_id=0, k=10, n_probe=2, rerank=50,
+        centroids=cents, codebooks=books, coded=coded,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------

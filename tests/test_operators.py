@@ -1841,3 +1841,107 @@ def test_pq_mismatched_and_stale_codes_fail_loudly(spark, embeddings):
             codebooks=similarity.pq_codebooks(embeddings),
             codes=codes8, rerank=400,
         ).collect()
+
+
+def test_ivfpq_full_probe_full_rerank_equals_exact_search(
+    spark, embeddings
+):
+    """With every cell probed and the pool opened to every candidate,
+    IVF-PQ's exact re-rank must reproduce brute-force integer-L2 top-k
+    exactly — coarse routing and residual ADC affect only WHICH
+    candidates reach the pool, never the final metric."""
+    from etl_olho_vivo_spark.operators.similarity import (
+        _l2sq_int,
+        _quantize,
+    )
+
+    n = embeddings.count()
+    got = [
+        (r["vec_id"], r["l2_exact"])
+        for r in similarity.ivfpq_topk(
+            embeddings, query_vec_id=0, k=10, n_cells=8, n_probe=8,
+            rerank=n,
+        ).collect()
+    ]
+    q = embeddings.filter(F.col("vec_id") == 0).select(
+        F.expr(_quantize("embedding")).alias("q_qv")
+    )
+    exact = (
+        embeddings.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.expr(
+                _l2sq_int(_quantize("embedding"), "q_qv")
+            ).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    )
+    assert got == [(r["vec_id"], r["d"]) for r in exact]
+
+
+def test_ivfpq_probe_and_rerank_are_the_recall_dials(spark, embeddings):
+    """recall@10 vs exact integer-L2 must not decrease as either dial
+    widens (probes at fixed pool, pool at fixed probes)."""
+    n = embeddings.count()
+    truth = {
+        r["vec_id"]
+        for r in similarity.ivfpq_topk(
+            embeddings, query_vec_id=0, k=10, n_probe=8, rerank=n
+        ).collect()
+    }
+
+    def rec(n_probe, rerank):
+        got = {
+            r["vec_id"]
+            for r in similarity.ivfpq_topk(
+                embeddings, query_vec_id=0, k=10,
+                n_probe=n_probe, rerank=rerank,
+            ).collect()
+        }
+        return len(got & truth) / 10
+
+    assert rec(1, 50) <= rec(2, 50) <= rec(8, 50) <= rec(8, n) == 1.0
+    assert rec(2, 10) <= rec(2, 50) <= rec(2, n)
+
+
+def test_ivfpq_validation_and_stale_codes(spark, embeddings):
+    with pytest.raises(ValueError, match="rerank"):
+        similarity.ivfpq_topk(embeddings, query_vec_id=0, k=10, rerank=5)
+    with pytest.raises(ValueError, match="not in embeddings"):
+        similarity.ivfpq_topk(embeddings, query_vec_id=10**9)
+    with pytest.raises(ValueError, match="centroids"):
+        similarity.ivfpq_topk(
+            embeddings, query_vec_id=0,
+            coded=similarity.ivfpq_encode(embeddings),
+        )
+    # seeds must exist past the centroid range
+    with pytest.raises(ValueError, match="seeds"):
+        similarity.ivfpq_codebooks(
+            embeddings.filter(F.col("vec_id") < 10), k_codes=16
+        )
+    # codes persisted under a different m_sub are rejected before any
+    # scan (same NULL-adc hazard as pq_topk)
+    cents = similarity._default_centroids(embeddings, 8)
+    books16 = similarity.ivfpq_codebooks(embeddings, cents, m_sub=16)
+    coded8 = similarity.ivfpq_encode(embeddings, cents)  # m_sub=8
+    with pytest.raises(ValueError, match="different m_sub"):
+        similarity.ivfpq_topk(
+            embeddings, query_vec_id=0,
+            centroids=cents, codebooks=books16, coded=coded8,
+        )
+    # stale index: a pool vec_id missing from embeddings raises loudly
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    books = similarity.ivfpq_codebooks(embeddings, cents)
+    codedall = similarity.ivfpq_encode(embeddings, cents, books)
+    shrunk = embeddings.filter(
+        (F.col("vec_id") < 100) | (F.col("vec_id") % 2 == 0)
+    )
+    with pytest.raises(SparkRuntimeException, match="stale index"):
+        similarity.ivfpq_topk(
+            shrunk, query_vec_id=0, n_probe=8, rerank=400,
+            centroids=cents, codebooks=books, coded=codedall,
+        ).collect()

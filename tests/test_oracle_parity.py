@@ -45,6 +45,48 @@ def test_all_queries_run(spark):
         df.limit(1).collect()
 
 
+def test_oracle_asymmetry_conventions_hold_at_parity_sf(spark, duck):
+    """Two oracles are asymmetric BY DESIGN and rely on conventions that
+    must hold at whatever SF this sweep runs (round-9 verdict #7 — a
+    larger SF must diverge loudly HERE, not silently in the hash):
+
+    1. doc_trigram_cross_entropy / doc_stupid_backoff: the Spark path
+       truncates every count relation at top_k=1,000,000 while the
+       oracle SQL recomputes counts untruncated.  Total token
+       occurrences upper-bound every relation's cardinality — assert it
+       stays under the bound.
+    2. pq_topk: the Spark path scans a code index built once from the
+       embeddings the oracle re-encodes inline.  A stale index (codes
+       missing from embeddings) raises inside the operator; the silent
+       direction — an INCOMPLETE index whose missing rows would just
+       shrink the ADC pool — is only safe while the index covers every
+       embedding exactly once.  Assert that coverage.
+    """
+    total_tokens = duck.execute(
+        "SELECT CAST(coalesce(sum(len(string_split_regex(trim(text),"
+        " '\\s+'))), 0) AS BIGINT) FROM documents WHERE trim(text) != ''"
+    ).fetchone()[0]
+    assert 0 < total_tokens < 1_000_000, (
+        f"documents at {SF_DIR} carry {total_tokens} token occurrences —"
+        " at >= top_k the Spark LM relations truncate while the oracle"
+        " SQL does not; grow a matching truncation in the oracle before"
+        " trusting parity"
+    )
+
+    from etl_olho_vivo_spark.operators import similarity
+    from etl_olho_vivo_spark.sources.tables import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cbs = similarity.pq_codebooks(emb, m_sub=8, k_codes=16)
+    codes = similarity.pq_encode(emb, cbs)
+    n_emb = emb.count()
+    assert codes.count() == n_emb
+    assert codes.select("vec_id").distinct().count() == n_emb, (
+        "pq code index does not cover every embedding exactly once —"
+        " missing rows would silently shrink the ADC candidate pool"
+    )
+
+
 def test_registry_fits_driver_correctness_window():
     """The external correctness harness records rows for the FIRST 50
     registered queries only (observed: exactly 50 rows in round 1, the

@@ -48,6 +48,9 @@ CANARIES = [
     # two chained TakeOrdered cuts (ADC pool, exact top-k) — the pool
     # boundary must not depend on which partition saw a row first
     "pq_topk",
+    # round-10: the composed stack adds the probe-cell filter and the
+    # per-cell LUT CASE in front of the same two cuts
+    "ivfpq_topk",
     # rounded log-weight sum + rounded Gumbel key ranking — the selected
     # SET must not depend on partial-aggregation order
     "dsir_select",
