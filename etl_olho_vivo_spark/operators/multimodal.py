@@ -10,11 +10,14 @@ Design for 100 TB of mixed media:
   vectorized within the batch.  Partition count controls decode
   parallelism; the schema out of the UDF is explicit.
 
-Codec status (round 9): ``decode_media`` now REALLY decodes the two
-classic dependency-free raster formats — BMP (BITMAPINFOHEADER) and
-binary PNM (P5/P6) — with a pure-stdlib parser shipped by value inside
-the mapInPandas closure: parsed width/height from the header and the
-mean pixel value over the payload (padding-aware for 24-bit BMP rows).
+Codec status (round 10): ``decode_media`` REALLY decodes the three
+raster formats reachable without any dependency — BMP
+(BITMAPINFOHEADER), binary PNM (P5/P6), and **PNG** (non-interlaced
+8-bit gray/RGB/gray+alpha/RGBA: stdlib zlib inflate + the five
+scanline filters, chunk CRCs verified) — with a pure-stdlib parser
+shipped by value inside the mapInPandas closure: parsed width/height
+from the header and the mean sample value over the decoded payload
+(padding-aware for 24-bit BMP rows, unfiltered scanlines for PNG).
 Every other byte stream (including this corpus' text/plain media) takes
 the ``opaque`` fallback: deterministic byte statistics with
 checksum-derived pseudo-dimensions, the original stub semantics — so a
@@ -22,10 +25,10 @@ corrupt or unknown file NEVER crashes a 100 TB decode job, it just
 reports ``media_kind='opaque'``.  ``decode_audio`` does the same for
 the audio leg: real RIFF/WAVE PCM chunk parsing (channels / sample rate
 / bit depth / frames / duration / numpy-vectorized mean amplitude),
-opaque-with-NULLs otherwise.  Compressed formats (PNG/JPEG/MP3/
-video) still need PIL/libav, absent from this container (re-probed each
-round); they would slot into ``_media_parser``/``_audio_parser``
-without touching the Spark plumbing.
+opaque-with-NULLs otherwise.  JPEG/MP3/video still need PIL/libav,
+absent from this container (re-probed each round); they would slot
+into ``_media_parser``/``_audio_parser`` without touching the Spark
+plumbing.
 """
 
 from __future__ import annotations
@@ -87,6 +90,11 @@ def _media_parser():
     - **PNM** (``P5`` grayscale / ``P6`` RGB, binary): header tokens
       (whitespace-separated, ``#`` comments legal) give width, height,
       maxval; mean over the sample payload bytes.
+    - **PNG** (8-byte signature): IHDR-validated non-interlaced 8-bit
+      gray/RGB/gray+alpha/RGBA; IDAT chunks concatenated, zlib
+      inflated, the five scanline filters (None/Sub/Up/Average/Paeth)
+      reversed; mean over the reconstructed sample bytes.  Chunk CRCs
+      verified; palette/16-bit/interlaced/corrupt → opaque.
     - anything else (or any malformed header): ``opaque`` — byte count,
       checksum, checksum-derived pseudo-dimensions (``% 640``/``% 480``,
       the original stub semantics, still what the registry oracle
@@ -178,6 +186,93 @@ def _media_parser():
             return None
         return w, h, round(sum(payload) / len(payload), 4)
 
+    def parse_png(m: bytes):
+        # PNG (round 10): the dominant real-corpus raster format,
+        # decodable with ONLY stdlib zlib — non-interlaced 8-bit
+        # gray(0)/RGB(2)/gray+alpha(4)/RGBA(6).  Chunk CRCs are
+        # verified (zlib.crc32 over type+data) and the decompressed
+        # scanline length must match the header exactly; anything else
+        # — palette images, 16-bit, Adam7 interlace, truncation, CRC
+        # damage — degrades to opaque rather than guessing.
+        import zlib
+
+        if len(m) < 33 or m[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        pos, w, h, channels = 8, None, None, None
+        idat = bytearray()
+        saw_iend = False
+        while pos + 12 <= len(m):
+            ln = int.from_bytes(m[pos:pos + 4], "big")
+            typ = m[pos + 4:pos + 8]
+            if pos + 12 + ln > len(m):
+                return None
+            data = m[pos + 8:pos + 8 + ln]
+            crc = int.from_bytes(m[pos + 8 + ln:pos + 12 + ln], "big")
+            if crc != zlib.crc32(typ + data):
+                return None
+            if typ == b"IHDR":
+                # must be the FIRST chunk, exactly 13 bytes
+                if ln != 13 or pos != 8:
+                    return None
+                w = int.from_bytes(data[0:4], "big")
+                h = int.from_bytes(data[4:8], "big")
+                depth, color, comp, filt, inter = data[8:13]
+                if depth != 8 or comp != 0 or filt != 0 or inter != 0:
+                    return None
+                channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+                if channels is None or w <= 0 or h <= 0:
+                    return None
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                saw_iend = True
+                break
+            pos += 12 + ln
+        if w is None or not idat or not saw_iend:
+            return None
+        try:
+            raw = zlib.decompress(bytes(idat))
+        except zlib.error:
+            return None
+        stride = w * channels
+        if len(raw) != h * (1 + stride):
+            return None
+        bpp = channels  # bytes per pixel at depth 8
+        prev = bytearray(stride)
+        tot = 0
+        for r in range(h):
+            off = r * (1 + stride)
+            ft = raw[off]
+            line = bytearray(raw[off + 1:off + 1 + stride])
+            if ft == 0:
+                pass
+            elif ft == 1:  # Sub
+                for i in range(bpp, stride):
+                    line[i] = (line[i] + line[i - bpp]) & 0xFF
+            elif ft == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ft == 3:  # Average
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif ft == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c
+                    )
+                    line[i] = (line[i] + pr) & 0xFF
+            else:
+                return None
+            tot += sum(line)
+            prev = line
+        return w, h, round(tot / (h * stride), 4)
+
     def parse(media):
         # NULL media (null text upstream) → NULL features, never a crash
         if media is None:
@@ -192,6 +287,9 @@ def _media_parser():
         elif m[:2] in (b"P5", b"P6"):
             parsed = parse_pnm(m)
             kind = "pnm"
+        elif m[:8] == b"\x89PNG\r\n\x1a\n":
+            parsed = parse_png(m)
+            kind = "png"
         if parsed is None:
             return n, checksum, "opaque", checksum % 640, checksum % 480, None
         w, h, mean = parsed
