@@ -134,12 +134,15 @@ def _build_parser() -> argparse.ArgumentParser:
         "separation at the cost of larger count relations",
     )
     cor.add_argument(
-        "--lm-scheme", choices=("addk", "backoff"), default="addk",
+        "--lm-scheme", choices=("addk", "backoff", "kn"), default="addk",
         help="smoothing for the --lm-max-entropy gate: addk (CCNet-style "
-        "cross-entropy, default) or backoff (stupid backoff, Brants et "
+        "cross-entropy, default), backoff (stupid backoff, Brants et "
         "al. 2007 — count ratios with a fixed 0.4 penalty; the threshold "
         "then bounds -(1/m) SUM ln S, which is 0 for perfectly predicted "
-        "text rather than strictly positive)",
+        "text rather than strictly positive), or kn (interpolated "
+        "Kneser-Ney, Chen & Goodman 1999 — the smoothing KenLM uses, "
+        "i.e. CCNet proper: continuation-count lower orders, discount "
+        "interpolation, uniform OOV leaf)",
     )
     cor.add_argument(
         "--dsir-target", default=None, metavar="PARQUET_DIR",
@@ -384,7 +387,7 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     lmc.add_argument("--order", type=int, default=2)
     lmc.add_argument(
-        "--scheme", choices=("addk", "backoff"), default="addk",
+        "--scheme", choices=("addk", "backoff", "kn"), default="addk",
         help="scorer to derive cuts for — must match the --lm-scheme "
         "the gate will run with (the two score scales differ)",
     )
@@ -918,7 +921,18 @@ def main(argv: list[str] | None = None) -> int:
             # persisted either way: approxQuantile and the count below
             # would each re-execute the full scoring pipeline (windows
             # explode + count-relation joins) from scratch otherwise
-            if args.scheme == "backoff":
+            if args.scheme == "kn":
+                counts = lmops.kneser_ney_counts(
+                    ref, order=args.order, caches=bag
+                )
+                scores = bag.add(
+                    lmops.kneser_ney_scores(
+                        docs.select("doc_id", "text"), counts,
+                        caches=bag,
+                    )
+                )
+                score_col = "kn_score"
+            elif args.scheme == "backoff":
                 uni, mods = lmops.backoff_counts(
                     ref, order=args.order, caches=bag
                 )

@@ -661,3 +661,277 @@ def entropy_cut_points(
             f"fractions must be ascending and inside (0, 1), got {fr}"
         )
     return scores.approxQuantile(col, fr, rel_err)
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney (Chen & Goodman 1999) — the CCNet-proper
+# smoothing option beside add-k and stupid backoff
+# ---------------------------------------------------------------------------
+
+
+def _doc_token_windows(
+    docs: DataFrame, id_col: str, text: str, n: int
+) -> DataFrame:
+    """Per-document ``n``-token windows carrying the RAW token hashes —
+    ``(id, h_1 .. h_n)``.  No rolling context hash: Kneser-Ney's
+    continuation counts group by explicit word tuples (the suffix WORDS
+    of a gram), which a rolling hash cannot recover.  Same scale shape
+    as ``_doc_backoff_windows``: one projection + one explode, slim
+    integer rows, zero shuffle."""
+    fields = [f"wh[i + {j}] AS h_{j + 1}" for j in range(n)]
+    struct = "struct(" + ", ".join(fields) + ")"
+    field_types = ", ".join(f"h_{j + 1}: BIGINT" for j in range(n))
+    grams = (
+        f"CASE WHEN size(wh) >= {n} THEN "
+        f"transform(sequence(0, size(wh) - {n}), i -> {struct}) "
+        f"ELSE CAST(array() AS ARRAY<STRUCT<{field_types}>>) END"
+    )
+    cols = [id_col] + [f"g.h_{j + 1}" for j in range(n)]
+    return (
+        with_token_hashes(docs.select(id_col, text), text)
+        .withColumn("__g__", F.expr(grams))
+        .select(id_col, F.posexplode_outer("__g__").alias("__i__", "g"))
+        .filter(F.col("g").isNotNull())
+        .select(*cols)
+    )
+
+
+def kn_ll_expr(order: int, discount: float = 0.75) -> str:
+    """The interpolated-KN log-probability as ONE engine-neutral SQL
+    string over the joined column names (``kc``/``kt_top``/``kn1p_top``
+    for the top level, ``cc{l}``/``kt{l}``/``kn1p{l}`` for each lower
+    level, ``cc1`` at the leaf, scalars as columns ``nbb``/``t1``/
+    ``v``) — the Spark scorer applies it via ``F.expr`` and the DuckDB
+    oracle embeds the IDENTICAL string, so both engines fold the same
+    IEEE expression tree (the ``feature_expr`` discipline):
+
+        p_1(w)     = max(cc1 − D, 0)/Nbb + (D·T1/Nbb) · (1/V)
+        p_l(w|ctx) = max(cc_l − D, 0)/tot_l
+                     + (D·N1+(ctx·)/tot_l) · p_{l−1}     (continuation
+                       counts; unseen ctx falls through to p_{l−1})
+        p_n(w|ctx) = max(c − D, 0)/c(ctx)
+                     + (D·N1+(ctx·)/c(ctx)) · p_{n−1}    (raw counts)
+
+    The uniform-leaf interpolation keeps every token finite (an OOV
+    word scores ``(D·T1/Nbb)/V``) — the same "a corpus gate must score
+    OOV" deviation the stupid-backoff leaf documents."""
+    if order < 2:
+        raise ValueError(f"order must be >= 2, got {order}")
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    d = f"CAST({discount} AS DOUBLE)"
+    zero = "CAST(0 AS DOUBLE)"
+    p = (
+        f"(greatest(CAST(coalesce(cc1, 0) AS DOUBLE) - {d}, {zero}) / nbb"
+        f" + (({d} * t1) / nbb) * (CAST(1 AS DOUBLE) / v))"
+    )
+    for lvl in range(2, order):
+        p = (
+            f"(CASE WHEN kt{lvl} IS NOT NULL THEN "
+            f"greatest(CAST(coalesce(cc{lvl}, 0) AS DOUBLE) - {d}, {zero})"
+            f" / kt{lvl}"
+            f" + (({d} * kn1p{lvl}) / kt{lvl}) * {p} ELSE {p} END)"
+        )
+    p = (
+        f"(CASE WHEN kt_top IS NOT NULL THEN "
+        f"greatest(CAST(coalesce(kc, 0) AS DOUBLE) - {d}, {zero})"
+        f" / kt_top"
+        f" + (({d} * kn1p_top) / kt_top) * {p} ELSE {p} END)"
+    )
+    return f"ln{p}"
+
+
+def kneser_ney_counts(
+    ref_docs: DataFrame,
+    *,
+    order: int = 3,
+    text: str = "text",
+    top_k: int = 1_000_000,
+    caches: "CacheBag | None" = None,
+) -> dict:
+    """All relations + scalars an order-``n`` interpolated-KN scorer
+    needs, trained on ``ref_docs``:
+
+    - ``top``: raw ``n``-gram counts ``(h_1..h_n, kc)``; ``top_ctx``:
+      per-context totals ``(h_1..h_{n-1}, kt_top, kn1p_top)`` where
+      ``kn1p_top`` is the distinct-continuation count N1+(ctx·).
+    - for each lower level ``l`` in 2..n-1: continuation counts
+      ``cont[l] = (h_1..h_l, cc{l})`` (#distinct preceding words of the
+      l-gram, from the (l+1)-gram TYPE relation) and ``cont_ctx[l] =
+      (h_1..h_{l-1}, kt{l}, kn1p{l})``.
+    - leaf ``cc1 = (h_1, cc1)`` (#distinct predecessors per word) with
+      scalars ``nbb`` (= Σcc1 = #bigram types), ``t1`` (#distinct
+      words with a predecessor), ``v`` (vocabulary size).
+
+    Every relation is ``top_k``-bounded (count-desc, key tiebreak) so
+    the model broadcasts regardless of corpus size — the same bound
+    discipline (and the same oracle-parity convention) as
+    ``backoff_counts``.  The per-order window aggregates are the only
+    corpus-sized shuffles; pass ``caches`` so each ``m``-gram base
+    aggregate materializes once for its two derivations."""
+    if order < 2:
+        raise ValueError(f"order must be >= 2, got {order}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    ref = ref_docs.select(text).withColumn("__rid__", F.lit(0))
+
+    def _bound(df, keys):
+        order_cols = [F.desc(df.columns[-1])] + [F.col(k) for k in keys]
+        return df.orderBy(*order_cols).limit(top_k)
+
+    bases: dict[int, DataFrame] = {}
+    for m in range(2, order + 1):
+        hs = [f"h_{j + 1}" for j in range(m)]
+        base = (
+            _doc_token_windows(ref, "__rid__", text, m)
+            .groupBy(*hs)
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        if caches is not None:
+            base = caches.add(base)
+        bases[m] = base
+    n_hs = [f"h_{j + 1}" for j in range(order)]
+    top = _bound(
+        bases[order].select(*n_hs, F.col("n").alias("kc")), n_hs
+    )
+    top_ctx = _bound(
+        bases[order]
+        .groupBy(*n_hs[:-1])
+        .agg(
+            F.sum("n").cast("long").alias("kt_top"),
+            F.count(F.lit(1)).alias("kn1p_top"),
+        ),
+        n_hs[:-1],
+    )
+    cont: dict[int, DataFrame] = {}
+    cont_ctx: dict[int, DataFrame] = {}
+    for lvl in range(order - 1, 1, -1):
+        src = bases[lvl + 1]
+        hs = [f"h_{j + 1}" for j in range(lvl + 1)]
+        # continuation counts: one row per (l+1)-gram TYPE, counted by
+        # trailing l-gram — rename the suffix columns to h_1..h_l so
+        # scoring joins align on a uniform key layout
+        cc = (
+            src.groupBy(*hs[1:])
+            .agg(F.count(F.lit(1)).alias(f"cc{lvl}"))
+            .select(
+                *[
+                    F.col(hs[1 + j]).alias(f"h_{j + 1}")
+                    for j in range(lvl)
+                ],
+                f"cc{lvl}",
+            )
+        )
+        if caches is not None:
+            cc = caches.add(cc)
+        cont[lvl] = _bound(cc, [f"h_{j + 1}" for j in range(lvl)])
+        cont_ctx[lvl] = _bound(
+            cc.groupBy(*[f"h_{j + 1}" for j in range(lvl - 1)]).agg(
+                F.sum(f"cc{lvl}").cast("long").alias(f"kt{lvl}"),
+                F.count(F.lit(1)).alias(f"kn1p{lvl}"),
+            ),
+            [f"h_{j + 1}" for j in range(lvl - 1)],
+        )
+    cc1_full = bases[2].groupBy("h_2").agg(
+        F.count(F.lit(1)).alias("cc1")
+    ).select(F.col("h_2").alias("h_1"), "cc1")
+    if caches is not None:
+        cc1_full = caches.add(cc1_full)
+    scal = cc1_full.agg(
+        F.sum("cc1").cast("long").alias("nbb"),
+        F.count(F.lit(1)).alias("t1"),
+    ).collect()[0]
+    v = (
+        with_token_hashes(ref, text)
+        .select(F.explode_outer("wh").alias("h"))
+        .filter(F.col("h").isNotNull())
+        .agg(F.count_distinct("h").alias("v"))
+        .collect()[0]["v"]
+    )
+    nbb, t1 = scal["nbb"] or 0, scal["t1"]
+    if nbb == 0 or v == 0:
+        raise ValueError(
+            "Kneser-Ney reference corpus has no bigrams/vocabulary — "
+            "every probability would be degenerate; fix the reference "
+            "input"
+        )
+    return {
+        "order": order,
+        "top": top,
+        "top_ctx": top_ctx,
+        "cont": cont,
+        "cont_ctx": cont_ctx,
+        "cc1": _bound(cc1_full, ["h_1"]),
+        "nbb": int(nbb),
+        "t1": int(t1),
+        "v": int(v),
+    }
+
+
+def kneser_ney_scores(
+    docs: DataFrame,
+    counts: dict,
+    *,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text: str = "text",
+    round_dp: int = 6,
+    caches: "CacheBag | None" = None,
+) -> DataFrame:
+    """Per-document interpolated Kneser-Ney cross-entropy — ``(id,
+    n_ngrams, kn_score)`` with ``kn_score = −(1/m) Σ ln P_KN`` rounded
+    ``round_dp``, lower = more reference-like.  ``counts`` is the
+    ``kneser_ney_counts`` structure.
+
+    Scale shape: identical to the stupid-backoff scorer — ONE
+    corpus-sized window relation, ``2(n−1)+1`` broadcast joins against
+    ``top_k``-bounded relations on slim integer keys, zero corpus
+    shuffles before the per-document rollup.  The probability itself is
+    one shared engine-neutral expression (``kn_ll_expr``)."""
+    order = counts["order"]
+    w = _doc_token_windows(docs.select(id_col, text), id_col, text, order)
+    # (relation, window start position, key width): the level-l gram
+    # occupies window positions n-l+1..n, and its CONTEXT relation keys
+    # the PREFIX of that span (positions n-l+1..n-1) — plain suffix
+    # alignment would wrongly join the context on the trailing columns
+    rels: list[tuple[DataFrame, int, int]] = [
+        (counts["top"], 1, order),
+        (counts["top_ctx"], 1, order - 1),
+    ]
+    for lvl in range(order - 1, 1, -1):
+        rels.append((counts["cont"][lvl], order - lvl + 1, lvl))
+        rels.append((counts["cont_ctx"][lvl], order - lvl + 1, lvl - 1))
+    rels.append((counts["cc1"], order, 1))
+    for i, (rel, start, width) in enumerate(rels):
+        if caches is not None:
+            rel = caches.add(rel)
+        keyed = rel.select(
+            *[
+                F.col(f"h_{j + 1}").alias(f"__r{i}k{j}__")
+                for j in range(width)
+            ],
+            *[c for c in rel.columns if not c.startswith("h_")],
+        )
+        cond = None
+        for j in range(width):
+            eq = F.col(f"h_{start + j}") == F.col(f"__r{i}k{j}__")
+            cond = eq if cond is None else cond & eq
+        w = w.join(keyed, cond, "left").drop(
+            *[f"__r{i}k{j}__" for j in range(width)]
+        )
+    w = w.withColumns(
+        {
+            "nbb": F.lit(counts["nbb"]),
+            "t1": F.lit(counts["t1"]),
+            "v": F.lit(counts["v"]),
+        }
+    )
+    ll = F.expr(kn_ll_expr(order, discount))
+    return (
+        w.select(id_col, ll.alias("ll"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.round(-F.avg("ll"), round_dp).alias("kn_score"),
+        )
+    )

@@ -178,9 +178,9 @@ def run_corpus(
     if lm_order < 2:
         # same rule — the LM gate runs mid-pipeline, after dedup
         raise ValueError(f"lm_order must be >= 2, got {lm_order}")
-    if lm_scheme not in ("addk", "backoff"):
+    if lm_scheme not in ("addk", "backoff", "kn"):
         raise ValueError(
-            f"lm_scheme must be addk or backoff, got {lm_scheme!r}"
+            f"lm_scheme must be addk, backoff, or kn, got {lm_scheme!r}"
         )
     if dsir_target_dir is not None and dsir_min_logw is None:
         # same validate-before-work rule: the DSIR stage runs after the
@@ -364,7 +364,20 @@ def run_corpus(
                 if lm_ref_dir is not None
                 else kept.select("text")
             )
-            if lm_scheme == "backoff":
+            if lm_scheme == "kn":
+                # interpolated Kneser-Ney (Chen & Goodman 1999): the
+                # smoothing KenLM uses — continuation-count lower
+                # levels, discount interpolation, uniform OOV leaf
+                counts = lmops.kneser_ney_counts(
+                    ref, order=lm_order, caches=stage_caches
+                )
+                failing = lmops.kneser_ney_scores(
+                    kept.select("doc_id", "text"), counts,
+                    caches=stage_caches,
+                ).filter(F.col("kn_score") > lm_max_entropy).select(
+                    "doc_id"
+                )
+            elif lm_scheme == "backoff":
                 # stupid backoff (Brants et al. 2007): same gate
                 # contract, count-ratio scores with a fixed penalty —
                 # the scheme built for web-scale reference corpora,

@@ -1241,6 +1241,116 @@ def q_doc_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kn_ll_sql() -> str:
+    """The SHARED engine-neutral KN expression — imported from the one
+    definition so the two engines can never fold different trees."""
+    from etl_olho_vivo_spark.operators.lm import kn_ll_expr
+
+    return kn_ll_expr(3)
+
+
+_KN_W3 = (
+    "SELECT doc_id,"
+    " unnest(list_transform(range(0, len(wh) - 2), i -> wh[i+1])) AS h1,"
+    " unnest(list_transform(range(0, len(wh) - 2), i -> wh[i+2])) AS h2,"
+    " unnest(list_transform(range(0, len(wh) - 2), i -> wh[i+3])) AS h3"
+    " FROM {src} WHERE len(wh) >= 3"
+)
+_KN_W2 = (
+    "SELECT"
+    " unnest(list_transform(range(0, len(wh) - 1), i -> wh[i+1])) AS h1,"
+    " unnest(list_transform(range(0, len(wh) - 1), i -> wh[i+2])) AS h2"
+    " FROM ref WHERE len(wh) >= 2"
+)
+
+
+@register(
+    "doc_kneser_ney",
+    f"""
+WITH w AS (SELECT doc_id, {_D_WH} AS wh FROM documents),
+ref AS (SELECT doc_id, wh FROM w WHERE doc_id % 2 = 0),
+tri AS ({_KN_W3.format(src='ref')}),
+big AS ({_KN_W2}),
+base3 AS (SELECT h1, h2, h3, count(*) AS n FROM tri GROUP BY h1, h2, h3),
+base2 AS (SELECT h1, h2, count(*) AS n FROM big GROUP BY h1, h2),
+topc AS (SELECT h1, h2, h3, CAST(n AS BIGINT) AS kc FROM base3),
+topctx AS (
+  SELECT h1, h2, CAST(sum(n) AS BIGINT) AS kt_top,
+         CAST(count(*) AS BIGINT) AS kn1p_top
+  FROM base3 GROUP BY h1, h2
+),
+cc2r AS (
+  SELECT h2 AS k1, h3 AS k2, CAST(count(*) AS BIGINT) AS cc2
+  FROM base3 GROUP BY h2, h3
+),
+ctx2 AS (
+  SELECT k1, CAST(sum(cc2) AS BIGINT) AS kt2,
+         CAST(count(*) AS BIGINT) AS kn1p2
+  FROM cc2r GROUP BY k1
+),
+cc1r AS (
+  SELECT h2 AS k1, CAST(count(*) AS BIGINT) AS cc1
+  FROM base2 GROUP BY h2
+),
+sc AS (
+  SELECT CAST(sum(cc1) AS BIGINT) AS nbb,
+         CAST(count(*) AS BIGINT) AS t1
+  FROM cc1r
+),
+vv AS (
+  SELECT CAST(count(DISTINCT h) AS BIGINT) AS v
+  FROM (SELECT unnest(wh) AS h FROM ref)
+),
+occ AS ({_KN_W3.format(src='(SELECT doc_id, wh FROM w '
+                           'WHERE doc_id % 2 = 1)')}),
+j AS (
+  SELECT o.doc_id, t.kc, tc.kt_top, tc.kn1p_top, c2.cc2, x2.kt2,
+         x2.kn1p2, c1.cc1, s.nbb, s.t1, v.v
+  FROM occ o
+  LEFT JOIN topc t ON o.h1 = t.h1 AND o.h2 = t.h2 AND o.h3 = t.h3
+  LEFT JOIN topctx tc ON o.h1 = tc.h1 AND o.h2 = tc.h2
+  LEFT JOIN cc2r c2 ON o.h2 = c2.k1 AND o.h3 = c2.k2
+  LEFT JOIN ctx2 x2 ON o.h2 = x2.k1
+  LEFT JOIN cc1r c1 ON o.h3 = c1.k1
+  CROSS JOIN sc s CROSS JOIN vv v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+       round(-avg({_kn_ll_sql()}), 6) AS kn_score
+FROM j GROUP BY doc_id
+""",
+    doc="Interpolated Kneser-Ney trigram scoring (Chen & Goodman 1999 "
+    "— the smoothing KenLM uses, i.e. what CCNet proper filters with): "
+    "top level discounts raw counts, lower levels use CONTINUATION "
+    "counts (distinct-predecessor types), each level interpolates "
+    "D*N1+(ctx.)/tot of its mass into the level below, and the leaf "
+    "interpolates with uniform 1/V so OOV stays finite (the documented "
+    "corpus-gate deviation, as for stupid backoff).  Trained on the "
+    "even-doc_id half, scored on the odd half, so every branch — "
+    "trigram hit, continuation fallback, unseen-context fall-through, "
+    "OOV leaf — carries weight under the oracle.  The log-probability "
+    "is ONE shared SQL string (lm.kn_ll_expr) embedded verbatim in "
+    "both engines, so the IEEE fold cannot drift; counts are exact "
+    "integers; round(6) is defense in depth.  Scale shape mirrors the "
+    "backoff scorer: one corpus-sized window relation, broadcast joins "
+    "against top_k-bounded relations, zero corpus shuffles before the "
+    "rollup.  BOUND: the Spark relations truncate at top_k=1,000,000 "
+    "while this oracle does not — the parity suite asserts the corpus "
+    "stays under the bound, same discipline as the other LM rows.  "
+    "driver=False: the 50-row window is full — parity runs in the "
+    "local oracle suite, and the query stays benchmarked.",
+    driver=False,
+)
+def q_doc_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_olho_vivo_spark.caching import SESSION_BAG
+    from etl_olho_vivo_spark.operators import lm
+
+    d = read_table(spark, sf_dir, "documents")
+    ref = d.filter((F.col("doc_id") % 2) == 0)
+    tgt = d.filter((F.col("doc_id") % 2) == 1)
+    counts = lm.kneser_ney_counts(ref, order=3, caches=SESSION_BAG)
+    return lm.kneser_ney_scores(tgt, counts, caches=SESSION_BAG)
+
+
 @register(
     "bloom_gram_overlap",
     f"""

@@ -698,6 +698,28 @@ def test_lm_cuts_subcommand_hands_off_to_gate(spark, tmp_path, capsys):
     frac_b = stats_b["lm_filter"] / emitted_b["n_scored_docs"]
     assert 0.2 <= frac_b <= 0.5, stats_b
 
+    # --scheme kn derives cuts on the kn_score scale and the hand-off
+    # to the matching gate scheme keeps ~the head fraction (round 10)
+    cuts_k = str(tmp_path / "corpus_meta" / "lm_cuts_kn.json")
+    assert main([
+        "--cpus", "8", "lm-cuts", "--in", docs_dir + "/documents.parquet",
+        "--out", cuts_k, "--order", "3", "--scheme", "kn",
+        "--fractions", "0.3333,0.6667",
+    ]) == 0
+    emitted_k = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert emitted_k["scheme"] == "kn"
+    head_k, mid_k = emitted_k["cut_points"]
+    assert head_k <= mid_k and emitted_k["n_scored_docs"] > 0
+    out_k = str(tmp_path / "corpus_k")
+    assert main([
+        "--cpus", "8", "corpus", "--sf-dir", docs_dir, "--out", out_k,
+        "--min-tokens", "3", "--lm-max-entropy", str(head_k),
+        "--lm-scheme", "kn", "--lm-order", "3",
+    ]) == 0
+    stats_k = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    frac_k = stats_k["lm_filter"] / emitted_k["n_scored_docs"]
+    assert 0.2 <= frac_k <= 0.5, stats_k
+
 
 def test_bloom_build_then_snapshot_dedup_corpus(spark, tmp_path, capsys):
     """The inter-snapshot loop as operated: bloom-build persists the
@@ -871,3 +893,29 @@ def test_dsir_cuts_subcommand_hands_off_to_gate(spark, tmp_path, capsys):
         main(["--cpus", "8", "corpus", "--sf-dir", docs_dir, "--out",
               out, "--dsir-sampled"])
     capsys.readouterr()
+
+
+def test_corpus_lm_gate_kn_scheme(spark, tmp_path, capsys):
+    """--lm-scheme kn swaps the gate's scorer for interpolated
+    Kneser-Ney: a huge threshold keeps every quality survivor; kn_score
+    = -(1/m) Σ ln P with P a true probability < 1, so 0 is already the
+    drop-everything probe; an external gibberish reference sends every
+    real doc to the uniform OOV leaf and the order-3 path still gates
+    end-to-end."""
+    out = str(tmp_path / "corpus")
+    base = ["--cpus", "8", "corpus", "--sf-dir", "/root/testdata/sf0.001",
+            "--out", out, "--min-tokens", "3",
+            "--lm-scheme", "kn", "--lm-order", "3"]
+    assert main(base + ["--lm-max-entropy", "1e9"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["lm_filter"] == stats["quality"] > 0
+    assert main(base + ["--lm-max-entropy", "0.0"]) == 0
+    stats0 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats0["lm_filter"] == 0
+    ref = str(tmp_path / "ref")
+    spark.createDataFrame(
+        [("zzz qqq www rrr ttt yyy",)], "text string"
+    ).write.parquet(ref)
+    assert main(base + ["--lm-max-entropy", "1e9", "--lm-ref", ref]) == 0
+    statsr = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert statsr["lm_filter"] == statsr["quality"]

@@ -520,3 +520,175 @@ def test_order5_ccnet_shape_end_to_end(spark):
         ).collect()
     }
     assert addk == {d: n for d, (n, _) in got.items()}
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney
+# ---------------------------------------------------------------------------
+
+
+def _bf_kn(ref_texts, tgt_docs, order, d=0.75):
+    """Third independent derivation of interpolated KN (pure Python):
+    md5 token hashes, tuple-keyed count relations, and the EXACT
+    arithmetic of lm.kn_ll_expr (same operation order, so the IEEE
+    folds agree up to the documented 6-dp rounding)."""
+    from collections import Counter
+
+    bases = {m: Counter() for m in range(2, order + 1)}
+    vocab = set()
+    for t in ref_texts:
+        hs = [_bf_tok(w) for w in t.split(" ")]
+        vocab.update(hs)
+        for m in range(2, order + 1):
+            for i in range(len(hs) - m + 1):
+                bases[m][tuple(hs[i:i + m])] += 1
+    top = dict(bases[order])
+    top_ctx = {}
+    for k, n in bases[order].items():
+        c = top_ctx.setdefault(k[:-1], [0, 0])
+        c[0] += n
+        c[1] += 1
+    cont, cont_ctx = {}, {}
+    for lvl in range(order - 1, 1, -1):
+        cc = Counter()
+        for k in bases[lvl + 1]:
+            cc[k[1:]] += 1
+        cont[lvl] = dict(cc)
+        cx = {}
+        for k, n in cc.items():
+            c = cx.setdefault(k[:-1], [0, 0])
+            c[0] += n
+            c[1] += 1
+        cont_ctx[lvl] = cx
+    cc1 = Counter()
+    for k in bases[2]:
+        cc1[k[1:]] += 1
+    nbb, t1, v = sum(cc1.values()), len(cc1), len(vocab)
+    out = {}
+    for doc_id, t in tgt_docs:
+        hs = [_bf_tok(w) for w in t.split(" ")]
+        lls = []
+        for i in range(len(hs) - order + 1):
+            win = tuple(hs[i:i + order])
+            p = (
+                max(float(cc1.get(win[-1:], 0)) - d, 0.0) / nbb
+                + ((d * t1) / nbb) * (1.0 / v)
+            )
+            for lvl in range(2, order):
+                g = win[order - lvl:]
+                ctx = cont_ctx[lvl].get(g[:-1])
+                if ctx is not None:
+                    kt, n1p = ctx
+                    p = (
+                        max(float(cont[lvl].get(g, 0)) - d, 0.0) / kt
+                        + ((d * n1p) / kt) * p
+                    )
+            ctx = top_ctx.get(win[:-1])
+            if ctx is not None:
+                kt, n1p = ctx
+                p = (
+                    max(float(top.get(win, 0)) - d, 0.0) / kt
+                    + ((d * n1p) / kt) * p
+                )
+            lls.append(math.log(p))
+        if lls:
+            out[doc_id] = (len(lls), round(-sum(lls) / len(lls), 6))
+    return out
+
+
+@pytest.mark.parametrize("seed,order", [
+    (0, 2), (1, 2), (0, 3), (1, 3), (2, 3), (0, 4), (2, 4),
+])
+def test_kn_fuzz_vs_brute_force(spark, seed, order):
+    """Randomized corpora against the pure-Python KN derivation: small
+    vocab forces top-level hits, continuation fallbacks, unseen-context
+    fall-throughs, and OOV leaves at every order; the same edge targets
+    as the backoff fuzz ride along.  Any divergence in windowing, the
+    continuation-count aggregation, the context alignment (the round-10
+    prefix-vs-suffix join bug class), or the interpolation arithmetic
+    fails exactly."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(8)]
+    ref_texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12)))
+        for _ in range(6)
+    ]
+    tgt_docs = [(100 + i,
+                 " ".join(rng.choice(vocab + ["oovx", "oovy"])
+                          for _ in range(rng.randint(1, 10))))
+                for i in range(5)]
+    tgt_docs += [
+        (200, "w0"),
+        (201, " ".join(["w1"] * order)),
+        (202, "oovz " * (order + 1)),
+    ]
+    ref = spark.createDataFrame([(t,) for t in ref_texts], "text string")
+    tgt = spark.createDataFrame(tgt_docs, "doc_id long, text string")
+    counts = lm.kneser_ney_counts(ref, order=order)
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["kn_score"])
+        for r in lm.kneser_ney_scores(tgt, counts).collect()
+    }
+    want = _bf_kn(ref_texts, tgt_docs, order)
+    assert got == want
+
+
+def test_kn_orders_reference_like_docs_first(spark):
+    """The property the gate exists for: text drawn from the reference
+    distribution must out-score (lower kn_score) scrambled/OOV text."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(12)]
+    ref_texts = [
+        " ".join(rng.choice(vocab) for _ in range(20)) for _ in range(8)
+    ]
+    like = [(1, ref_texts[0]), (2, ref_texts[3])]
+    unlike = [
+        (11, " ".join(f"zz{i}" for i in range(20))),
+        (12, " ".join(rng.choice(["qq1", "qq2", "qq3"])
+                      for _ in range(20))),
+    ]
+    ref = spark.createDataFrame([(t,) for t in ref_texts], "text string")
+    tgt = spark.createDataFrame(like + unlike, "doc_id long, text string")
+    counts = lm.kneser_ney_counts(ref, order=3)
+    rows = {
+        r["doc_id"]: r["kn_score"]
+        for r in lm.kneser_ney_scores(tgt, counts).collect()
+    }
+    assert max(rows[1], rows[2]) < min(rows[11], rows[12])
+
+
+def test_kn_validation(spark):
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="order"):
+        lm.kneser_ney_counts(docs.select("text"), order=1)
+    with pytest.raises(ValueError, match="order"):
+        lm.kn_ll_expr(1)
+    with pytest.raises(ValueError, match="discount"):
+        lm.kn_ll_expr(3, discount=1.0)
+    # degenerate reference (no bigrams) fails loudly at train time, not
+    # as NULL scores downstream
+    one_tok = spark.createDataFrame([("solo",)], "text string")
+    with pytest.raises(ValueError, match="no bigrams"):
+        lm.kneser_ney_counts(one_tok, order=3)
+
+
+def test_kn_registry_query_matches_oracle(spark):
+    """doc_kneser_ney vs its DuckDB oracle at sf0.001 (the sweep covers
+    the other SFs) — and the oracle exercises every branch: trained on
+    even ids, scored on odd ids."""
+    from etl_olho_vivo_spark import registry
+    from tests.oracle_check import compare, duck_connection
+
+    registry.queries()
+    sf = "/root/testdata/sf0.001"
+    q = registry.REGISTRY["doc_kneser_ney"]
+    df = q.fn(spark, sf)
+    con = duck_connection(sf)
+    duck = con.sql(q.oracle).df()
+    assert len(duck) > 0
+    assert compare(df, duck) == []
+    con.close()

@@ -45,6 +45,10 @@ CANARIES = [
     # counts — layout must not change which branch (or the rounded
     # mean) any document sees
     "doc_stupid_backoff",
+    # round-10: the KN interpolation picks branches from exact counts
+    # via left joins — layout must not change any branch or the
+    # rounded mean
+    "doc_kneser_ney",
     # two chained TakeOrdered cuts (ADC pool, exact top-k) — the pool
     # boundary must not depend on which partition saw a row first
     "pq_topk",

@@ -368,3 +368,22 @@ def test_cluster_keep_best_pins_hold_at_10x(spark, scale10_dir):
     comps = {r["component"] for r in rows}
     assert set(kept_per_comp) == comps  # every component keeps one
     assert all(v == 1 for v in kept_per_comp.values())
+
+
+@pytest.mark.slow
+def test_kneser_ney_pins_hold_at_10x(spark, scale10_dir):
+    """The KN scorer shares the backoff scorer's load-bearing asymmetry
+    (top_k-bounded model relations broadcast into ONE corpus-sized
+    window relation) plus its own: the continuation-count aggregations
+    happen at TRAIN time, never per scored window.  At 10× the final
+    plan must keep every model join broadcast and the corpus side free
+    of exchanges before the per-doc rollup."""
+    plan, n = _final_plan(spark, "doc_kneser_ney", scale10_dir)
+    assert n > 0
+    final = plan.split("== Initial Plan ==")[0]
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                "SortMergeJoin", "ShuffledHashJoin", "PythonUDF",
+                "BatchEvalPython", "Window"):
+        assert bad not in final, final[:2000]
+    assert final.count("BroadcastHashJoin") >= 5, final[:2000]
+    assert "HashAggregate" in final
