@@ -52,6 +52,7 @@ def test_query_parity_with_in_memory_ivf_topk(spark, emb, built):
     assert served == mem
 
 
+@pytest.mark.sweep
 def test_append_equals_full_rebuild_assignment(spark, emb, tmp_path):
     """Appending a batch against the frozen centroids lands every vector
     in exactly the cell a full build would have chosen."""
@@ -347,6 +348,7 @@ def test_watermark_survives_mid_rename_crash(spark, emb, tmp_path):
     assert not os.path.exists(wm + ".bak")
 
 
+@pytest.mark.sweep
 def test_served_recall_floor_vs_brute_force(spark, emb, tmp_path):
     """End-to-end retrieval QUALITY of the persisted index: recall@10 of
     query_ivf_index against brute-force cosine over the sf0.01
@@ -424,6 +426,7 @@ def _recall_at_10(spark, path, vecs, qids):
     return sum(out) / len(out)
 
 
+@pytest.mark.sweep
 def test_occupancy_rebuild_trigger_end_to_end(spark, emb, tmp_path):
     """cell_stats' rebuild contract, executed: a drift pile of
     near-identical appended vectors crowds one frozen centroid past
@@ -692,6 +695,7 @@ def test_ivfpq_lifecycle_append_compact_rebuild(spark, emb, tmp_path):
     assert got2[0]["vec_id"] == 450 and got2[0]["l2_exact"] == 0
 
 
+@pytest.mark.sweep
 def test_ivfpq_recall_meets_ivf_floors_at_equal_probes(
     spark, emb, tmp_path
 ):

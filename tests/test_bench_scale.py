@@ -7,7 +7,10 @@ from __future__ import annotations
 
 import json
 
+import pytest
 
+
+@pytest.mark.sweep
 def test_scale_tier_emits_complete_ratio_line(spark, capsys, monkeypatch):
     import bench
 

@@ -74,6 +74,7 @@ def test_corpus_subcommand(tmp_path, capsys):
     assert stats["input"] >= stats["lang_and_length"] >= stats["quality"] > 0
 
 
+@pytest.mark.sweep
 def test_corpus_drop_spans_stage(spark, tmp_path, capsys):
     """--drop-spans rewrites text before profiling (repeated k-gram
     spans cut corpus-wide, keep-first) and the pipeline still composes;
@@ -104,6 +105,7 @@ def test_corpus_drop_spans_stage(spark, tmp_path, capsys):
     assert 0 < kept_chars < raw_chars
 
 
+@pytest.mark.sweep
 def test_corpus_lm_gate(spark, tmp_path, capsys):
     """--lm-max-entropy gates on bigram cross-entropy: a huge threshold
     keeps every quality survivor, a tiny one keeps none, and --lm-ref
@@ -146,6 +148,7 @@ def test_corpus_lm_gate(spark, tmp_path, capsys):
         main(base + ["--lm-max-entropy", "1e9", "--lm-order", "1"])
 
 
+@pytest.mark.sweep
 def test_corpus_lm_gate_backoff_scheme(spark, tmp_path, capsys):
     """--lm-scheme backoff swaps the gate's scorer for stupid backoff
     (Brants et al. 2007): a huge threshold keeps every quality
@@ -179,6 +182,7 @@ def test_corpus_lm_gate_backoff_scheme(spark, tmp_path, capsys):
                    lm_max_entropy=1.0, lm_scheme="kneser-ney")
 
 
+@pytest.mark.sweep
 def test_corpus_bpe_tokenize_stage(spark, tmp_path, capsys):
     """--bpe-tokenize trains on the surviving corpus, tokenizes it with
     the mapInPandas path, and ships the merge list AND id vocabulary
@@ -291,6 +295,7 @@ def test_corpus_mixture_flag(spark, tmp_path, capsys):
         ])
 
 
+@pytest.mark.sweep
 def test_corpus_batch_decontamination(spark, tmp_path, capsys):
     """corpus --eval-grams runs the same benchmark probe as the
     streaming admit loop: a doc whose text IS the benchmark must vanish
@@ -485,6 +490,7 @@ def test_corpus_rejects_malformed_splits(tmp_path):
         ])
 
 
+@pytest.mark.sweep
 def test_corpus_stream_subcommand(spark, tmp_path, capsys):
     """Two-file landing zone drained as two micro-batches, then the
     --compact flag folds the store — the continuous-operation surface an
@@ -603,6 +609,7 @@ def test_optimize_subcommand(spark, tmp_path, capsys):
               "--out", out, "--by", "a,b", "--bits", "40"])
 
 
+@pytest.mark.sweep
 def test_ann_build_rebuild_if_skewed_flag(spark, tmp_path, capsys):
     """--rebuild-if-skewed surfaces maybe_rebuild_ivf_index through the
     CLI: under threshold it reports rebuilt=False and leaves the index
@@ -634,6 +641,7 @@ def test_ann_build_rebuild_if_skewed_flag(spark, tmp_path, capsys):
     assert out["vectors"] == emb.count()
 
 
+@pytest.mark.sweep
 def test_lm_cuts_subcommand_hands_off_to_gate(spark, tmp_path, capsys):
     """lm-cuts derives head/middle cut points offline, persists them as
     a JSON file beside the corpus, and the first cut fed back to the
@@ -721,6 +729,7 @@ def test_lm_cuts_subcommand_hands_off_to_gate(spark, tmp_path, capsys):
     assert 0.2 <= frac_k <= 0.5, stats_k
 
 
+@pytest.mark.sweep
 def test_bloom_build_then_snapshot_dedup_corpus(spark, tmp_path, capsys):
     """The inter-snapshot loop as operated: bloom-build persists the
     previous crawl's gram filter, corpus --snapshot-filter probes it
@@ -799,6 +808,7 @@ def test_bloom_build_merge_guard_sees_path_aliases(spark, tmp_path, capsys):
               "--out", fdir, "--merge", fdir + "/"])
 
 
+@pytest.mark.sweep
 def test_dsir_cuts_subcommand_hands_off_to_gate(spark, tmp_path, capsys):
     """dsir-cuts derives the log-weight floor offline (keep-fraction →
     (1−f) quantile), persists it, and the cut fed back to the corpus
@@ -895,6 +905,7 @@ def test_dsir_cuts_subcommand_hands_off_to_gate(spark, tmp_path, capsys):
     capsys.readouterr()
 
 
+@pytest.mark.sweep
 def test_corpus_lm_gate_kn_scheme(spark, tmp_path, capsys):
     """--lm-scheme kn swaps the gate's scorer for interpolated
     Kneser-Ney: a huge threshold keeps every quality survivor; kn_score

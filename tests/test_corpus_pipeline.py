@@ -117,6 +117,7 @@ def test_pack_stage_emits_training_sequences(spark, tmp_path):
     assert packed.agg(F.max("n_tokens")).collect()[0][0] <= 64 + 16 - 1
 
 
+@pytest.mark.sweep
 def test_components_resolution_drops_superset_of_greedy(spark, tmp_path):
     """Every greedy-dropped doc (a pair's doc_b, > doc_a >= cluster min)
     is non-minimal in its component, so the components drop set contains
@@ -188,6 +189,7 @@ def test_cachebag_owns_signature_lifecycle(spark):
     assert jmap().size() == before
 
 
+@pytest.mark.sweep
 @pytest.mark.parametrize("resolution", ["greedy", "components"])
 def test_run_corpus_leaves_no_caches(spark, tmp_path, resolution):
     """The composed pipeline persists several intermediates (profile,
@@ -210,6 +212,7 @@ def test_run_corpus_leaves_no_caches(spark, tmp_path, resolution):
     assert jmap().size() == before
 
 
+@pytest.mark.sweep
 def test_keep_best_resolution_same_drop_count_as_components(spark, tmp_path):
     """keep_best clusters identically to components (same pair graph,
     same connected components) — only the survivor CHOICE differs, so
@@ -242,6 +245,7 @@ def test_keep_best_resolution_same_drop_count_as_components(spark, tmp_path):
     assert sum(back_kb.values()) >= sum(back_c.values())
 
 
+@pytest.mark.sweep
 def test_snapshot_filter_drops_previous_crawl(spark, tmp_path):
     """Inter-snapshot dedup: docs fully covered by the previous crawl's
     Bloom filter (their own grams — overlap exactly 1.0, no false
@@ -288,6 +292,7 @@ def test_snapshot_filter_drops_previous_crawl(spark, tmp_path):
         )
 
 
+@pytest.mark.sweep
 def test_run_corpus_keep_best_leaves_no_caches(spark, tmp_path):
     from etl_olho_vivo_spark.plans.corpus import run_corpus
 

@@ -51,6 +51,7 @@ def dirs(tmp_path):
     }
 
 
+@pytest.mark.sweep
 def test_three_batch_ingestion_drops_cross_batch_dups(spark, dirs):
     from etl_olho_vivo_spark.streaming.corpus_stream import run_corpus_stream
 
@@ -211,6 +212,7 @@ def test_store_compaction_roundtrip(spark, dirs, tmp_path):
         )
 
 
+@pytest.mark.sweep
 def test_append_store_compaction_in_place(spark, dirs):
     """compact_append_store folds per-batch partitions into the -1 base
     partition IN PLACE; the stream keeps deduping against the same
@@ -333,6 +335,7 @@ def test_replay_of_compacted_batch_keeps_it_complete(spark, dirs):
     assert ids == [1, 2]
 
 
+@pytest.mark.sweep
 def test_streaming_per_row_gates(spark, dirs):
     """The gates param applies the batch pipeline's per-row quality
     gates BEFORE signatures: a gated-out doc reaches neither the corpus
@@ -378,6 +381,7 @@ def test_streaming_per_row_gates(spark, dirs):
         )
 
 
+@pytest.mark.sweep
 def test_snapshot_filter_rejects_previous_crawl_docs(spark, dirs, tmp_path):
     """Inter-snapshot dedup in the stream: a batch doc fully covered by
     the previous crawl's Bloom filter (overlap 1.0 — no false

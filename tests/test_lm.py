@@ -482,6 +482,7 @@ def test_stupid_backoff_fuzz_vs_brute_force(spark, seed, order):
     assert got == want
 
 
+@pytest.mark.sweep
 def test_order5_ccnet_shape_end_to_end(spark):
     """CCNet's actual order (5-grams) through BOTH scorers — the order
     dial must not be a 2/3-only demo: counts, scoring, and the

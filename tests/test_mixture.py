@@ -98,6 +98,7 @@ def test_proportions_and_determinism(spark, corpus):
     assert mixed.columns == corpus.columns
 
 
+@pytest.mark.sweep
 def test_budget_caps_the_mix(spark, corpus):
     mixed = mix.sample_mixture(corpus, WEIGHTS, budget=30_000, seed=0)
     total = mixed.agg(F.sum("n_tokens")).first()[0]

@@ -939,6 +939,7 @@ def test_incremental_matches_parquet_store_roundtrip(spark, tmp_path):
     assert mem_pairs == pq_pairs and len(mem_pairs) > 0
 
 
+@pytest.mark.sweep
 def test_ivf_kmeans_recall_and_determinism(spark):
     """The production ANN composition: kmeans||-seeded centroids +
     multi-probe search.  Pins (a) centroid determinism across runs,
@@ -1756,6 +1757,7 @@ def test_pq_full_rerank_equals_exact_search(spark, embeddings):
     assert got == [(r["vec_id"], r["d"]) for r in exact]
 
 
+@pytest.mark.sweep
 def test_pq_rerank_is_the_recall_dial(spark, embeddings):
     """recall@10 vs exact integer-L2 must not decrease as the re-rank
     pool widens, and the default pool must clear a floor."""

@@ -28,6 +28,7 @@ ORACLE_NAMES = sorted(
 )
 
 
+@pytest.mark.sweep
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_parity(spark, duck, name):
     q = registry.REGISTRY[name]
@@ -37,6 +38,7 @@ def test_parity(spark, duck, name):
     assert not problems, f"{name}: " + " | ".join(problems)
 
 
+@pytest.mark.sweep
 def test_all_queries_run(spark):
     """Queries without oracles must still execute and return a DataFrame."""
     for name, q in registry.REGISTRY.items():
@@ -95,3 +97,26 @@ def test_registry_fits_driver_correctness_window():
     demonstrations (see groupby_extensions, doc_text_profile) instead of
     appending past the window."""
     assert len(registry.queries()) <= 50
+
+
+# Fast-tier representatives: one parity row per operator family so the
+# default (-m "not sweep") run still cross-checks the oracle machinery
+# end-to-end; the full 60+-row sweep runs at round-end with -m "".
+FAST_REPRESENTATIVES = [
+    "velocidades_agregadas",   # reference flagship agg
+    "flatten_roundtrip",       # ingest/flatten
+    "minhash_near_dups",       # banded dedup
+    "dedup_cluster_keep_best", # clustering + argmax
+    "ivfpq_topk",              # composed ANN serving
+    "doc_kneser_ney",          # LM gate (newest scheme)
+    "dsir_select",             # importance resampling
+    "bloom_gram_overlap",      # snapshot dedup
+]
+
+
+@pytest.mark.parametrize("name", FAST_REPRESENTATIVES)
+def test_parity_fast_representatives(spark, duck, name):
+    q = registry.REGISTRY[name]
+    assert q.oracle is not None, name
+    problems = compare(q.fn(spark, SF_DIR), duck.execute(q.oracle).df())
+    assert not problems, f"{name}: " + " | ".join(problems)

@@ -71,6 +71,7 @@ def _rows(spark, name):
     return sorted(tuple(r) for r in df.collect())
 
 
+@pytest.mark.sweep
 @pytest.mark.parametrize("name", CANARIES)
 def test_result_invariant_under_hostile_partitioning(spark, name):
     base = _rows(spark, name)

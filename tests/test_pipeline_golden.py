@@ -242,6 +242,7 @@ def _random_posicoes(draw):
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
+@pytest.mark.sweep
 @given(rows=_random_posicoes())
 def test_pipeline_matches_pandas_oracle_property(spark, rows):
     """Engine == independent pandas oracle on arbitrary inputs, not just

@@ -77,6 +77,7 @@ def test_cosine_topk_broadcasts_query_vector(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+@pytest.mark.sweep
 def test_no_python_in_jvm_only_queries(spark):
     """Every query except the intentional Arrow decodes stays JVM-side."""
     for name in registry.REGISTRY:

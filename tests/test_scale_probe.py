@@ -38,6 +38,11 @@ from __future__ import annotations
 
 import pytest
 
+# whole module = sweep tier: every test runs against the ~30 s
+# 10x-replica fixture, and the plan pins are regression breadth, not
+# per-change signal (run with -m "" at round-end)
+pytestmark = pytest.mark.sweep
+
 from etl_olho_vivo_spark import registry
 from etl_olho_vivo_spark.caching import release_session_caches
 

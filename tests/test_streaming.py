@@ -174,6 +174,7 @@ def test_watermark_drops_late_pings(spark, tmp_path):
     assert rows == {(T0, 10): 1}
 
 
+@pytest.mark.sweep
 def test_chained_stateful_speed_window_agg(spark, tmp_path):
     """Two stateful operators chained in ONE streaming query: the
     applyInPandasWithState online lag feeding a watermarked 30-min window
