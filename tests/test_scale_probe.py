@@ -110,13 +110,18 @@ def test_editdist_pins_hold_at_10x(spark, scale10_dir):
     plan, n = _final_plan(spark, "doc_editdist_near_dup", scale10_dir)
     assert n > 0
     final = plan.split("== Initial Plan ==")[0]
-    assert "SortMergeJoin" in final, final[:2000]
+    # round-10 shape: exact-dup collapse + banded DP over distinct
+    # representatives + member expansion — every corpus-scaled join
+    # stays merge-pinned (AQE exchange/subplan reuse may fold some of
+    # the seven logical joins, hence >= 3, but none may broadcast)
+    assert final.count("SortMergeJoin") >= 3, final[:2000]
     assert "BroadcastHashJoin" not in final
+    # the DP stage's block-key exchange stays pinned: each of its
+    # output partitions does O(block²) DP work, so AQE's byte-based
+    # coalescing would serialize a compute-bound stage.  (The collapse
+    # and expansion exchanges are byte-bound and MAY coalesce — only
+    # the pinned repartition must survive.)
     assert "REPARTITION_BY_NUM" in final
-    # block-key shuffles must not be runtime-coalesced: each output
-    # partition does O(block²) DP work, so byte-based coalescing would
-    # serialize a compute-bound stage
-    assert "coalesced" not in final, final[:2000]
 
 
 @pytest.mark.slow
