@@ -2084,3 +2084,322 @@ def test_decode_media_real_png_all_filters_and_color_types(spark):
                    r["mean_pixel"])
             assert got == (kind, w, h, mean), (d, got, want)
             assert r["n_bytes"] == len(png)
+
+
+# ---------------------------------------------------------------------------
+# JPEG fixtures: a minimal baseline encoder, independent of the decoder
+# (explicit cosine-sum DCT, its own canonical-Huffman assignment, its
+# own zigzag copy), so decode parity is a genuine cross-check.
+# ---------------------------------------------------------------------------
+
+_JPEG_ZIG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5, 12, 19,
+    26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28, 35, 42, 49,
+    56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51, 58, 59, 52,
+    45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _jpeg_tables():
+    """Canonical Huffman tables covering every baseline symbol: DC
+    categories 0-11 at length 4 (12 < 16 codes), AC = EOB + ZRL + all
+    (run 0-15, size 1-10) pairs at length 8 (162 < 256 codes)."""
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    dc_vals = list(range(12))
+    ac_bits = [0] * 7 + [162] + [0] * 8
+    ac_vals = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+
+    def canonical(bits, vals):
+        enc, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                enc[vals[k]] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+        return enc
+
+    return (
+        (bytes(dc_bits) + bytes(dc_vals), canonical(dc_bits, dc_vals)),
+        (bytes(ac_bits) + bytes(ac_vals), canonical(ac_bits, ac_vals)),
+    )
+
+
+class _JpegBits:
+    def __init__(self):
+        self.buf, self.acc, self.n = bytearray(), 0, 0
+
+    def put(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad final byte with 1s
+
+
+def _jpeg_fdct_quant(block):
+    """Forward DCT via the explicit cosine double-sum (not the decoder's
+    matmul), quantized with an all-ones table → integer coefficients."""
+    import numpy as np
+
+    f = np.asarray(block, dtype=np.float64) - 128.0
+    x = np.arange(8)
+    cos = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    c = np.full(8, 1.0)
+    c[0] = 1 / np.sqrt(2.0)
+    F = np.zeros((8, 8))
+    for v in range(8):
+        for u in range(8):
+            F[v, u] = 0.25 * c[u] * c[v] * np.sum(
+                f * cos[v][:, None] * cos[u][None, :]
+            )
+    return np.rint(F).astype(np.int64)
+
+
+def _jpeg_encode_block(Fq, pred, dc_enc, ac_enc, w):
+    zz = [int(Fq[_JPEG_ZIG[k] // 8, _JPEG_ZIG[k] % 8]) for k in range(64)]
+    diff = zz[0] - pred
+    s = abs(diff).bit_length()
+    w.put(*dc_enc[s])
+    if s:
+        w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    k, run = 1, 0
+    while k < 64:
+        v = zz[k]
+        if v == 0:
+            run += 1
+        else:
+            while run > 15:
+                w.put(*ac_enc[0xF0])  # ZRL
+                run -= 16
+            s = abs(v).bit_length()
+            assert s <= 10
+            w.put(*ac_enc[(run << 4) | s])
+            w.put(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        k += 1
+    if run:
+        w.put(*ac_enc[0x00])  # EOB
+    return zz[0]
+
+
+def _make_jpeg(w, h, planes, hv, restart=0, sof=0xC0):
+    """Minimal baseline JPEG: ``planes`` at component resolution (padded
+    to MCU multiples), ``hv`` the (hs, vs) sampling per component, quant
+    all-ones, one shared DC/AC Huffman table pair."""
+    import numpy as np
+
+    (dc_payload, dc_enc), (ac_payload, ac_enc) = _jpeg_tables()
+    nc = len(planes)
+    hmax = max(hs for hs, _ in hv)
+    vmax = max(vs for _, vs in hv)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    def seg(marker, payload):
+        return (
+            b"\xff" + bytes([marker])
+            + (len(payload) + 2).to_bytes(2, "big") + payload
+        )
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(0xC4, bytes([0x00]) + dc_payload)
+    out += seg(0xC4, bytes([0x10]) + ac_payload)
+    sofp = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([nc])
+    for ci, (hs, vs) in enumerate(hv):
+        sofp += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += seg(sof, sofp)
+    if restart:
+        out += seg(0xDD, restart.to_bytes(2, "big"))
+    sosp = bytes([nc])
+    for ci in range(nc):
+        sosp += bytes([ci + 1, 0x00])
+    sosp += bytes([0, 63, 0])
+    out += seg(0xDA, sosp)
+
+    bw = _JpegBits()
+    preds = [0] * nc
+    rst = mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                bw.flush()
+                bw.buf += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                preds = [0] * nc
+            mcu_count += 1
+            for ci, (hs, vs) in enumerate(hv):
+                p = np.asarray(planes[ci])
+                for by in range(vs):
+                    for bx in range(hs):
+                        r0 = (my * vs + by) * 8
+                        c0 = (mx * hs + bx) * 8
+                        Fq = _jpeg_fdct_quant(p[r0:r0 + 8, c0:c0 + 8])
+                        preds[ci] = _jpeg_encode_block(
+                            Fq, preds[ci], dc_enc, ac_enc, bw
+                        )
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_idct_oracle(Fq):
+    """Independent IDCT (explicit cosine sum) of integer coefficients →
+    clipped uint8 block, for expected-pixel rederivation."""
+    import numpy as np
+
+    x = np.arange(8)
+    cos = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    c = np.full(8, 1.0)
+    c[0] = 1 / np.sqrt(2.0)
+    f = np.zeros((8, 8))
+    for y in range(8):
+        for xx in range(8):
+            f[y, xx] = 0.25 * np.sum(
+                (c[:, None] * c[None, :]) * Fq
+                * cos[:, y][:, None] * cos[:, xx][None, :]
+            )
+    return np.clip(np.rint(f + 128.0), 0, 255)
+
+
+def test_decode_media_real_jpeg_gray_and_color(spark):
+    """The round-10 baseline JPEG decoder: solid-color fixtures decode
+    EXACTLY (DC-only blocks roundtrip losslessly through an all-ones
+    quant table), exercising DC prediction across blocks, grayscale and
+    4:4:4 / 4:2:0 color, and the JFIF YCbCr→RGB conversion; unsupported
+    shapes (progressive SOF2, truncation) degrade to opaque."""
+    import numpy as np
+
+    fixtures = {}
+
+    # 1. grayscale 16x24: six 8x8 blocks with distinct constant values —
+    # the DC prediction chain must carry across every block
+    vals = [40, 90, 128, 200, 255, 0]
+    plane = np.zeros((24, 16))
+    for b, v in enumerate(vals):
+        r, c = divmod(b, 2)
+        plane[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8] = v
+    jpg = _make_jpeg(16, 24, [plane], [(1, 1)])
+    fixtures[1] = (jpg, ("jpeg", 16, 24, round(float(np.mean(vals)), 4)))
+
+    # 2. solid 4:4:4 color 16x16: Y=120 Cb=140 Cr=100 — expected RGB via
+    # the JFIF formula, computed here independently
+    y0, cb0, cr0 = 120.0, 140.0, 100.0
+    planes = [np.full((16, 16), v) for v in (y0, cb0, cr0)]
+    jpg = _make_jpeg(16, 16, planes, [(1, 1)] * 3)
+    r = np.clip(round(y0 + 1.402 * (cr0 - 128)), 0, 255)
+    g = np.clip(
+        round(y0 - 0.344136 * (cb0 - 128) - 0.714136 * (cr0 - 128)),
+        0, 255,
+    )
+    b = np.clip(round(y0 + 1.772 * (cb0 - 128)), 0, 255)
+    fixtures[2] = (
+        jpg, ("jpeg", 16, 16, round(float((r + g + b) / 3.0), 4))
+    )
+
+    # 3. 4:2:0 32x32: varied solid Y blocks, constant chroma — the
+    # subsampled planes are 16x16 and must upsample 2x2
+    yvals = [16 * i + 8 for i in range(16)]
+    yplane = np.zeros((32, 32))
+    for bidx, v in enumerate(yvals):
+        rr, cc = divmod(bidx, 4)
+        yplane[rr * 8:(rr + 1) * 8, cc * 8:(cc + 1) * 8] = v
+    cbp = np.full((16, 16), 140.0)
+    crp = np.full((16, 16), 100.0)
+    jpg = _make_jpeg(
+        32, 32, [yplane, cbp, crp], [(2, 2), (1, 1), (1, 1)]
+    )
+    rgb = []
+    for v in yvals:
+        rr = np.clip(round(v + 1.402 * (100 - 128)), 0, 255)
+        gg = np.clip(
+            round(v - 0.344136 * (140 - 128) - 0.714136 * (100 - 128)),
+            0, 255,
+        )
+        bb = np.clip(round(v + 1.772 * (140 - 128)), 0, 255)
+        rgb.append((rr + gg + bb) / 3.0)
+    fixtures[3] = (jpg, ("jpeg", 32, 32, round(float(np.mean(rgb)), 4)))
+
+    # unsupported / corrupt → opaque
+    good = fixtures[1][0]
+    fixtures[4] = (_make_jpeg(16, 24, [plane], [(1, 1)], sof=0xC2), None)
+    fixtures[5] = (good[: len(good) - 30], None)
+
+    df = spark.createDataFrame(
+        [(d, bytearray(j)) for d, (j, _) in fixtures.items()],
+        "doc_id long, media binary",
+    )
+    out = {r["doc_id"]: r for r in multimodal.decode_media(df).collect()}
+    for d, (jpg, want) in fixtures.items():
+        row = out[d]
+        if want is None:
+            assert row["media_kind"] == "opaque", (d, dict(row.asDict()))
+            assert row["mean_pixel"] is None
+        else:
+            kind, w, h, mean = want
+            got = (row["media_kind"], row["width"], row["height"],
+                   row["mean_pixel"])
+            assert got == (kind, w, h, mean), (d, got, want)
+
+
+def test_decode_jpeg_ac_coefficients_and_restarts(spark):
+    """Content-bearing blocks (non-zero AC coefficients from seeded
+    pseudo-random pixels) decode to the independently-rederived IDCT
+    output — run-length AC coding, ZRL, magnitude categories, odd-size
+    cropping, and DRI/RSTn restart-marker resync all on the line.  The
+    encoder quantizes (lossy), so the oracle is the IDCT of the EXACT
+    integer coefficients the stream carries, compared within float-
+    rounding slack; restart parity is exact vs the no-restart stream."""
+    import random
+
+    import numpy as np
+
+    parse = multimodal._media_parser()
+
+    # odd dims: 10x6 visible in a 16x8 padded plane
+    rng = random.Random(42)
+    plane = np.array(
+        [[rng.randrange(256) for _ in range(16)] for _ in range(8)],
+        dtype=np.float64,
+    )
+    jpg = parse_in = _make_jpeg(10, 6, [plane], [(1, 1)])
+    n, _, kind, w, h, mean = parse(parse_in)
+    assert (kind, w, h) == ("jpeg", 10, 6)
+    expect = np.zeros((8, 16))
+    for bx in range(2):
+        Fq = _jpeg_fdct_quant(plane[0:8, bx * 8:(bx + 1) * 8])
+        expect[0:8, bx * 8:(bx + 1) * 8] = _jpeg_idct_oracle(Fq)
+    want = float(expect[:6, :10].mean())
+    assert abs(mean - want) < 0.05, (mean, want)
+
+    # restart markers: same content encoded with DRI=1 must decode to
+    # exactly the same mean as the plain stream
+    rng = random.Random(7)
+    plane2 = np.array(
+        [[rng.randrange(256) for _ in range(16)] for _ in range(16)],
+        dtype=np.float64,
+    )
+    plain = parse(_make_jpeg(16, 16, [plane2], [(1, 1)]))
+    rst = parse(_make_jpeg(16, 16, [plane2], [(1, 1)], restart=1))
+    assert plain[2] == rst[2] == "jpeg"
+    assert plain[5] == rst[5] and plain[5] is not None
+    # and a stream whose restart markers are MISSING vs its DRI header
+    # must degrade to opaque, not desync silently
+    broken = _make_jpeg(16, 16, [plane2], [(1, 1)])
+    broken = broken.replace(
+        b"\xff\xda", b"\xff\xdd\x00\x04\x00\x01\xff\xda", 1
+    )
+    assert parse(broken)[2] == "opaque"
