@@ -178,6 +178,21 @@ def _build_parser() -> argparse.ArgumentParser:
         "--dsir-min-logw)",
     )
     cor.add_argument(
+        "--quality-model", default=None, metavar="MODEL_JSON",
+        help="trained quality-classifier gate (FineWeb-Edu/DCLM shape): "
+        "score survivors with the logistic model persisted by the "
+        "quality-train subcommand and keep docs whose score clears "
+        "--quality-min-score (broadcast-weights scoring; docs with no "
+        "features pass through, same no-evidence contract as the LM "
+        "and DSIR gates)",
+    )
+    cor.add_argument(
+        "--quality-min-score", type=float, default=None, metavar="P",
+        help="absolute probability floor in [0, 1] for --quality-model "
+        "(required with it; the gate never computes quantiles inline — "
+        "same determinism contract as --lm-max-entropy)",
+    )
+    cor.add_argument(
         "--bpe-tokenize", type=int, default=None, metavar="N_MERGES",
         help="train an N-merge BPE vocabulary on the surviving corpus, "
         "apply it (bpe_tokens + integer bpe_ids columns), and persist "
@@ -437,6 +452,28 @@ def _build_parser() -> argparse.ArgumentParser:
         help="where to persist the cut points (one small JSON file)",
     )
 
+    qtr = sub.add_parser(
+        "quality-train",
+        help="train the fastText-style logistic quality classifier "
+        "(hashed unigram+bigram buckets, full-batch GD over a BOUNDED "
+        "labeled set) and persist it as one JSON model — the offline "
+        "hand-off corpus --quality-model consumes (FineWeb-Edu/DCLM: "
+        "positives = trusted corpus, negatives = raw crawl sample)",
+    )
+    qtr.add_argument(
+        "--pos", required=True, metavar="PARQUET_DIR",
+        help="positive-class documents parquet (doc_id, text)",
+    )
+    qtr.add_argument(
+        "--neg", required=True, metavar="PARQUET_DIR",
+        help="negative-class documents parquet (doc_id, text)",
+    )
+    qtr.add_argument("--out", required=True, metavar="MODEL_JSON")
+    qtr.add_argument("--buckets", type=int, default=None, metavar="B")
+    qtr.add_argument("--iters", type=int, default=40)
+    qtr.add_argument("--lr", type=float, default=1.0)
+    qtr.add_argument("--l2", type=float, default=1e-4)
+
     blo = sub.add_parser(
         "bloom-build",
         help="build (or extend) a persisted Bloom filter over a "
@@ -583,6 +620,8 @@ def main(argv: list[str] | None = None) -> int:
             dsir_sampled=args.dsir_sampled,
             dsir_seed=args.dsir_seed,
             dsir_buckets=args.dsir_buckets,
+            quality_model_path=args.quality_model,
+            quality_min_score=args.quality_min_score,
             dedup_resolution=args.resolution,
             snapshot_filter_dir=args.snapshot_filter,
             snapshot_overlap=args.snapshot_overlap,
@@ -1075,6 +1114,49 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.out, "w") as f:
             json.dump(payload, f, indent=1)
         print(json.dumps(payload))
+        return 0
+
+    if args.command == "quality-train":
+        from etl_olho_vivo_spark.caching import CacheBag
+        from etl_olho_vivo_spark.operators import quality as qops
+        from etl_olho_vivo_spark.sources.tables import (
+            pin_parquet_instant_confs,
+        )
+
+        pin_parquet_instant_confs(spark)
+        buckets = (
+            args.buckets if args.buckets is not None else qops.N_BUCKETS
+        )
+        bag = CacheBag()
+        try:
+            model = qops.train_quality_classifier(
+                spark.read.parquet(args.pos).select("doc_id", "text"),
+                spark.read.parquet(args.neg).select("doc_id", "text"),
+                n_buckets=buckets,
+                iters=args.iters,
+                lr=args.lr,
+                l2=args.l2,
+                caches=bag,
+            )
+        finally:
+            bag.release()
+        import os as _os
+
+        _os.makedirs(
+            _os.path.dirname(_os.path.abspath(args.out)), exist_ok=True
+        )
+        qops.save_model(model, args.out)
+        summary = {
+            "command": "quality-train",
+            "out": args.out,
+            "n_buckets": model["n_buckets"],
+            "iters": model["iters"],
+            "n_pos": model["n_pos"],
+            "n_neg": model["n_neg"],
+            "bias": model["bias"],
+            "nonzero_weights": sum(1 for w in model["weights"] if w),
+        }
+        print(json.dumps(summary))
         return 0
 
     if args.command == "bloom-build":

@@ -1,0 +1,348 @@
+"""Trained quality classifier — the fastText-style linear filter
+(Joulin et al. 2016) that GPT-3/LLaMA/DCLM/FineWeb-Edu pipelines use to
+keep "reference-like" documents (Brown et al. 2020 §A; Penedo et al.
+2024): a logistic model over hashed bag-of-n-gram features, trained on
+a small labeled set (positives = trusted corpus, negatives = raw crawl)
+and then applied to the full corpus as a pure broadcast-join filter.
+
+This completes the quality-filtering menu beside the heuristic gates
+(Gopher/C4, operators/textops.py), the LM perplexity gate
+(operators/lm.py), and DSIR distributional selection
+(operators/dsir.py) — the four standard approaches, all sharing the
+absolute-threshold determinism discipline.
+
+Features reuse DSIR's hashed unigram+bigram bucket sketch
+(operators/dsir.py ``hashed_features`` — md5-derived bucket ids,
+engine-neutral), L1-normalized per document (count / n_feats, the
+fastText "average of bucket embeddings" with a 1-dim embedding).
+
+Scale shape (what survives 100 TB):
+
+- **Training is over a BOUNDED labeled set** (the real pipelines train
+  on 10⁵-10⁶ labeled docs, not the corpus): full-batch logistic
+  regression, one persisted feature frame, ``iters`` driver-looped
+  gradient steps.  Each step collects exactly ``n_buckets + 1`` doubles
+  (the gradient) — bounded driver state by construction, like the
+  k-means centroid loop in operators/similarity.py.  The per-doc
+  margin join is hint("merge")-pinned: features and residuals are the
+  two SYMMETRIC training-set-scaled relations (round-7 AQE-broadcast
+  lesson).
+- **Scoring is the corpus-scale path**: the model is ``n_buckets``
+  weights — a broadcast join against the slim (doc, bucket, cnt)
+  feature frame, one skew-free doc-id aggregation, zero corpus
+  shuffles beyond it.  Exactly the DSIR scoring plan with learned
+  instead of count-ratio weights.
+- Determinism: bucket ids are exact integers (md5 arithmetic); the
+  gradient is rounded ``round_dp`` (6) each step BEFORE the driver
+  update, so the trained weights are stable across partitionings and
+  libm builds (same discipline as dsir.py's rounded log-weights); the
+  emitted score is rounded ``round_dp``.
+- Docs with zero features (NULL text; empty strings still tokenize to
+  one empty token under the engine-wide split-on-space convention) are
+  absent from the scored output — no evidence, same contract as
+  dsir_log_weights; the corpus gate passes them through via its
+  anti-join-on-failing shape.
+
+Relation to the reference (JonasMarma/etl-olho-vivo): none — part of
+the beyond-reference training-data tier (SURVEY §2.11).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_olho_vivo_spark.operators.dsir import hashed_features
+
+if TYPE_CHECKING:
+    from etl_olho_vivo_spark.caching import CacheBag
+
+# fastText's default bucket count is 2M for word n-grams; a quality
+# classifier over 2-gram sketches saturates far earlier and 4096 keeps
+# the model broadcast-trivial (32 KiB of doubles).
+N_BUCKETS = 4096
+MAX_BUCKETS = 1 << 20  # model must stay broadcast-able + collect-able
+
+
+def _bucket_counts(
+    docs: DataFrame, *, id_col: str, text: str, n_buckets: int
+) -> DataFrame:
+    """(id, bucket, cnt) — integer feature-occurrence counts per doc
+    (one slim aggregate over the map-side feature explode; rows ≤
+    min(2·tokens, n_buckets) per doc).  The L1 normalization (x =
+    cnt / Σcnt) happens inside the downstream aggregations so no
+    per-doc-total window/join is ever needed."""
+    return (
+        hashed_features(docs, id_col=id_col, text=text, n_buckets=n_buckets)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def train_quality_classifier(
+    pos_docs: DataFrame,
+    neg_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n_buckets: int = N_BUCKETS,
+    iters: int = 40,
+    lr: float = 1.0,
+    l2: float = 1e-4,
+    round_dp: int = 6,
+    caches: "CacheBag | None" = None,
+) -> dict:
+    """Full-batch logistic regression on the labeled pair of corpora →
+    a JSON-serializable model dict ``{"n_buckets", "bias", "weights"
+    (dense list), "iters", "lr", "l2", "n_pos", "n_neg"}``.
+
+    Each iteration is ONE Spark job: margin = bias + Σ w[b]·x (weights
+    broadcast), residual = σ(margin) − y, gradient g[b] = Σ resid·x / n
+    (+ l2·w) collected as ≤ n_buckets rows and applied driver-side.
+    The gradient is rounded ``round_dp`` per step for cross-partitioning
+    determinism.  Raises on empty/feature-less inputs — a silently
+    degenerate model would pass everything downstream.
+    """
+    from etl_olho_vivo_spark.caching import SESSION_BAG
+
+    if not 1 <= n_buckets <= MAX_BUCKETS:
+        raise ValueError(
+            f"n_buckets must be in [1, {MAX_BUCKETS}], got {n_buckets}"
+        )
+    if iters < 1 or lr <= 0 or l2 < 0:
+        raise ValueError(
+            f"need iters >= 1, lr > 0, l2 >= 0; got {iters}/{lr}/{l2}"
+        )
+    bag = caches if caches is not None else SESSION_BAG
+    spark = pos_docs.sparkSession
+
+    # one feature frame for both classes: a (label, id) struct key keeps
+    # the classes disjoint without assuming anything about id ranges
+    labeled = bag.add(
+        _bucket_counts(
+            pos_docs.select(id_col, text), id_col=id_col, text=text,
+            n_buckets=n_buckets,
+        )
+        .withColumn("y", F.lit(1.0))
+        .unionByName(
+            _bucket_counts(
+                neg_docs.select(id_col, text), id_col=id_col, text=text,
+                n_buckets=n_buckets,
+            ).withColumn("y", F.lit(0.0))
+        )
+        .select(
+            F.struct(F.col("y").alias("lbl"), F.col(id_col).alias("id"))
+            .alias("k"),
+            "bucket",
+            "cnt",
+            "y",
+        )
+    )
+    per_class = {
+        r["lbl"]: r["count"]
+        for r in labeled.select("k")
+        .distinct()
+        .groupBy("k.lbl")
+        .count()
+        .collect()
+    }
+    n_pos = int(per_class.get(1.0, 0))
+    n_neg = int(per_class.get(0.0, 0))
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            "quality classifier needs BOTH classes with >= 1 featured "
+            f"document (got pos={n_pos}, neg={n_neg}) — empty texts "
+            "carry no features; fix the labeled inputs"
+        )
+    n = float(n_pos + n_neg)
+
+    weights = [0.0] * n_buckets
+    bias = 0.0
+    for _ in range(iters):
+        w_rel = spark.createDataFrame(
+            [(b, w) for b, w in enumerate(weights) if w != 0.0]
+            or [(0, 0.0)],
+            "bucket bigint, w double",
+        )
+        # per-doc margin from raw counts: Σ cnt·w / Σ cnt (the L1
+        # normalization folded into the aggregate — no per-doc-total
+        # window), residual σ(m) − y, doc total carried for the
+        # gradient's cnt/tot normalization
+        margins = (
+            labeled.join(F.broadcast(w_rel), "bucket", "left")
+            .groupBy("k")
+            .agg(
+                F.first("y").alias("y"),
+                F.sum("cnt").alias("tot"),
+                (
+                    F.sum(F.col("cnt") * F.coalesce(F.col("w"), F.lit(0.0)))
+                    / F.sum("cnt")
+                    + F.lit(bias)
+                ).alias("m"),
+            )
+            .select(
+                "k",
+                "tot",
+                (
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))
+                    - F.col("y")
+                ).alias("resid"),
+            )
+        )
+        # gradient: symmetric labeled-set-scaled join → merge-pinned
+        # (round-7 AQE-broadcast lesson); the bias gradient rides along
+        # as sentinel bucket −1, so each iteration is ONE job collecting
+        # ≤ n_buckets + 1 rounded doubles (AQE reuses the margins
+        # exchange between the two branches)
+        grad_rows = (
+            labeled.join(margins.hint("merge"), "k")
+            .groupBy("bucket")
+            .agg(
+                F.round(
+                    F.sum(F.col("resid") * F.col("cnt") / F.col("tot"))
+                    / n,
+                    round_dp,
+                ).alias("g")
+            )
+            .unionByName(
+                margins.agg(
+                    F.round(F.sum("resid") / n, round_dp).alias("g")
+                ).select(F.lit(-1).cast("bigint").alias("bucket"), "g")
+            )
+            .collect()
+        )
+        for r in grad_rows:
+            b = r["bucket"]
+            if b < 0:
+                bias -= lr * r["g"]
+            else:
+                weights[b] -= lr * (r["g"] + l2 * weights[b])
+        weights = [round(w, round_dp + 3) for w in weights]
+        bias = round(bias, round_dp + 3)
+
+    return {
+        "n_buckets": n_buckets,
+        "bias": bias,
+        "weights": weights,
+        "iters": iters,
+        "lr": lr,
+        "l2": l2,
+        "n_pos": n_pos,
+        "n_neg": n_neg,
+    }
+
+
+def save_model(model: dict, path: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(model, f)
+    os.replace(tmp, path)
+
+
+def load_model(path: str) -> dict:
+    with open(path) as f:
+        model = json.load(f)
+    for key in ("n_buckets", "bias", "weights"):
+        if key not in model:
+            raise ValueError(f"quality model {path!r} missing {key!r}")
+    if len(model["weights"]) != model["n_buckets"]:
+        raise ValueError(
+            f"quality model {path!r}: {len(model['weights'])} weights "
+            f"for n_buckets={model['n_buckets']}"
+        )
+    return model
+
+
+def score_quality(
+    docs: DataFrame,
+    model: dict,
+    *,
+    id_col: str = "doc_id",
+    text: str = "text",
+    round_dp: int = 6,
+) -> DataFrame:
+    """(id, n_feats, q_score) with q_score = σ(bias + Σ w[b]·x_b)
+    rounded ``round_dp`` — the corpus-scale serving path: the model is a
+    broadcast ≤ n_buckets-row relation, the corpus crosses exactly one
+    skew-free doc-id exchange (the margin aggregation).  Zero-feature
+    docs are absent (module docstring)."""
+    n_buckets = model["n_buckets"]
+    spark = docs.sparkSession
+    w_rel = spark.createDataFrame(
+        [(b, w) for b, w in enumerate(model["weights"]) if w != 0.0]
+        or [(0, 0.0)],
+        "bucket bigint, w double",
+    )
+    feats = hashed_features(
+        docs, id_col=id_col, text=text, n_buckets=n_buckets
+    )
+    per_bucket = feats.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    sig = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(
+            -(
+                F.lit(float(model["bias"]))
+                + F.sum(F.col("cnt") * F.coalesce(F.col("w"), F.lit(0.0)))
+                / F.sum("cnt")
+            )
+        )
+    )
+    return (
+        per_bucket.join(F.broadcast(w_rel), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_feats"),
+            F.round(sig, round_dp).alias("q_score"),
+        )
+    )
+
+
+def brute_force_reference(
+    texts_pos: list[str],
+    texts_neg: list[str],
+    *,
+    n_buckets: int,
+    iters: int,
+    lr: float,
+    l2: float,
+    round_dp: int = 6,
+    bucket_fn=None,
+) -> tuple[float, list[float]]:
+    """Pure-Python rederivation of the SAME training loop (for tests):
+    given the per-text bucket lists from ``bucket_fn``, runs the
+    identical rounded full-batch GD and returns (bias, weights)."""
+    docs = []
+    for y, texts in ((1.0, texts_pos), (0.0, texts_neg)):
+        for t in texts:
+            buckets = bucket_fn(t)
+            if buckets:
+                hist: dict[int, float] = {}
+                for b in buckets:
+                    hist[b] = hist.get(b, 0.0) + 1.0
+                tot = sum(hist.values())
+                docs.append((y, {b: c / tot for b, c in hist.items()}))
+    n = float(len(docs))
+    weights = [0.0] * n_buckets
+    bias = 0.0
+    for _ in range(iters):
+        grad: dict[int, float] = {}
+        g_bias = 0.0
+        for y, x in docs:
+            m = bias + sum(weights[b] * v for b, v in x.items())
+            resid = 1.0 / (1.0 + math.exp(-m)) - y
+            g_bias += resid
+            for b, v in x.items():
+                grad[b] = grad.get(b, 0.0) + resid * v
+        for b, g in grad.items():
+            weights[b] -= lr * (round(g / n, round_dp) + l2 * weights[b])
+        bias -= lr * round(g_bias / n, round_dp)
+        weights = [round(w, round_dp + 3) for w in weights]
+        bias = round(bias, round_dp + 3)
+    return bias, weights

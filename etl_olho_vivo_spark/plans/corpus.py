@@ -147,6 +147,8 @@ def run_corpus(
     dsir_sampled: bool = False,
     dsir_seed: int = 0,
     dsir_buckets: int | None = None,
+    quality_model_path: str | None = None,
+    quality_min_score: float | None = None,
 ) -> dict[str, int]:
     """Documents table → cleaned corpus parquet.  Returns per-stage counts.
 
@@ -205,6 +207,29 @@ def run_corpus(
             "the DSIR stage does not run and the corpus would ship "
             "unfiltered"
         )
+    if quality_model_path is not None and quality_min_score is None:
+        # same pairing rule as dsir_target_dir/dsir_min_logw: the
+        # threshold IS the selection, never defaulted inline
+        raise ValueError(
+            "quality_model_path requires quality_min_score (an absolute "
+            "probability floor in [0, 1])"
+        )
+    if quality_model_path is None and quality_min_score is not None:
+        raise ValueError(
+            "quality_min_score requires quality_model_path — without a "
+            "model the classifier gate does not run and the corpus "
+            "would ship unfiltered"
+        )
+    if quality_min_score is not None and not 0.0 <= quality_min_score <= 1.0:
+        raise ValueError(
+            f"quality_min_score must be in [0, 1], got {quality_min_score}"
+        )
+    if quality_model_path is not None:
+        from etl_olho_vivo_spark.operators import quality as qops
+
+        # validate-before-work: a missing/malformed model file must die
+        # here, not after the shuffling dedup stages
+        quality_model = qops.load_model(quality_model_path)
     if snapshot_filter_dir is not None and not (0.0 < snapshot_overlap <= 1.0):
         raise ValueError(
             f"snapshot_overlap must be in (0, 1], got {snapshot_overlap}"
@@ -405,6 +430,23 @@ def run_corpus(
                 kept.join(failing, "doc_id", "left_anti")
             )
             stats["lm_filter"] = kept.count()
+
+        if quality_model_path is not None:
+            # trained-classifier gate (operators/quality.py, the
+            # FineWeb-Edu/DCLM filter): score survivors under the
+            # offline-trained logistic model (weights broadcast, one
+            # skew-free doc-id aggregation) and keep docs at or above
+            # the ABSOLUTE probability floor.  Anti-join on the FAILING
+            # side: a zero-feature doc has no score row — no evidence —
+            # and passes through, the same contract as the LM and DSIR
+            # gates above/below.
+            failing_q = qops.score_quality(
+                kept.select("doc_id", "text"), quality_model
+            ).filter(F.col("q_score") < quality_min_score).select("doc_id")
+            kept = stage_caches.add(
+                kept.join(failing_q, "doc_id", "left_anti")
+            )
+            stats["quality_classifier"] = kept.count()
 
         if c4:
             # page-level C4 rejection on the cleaned text (per-row

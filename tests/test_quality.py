@@ -1,0 +1,267 @@
+"""Trained quality classifier (operators/quality.py) — brute-force
+training parity (pure-Python rederivation, hashlib md5), cross-engine
+scoring oracle (dynamic DuckDB SQL over the trained weights),
+partitioning invariance, gate integration, and plan-shape pins.
+
+Training is iterative (driver-looped full-batch GD) and therefore not
+expressible as one static oracle_sql() string — so unlike the DSIR row
+there is no registry entry; the cross-engine evidence lives HERE: the
+scoring path (hash → bucket counts → broadcast-weights sigmoid) is
+verified against DuckDB running the SAME md5 bucket arithmetic with the
+trained weights injected as a VALUES relation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_olho_vivo_spark.caching import CacheBag
+from etl_olho_vivo_spark.functions.hashing import MIX, P, duck_token_hash
+from etl_olho_vivo_spark.operators import quality
+
+B = 64  # small on purpose: every bucket collides
+
+
+def _tok(w: str) -> int:
+    return int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+
+
+def _feats(text: str, b: int) -> list[int]:
+    ws = [_tok(w) for w in text.split(" ")]
+    out = [h % b for h in ws]
+    out += [((ws[i] * MIX + ws[i + 1]) % P) % b for i in range(len(ws) - 1)]
+    return out
+
+
+POS_VOCAB = [
+    "the", "quick", "brown", "fox", "jumps", "over", "a", "lazy", "dog",
+    "and", "runs", "home", "before", "dark",
+]
+NEG_VOCAB = [
+    "zzz", "qq1", "xx2", "kk3", "vv4", "jj5", "ww6", "pp7", "the", "a",
+]
+
+
+def _corpus(seed: int, n: int, vocab: list[str]) -> list[tuple[int, str]]:
+    rng = random.Random(seed)
+    return [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12))))
+        for i in range(n)
+    ]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def trained(spark):
+    pos = _corpus(1, 15, POS_VOCAB)
+    neg = _corpus(2, 15, NEG_VOCAB)
+    bag = CacheBag()
+    try:
+        model = quality.train_quality_classifier(
+            _df(spark, pos), _df(spark, neg),
+            n_buckets=B, iters=6, lr=1.0, l2=1e-4, caches=bag,
+        )
+    finally:
+        bag.release()
+    return pos, neg, model
+
+
+def test_train_matches_python_brute_force(spark, trained):
+    pos, neg, model = trained
+    bias, weights = quality.brute_force_reference(
+        [t for _, t in pos], [t for _, t in neg],
+        n_buckets=B, iters=6, lr=1.0, l2=1e-4,
+        bucket_fn=lambda t: _feats(t, B),
+    )
+    # per-iteration 6-dp gradient rounding crushes the sum-order ulp
+    # noise; allow a couple of quanta of accumulated slack
+    assert abs(model["bias"] - bias) < 5e-6, (model["bias"], bias)
+    diffs = [abs(a - b) for a, b in zip(model["weights"], weights)]
+    assert max(diffs) < 5e-6, max(diffs)
+    assert model["n_pos"] == 15 and model["n_neg"] == 15
+
+
+def test_training_is_partitioning_invariant(spark, trained):
+    pos, neg, model = trained
+    bag = CacheBag()
+    try:
+        hostile = quality.train_quality_classifier(
+            _df(spark, pos).repartition(7, "text"),
+            _df(spark, neg).repartition(3),
+            n_buckets=B, iters=6, lr=1.0, l2=1e-4, caches=bag,
+        )
+    finally:
+        bag.release()
+    assert hostile["bias"] == model["bias"]
+    assert hostile["weights"] == model["weights"]
+
+
+def test_scores_separate_classes(spark, trained):
+    pos, neg, model = trained
+    held_pos = _corpus(31, 10, POS_VOCAB)
+    held_neg = _corpus(32, 10, NEG_VOCAB)
+    rows = [(i, t) for i, (_, t) in enumerate(held_pos)] + [
+        (100 + i, t) for i, (_, t) in enumerate(held_neg)
+    ]
+    got = {
+        r["doc_id"]: r["q_score"]
+        for r in quality.score_quality(_df(spark, rows), model).collect()
+    }
+    pos_scores = [got[i] for i in range(10)]
+    neg_scores = [got[100 + i] for i in range(10)]
+    assert min(pos_scores) > max(neg_scores), (pos_scores, neg_scores)
+
+
+def test_score_matches_duckdb_oracle(spark, trained):
+    import duckdb
+
+    pos, neg, model = trained
+    rows = _corpus(77, 30, POS_VOCAB + NEG_VOCAB)
+    got = sorted(
+        tuple(r)
+        for r in quality.score_quality(_df(spark, rows), model)
+        .select("doc_id", "n_feats", "q_score")
+        .collect()
+    )
+    values = ", ".join(
+        f"({b}, {w!r})"
+        for b, w in enumerate(model["weights"])
+        if w != 0.0
+    ) or "(0, 0.0)"
+    wh = f"list_transform(string_split(text, ' '), w -> {duck_token_hash('w')})"
+    bigram = f"(((wh[i+1] * {MIX} + wh[i+2]) % {P}) % {B})"
+    sql = f"""
+WITH docs(doc_id, text) AS (VALUES {', '.join(f"({i}, {t!r})" for i, t in rows)}),
+wt(bucket, w) AS (VALUES {values}),
+wharr AS (SELECT doc_id, {wh} AS wh FROM docs),
+f AS (
+  SELECT doc_id, unnest(
+    list_transform(wh, h -> h % {B})
+    || CASE WHEN len(wh) >= 2 THEN
+         list_transform(range(0, len(wh) - 1), i -> {bigram})
+       ELSE CAST([] AS BIGINT[]) END
+  ) AS bucket
+  FROM wharr
+),
+pb AS (SELECT doc_id, bucket, count(*) AS cnt FROM f GROUP BY doc_id, bucket)
+SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+       round(1.0 / (1.0 + exp(-(CAST({model['bias']!r} AS DOUBLE)
+             + sum(cnt * coalesce(wt.w, 0.0)) / sum(cnt)))), 6) AS q_score
+FROM pb LEFT JOIN wt USING (bucket)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+    want = sorted(tuple(r) for r in duckdb.execute(sql).fetchall())
+    assert len(got) == len(want) == 30
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1], (g, w)
+        assert abs(g[2] - w[2]) < 2e-6, (g, w)
+
+
+def test_zero_feature_docs_absent_from_scores(spark, trained):
+    # NULL text → NULL token array → no feature rows → no score row
+    # (empty STRING text still tokenizes to one empty token under the
+    # engine-wide split-on-space convention, same as DSIR)
+    _, _, model = trained
+    rows = [(1, "hello world"), (3, None)]
+    got = quality.score_quality(_df(spark, rows), model).collect()
+    assert {r["doc_id"] for r in got} == {1}
+
+
+def test_validation_errors(spark, trained):
+    pos, neg, model = trained
+    with pytest.raises(ValueError, match="n_buckets"):
+        quality.train_quality_classifier(
+            _df(spark, pos), _df(spark, neg), n_buckets=0
+        )
+    with pytest.raises(ValueError, match="iters"):
+        quality.train_quality_classifier(
+            _df(spark, pos), _df(spark, neg), iters=0
+        )
+    with pytest.raises(ValueError, match="BOTH classes"):
+        quality.train_quality_classifier(
+            _df(spark, pos), _df(spark, [(2, None)]),
+            n_buckets=B, iters=1,
+        )
+    bad = dict(model, weights=model["weights"][:-1])
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "m.json")
+        with open(path, "w") as f:
+            json.dump(bad, f)
+        with pytest.raises(ValueError, match="weights"):
+            quality.load_model(path)
+
+
+def test_scoring_plan_is_broadcast_and_single_corpus_exchange(
+    spark, trained
+):
+    _, _, model = trained
+    rows = _corpus(5, 50, POS_VOCAB)
+    df = quality.score_quality(_df(spark, rows), model)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    # model weights reach the corpus via broadcast, never a shuffle of
+    # the feature frame against the weights
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.sweep
+def test_quality_train_cli_then_corpus_gate(spark, tmp_path, capsys):
+    """The operated loop: quality-train persists the model JSON, corpus
+    --quality-model gates on it — a 0.0 floor keeps every survivor, a
+    1.0 floor drops every FEATURED doc (zero-feature docs pass through
+    on the no-evidence contract), and the flag pairing is validated."""
+    from etl_olho_vivo_spark.__main__ import main
+    from etl_olho_vivo_spark.plans.corpus import run_corpus
+
+    sf = "/root/testdata/sf0.001"
+    posdir, negdir = str(tmp_path / "pos"), str(tmp_path / "neg")
+    _df(spark, _corpus(1, 20, POS_VOCAB)).write.parquet(posdir)
+    _df(spark, _corpus(2, 20, NEG_VOCAB)).write.parquet(negdir)
+    model_path = str(tmp_path / "model.json")
+    rc = main([
+        "quality-train", "--pos", posdir, "--neg", negdir,
+        "--out", model_path, "--buckets", str(B), "--iters", "4",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_pos"] == 20 and summary["n_neg"] == 20
+    model = quality.load_model(model_path)
+    assert len(model["weights"]) == B
+
+    out_all = str(tmp_path / "corpus_all")
+    stats_all = run_corpus(
+        spark, sf, out_all,
+        quality_model_path=model_path, quality_min_score=0.0,
+    )
+    out_none = str(tmp_path / "corpus_none")
+    stats_none = run_corpus(
+        spark, sf, out_none,
+        quality_model_path=model_path, quality_min_score=1.0,
+    )
+    assert stats_all["quality_classifier"] == stats_all["quality"]
+    # every surviving doc has tokens (min_tokens gate) → features → a
+    # score < 1.0, so the 1.0 floor drops all of them
+    assert stats_none["quality_classifier"] == 0
+
+    with pytest.raises(ValueError, match="requires quality_min_score"):
+        run_corpus(spark, sf, str(tmp_path / "x"),
+                   quality_model_path=model_path)
+    with pytest.raises(ValueError, match="requires quality_model_path"):
+        run_corpus(spark, sf, str(tmp_path / "x"), quality_min_score=0.5)
+    with pytest.raises(ValueError, match="must be in"):
+        run_corpus(spark, sf, str(tmp_path / "x"),
+                   quality_model_path=model_path, quality_min_score=1.5)
