@@ -837,6 +837,34 @@ def simhash_near_dups(
     breaks (a qualifying pair could differ in every segment) — rejected
     loudly rather than silently losing recall.
     """
+    sims = simhash(df, text, bits).select("doc_id", "simhash")
+    return hamming_near_dups(
+        sims,
+        hash_col="simhash",
+        bits=bits,
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+    )
+
+
+def hamming_near_dups(
+    hashes: DataFrame,
+    *,
+    hash_col: str,
+    bits: int,
+    max_hamming: int,
+    n_bands: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Generic pigeonhole Hamming pairing over ANY b-bit integer hash
+    column (SimHash for text, dHash for images): split the hash into
+    ``n_bands`` contiguous segments, equi-join on (band, segment) —
+    any pair within Hamming ≤ n_bands − 1 agrees on at least one
+    segment — then verify exactly with ``bit_count(a XOR b)``.
+    Segment extraction uses ``shiftrightunsigned`` so full-width 64-bit
+    hashes (stored as SIGNED longs, possibly negative) band correctly;
+    for non-negative hashes it is bit-identical to the former
+    pow/div arithmetic.  Returns (doc_a, doc_b, hamming)."""
     if max_hamming >= n_bands:
         raise ValueError(
             f"max_hamming={max_hamming} needs n_bands > max_hamming "
@@ -846,11 +874,13 @@ def simhash_near_dups(
     if bits % n_bands:
         raise ValueError(f"bits={bits} not divisible by n_bands={n_bands}")
     w = bits // n_bands
-    sims = simhash(df, text, bits).select("doc_id", "simhash")
+    sims = hashes.select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("__h__")
+    )
     seg = (
         f"transform(sequence(0, {n_bands - 1}), b -> "
-        f"struct(b AS band, (simhash div CAST(pow(2, b * {w}) AS BIGINT)) "
-        f"% {2 ** w} AS seg))"
+        f"struct(b AS band, shiftrightunsigned(__h__, b * {w}) "
+        f"& {2 ** w - 1} AS seg))"
     )
     banded = sims.select(
         "doc_id", F.explode(F.expr(seg)).alias("bk")
@@ -864,8 +894,8 @@ def simhash_near_dups(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sim_a = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    sim_b = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    sim_a = sims.select(F.col("doc_id").alias("doc_a"), F.col("__h__").alias("ha"))
+    sim_b = sims.select(F.col("doc_id").alias("doc_b"), F.col("__h__").alias("hb"))
     hamming = F.bit_count(F.expr("ha ^ hb"))
     return (
         pairs.hint("merge")

@@ -75,7 +75,7 @@ def attach_media(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _media_parser():
+def _media_parser(pixels: bool = False):
     """Factory for the per-row media feature extractor — defined inside
     a factory (not at module top level) so cloudpickle ships the
     returned function BY VALUE with the mapInPandas closure: Spark's
@@ -145,15 +145,29 @@ def _media_parser():
         if bpp == 24 and compression == 0:
             row = ((w * 3 + 3) // 4) * 4
             if len(payload) >= row * height:
+                import numpy as np
+
                 tot = cnt = 0
+                lines = []
                 for r in range(height):
                     chunk = payload[r * row : r * row + w * 3]
                     tot += sum(chunk)
                     cnt += len(chunk)
-                return w, height, round(tot / cnt, 4) if cnt else None
+                    lines.append(
+                        np.frombuffer(chunk, dtype=np.uint8)
+                        .reshape(w, 3)
+                        .mean(axis=1)
+                    )
+                # BMP rows are bottom-up unless height was negative
+                gray = np.stack(lines[::-1] if h > 0 else lines)
+                return (
+                    w, height,
+                    round(tot / cnt, 4) if cnt else None,
+                    gray,
+                )
         if payload:
-            return w, height, round(sum(payload) / len(payload), 4)
-        return w, height, None
+            return w, height, round(sum(payload) / len(payload), 4), None
+        return w, height, None, None
 
     def parse_pnm(m: bytes):
         # P5/P6 header: magic, width, height, maxval — whitespace
@@ -189,7 +203,16 @@ def _media_parser():
         payload = m[pos + 1 : pos + 1 + need]
         if len(payload) < need:
             return None
-        return w, h, round(sum(payload) / len(payload), 4)
+        gray = None
+        if sample == 1:
+            import numpy as np
+
+            gray = (
+                np.frombuffer(payload, dtype=np.uint8)
+                .reshape(h, w, channels)
+                .mean(axis=2)
+            )
+        return w, h, round(sum(payload) / len(payload), 4), gray
 
     def parse_png(m: bytes):
         # PNG (round 10): the dominant real-corpus raster format,
@@ -245,6 +268,7 @@ def _media_parser():
         bpp = channels  # bytes per pixel at depth 8
         prev = bytearray(stride)
         tot = 0
+        lines = []
         for r in range(h):
             off = r * (1 + stride)
             ft = raw[off]
@@ -275,8 +299,16 @@ def _media_parser():
             else:
                 return None
             tot += sum(line)
+            lines.append(bytes(line))
             prev = line
-        return w, h, round(tot / (h * stride), 4)
+        import numpy as np
+
+        gray = (
+            np.frombuffer(b"".join(lines), dtype=np.uint8)
+            .reshape(h, w, channels)
+            .mean(axis=2)
+        )
+        return w, h, round(tot / (h * stride), 4), gray
 
     def parse_jpeg(m: bytes):
         # JPEG (round 10): baseline sequential DCT (SOF0/SOF1), the
@@ -548,6 +580,7 @@ def _media_parser():
                 full.append(p[:h, :w].astype(np.float64))
             if len(full) == 1:
                 mean = float(full[0].mean())
+                gray = full[0]
             else:  # JFIF YCbCr → RGB, then mean over all three samples
                 y, cb, cr = full
                 r = y + 1.402 * (cr - 128.0)
@@ -555,14 +588,15 @@ def _media_parser():
                 b = y + 1.772 * (cb - 128.0)
                 rgb = np.clip(np.rint(np.stack([r, g, b])), 0, 255)
                 mean = float(rgb.mean())
-            return w, h, round(mean, 4)
+                gray = rgb.mean(axis=0)
+            return w, h, round(mean, 4), gray
         except (_Bad, IndexError, ValueError):
             return None
 
     def parse(media):
         # NULL media (null text upstream) → NULL features, never a crash
         if media is None:
-            return None, None, None, None, None, None
+            return (None,) * (7 if pixels else 6)
         m = bytes(media)
         n = len(m)
         checksum = sum(m) % 2147483647
@@ -580,9 +614,12 @@ def _media_parser():
             parsed = parse_jpeg(m)
             kind = "jpeg"
         if parsed is None:
-            return n, checksum, "opaque", checksum % 640, checksum % 480, None
-        w, h, mean = parsed
-        return n, checksum, kind, w, h, mean
+            out = (n, checksum, "opaque", checksum % 640, checksum % 480,
+                   None)
+            return out + (None,) if pixels else out
+        w, h, mean, gray = parsed
+        out = (n, checksum, kind, w, h, mean)
+        return out + (gray,) if pixels else out
 
     return parse
 
@@ -884,3 +921,116 @@ def sample_frames(
             )
 
     return df.select(id_col, "media").mapInPandas(batches, FRAME_SCHEMA)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def _dhash_fn():
+    """Factory for the 64-bit difference-hash (dHash) over a decoded
+    grayscale grid — the standard perceptual fingerprint for image
+    near-dup at corpus scale (LAION-style dedup): block-mean the grid
+    to 8×9 cells, emit one bit per horizontal neighbor pair
+    (``right > left``).  Gradient SIGNS survive uniform brightness and
+    scale changes, so re-encoded/resized copies collide while distinct
+    images differ in ~32 bits.  Deterministic: block boundaries come
+    from integer linspace, ties (==) are 0.  Shipped by value inside
+    the mapInPandas closure like the parsers."""
+
+    def dhash(gray):
+        import numpy as np
+
+        if gray is None:
+            return None
+        g = np.asarray(gray, dtype=np.float64)
+        if g.ndim != 2 or g.size == 0:
+            return None
+        h, w = g.shape
+        # tiny images: integer-repeat up to the cell grid first
+        if h < 8:
+            g = np.repeat(g, -(-8 // h), axis=0)
+        if w < 9:
+            g = np.repeat(g, -(-9 // w), axis=1)
+        h, w = g.shape
+        rb = np.linspace(0, h, 9).astype(np.int64)
+        cb = np.linspace(0, w, 10).astype(np.int64)
+        cells = np.empty((8, 9))
+        for i in range(8):
+            for j in range(9):
+                cells[i, j] = g[rb[i]:rb[i + 1], cb[j]:cb[j + 1]].mean()
+        val = 0
+        for i in range(8):
+            for j in range(8):
+                if cells[i, j + 1] > cells[i, j]:
+                    val |= 1 << (i * 8 + j)
+        return val - (1 << 64) if val >= (1 << 63) else val  # signed i64
+
+    return dhash
+
+
+def image_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched perceptual fingerprinting over the binary column:
+    decode (same parsers as ``decode_media``, pixel-grid variant) →
+    64-bit dHash.  Non-raster / corrupt media yield a NULL dhash (the
+    opaque contract) and simply never pair."""
+    parse = _media_parser(pixels=True)
+    dhash = _dhash_fn()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [parse(m) for m in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "media_kind": pd.Series(
+                        [r[2] for r in rows], dtype="object"
+                    ),
+                    "width": pd.Series([r[3] for r in rows], dtype="Int32"),
+                    "height": pd.Series(
+                        [r[4] for r in rows], dtype="Int32"
+                    ),
+                    "dhash": pd.Series(
+                        [dhash(r[6]) for r in rows], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(batches, DHASH_SCHEMA)
+
+
+def image_near_dups(
+    df: DataFrame,
+    *,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Image near-duplicate pairs: dHash fingerprints + the generic
+    pigeonhole Hamming pairing (``dedup.hamming_near_dups``, the same
+    construction SimHash uses for text).  Returns (doc_a, doc_b,
+    hamming).  100 TB shape: ONE Arrow decode pass emits 64-bit
+    fingerprints (the images themselves never shuffle); banding
+    equi-joins slim (band, segment) keys — never a cross product; the
+    exact ``bit_count`` verify touches only banded candidates.  The
+    decode is the costly stage and is embarrassingly parallel —
+    partition count is the dial, and a persisted fingerprint table
+    (like the MinHash signature store) turns re-runs incremental."""
+    from etl_olho_vivo_spark.operators.dedup import hamming_near_dups
+
+    hashes = image_dhash(df, id_col).filter(F.col("dhash").isNotNull())
+    return hamming_near_dups(
+        hashes,
+        hash_col="dhash",
+        bits=64,
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        id_col="doc_id",
+    )

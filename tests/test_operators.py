@@ -2403,3 +2403,117 @@ def test_decode_jpeg_ac_coefficients_and_restarts(spark):
         b"\xff\xda", b"\xff\xdd\x00\x04\x00\x01\xff\xda", 1
     )
     assert parse(broken)[2] == "opaque"
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual-hash near-dup (dHash + generic Hamming banding)
+# ---------------------------------------------------------------------------
+
+def _p5(width, height, rows):
+    return (f"P5 {width} {height} 255\n").encode() + b"".join(rows)
+
+
+def test_image_dhash_pins_and_invariances(spark):
+    """dHash is pinned on analytically-known grids (strictly increasing
+    columns ⇒ all 64 bits ⇒ signed -1; decreasing ⇒ 0), is invariant
+    under uniform brightness shift and under container format (the same
+    pixels as PNM and PNG hash identically), and NULLs out for
+    non-raster media."""
+    import numpy as np
+
+    dhash = multimodal._dhash_fn()
+
+    inc = np.tile(np.arange(16) * 10.0, (16, 1))
+    assert dhash(inc) == -1
+    assert dhash(inc[:, ::-1].copy()) == 0
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(30, 200, size=(24, 32)).astype(np.float64)
+    assert dhash(base) == dhash(base + 20.0)  # brightness invariance
+
+    parse = multimodal._media_parser(pixels=True)
+    rows = [bytes(base[r].astype(np.uint8)) for r in range(24)]
+    pnm = _p5(32, 24, rows)
+    png = _make_png(32, 24, rows, 0, filters=[0, 1, 2, 3, 4])
+    g_pnm = parse(pnm)[6]
+    g_png = parse(png)[6]
+    assert g_pnm is not None and g_png is not None
+    assert dhash(g_pnm) == dhash(g_png) == dhash(base)
+
+    assert parse(b"just text media")[6] is None
+    assert dhash(None) is None
+    # tiny images upsample to the cell grid instead of crashing
+    assert dhash(np.array([[1.0, 2.0], [3.0, 4.0]])) is not None
+
+
+def test_image_near_dups_matches_brute_force(spark):
+    """Operator pairs == pure-Python all-pairs Hamming over the same
+    fingerprints (banding is lossless for max_hamming <= n_bands - 1):
+    perturbed copies pair with small distances, unrelated images don't,
+    and text media never pairs."""
+    import numpy as np
+
+    dhash = multimodal._dhash_fn()
+    rng = np.random.RandomState(42)
+    fixtures = {}
+    doc = 0
+    bases = []
+    for b in range(6):
+        img = rng.randint(20, 230, size=(24, 32)).astype(np.float64)
+        bases.append(img)
+        doc += 1
+        fixtures[doc] = img
+        # a copy with a small local perturbation (one cell region)
+        near = img.copy()
+        near[0:3, 0:4] = np.clip(near[0:3, 0:4] + 60.0, 0, 255)
+        doc += 1
+        fixtures[doc] = near
+
+    rows = []
+    for d, img in fixtures.items():
+        payload = [bytes(img[r].astype(np.uint8)) for r in range(24)]
+        rows.append((d, bytearray(_p5(32, 24, payload))))
+    rows.append((99, bytearray(b"opaque text, never pairs")))
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in multimodal.image_near_dups(
+            df, max_hamming=7, n_bands=8
+        ).collect()
+    )
+    hashes = {
+        d: dhash(img) & ((1 << 64) - 1) for d, img in fixtures.items()
+    }
+    ids = sorted(hashes)
+    want = sorted(
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 7
+    )
+    assert got == want, (got[:5], want[:5])
+    # every perturbed copy must actually pair with its base
+    paired = {(a, b) for a, b, _ in got}
+    for b in range(6):
+        assert (2 * b + 1, 2 * b + 2) in paired, (b, got)
+    assert all(99 not in (a, b) for a, b in paired)
+
+
+def test_image_near_dups_plan_is_merge_banded(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    rows = []
+    for d in range(8):
+        img = rng.randint(0, 255, size=(16, 16)).astype(np.uint8)
+        payload = [bytes(img[r]) for r in range(16)]
+        rows.append((d, bytearray(_p5(16, 16, payload))))
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = multimodal.image_near_dups(df)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in final
+    assert "BroadcastHashJoin" not in final
+    assert "CartesianProduct" not in final
