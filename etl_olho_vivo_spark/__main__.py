@@ -294,6 +294,20 @@ def _build_parser() -> argparse.ArgumentParser:
                      action="store_true")
     cst.add_argument("--c4", dest="stream_c4", action="store_true")
     cst.add_argument(
+        "--quality-model", dest="stream_quality_model", default=None,
+        metavar="MODEL_JSON",
+        help="trained classifier gate for the admit loop (see "
+        "quality-train): loaded once at start-up and FROZEN for the "
+        "stream's lifetime, like --snapshot-filter; applied after the "
+        "per-row gates, before signatures",
+    )
+    cst.add_argument(
+        "--quality-min-score", dest="stream_quality_min_score",
+        type=float, default=None, metavar="P",
+        help="absolute probability floor for --quality-model (required "
+        "with it)",
+    )
+    cst.add_argument(
         "--snapshot-filter", dest="stream_snapshot_filter",
         default=None, metavar="FILTER_DIR",
         help="reject batch docs whose 3-gram overlap with a previous "
@@ -721,6 +735,8 @@ def main(argv: list[str] | None = None) -> int:
             gates=gates or None,
             snapshot_filter_dir=args.stream_snapshot_filter,
             snapshot_overlap=args.stream_snapshot_overlap,
+            quality_model_path=args.stream_quality_model,
+            quality_min_score=args.stream_quality_min_score,
         )
         q.awaitTermination()
         try:

@@ -104,6 +104,8 @@ def admit_batch(
     gates: dict | None = None,
     snapshot_filter: "tuple[DataFrame, int, int] | None" = None,
     snapshot_overlap: float = 0.5,
+    quality_model: dict | None = None,
+    quality_min_score: float | None = None,
 ) -> None:
     """Admit one micro-batch: dedup in-batch + vs store, append survivors.
 
@@ -140,6 +142,15 @@ def admit_batch(
     long-running stream loads (and persists) it ONCE rather than paying
     the parquet listing/scan per micro-batch; ``run_corpus_stream``
     does exactly that.
+
+    ``quality_model`` applies the trained classifier gate
+    (operators/quality.py) right after the per-row gates, before
+    signatures — the streaming analog of the batch pipeline's
+    ``--quality-model``: the model stays FROZEN for the stream's
+    lifetime (retrain offline, restart to pick up new weights, the same
+    contract as the frozen snapshot filter), scoring is a broadcast
+    weights join with cost ∝ batch, and zero-feature docs pass through
+    on the no-evidence contract.
     """
     from etl_olho_vivo_spark.io.fsutil import assert_no_pending_swap
 
@@ -153,6 +164,17 @@ def admit_batch(
         from etl_olho_vivo_spark.plans.corpus import gate_documents
 
         batch = gate_documents(batch, text=text, **gates)
+    if quality_model is not None:
+        from etl_olho_vivo_spark.operators.quality import score_quality
+
+        failing_q = (
+            score_quality(
+                batch.select("doc_id", text), quality_model, text=text
+            )
+            .filter(F.col("q_score") < quality_min_score)
+            .select("doc_id")
+        )
+        batch = batch.join(failing_q, "doc_id", "left_anti")
     with CacheBag() as bag:
         if snapshot_filter is not None:
             from etl_olho_vivo_spark.operators import bloom as bloomop
@@ -291,6 +313,8 @@ def run_corpus_stream(
     gates: dict | None = None,
     snapshot_filter_dir: str | None = None,
     snapshot_overlap: float = 0.5,
+    quality_model_path: str | None = None,
+    quality_min_score: float | None = None,
 ):
     """Start the continuous ingestion query over a streaming documents
     frame (any readStream source with doc_id + text columns).
@@ -336,6 +360,27 @@ def run_corpus_stream(
         filt, nb, nh = bloomop.read_bloom_filter(spark, snapshot_filter_dir)
         snapshot_filter = (SESSION_BAG.add(filt), nb, nh)
 
+    quality_model = None
+    if quality_model_path is not None:
+        if quality_min_score is None:
+            raise ValueError(
+                "quality_model_path requires quality_min_score (same "
+                "pairing contract as the batch pipeline)"
+            )
+        if not 0.0 <= quality_min_score <= 1.0:
+            raise ValueError(
+                f"quality_min_score must be in [0, 1], got "
+                f"{quality_min_score}"
+            )
+        from etl_olho_vivo_spark.operators.quality import load_model
+
+        # loaded + validated ONCE at start-up; frozen for the stream
+        quality_model = load_model(quality_model_path)
+    elif quality_min_score is not None:
+        raise ValueError(
+            "quality_min_score requires quality_model_path"
+        )
+
     if gates:
         # fail at start-up on a bad gate config, not inside the first
         # foreachBatch: probe the gate composition on an empty frame
@@ -365,6 +410,8 @@ def run_corpus_stream(
             gates=gates,
             snapshot_filter=snapshot_filter,
             snapshot_overlap=snapshot_overlap,
+            quality_model=quality_model,
+            quality_min_score=quality_min_score,
         )
 
     writer = (

@@ -265,3 +265,65 @@ def test_quality_train_cli_then_corpus_gate(spark, tmp_path, capsys):
     with pytest.raises(ValueError, match="must be in"):
         run_corpus(spark, sf, str(tmp_path / "x"),
                    quality_model_path=model_path, quality_min_score=1.5)
+
+
+@pytest.mark.sweep
+def test_streaming_quality_gate(spark, trained, tmp_path):
+    """The streaming admit loop applies the frozen classifier gate
+    before signatures: reference-like docs are admitted, gibberish is
+    rejected, the store mirrors the corpus, and the flag pairing is
+    validated at start-up."""
+    from etl_olho_vivo_spark.streaming.corpus_stream import (
+        run_corpus_stream,
+    )
+
+    pos, neg, model = trained
+    held_pos = [(i, t) for i, (_, t) in enumerate(_corpus(51, 6, POS_VOCAB))]
+    held_neg = [
+        (100 + i, t) for i, (_, t) in enumerate(_corpus(52, 6, NEG_VOCAB))
+    ]
+    scores = {
+        r["doc_id"]: r["q_score"]
+        for r in quality.score_quality(
+            _df(spark, held_pos + held_neg), model
+        ).collect()
+    }
+    floor = (
+        min(scores[i] for i, _ in held_pos)
+        + max(scores[i] for i, _ in held_neg)
+    ) / 2
+
+    landing = str(tmp_path / "landing")
+    _df(spark, held_pos + held_neg).write.parquet(landing)
+    model_path = str(tmp_path / "model.json")
+    quality.save_model(model, model_path)
+
+    dirs = {
+        k: str(tmp_path / k) for k in ("corpus", "store", "ckpt")
+    }
+    schema = spark.read.parquet(landing).schema
+    q = run_corpus_stream(
+        spark.readStream.schema(schema).parquet(landing),
+        dirs["corpus"], dirs["store"], dirs["ckpt"],
+        quality_model_path=model_path, quality_min_score=floor,
+    )
+    q.awaitTermination()
+    got = {r["doc_id"] for r in spark.read.parquet(dirs["corpus"]).collect()}
+    assert got == {i for i, _ in held_pos}, got
+    stored = {
+        r["doc_id"] for r in spark.read.parquet(dirs["store"]).collect()
+    }
+    assert stored == got  # store mirrors the admitted corpus
+
+    with pytest.raises(ValueError, match="requires quality_min_score"):
+        run_corpus_stream(
+            spark.readStream.schema(schema).parquet(landing),
+            dirs["corpus"], dirs["store"], str(tmp_path / "c2"),
+            quality_model_path=model_path,
+        )
+    with pytest.raises(ValueError, match="requires quality_model_path"):
+        run_corpus_stream(
+            spark.readStream.schema(schema).parquet(landing),
+            dirs["corpus"], dirs["store"], str(tmp_path / "c3"),
+            quality_min_score=0.5,
+        )
