@@ -488,6 +488,29 @@ def _build_parser() -> argparse.ArgumentParser:
     qtr.add_argument("--lr", type=float, default=1.0)
     qtr.add_argument("--l2", type=float, default=1e-4)
 
+    qcu = sub.add_parser(
+        "quality-cuts",
+        help="derive the classifier-score floor from a corpus and a "
+        "trained model (offline approxQuantile) and persist it — the "
+        "hand-off that turns a keep-fraction into the absolute "
+        "--quality-min-score the deterministic gate consumes (same "
+        "contract as lm-cuts / dsir-cuts).  Unlike DSIR, classifier "
+        "scores are per-doc stable (fixed weights), so the cut "
+        "transfers exactly between pools with the same score "
+        "distribution",
+    )
+    qcu.add_argument("--in", dest="in_dir", required=True,
+                     help="documents parquet (doc_id, text)")
+    qcu.add_argument("--model", required=True, metavar="MODEL_JSON",
+                     help="trained model from quality-train")
+    qcu.add_argument(
+        "--keep-fractions", default="0.5", metavar="F1,F2,...",
+        help="descending keep fractions in (0,1): each emitted cut is "
+        "the score floor that keeps that fraction of the corpus "
+        "(default 0.5)",
+    )
+    qcu.add_argument("--out", required=True, metavar="JSON_PATH")
+
     blo = sub.add_parser(
         "bloom-build",
         help="build (or extend) a persisted Bloom filter over a "
@@ -1173,6 +1196,72 @@ def main(argv: list[str] | None = None) -> int:
             "nonzero_weights": sum(1 for w in model["weights"] if w),
         }
         print(json.dumps(summary))
+        return 0
+
+    if args.command == "quality-cuts":
+        from etl_olho_vivo_spark.caching import CacheBag
+        from etl_olho_vivo_spark.operators import lm as lmops
+        from etl_olho_vivo_spark.operators import quality as qops
+        from etl_olho_vivo_spark.sources.tables import (
+            pin_parquet_instant_confs,
+        )
+
+        try:
+            keep = [
+                float(x)
+                for x in args.keep_fractions.split(",")
+                if x.strip()
+            ]
+        except ValueError:
+            raise SystemExit(
+                f"--keep-fractions must be comma-separated floats, got "
+                f"{args.keep_fractions!r}"
+            )
+        if not keep or any(not 0.0 < f < 1.0 for f in keep):
+            raise SystemExit(
+                f"--keep-fractions must be inside (0, 1), got {keep}"
+            )
+        if keep != sorted(keep, reverse=True) or len(set(keep)) != len(keep):
+            raise SystemExit(
+                f"--keep-fractions must be strictly descending, got {keep}"
+            )
+        pin_parquet_instant_confs(spark)
+        model = qops.load_model(args.model)
+        docs = spark.read.parquet(args.in_dir)
+        bag = CacheBag()
+        try:
+            # persisted: approxQuantile and the count would each re-run
+            # the feature scan + scoring join from scratch
+            scores = bag.add(
+                qops.score_quality(
+                    docs.select("doc_id", "text"), model
+                )
+            )
+            # keep-fraction f => the (1-f) quantile is the floor (keep
+            # docs with q_score >= cut); descending keep list gives the
+            # ascending fractions the shared quantile helper wants
+            cuts = lmops.entropy_cut_points(
+                scores, tuple(1.0 - f for f in keep), col="q_score"
+            )
+            n_docs = scores.count()
+        finally:
+            bag.release()
+        payload = {
+            "command": "quality-cuts",
+            "model": args.model,
+            "n_buckets": model["n_buckets"],
+            "keep_fractions": keep,
+            "cut_points": cuts,
+            "n_scored_docs": n_docs,
+        }
+        import os as _os
+
+        _os.makedirs(
+            _os.path.dirname(_os.path.abspath(args.out)), exist_ok=True
+        )
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(json.dumps(payload))
         return 0
 
     if args.command == "bloom-build":

@@ -107,6 +107,7 @@ FAST_REPRESENTATIVES = [
     "flatten_roundtrip",       # ingest/flatten
     "minhash_near_dups",       # banded dedup
     "dedup_cluster_keep_best", # clustering + argmax
+    "doc_editdist_near_dup",   # round-10 exact-dup collapse rewrite
     "ivfpq_topk",              # composed ANN serving
     "doc_kneser_ney",          # LM gate (newest scheme)
     "dsir_select",             # importance resampling

@@ -327,3 +327,46 @@ def test_streaming_quality_gate(spark, trained, tmp_path):
             dirs["corpus"], dirs["store"], str(tmp_path / "c3"),
             quality_min_score=0.5,
         )
+
+
+@pytest.mark.sweep
+def test_quality_cuts_hands_off_to_gate(spark, trained, tmp_path, capsys):
+    """quality-cuts derives the score floor offline (keep-fraction →
+    (1−f) quantile) and the cut fed back to corpus --quality-min-score
+    keeps roughly that fraction — the same offline-calibration hand-off
+    as lm-cuts/dsir-cuts.  Classifier scores are per-doc stable (fixed
+    weights), so unlike DSIR the cut transfers exactly."""
+    from etl_olho_vivo_spark.__main__ import main
+    from etl_olho_vivo_spark.plans.corpus import run_corpus
+
+    _, _, model = trained
+    model_path = str(tmp_path / "model.json")
+    quality.save_model(model, model_path)
+
+    sf = "/root/testdata/sf0.001"
+    cuts_path = str(tmp_path / "cuts.json")
+    rc = main([
+        "quality-cuts", "--in", f"{sf}/documents.parquet",
+        "--model", model_path, "--keep-fractions", "0.5,0.25",
+        "--out", cuts_path,
+    ])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["n_scored_docs"] > 0
+    c50, c25 = payload["cut_points"]
+    assert c50 <= c25  # keeping less demands a higher floor
+
+    out = str(tmp_path / "corpus")
+    stats = run_corpus(
+        spark, sf, out,
+        quality_model_path=model_path, quality_min_score=c50,
+    )
+    frac = stats["quality_classifier"] / stats["quality"]
+    # approxQuantile tolerance + the gate pool differing from the cuts
+    # pool (post-dedup survivors vs raw corpus) keep this loose
+    assert 0.3 <= frac <= 0.7, stats
+
+    with pytest.raises(SystemExit, match="descending"):
+        main(["quality-cuts", "--in", f"{sf}/documents.parquet", "--model", model_path,
+              "--keep-fractions", "0.5,0.5", "--out", cuts_path])
+    capsys.readouterr()
