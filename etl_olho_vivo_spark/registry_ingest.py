@@ -523,3 +523,50 @@ def q_streaming_lag_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_events_stream(
         spark, sf_dir, "streaming_lag_parity", build, "append"
     )
+
+
+@register(
+    "streaming_session_parity",
+    """
+WITH gaps AS (
+  SELECT event_id, user_id, epoch_ms(ts) // 1000 AS s,
+         CASE WHEN epoch_ms(ts) // 1000
+                   - lag(epoch_ms(ts) // 1000)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(sum(new_session) OVER (
+         PARTITION BY user_id ORDER BY s, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS session_idx
+FROM gaps
+""",
+    doc="Online gap sessionization under the oracle (round 10): the "
+    "events fact replayed through readStream → applyInPandasWithState "
+    "keyed per-user session state (streaming/pipeline.py:"
+    "stream_sessionize — state is (last second, session counter), an "
+    "event opens a new session when its gap exceeds 1800 s), checked "
+    "value-for-value against the batch cumulative-sum window twin "
+    "(sessionize_events' oracle verbatim).  The single availableNow "
+    "micro-batch with an in-batch (s, event_id) sort makes arrival "
+    "order equal the batch ORDER BY; session indices are insensitive "
+    "to intra-second order by construction (an equal-second run can "
+    "never contain a gap boundary).  Third custom stateful operator "
+    "under exact parity, beside the lag pairing and the watermarked "
+    "window agg.  driver=False: the 50-slot window is full; this row "
+    "is bench-swept and locally parity-swept like the other demoted "
+    "rows.",
+    driver=False,
+)
+def q_streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_olho_vivo_spark.streaming.pipeline import stream_sessionize
+
+    return _run_events_stream(
+        spark, sf_dir, "streaming_session_parity", stream_sessionize,
+        "append",
+    )

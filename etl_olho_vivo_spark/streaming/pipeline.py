@@ -244,3 +244,84 @@ def stream_speeds(
     from etl_olho_vivo_spark.operators.speed import clean_pairs
 
     return clean_pairs(stream_ping_pairs(pos, tiebreakers=tiebreakers))
+
+
+_SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_idx", T.LongType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_s", T.LongType()),
+        T.StructField("session_idx", T.LongType()),
+    ]
+)
+
+
+def stream_sessionize(
+    events: DataFrame,
+    gap_s: int = 1800,
+    tiebreakers: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Online gap sessionization: the streaming twin of the batch
+    ``sessionize_events`` cumulative-sum window (registry_relational.py),
+    keyed by ``user_id`` with (last event second, session counter) state.
+
+    An event starts session ``idx+1`` when the user has no state yet or
+    the gap since their previous event exceeds ``gap_s`` (strict ``>``,
+    the batch twin's rule); otherwise it joins the current session.
+    In-batch order is one global (s, tiebreakers) sort — exactly the
+    batch window's ORDER BY at second resolution, and session indices
+    are insensitive to intra-second order by construction (events with
+    equal seconds can never be separated by a gap boundary, so any
+    equal-s run shares one index under either order).  Cross-batch,
+    state carries (last_s, idx) so sessions CONTINUE across micro-batch
+    boundaries; out-of-order arrival across batches sessionizes in
+    arrival order (the same documented deviation as the lag pairing
+    above — Spark's own ``session_window`` aggregate is the
+    watermark-governed alternative when late regrouping matters more
+    than per-event indices).
+
+    Scale: state is two longs per user; the stateful exchange
+    hash-partitions by user exactly like the batch window, and no
+    per-user history is ever retained beyond the last second seen.
+    """
+    if gap_s <= 0:
+        raise ValueError(f"gap_s must be positive, got {gap_s}")
+    sort_keys = ["s", *tiebreakers]
+
+    def session_fn(key, pdf_iter, state):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        (uid,) = key
+        last_s, idx = state.get if state.exists else (None, 0)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        out = []
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(sort_keys, kind="stable")
+            for r in pdf.itertuples(index=False):
+                if last_s is None or r.s - last_s > gap_s:
+                    idx += 1
+                out.append((r.event_id, uid, idx))
+                last_s = int(r.s)
+            state.update((last_s, idx))
+        yield pd.DataFrame(
+            out, columns=["event_id", "user_id", "session_idx"]
+        )
+
+    src = events.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_millis(ts) div 1000").alias("s"),
+    ).filter(F.col("s").isNotNull())
+    return src.groupBy("user_id").applyInPandasWithState(
+        session_fn,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

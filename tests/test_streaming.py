@@ -406,3 +406,83 @@ def test_stream_dedup_exact_drops_cross_batch_redelivery(spark, tmp_path):
         for r in spark.table("dedup_stream").collect()
     }
     assert rows == {1: "first", 2: "x", 3: "y"}
+
+
+def test_stream_sessionize_continues_across_batches(spark, tmp_path):
+    """Session state survives micro-batch boundaries: a gap that spans
+    two batches but stays within 1800 s must NOT open a new session,
+    a cross-batch gap > 1800 s must, and a gap of EXACTLY 1800 s stays
+    in-session (the batch twin's strict >)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_olho_vivo_spark.streaming.pipeline import stream_sessionize
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, s long"
+        ).select(
+            "event_id", "user_id",
+            F.timestamp_micros(F.col("s") * 1_000_000).alias("ts"),
+        )
+
+    # batch A (older mtime), batch B (newer)
+    batch_a = [(1, 1, 0), (2, 1, 1000), (10, 3, 0)]
+    batch_b = [(3, 1, 1900), (4, 1, 5000), (5, 2, 42), (11, 3, 1800)]
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    for i, rows in enumerate((batch_a, batch_b)):
+        sub = str(tmp_path / f"stage{i}")
+        mk(rows).coalesce(1).write.parquet(sub)
+        import glob
+        import shutil
+
+        part = glob.glob(f"{sub}/part-*.parquet")[0]
+        dst = f"{landing}/events_{i}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+
+    schema = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        stream_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sess_xbatch")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        got = {
+            r["event_id"]: r["session_idx"]
+            for r in spark.table("sess_xbatch").collect()
+        }
+    finally:
+        spark.catalog.dropTempView("sess_xbatch")
+    assert got == {
+        1: 1, 2: 1,   # user 1 session 1 (gap 1000)
+        3: 1,         # cross-batch gap 900 — session CONTINUES
+        4: 2,         # gap 3100 > 1800 — new session
+        5: 1,         # user 2 first event
+        10: 1, 11: 1,  # user 3: cross-batch gap EXACTLY 1800 — strict >
+    }, got
+
+
+def test_stream_sessionize_validation(spark):
+    import pytest as _pytest
+
+    from etl_olho_vivo_spark.streaming.pipeline import stream_sessionize
+
+    df = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp"
+    )
+    with _pytest.raises(ValueError, match="gap_s"):
+        stream_sessionize(df, gap_s=0)
