@@ -2517,3 +2517,35 @@ def test_image_near_dups_plan_is_merge_banded(spark):
     assert "SortMergeJoin" in final
     assert "BroadcastHashJoin" not in final
     assert "CartesianProduct" not in final
+
+
+def test_resize_media_real_raster_roundtrip(spark):
+    """Round-10 real resize: decodable rasters area-mean resample and
+    re-encode as P5, which the SAME parsers round-trip — dims, exact
+    block means, and downstream decode_media compatibility; opaque
+    media keep the pinned truncate/pad fallback."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 255, size=(16, 16)).astype(np.float64)
+    payload = [bytes(base[r].astype(np.uint8)) for r in range(16)]
+    rows = [
+        (1, bytearray(_p5(16, 16, payload))),
+        (2, bytearray(b"some text that stays opaque")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.resize_media(df, 4, 4).collect()
+    }
+    meta = out[1]["media_meta"]
+    assert meta["media_type"] == "image/x-portable-graymap"
+    parse = multimodal._media_parser(pixels=True)
+    n, _, kind, w, h, mean, gray = parse(bytes(out[1]["media"]))
+    assert (kind, w, h) == ("pnm", 4, 4)
+    want = np.clip(np.rint(
+        base.reshape(4, 4, 4, 4).mean(axis=(1, 3))
+    ), 0, 255)
+    assert np.array_equal(gray, want), (gray, want)
+    assert out[2]["media_meta"]["media_type"] == "image/raw"
+    assert len(out[2]["media"]) == 16
