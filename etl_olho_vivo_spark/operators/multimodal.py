@@ -416,6 +416,11 @@ def _media_parser(pixels: bool = False):
                         hs, vs = hv >> 4, hv & 15
                         if hs not in (1, 2) or vs not in (1, 2):
                             raise _Bad
+                        if nc == 1:
+                            # single-component scans are NON-interleaved:
+                            # the data-unit grid is ceil(w/8) x ceil(h/8)
+                            # regardless of declared sampling factors
+                            hs = vs = 1
                         comps.append((cid, hs, vs, tq))
                     frame = (h, w, comps)
                 elif 0xC2 <= marker <= 0xCF and marker != 0xC8:
