@@ -809,7 +809,13 @@ SELECT cell_id, count(*) AS n_vectors FROM (
 ) GROUP BY cell_id
 """,
     doc="IVF cell histogram — partition-balance diagnostics for the ANN "
-    "index (skewed cells → probe imbalance).",
+    "index (skewed cells → probe imbalance).  driver=False (round 10, "
+    "yielding its slot to ivfpq_topk): README rotation category 1 — "
+    "the assignment arithmetic it checks is identical to the first "
+    "stage of ivf_topk (still a driver row), so the diagnostic "
+    "histogram keeps only local parity + bench coverage while the "
+    "composed serving stack takes driver-oracle weight.",
+    driver=False,
 )
 def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
@@ -995,10 +1001,10 @@ ORDER BY l2_exact, a.vec_id LIMIT 10
     "to the probed cell partitions — io/ann_index.py "
     "build/load/append/query_ivfpq_index), per-cell LUTs are bounded "
     "driver arithmetic, and every stage is integer math, so the oracle "
-    "matches hash-exactly.  driver=False: the 50-row window is full — "
-    "parity runs in the local oracle suite, and the query stays "
-    "benchmarked.",
-    driver=False,
+    "matches hash-exactly.  Promoted to the driver window in round 10 "
+    "(took ivf_cells' slot per the rotation policy): the composed "
+    "serving stack is the flagship ANN path and belongs under the "
+    "external oracle.",
 )
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_olho_vivo_spark.caching import SESSION_BAG

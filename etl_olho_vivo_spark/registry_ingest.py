@@ -235,38 +235,34 @@ def q_doc_editdist_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # stage 3: expand verified representative pairs back to member
-    # pairs (ids interleave across groups — least/greatest restores the
-    # doc_a < doc_b orientation) + within-group pairs at distance 0
+    # pairs.  Within-group pairs ride the SAME expansion as the
+    # diagonal (gid, gid, 0) rows — levenshtein(t, t) = 0 — so there is
+    # ONE member join pass, not a separate self-join; the filter keeps
+    # every cross-group member pair (ids interleave across groups,
+    # least/greatest restores the doc_a < doc_b orientation) and the
+    # ordered half of each diagonal block.
+    diag = groups.select(
+        F.col("gid").alias("gid_a"),
+        F.col("gid").alias("gid_b"),
+        F.lit(0).alias("lev_dist"),
+    )
     ma = members.select(
         F.col("gid").alias("gid_a"), F.col("doc_id").alias("da")
     )
     mb = members.select(
         F.col("gid").alias("gid_b"), F.col("doc_id").alias("db")
     )
-    cross = (
-        rep_pairs.join(ma.hint("merge"), "gid_a")
+    return (
+        rep_pairs.unionByName(diag)
+        .join(ma.hint("merge"), "gid_a")
         .join(mb.hint("merge"), "gid_b")
+        .filter((F.col("gid_a") != F.col("gid_b")) | (F.col("da") < F.col("db")))
         .select(
             F.least("da", "db").alias("doc_a"),
             F.greatest("da", "db").alias("doc_b"),
             "lev_dist",
         )
     )
-    within = (
-        ma.join(
-            members.select(
-                F.col("gid").alias("gid_a"), F.col("doc_id").alias("db")
-            ).hint("merge"),
-            "gid_a",
-        )
-        .filter(F.col("da") < F.col("db"))
-        .select(
-            F.col("da").alias("doc_a"),
-            F.col("db").alias("doc_b"),
-            F.lit(0).alias("lev_dist"),
-        )
-    )
-    return cross.unionByName(within)
 
 
 def _run_events_stream(
