@@ -58,6 +58,10 @@ CANARIES = [
     # rounded log-weight sum + rounded Gumbel key ranking — the selected
     # SET must not depend on partial-aggregation order
     "dsir_select",
+    # round-10 exact-dup collapse: gid = min(doc_id) per fingerprint and
+    # first(text) over IDENTICAL texts must make the representative —
+    # and therefore every expanded member pair — layout-independent
+    "doc_editdist_near_dup",
 ]
 
 
