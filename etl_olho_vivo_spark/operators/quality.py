@@ -281,24 +281,24 @@ def score_quality(
     feats = hashed_features(
         docs, id_col=id_col, text=text, n_buckets=n_buckets
     )
-    per_bucket = feats.groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    # margin = Σ_b cnt_b·w_b / Σ_b cnt_b = mean of per-OCCURRENCE
+    # weights, so no per-(doc, bucket) pre-aggregation is needed: the
+    # broadcast join lands map-side on the feature explode and the
+    # corpus crosses exactly ONE exchange (the per-doc mean)
     sig = F.lit(1.0) / (
         F.lit(1.0)
         + F.exp(
             -(
                 F.lit(float(model["bias"]))
-                + F.sum(F.col("cnt") * F.coalesce(F.col("w"), F.lit(0.0)))
-                / F.sum("cnt")
+                + F.avg(F.coalesce(F.col("w"), F.lit(0.0)))
             )
         )
     )
     return (
-        per_bucket.join(F.broadcast(w_rel), "bucket", "left")
+        feats.join(F.broadcast(w_rel), "bucket", "left")
         .groupBy(id_col)
         .agg(
-            F.sum("cnt").cast("bigint").alias("n_feats"),
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
             F.round(sig, round_dp).alias("q_score"),
         )
     )
