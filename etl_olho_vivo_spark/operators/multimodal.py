@@ -29,11 +29,14 @@ semantics — so a corrupt or unknown file NEVER crashes a 100 TB decode
 job, it just reports ``media_kind='opaque'``.  ``decode_audio`` does
 the same for the audio leg: real RIFF/WAVE PCM chunk parsing (channels
 / sample rate / bit depth / frames / duration / numpy-vectorized mean
-amplitude), opaque-with-NULLs otherwise.  Progressive JPEG, MP3, and
-video still need libjpeg-turbo/libav, absent from this container
-(re-probed each round); they would slot into
-``_media_parser``/``_audio_parser`` without touching the Spark
-plumbing.
+amplitude), opaque-with-NULLs otherwise.  ``sample_frames`` REALLY
+demuxes MJPEG-in-AVI (RIFF chunk walk → every stride-th ``00dc``
+frame, each a complete JPEG the decoder consumes — video → frames →
+decode → dHash dedup end to end), byte-slicing stub otherwise.
+Progressive JPEG, MP3, and non-MJPEG video codecs still need
+libjpeg-turbo/libav, absent from this container (re-probed each
+round); they would slot into ``_media_parser``/``_audio_parser``/
+``_avi_demuxer`` without touching the Spark plumbing.
 """
 
 from __future__ import annotations
@@ -913,20 +916,66 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def _avi_demuxer():
+    """Factory for the MJPEG-in-AVI frame extractor — the one VIDEO
+    container walkable with zero dependencies (RIFF chunk grammar, the
+    same walker shape as the WAV parser; each ``00dc``/``00db`` chunk
+    of the ``movi`` LIST is a complete JPEG the round-10 decoder
+    consumes).  Returns ``demux(media) -> list[bytes] | None`` — the
+    ordered compressed frames, or None when the bytes are not a
+    walkable AVI (caller falls back / degrades).  Shipped by value
+    like the other parsers."""
+
+    def demux(m: bytes):
+        if len(m) < 12 or m[:4] != b"RIFF" or m[8:12] != b"AVI ":
+            return None
+        frames = []
+
+        def walk(pos, end):
+            while pos + 8 <= end:
+                cid = m[pos:pos + 4]
+                size = int.from_bytes(m[pos + 4:pos + 8], "little")
+                body_start = pos + 8
+                if body_start + size > end:
+                    return False  # truncated chunk
+                if cid == b"LIST" and size >= 4:
+                    # recurse into any LIST — movi may nest 'rec ' lists
+                    if not walk(body_start + 4, body_start + size):
+                        return False
+                elif cid[2:4] in (b"dc", b"db"):
+                    # compressed / uncompressed video frame for any
+                    # stream id (digits at cid[0:2])
+                    if cid[:2].isdigit():
+                        frames.append(m[body_start:body_start + size])
+                pos = body_start + size + (size & 1)  # word-aligned
+            return True
+
+        if not walk(12, len(m)):
+            return None
+        return frames
+
+    return demux
+
+
 def sample_frames(
     df: DataFrame,
     frame_size: int = 16,
     stride: int = 4,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """One row per sampled frame — the video frame-sampling fan-out shape.
+    """One row per sampled frame — the video frame-sampling fan-out.
 
-    The stub treats the byte stream as ``frame_size``-byte frames and emits
-    every ``stride``-th one.  A real implementation swaps the slicing for a
-    container demuxer; the fan-out (one input row → N output rows through
-    ``mapInPandas``), the explicit schema, and the frame indexing carry
-    over unchanged.  At 100 TB the output row count dominates — sampled
-    frames, never all frames.
+    Round 10, REAL for MJPEG-in-AVI: RIFF/AVI media demux through
+    ``_avi_demuxer`` and every ``stride``-th video frame chunk is
+    emitted as its own binary row — each a complete JPEG that flows
+    straight into ``decode_media`` / ``image_dhash`` (video → frames →
+    decode → perceptual dedup, end to end with zero dependencies).
+    Everything else keeps the byte-slicing stub (``frame_size``-byte
+    windows, every ``stride``-th one): a mixed-corpus sampling job must
+    not crash on the opaque tail, and non-AVI codecs still need libav.
+    At 100 TB the output row count dominates — sampled frames, never
+    all frames; the fan-out stays Arrow-batched and
+    partition-parallel.
     """
 
     if frame_size <= 0 or stride <= 0:
@@ -935,6 +984,7 @@ def sample_frames(
             f"frame_size and stride must be positive, got "
             f"{frame_size}/{stride}"
         )
+    demux = _avi_demuxer()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -945,6 +995,14 @@ def sample_frames(
                 if media is None:  # NULL media emits no frames
                     continue
                 m = bytes(media)
+                vid = demux(m)
+                if vid is not None:
+                    for i in range(0, len(vid), stride):
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        frames.append(vid[i])
+                        totals.append(len(vid))
+                    continue
                 n_total = len(m) // frame_size
                 for i in range(0, n_total, stride):
                     ids.append(doc_id)

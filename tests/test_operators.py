@@ -2549,3 +2549,64 @@ def test_resize_media_real_raster_roundtrip(spark):
     assert np.array_equal(gray, want), (gray, want)
     assert out[2]["media_meta"]["media_type"] == "image/raw"
     assert len(out[2]["media"]) == 16
+
+
+def _make_avi(frames):
+    """Minimal MJPEG-in-AVI: RIFF('AVI ' LIST('hdrl') LIST('movi'
+    00dc…)) with word-aligned chunks, independent of the demuxer."""
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    movi = chunk(b"LIST", b"movi" + b"".join(
+        chunk(b"00dc", f) for f in frames
+    ))
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", b"\x00" * 56))
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + len(payload).to_bytes(4, "little") + payload
+
+
+def test_sample_frames_real_avi_mjpeg(spark):
+    """Round-10 real video path: MJPEG-in-AVI media demux into their
+    actual frame chunks — every stride-th frame is a complete JPEG the
+    decoder consumes (video → frames → decode, zero dependencies) —
+    while non-AVI media keep the pinned byte-slicing stub, and a WAV
+    (also RIFF) is NOT mistaken for video."""
+    import numpy as np
+
+    vals = [40, 128, 220]
+    frames = [
+        _make_jpeg(16, 16, [np.full((16, 16), float(v))], [(1, 1)])
+        for v in vals
+    ]
+    avi = _make_avi(frames)
+    rows = [
+        (1, bytearray(avi)),
+        (2, bytearray(b"plain text media, sliced not demuxed")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = multimodal.sample_frames(df, frame_size=4, stride=2).collect()
+
+    vid = sorted(
+        (r for r in out if r["doc_id"] == 1), key=lambda r: r["frame_idx"]
+    )
+    assert [(r["frame_idx"], r["n_frames_total"]) for r in vid] == [
+        (0, 3), (2, 3),
+    ]
+    parse = multimodal._media_parser()
+    means = []
+    for r in vid:
+        n, _, kind, w, h, mean = parse(bytes(r["frame"]))
+        assert (kind, w, h) == ("jpeg", 16, 16)
+        means.append(round(mean))
+    assert means == [40, 220]  # frames 0 and 2, source order preserved
+
+    stub = [r for r in out if r["doc_id"] == 2]
+    assert stub and all(len(bytes(r["frame"])) == 4 for r in stub)
+
+    # WAV is RIFF too — must take the stub path, not the demuxer
+    demux = multimodal._avi_demuxer()
+    wav = b"RIFF" + (36).to_bytes(4, "little") + b"WAVE" + b"\x00" * 36
+    assert demux(wav) is None
+    # truncated AVI degrades to None (stub), never a crash
+    assert demux(avi[: len(avi) - 10]) is None
