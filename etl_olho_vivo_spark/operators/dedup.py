@@ -871,16 +871,22 @@ def hamming_near_dups(
             f"(got {n_bands}): with fewer bands a qualifying pair can "
             "differ in every segment and would be missed"
         )
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
     if bits % n_bands:
         raise ValueError(f"bits={bits} not divisible by n_bands={n_bands}")
     w = bits // n_bands
     sims = hashes.select(
         F.col(id_col).alias("doc_id"), F.col(hash_col).alias("__h__")
     )
+    # full-width segment (n_bands=1, bits=64): the mask 2^64-1 does not
+    # fit a BIGINT literal (Spark parses it as DECIMAL and `&` rejects
+    # it) — but as a SIGNED 64-bit value all-ones IS -1, and x & -1 = x
+    mask = (2 ** w - 1) if w < 64 else -1
     seg = (
         f"transform(sequence(0, {n_bands - 1}), b -> "
         f"struct(b AS band, shiftrightunsigned(__h__, b * {w}) "
-        f"& {2 ** w - 1} AS seg))"
+        f"& {mask} AS seg))"
     )
     banded = sims.select(
         "doc_id", F.explode(F.expr(seg)).alias("bk")

@@ -354,9 +354,15 @@ def _media_parser(pixels: bool = False):
                 if m[pos] != 0xFF:
                     raise _Bad
                 marker = m[pos + 1]
+                if marker == 0xFF:
+                    # legal fill byte (B.1.1.2): any run of 0xFF may
+                    # precede a marker — consume ONE byte so the real
+                    # marker code is still read next iteration
+                    pos += 1
+                    continue
                 pos += 2
-                if marker in (0x01, 0xFF) or 0xD0 <= marker <= 0xD8:
-                    continue  # standalone markers / fill bytes
+                if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                    continue  # standalone markers
                 if marker == 0xD9 or pos + 2 > n:
                     raise _Bad  # EOI (or truncation) before any scan
                 seglen = int.from_bytes(m[pos:pos + 2], "big")
@@ -607,7 +613,10 @@ def _media_parser(pixels: bool = False):
             return (None,) * (7 if pixels else 6)
         m = bytes(media)
         n = len(m)
-        checksum = sum(m) % 2147483647
+        # pixels mode skips the checksum: the gray-grid consumers
+        # (dHash, resize) never read it, and it is a full Python pass
+        # over every byte of the corpus
+        checksum = None if pixels else sum(m) % 2147483647
         parsed, kind = None, "opaque"
         if m[:2] == b"BM":
             parsed = parse_bmp(m)
@@ -622,9 +631,10 @@ def _media_parser(pixels: bool = False):
             parsed = parse_jpeg(m)
             kind = "jpeg"
         if parsed is None:
-            out = (n, checksum, "opaque", checksum % 640, checksum % 480,
-                   None)
-            return out + (None,) if pixels else out
+            if pixels:
+                return (n, None, "opaque", None, None, None, None)
+            return (n, checksum, "opaque", checksum % 640, checksum % 480,
+                    None)
         w, h, mean, gray = parsed
         out = (n, checksum, kind, w, h, mean)
         return out + (gray,) if pixels else out
@@ -846,25 +856,17 @@ def resize_media(
         raise ValueError(f"width/height must be positive, got {width}x{height}")
     parse = _media_parser(pixels=True)
 
+    block_mean = _block_mean_fn()
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         target = width * height
 
         def resample(gray):
-            g = np.asarray(gray, dtype=np.float64)
-            if g.shape[0] < height:
-                g = np.repeat(g, -(-height // g.shape[0]), axis=0)
-            if g.shape[1] < width:
-                g = np.repeat(g, -(-width // g.shape[1]), axis=1)
-            h, w = g.shape
-            rb = np.linspace(0, h, height + 1).astype(np.int64)
-            cb = np.linspace(0, w, width + 1).astype(np.int64)
-            out = np.empty((height, width))
-            for i in range(height):
-                for j in range(width):
-                    out[i, j] = g[rb[i]:rb[i + 1], cb[j]:cb[j + 1]].mean()
-            return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+            return np.clip(
+                np.rint(block_mean(gray, height, width)), 0, 255
+            ).astype(np.uint8)
 
         def do_resize(media):
             if media is None:  # NULL media → NULL output, no crash
@@ -1032,6 +1034,33 @@ DHASH_SCHEMA = T.StructType(
 )
 
 
+def _block_mean_fn():
+    """Factory for the shared area-mean block resampler: integer-repeat
+    tiny inputs up to the target grid, then compute EVERY block mean in
+    two vectorized ``np.add.reduceat`` passes (row sums, then column
+    sums) divided by the exact block areas — no per-cell Python loop in
+    the decode hot path.  Used by both the dHash cell grid and
+    ``resize_media``; shipped by value inside the closures."""
+
+    def block_mean(gray, rows, cols):
+        import numpy as np
+
+        g = np.asarray(gray, dtype=np.float64)
+        if g.shape[0] < rows:
+            g = np.repeat(g, -(-rows // g.shape[0]), axis=0)
+        if g.shape[1] < cols:
+            g = np.repeat(g, -(-cols // g.shape[1]), axis=1)
+        h, w = g.shape
+        rb = np.linspace(0, h, rows + 1).astype(np.int64)
+        cb = np.linspace(0, w, cols + 1).astype(np.int64)
+        sums = np.add.reduceat(
+            np.add.reduceat(g, rb[:-1], axis=0), cb[:-1], axis=1
+        )
+        return sums / np.outer(np.diff(rb), np.diff(cb))
+
+    return block_mean
+
+
 def _dhash_fn():
     """Factory for the 64-bit difference-hash (dHash) over a decoded
     grayscale grid — the standard perceptual fingerprint for image
@@ -1043,6 +1072,8 @@ def _dhash_fn():
     from integer linspace, ties (==) are 0.  Shipped by value inside
     the mapInPandas closure like the parsers."""
 
+    block_mean = _block_mean_fn()
+
     def dhash(gray):
         import numpy as np
 
@@ -1051,19 +1082,7 @@ def _dhash_fn():
         g = np.asarray(gray, dtype=np.float64)
         if g.ndim != 2 or g.size == 0:
             return None
-        h, w = g.shape
-        # tiny images: integer-repeat up to the cell grid first
-        if h < 8:
-            g = np.repeat(g, -(-8 // h), axis=0)
-        if w < 9:
-            g = np.repeat(g, -(-9 // w), axis=1)
-        h, w = g.shape
-        rb = np.linspace(0, h, 9).astype(np.int64)
-        cb = np.linspace(0, w, 10).astype(np.int64)
-        cells = np.empty((8, 9))
-        for i in range(8):
-            for j in range(9):
-                cells[i, j] = g[rb[i]:rb[i + 1], cb[j]:cb[j + 1]].mean()
+        cells = block_mean(g, 8, 9)
         val = 0
         for i in range(8):
             for j in range(8):

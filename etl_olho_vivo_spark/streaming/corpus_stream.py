@@ -164,6 +164,15 @@ def admit_batch(
         from etl_olho_vivo_spark.plans.corpus import gate_documents
 
         batch = gate_documents(batch, text=text, **gates)
+    if (quality_model is None) != (quality_min_score is None):
+        # an unpaired combination must fail LOUDLY here too, not just in
+        # run_corpus_stream: q_score < NULL filters to zero failing rows
+        # and the corpus would ship unfiltered while the caller believes
+        # the gate ran (the silent-degradation mode the batch pipeline's
+        # paired-argument check exists to prevent)
+        raise ValueError(
+            "quality_model and quality_min_score must be passed together"
+        )
     if quality_model is not None:
         from etl_olho_vivo_spark.operators.quality import score_quality
 

@@ -271,15 +271,19 @@ def stream_sessionize(
     ``sessionize_events`` cumulative-sum window (registry_relational.py),
     keyed by ``user_id`` with (last event second, session counter) state.
 
-    An event starts session ``idx+1`` when the user has no state yet or
-    the gap since their previous event exceeds ``gap_s`` (strict ``>``,
-    the batch twin's rule); otherwise it joins the current session.
-    In-batch order is one global (s, tiebreakers) sort — exactly the
-    batch window's ORDER BY at second resolution, and session indices
-    are insensitive to intra-second order by construction (events with
-    equal seconds can never be separated by a gap boundary, so any
-    equal-s run shares one index under either order).  Cross-batch,
-    state carries (last_s, idx) so sessions CONTINUE across micro-batch
+    An event starts a NEW session when the user has no state yet or
+    the gap in SECONDS since their previous event (previous under the
+    full-precision (ts, tiebreakers) order) exceeds ``gap_s`` (strict
+    ``>``, the batch twin's rule).  The per-event index is then the
+    cumulative count of new-session flags under the (s, tiebreakers)
+    order — the batch query's EXACT two-window construction (gap flags
+    over ORDER BY ts, indices over ORDER BY s), replicated because the
+    two orders can disagree inside an equal-second run that sits on a
+    session boundary: with sub-second timestamps inverted vs the
+    tiebreaker, the flag can land on the tiebreaker-LATER event and the
+    cumulative sum then assigns the boundary index by tiebreaker order,
+    not arrival order.  Cross-batch, state carries (last event second,
+    session counter) so sessions CONTINUE across micro-batch
     boundaries; out-of-order arrival across batches sessionizes in
     arrival order (the same documented deviation as the lag pairing
     above — Spark's own ``session_window`` aggregate is the
@@ -292,7 +296,8 @@ def stream_sessionize(
     """
     if gap_s <= 0:
         raise ValueError(f"gap_s must be positive, got {gap_s}")
-    sort_keys = ["s", *tiebreakers]
+    ts_sort = ["ts_ms", *tiebreakers]
+    s_sort = ["s", *tiebreakers]
 
     def session_fn(key, pdf_iter, state):
         import pandas as pd  # noqa: PLC0415 — worker-side import
@@ -302,21 +307,36 @@ def stream_sessionize(
         chunks = [pdf for pdf in pdf_iter if len(pdf)]
         out = []
         if chunks:
-            pdf = pd.concat(chunks).sort_values(sort_keys, kind="stable")
+            pdf = pd.concat(chunks).sort_values(ts_sort, kind="stable")
+            flags = []
             for r in pdf.itertuples(index=False):
-                if last_s is None or r.s - last_s > gap_s:
-                    idx += 1
-                out.append((r.event_id, uid, idx))
+                flags.append(
+                    1 if last_s is None or r.s - last_s > gap_s else 0
+                )
                 last_s = int(r.s)
+            pdf = pdf.assign(nsflag=flags).sort_values(
+                s_sort, kind="stable"
+            )
+            run = idx
+            for r in pdf.itertuples(index=False):
+                run += r.nsflag
+                out.append((r.event_id, uid, run))
+            idx += sum(flags)
             state.update((last_s, idx))
         yield pd.DataFrame(
             out, columns=["event_id", "user_id", "session_idx"]
         )
 
+    extra = [
+        c for c in tiebreakers
+        if c not in ("event_id", "user_id", "s", "ts_ms")
+    ]
     src = events.select(
         "user_id",
         "event_id",
+        F.expr("unix_millis(ts)").alias("ts_ms"),
         F.expr("unix_millis(ts) div 1000").alias("s"),
+        *extra,
     ).filter(F.col("s").isNotNull())
     return src.groupBy("user_id").applyInPandasWithState(
         session_fn,

@@ -2610,3 +2610,43 @@ def test_sample_frames_real_avi_mjpeg(spark):
     assert demux(wav) is None
     # truncated AVI degrades to None (stub), never a crash
     assert demux(avi[: len(avi) - 10]) is None
+
+
+def test_decode_jpeg_fill_bytes_before_marker(spark):
+    """Legal 0xFF fill bytes before a marker (JPEG B.1.1.2) must not
+    desync the marker walk — one fill byte (odd run) before DQT
+    previously made the whole stream degrade to opaque."""
+    import numpy as np
+
+    parse = multimodal._media_parser()
+    jpg = _make_jpeg(16, 16, [np.full((16, 16), 90.0)], [(1, 1)])
+    i = jpg.index(b"\xff\xdb")
+    for fill in (b"\xff", b"\xff\xff\xff"):
+        padded = jpg[:i] + fill + jpg[i:]
+        n, _, kind, w, h, mean = parse(padded)
+        assert (kind, w, h, mean) == ("jpeg", 16, 16, 90.0), (fill, kind)
+
+
+def test_image_near_dups_exact_mode_single_band(spark):
+    """max_hamming=0 / n_bands=1 — exact-duplicate pairing over the
+    full-width 64-bit hash — must run (the 2^64-1 mask literal
+    previously parsed as DECIMAL and crashed the `&`)."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 255, size=(16, 16)).astype(np.uint8)
+    payload = [bytes(img[r]) for r in range(16)]
+    other = rng.randint(0, 255, size=(16, 16)).astype(np.uint8)
+    rows = [
+        (1, bytearray(_p5(16, 16, payload))),
+        (2, bytearray(_p5(16, 16, payload))),   # exact duplicate
+        (3, bytearray(_p5(16, 16, [bytes(other[r]) for r in range(16)]))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = [
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in multimodal.image_near_dups(
+            df, max_hamming=0, n_bands=1
+        ).collect()
+    ]
+    assert got == [(1, 2, 0)], got

@@ -370,3 +370,19 @@ def test_quality_cuts_hands_off_to_gate(spark, trained, tmp_path, capsys):
         main(["quality-cuts", "--in", f"{sf}/documents.parquet", "--model", model_path,
               "--keep-fractions", "0.5,0.5", "--out", cuts_path])
     capsys.readouterr()
+
+
+def test_admit_batch_rejects_unpaired_quality_args(spark, trained):
+    """Calling the public admit_batch directly with quality_model but no
+    floor must fail LOUDLY — q_score < NULL would otherwise filter
+    nothing and ship the corpus unfiltered."""
+    from etl_olho_vivo_spark.streaming.corpus_stream import admit_batch
+
+    _, _, model = trained
+    batch = _df(spark, [(1, "hello world")])
+    with pytest.raises(ValueError, match="together"):
+        admit_batch(spark, batch, 0, "/tmp/x", "/tmp/y",
+                    quality_model=model)
+    with pytest.raises(ValueError, match="together"):
+        admit_batch(spark, batch, 0, "/tmp/x", "/tmp/y",
+                    quality_min_score=0.5)

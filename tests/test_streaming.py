@@ -486,3 +486,115 @@ def test_stream_sessionize_validation(spark):
     )
     with _pytest.raises(ValueError, match="gap_s"):
         stream_sessionize(df, gap_s=0)
+
+
+def test_stream_sessionize_intra_second_inversion_matches_oracle(
+    spark, tmp_path
+):
+    """The two-window corner the batch oracle defines: gap flags follow
+    full-precision (ts, event_id) order while indices accumulate in
+    (second, event_id) order.  With sub-second timestamps INVERTED vs
+    event ids inside an equal-second run that sits on a session
+    boundary, the flag lands on the id-later event and the cumulative
+    sum assigns the boundary index by id order — the streaming operator
+    must reproduce exactly that, not its own arrival-order reading."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from etl_olho_vivo_spark.streaming.pipeline import stream_sessionize
+
+    # user 1: event 1 at t=0; silence > 1800 s; then two events in the
+    # SAME second with ts order inverted vs id order
+    rows = [
+        (1, 1, 0),            # ms
+        (100, 1, 2000_900),   # +0.9 s inside second 2000
+        (101, 1, 2000_500),   # +0.5 s — ts-earlier, id-later
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ms long"
+    ).select(
+        "event_id", "user_id",
+        F.timestamp_micros(F.col("ms") * 1000).alias("ts"),
+    )
+    landing = str(tmp_path / "landing")
+    df.coalesce(1).write.parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    q = (
+        stream_sessionize(spark.readStream.schema(schema).parquet(landing))
+        .writeStream.format("memory")
+        .queryName("sess_inv")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        got = {
+            r["event_id"]: r["session_idx"]
+            for r in spark.table("sess_inv").collect()
+        }
+    finally:
+        spark.catalog.dropTempView("sess_inv")
+
+    want = dict(duckdb.execute("""
+WITH e(event_id, user_id, ms) AS (VALUES (1,1,0),(100,1,2000900),(101,1,2000500)),
+gaps AS (
+  SELECT event_id, ms // 1000 AS s,
+         CASE WHEN ms // 1000 - lag(ms // 1000)
+                   OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800
+              OR lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+                   IS NULL
+              THEN 1 ELSE 0 END AS new_session,
+         user_id
+  FROM e
+)
+SELECT event_id, CAST(sum(new_session) OVER (
+  PARTITION BY user_id ORDER BY s, event_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+FROM gaps
+""").fetchall())
+    assert want == {1: 1, 100: 1, 101: 2}  # the oracle's own corner
+    assert got == want, (got, want)
+
+
+def test_stream_sessionize_custom_tiebreaker_column(spark, tmp_path):
+    """A non-default tiebreaker column must survive the projection into
+    the stateful operator (it previously raised KeyError inside the
+    executor on the first non-empty batch)."""
+    from pyspark.sql import functions as F
+
+    from etl_olho_vivo_spark.streaming.pipeline import stream_sessionize
+
+    rows = [(1, 1, 0, 5), (2, 1, 100, 3)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, s long, prio long"
+    ).select(
+        "event_id", "user_id", "prio",
+        F.timestamp_micros(F.col("s") * 1_000_000).alias("ts"),
+    )
+    landing = str(tmp_path / "landing")
+    df.coalesce(1).write.parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    q = (
+        stream_sessionize(
+            spark.readStream.schema(schema).parquet(landing),
+            tiebreakers=("prio", "event_id"),
+        )
+        .writeStream.format("memory")
+        .queryName("sess_tb")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        got = {
+            r["event_id"]: r["session_idx"]
+            for r in spark.table("sess_tb").collect()
+        }
+    finally:
+        spark.catalog.dropTempView("sess_tb")
+    assert got == {1: 1, 2: 1}, got
