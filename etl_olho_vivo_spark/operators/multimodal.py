@@ -253,6 +253,10 @@ def _media_parser(pixels: bool = False):
                 channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
                 if channels is None or w <= 0 or h <= 0:
                     return None
+                # dim guard (mirrors the JPEG SOF guard): a hostile
+                # header must not let the inflate below allocate GiB
+                if w * h > (1 << 24):
+                    return None
             elif typ == b"IDAT":
                 idat += data
             elif typ == b"IEND":
@@ -261,12 +265,19 @@ def _media_parser(pixels: bool = False):
             pos += 12 + ln
         if w is None or not idat or not saw_iend:
             return None
+        stride = w * channels
+        expect = h * (1 + stride)
         try:
-            raw = zlib.decompress(bytes(idat))
+            # bound the inflate to the geometry the header promised:
+            # a deflate bomb whose stream exceeds h*(1+stride) bytes
+            # degrades to opaque instead of allocating its full output
+            dec = zlib.decompressobj()
+            raw = dec.decompress(bytes(idat), expect + 1)
         except zlib.error:
             return None
-        stride = w * channels
-        if len(raw) != h * (1 + stride):
+        if len(raw) != expect or dec.unconsumed_tail or not dec.eof:
+            # short = corrupt; tail left / not-at-eof = stream had more
+            # output than the header's geometry (bomb) — both opaque
             return None
         bpp = channels  # bytes per pixel at depth 8
         prev = bytearray(stride)

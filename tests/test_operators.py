@@ -2086,6 +2086,47 @@ def test_decode_media_real_png_all_filters_and_color_types(spark):
             assert r["n_bytes"] == len(png)
 
 
+def test_png_inflate_bomb_and_dim_guard_degrade_to_opaque():
+    """Hostile-input contract (round-11 ADVICE): a PNG whose header
+    promises absurd geometry is rejected before any inflate, and a
+    deflate bomb behind a small valid header is cut off at the
+    header's promised byte budget instead of allocating its full
+    output — both degrade to opaque, mirroring the JPEG SOF guard."""
+    import zlib
+
+    parse = multimodal._media_parser()
+
+    def chunk(typ, data):
+        return (len(data).to_bytes(4, "big") + typ + data
+                + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    # (a) 8192x8192 grayscale = 64M pixels > the 1<<24 guard
+    ihdr_huge = ((8192).to_bytes(4, "big") + (8192).to_bytes(4, "big")
+                 + bytes([8, 0, 0, 0, 0]))
+    huge = (sig + chunk(b"IHDR", ihdr_huge)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+            + chunk(b"IEND", b""))
+    assert parse(huge)[2] == "opaque"
+
+    # (b) valid 8x8 header (72 raw bytes promised) hiding an 8 MiB
+    # stream: the bounded decompressobj stops at 73 bytes and the
+    # parse returns opaque rather than inflating the bomb
+    ihdr_8 = ((8).to_bytes(4, "big") + (8).to_bytes(4, "big")
+              + bytes([8, 0, 0, 0, 0]))
+    bomb = (sig + chunk(b"IHDR", ihdr_8)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * (8 << 20)))
+            + chunk(b"IEND", b""))
+    assert parse(bomb)[2] == "opaque"
+
+    # (c) stream shorter than the promised geometry stays opaque too
+    short = (sig + chunk(b"IHDR", ihdr_8)
+             + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+             + chunk(b"IEND", b""))
+    assert parse(short)[2] == "opaque"
+
+
 # ---------------------------------------------------------------------------
 # JPEG fixtures: a minimal baseline encoder, independent of the decoder
 # (explicit cosine-sum DCT, its own canonical-Huffman assignment, its
