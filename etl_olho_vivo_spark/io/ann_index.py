@@ -89,6 +89,17 @@ def build_ivf_index(
     layout.  Returns the number of indexed vectors."""
     if n_cells < 1:
         raise ValueError(f"n_cells must be >= 1, got {n_cells}")
+    spark = emb.sparkSession
+    # index type must be unambiguous from the tree: the rebuild trigger
+    # and the load/append guards all key off pq_codebooks' existence, so
+    # rebuilding a former IVF-PQ path as plain IVF must remove the stale
+    # codebook table (else the next skew rebuild silently converts the
+    # index back to IVF-PQ against cells that carry no codes)
+    from etl_olho_vivo_spark.io.fsutil import hadoop_fs
+
+    fs, pq_p = hadoop_fs(spark, f"{path}/{_PQ_DIR}")
+    if fs.exists(pq_p):
+        fs.delete(pq_p, True)
     cents = (
         kmeans_centroids(emb, n_cells, **kmeans_kwargs)
         if use_kmeans
@@ -100,7 +111,6 @@ def build_ivf_index(
         .write.mode("overwrite")
         .parquet(f"{path}/centroids")
     )
-    spark = emb.sparkSession
     assigned = ivf_assign(emb, n_cells, _centroid_frame(spark, path))
     # static overwrite of the WHOLE cells tree: a rebuild over a
     # previously-appended index must also clear the old batch
@@ -291,6 +301,19 @@ def append_to_ivf_index(
         )
     spark = emb_batch.sparkSession
     assert_no_pending_swap(spark, f"{path}/cells")
+    # refuse to append codes-less rows into an IVF-PQ tree: ADC would
+    # compute NULL adc_dist for them and ascending orderBy sorts NULLs
+    # first, silently crowding real candidates out of the bounded
+    # rerank pool — the same loud-error discipline as the load paths
+    from etl_olho_vivo_spark.io.fsutil import hadoop_fs
+
+    fs, pq_p = hadoop_fs(spark, f"{path}/{_PQ_DIR}")
+    if fs.exists(pq_p):
+        raise ValueError(
+            f"{path} is an IVF-PQ index (codebook table present) — "
+            f"append with append_to_ivfpq_index so batch rows carry "
+            f"codes; plain-IVF appends would serve NULL adc_dist"
+        )
     wm = _read_watermark(spark, path)
     if batch_id <= wm:
         return False
@@ -549,11 +572,21 @@ def run_embedding_stream(
     ``append_to_ivf_index`` contract (replay overwrites its own
     partition; a replay of a batch already folded by compaction is a
     no-op, since its rows live in the base in full).  The index must
-    exist (``build_ivf_index``) before the stream starts; centroid
-    load is validated once per batch through the stamped grid."""
+    exist (``build_ivf_index`` / ``build_ivfpq_index``) before the
+    stream starts; centroid load is validated once per batch through
+    the stamped grid.  The appender is chosen per batch from the tree's
+    own type marker (the codebook table), so an IVF-PQ index ingests
+    residual-encoded rows — never codes-less ones that would serve
+    NULL adc_dist."""
 
     def _append(batch: DataFrame, batch_id: int) -> None:
-        append_to_ivf_index(batch, path, int(batch_id))
+        from etl_olho_vivo_spark.io.fsutil import hadoop_fs
+
+        fs, pq_p = hadoop_fs(batch.sparkSession, f"{path}/{_PQ_DIR}")
+        if fs.exists(pq_p):
+            append_to_ivfpq_index(batch, path, int(batch_id))
+        else:
+            append_to_ivf_index(batch, path, int(batch_id))
 
     writer = emb_stream.writeStream.foreachBatch(_append).option(
         "checkpointLocation", checkpoint_dir

@@ -757,3 +757,44 @@ def test_ivfpq_validation(spark, emb, tmp_path, built, pq_built):
         ann_index.load_ivfpq_index(spark, built)
     with pytest.raises(ValueError, match="batch_id"):
         ann_index.append_to_ivfpq_index(emb, pq_built, -1)
+
+
+def test_index_type_is_unambiguous_across_lifecycle(spark, emb, tmp_path):
+    """Round-11 ADVICE guards: an IVF-PQ tree refuses codes-less appends
+    (NULL adc_dist sorts first under ascending orderBy and would crowd
+    real candidates out of the bounded rerank pool); the stream wrapper
+    dispatches by the tree's own type marker so streamed rows carry
+    codes; and a plain-IVF rebuild over a former IVF-PQ path removes
+    the stale codebook table so the next skew rebuild cannot silently
+    convert the index back to IVF-PQ."""
+    import os
+
+    path = str(tmp_path / "index")
+    base = emb.filter(F.col("vec_id") < 400)
+    ann_index.build_ivfpq_index(base, path, n_cells=8, use_kmeans=False)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    with pytest.raises(ValueError, match="IVF-PQ"):
+        ann_index.append_to_ivf_index(batch, path, batch_id=0)
+    # the stream wrapper routes to the residual-encoding appender
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    batch.coalesce(1).write.parquet(str(landing / "b0"))
+    schema = spark.read.parquet(str(landing / "b0")).schema
+    q = ann_index.run_embedding_stream(
+        spark.readStream.schema(schema).parquet(str(landing / "*")),
+        path,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    cells = spark.read.parquet(f"{path}/cells")
+    assert cells.count() == emb.count()
+    assert cells.filter(F.col("codes").isNull()).count() == 0
+    # rebuilding the same path as PLAIN IVF clears the codebook table…
+    ann_index.build_ivf_index(base, path, n_cells=8, use_kmeans=False)
+    assert not os.path.exists(f"{path}/pq_codebooks")
+    with pytest.raises(ValueError, match="codebook"):
+        ann_index.load_ivfpq_index(spark, path)
+    # …so the occupancy rebuild stays plain instead of resurrecting PQ
+    out = ann_index.maybe_rebuild_ivf_index(spark, path, max_skew=1e-9)
+    assert out["rebuilt"] is True
+    assert "codes" not in spark.read.parquet(f"{path}/cells").columns
