@@ -775,8 +775,12 @@ def kneser_ney_counts(
         raise ValueError(f"top_k must be >= 1, got {top_k}")
     ref = ref_docs.select(text).withColumn("__rid__", F.lit(0))
 
-    def _bound(df, keys):
-        order_cols = [F.desc(df.columns[-1])] + [F.col(k) for k in keys]
+    def _bound(df, keys, by):
+        # the sort column is EXPLICIT: context relations carry both a
+        # total (kt*) and a distinct-continuation count (kn1p*), and
+        # the documented bound is count-desc on the TOTAL — inferring
+        # "last column" would silently truncate ctx relations by kn1p
+        order_cols = [F.desc(by)] + [F.col(k) for k in keys]
         return df.orderBy(*order_cols).limit(top_k)
 
     bases: dict[int, DataFrame] = {}
@@ -792,7 +796,7 @@ def kneser_ney_counts(
         bases[m] = base
     n_hs = [f"h_{j + 1}" for j in range(order)]
     top = _bound(
-        bases[order].select(*n_hs, F.col("n").alias("kc")), n_hs
+        bases[order].select(*n_hs, F.col("n").alias("kc")), n_hs, "kc"
     )
     top_ctx = _bound(
         bases[order]
@@ -802,6 +806,7 @@ def kneser_ney_counts(
             F.count(F.lit(1)).alias("kn1p_top"),
         ),
         n_hs[:-1],
+        "kt_top",
     )
     cont: dict[int, DataFrame] = {}
     cont_ctx: dict[int, DataFrame] = {}
@@ -824,13 +829,16 @@ def kneser_ney_counts(
         )
         if caches is not None:
             cc = caches.add(cc)
-        cont[lvl] = _bound(cc, [f"h_{j + 1}" for j in range(lvl)])
+        cont[lvl] = _bound(
+            cc, [f"h_{j + 1}" for j in range(lvl)], f"cc{lvl}"
+        )
         cont_ctx[lvl] = _bound(
             cc.groupBy(*[f"h_{j + 1}" for j in range(lvl - 1)]).agg(
                 F.sum(f"cc{lvl}").cast("long").alias(f"kt{lvl}"),
                 F.count(F.lit(1)).alias(f"kn1p{lvl}"),
             ),
             [f"h_{j + 1}" for j in range(lvl - 1)],
+            f"kt{lvl}",
         )
     cc1_full = bases[2].groupBy("h_2").agg(
         F.count(F.lit(1)).alias("cc1")
@@ -861,7 +869,7 @@ def kneser_ney_counts(
         "top_ctx": top_ctx,
         "cont": cont,
         "cont_ctx": cont_ctx,
-        "cc1": _bound(cc1_full, ["h_1"]),
+        "cc1": _bound(cc1_full, ["h_1"], "cc1"),
         "nbb": int(nbb),
         "t1": int(t1),
         "v": int(v),

@@ -677,6 +677,22 @@ def test_kn_validation(spark):
         lm.kneser_ney_counts(one_tok, order=3)
 
 
+def test_kn_ctx_truncation_bounds_by_total_not_continuations(spark):
+    """Round-11 ADVICE: the documented top_k bound is count-desc on the
+    TOTAL — a context with high total traffic but one continuation must
+    out-rank a context with low traffic but many continuations.  Ten
+    'x a' docs (ctx x: kt=10, kn1p=1) vs three y-docs with distinct
+    continuations (ctx y: kt=3, kn1p=3); at top_k=1 the kept top_ctx
+    row is ctx x.  (Sorting by the relation's LAST column — kn1p —
+    would keep ctx y instead.)"""
+    rows = [("x a",)] * 10 + [("y b",), ("y c",), ("y d",)]
+    docs = spark.createDataFrame(rows, "text string")
+    counts = lm.kneser_ney_counts(docs, order=2, top_k=1)
+    kept = counts["top_ctx"].collect()
+    assert len(kept) == 1
+    assert kept[0]["kt_top"] == 10 and kept[0]["kn1p_top"] == 1
+
+
 def test_kn_registry_query_matches_oracle(spark):
     """doc_kneser_ney vs its DuckDB oracle at sf0.001 (the sweep covers
     the other SFs) — and the oracle exercises every branch: trained on
