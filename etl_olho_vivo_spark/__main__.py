@@ -71,6 +71,12 @@ def _build_parser() -> argparse.ArgumentParser:
         help="skip the posicoes parquet fact write",
     )
     day.add_argument(
+        "--write-pairs", action="store_true",
+        help="also emit the cleaned per-pair speeds as a fourth CSV "
+        "(the reference's commented-out granular output, S10; off by "
+        "default for the same 'too granular' reason)",
+    )
+    day.add_argument(
         "--date", default=None, metavar="YYYY-MM-DD",
         help="process only this raw-zone day partition (the reference's "
         "'yesterday' daily-batch semantics; path-pruned, no full scan)",
@@ -599,7 +605,11 @@ def main(argv: list[str] | None = None) -> int:
             fs, jpath = hadoop_fs(spark, raw)
             if not fs.exists(jpath):
                 raise SystemExit(f"no raw data for {args.date} ({raw})")
-        counts = run_daily(spark, raw, args.out, write_fact=not args.no_fact)
+        counts = run_daily(
+            spark, raw, args.out,
+            write_fact=not args.no_fact,
+            write_pairs=args.write_pairs,
+        )
         print(json.dumps({"command": "daily", "date": args.date, **counts}))
         return 0
 

@@ -8,21 +8,26 @@ if stage 2 overruns.  Here the dependency is explicit dataflow
     raw JSON ─ flatten ─┬─ posicoes parquet (S7)
                         └─ cleaned speeds ──(persist)──┬─ lentidao CSV
                                                        ├─ velocidades CSV
-                                                       └─ acessiveis CSV
+                                                       ├─ acessiveis CSV
+                                                       └─ (opt) per-pair CSV
 
 Scale notes:
-- the cleaned frame is persisted once and feeds all three sinks (SURVEY
-  §3.3: one DAG, three actions) — without it each sink would re-run the
-  scan + window;
+- the cleaned frame is persisted once and feeds all sinks (SURVEY
+  §3.3: one DAG, one action per sink) — without it each sink would re-run
+  the scan + window;
 - at 100 TB persistence spills to disk (MEMORY_AND_DISK) rather than
-  recomputing two extra scans; the agg outputs are tiny next to the scan;
+  recomputing extra scans; the agg outputs are tiny next to the scan;
 - exactly two shuffles total (lag window, 9-key agg) regardless of sink
-  count.
+  count;
+- row counts ride the write job itself via ``Observation``
+  (CollectMetrics folds the count into the same action) — a 100 TB sink
+  never pays a second full recompute just to report its size.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from etl_olho_vivo_spark.io.flatten import ingest_posicoes
@@ -35,8 +40,17 @@ def run_daily(
     raw_path: str,
     out_dir: str,
     write_fact: bool = True,
+    write_pairs: bool = False,
 ) -> dict[str, int]:
-    """Raw JSON → fact parquet + three derived CSVs.  Returns row counts."""
+    """Raw JSON → fact parquet + three derived CSVs.  Returns row counts.
+
+    ``write_pairs=True`` additionally emits the cleaned per-pair speed
+    frame as a fourth CSV dataset (``velocidades``) — the reference's
+    commented-out granular output (S10,
+    ``etl-olho-vivo-velocidades-medias.py:129-131``: "dados muito
+    granulares, melhor manter apenas a versão agregada"), off by
+    default for the same reason the reference disabled it.
+    """
     pos = ingest_posicoes(spark, raw_path)
     if write_fact:
         write_posicoes_parquet(pos, f"{out_dir}/posicoes")
@@ -53,10 +67,19 @@ def run_daily(
             "velocidades_agregadas": speed.velocidades_agregadas(cleaned),
             "acessiveis": speed.acessiveis(cleaned),
         }
+        if write_pairs:
+            datasets["velocidades"] = cleaned
         counts: dict[str, int] = {}
         for name, df in datasets.items():
-            write_csv(df, f"{out_dir}/{name}")
-            counts[name] = df.count()
+            # the count is observed INSIDE the write job (CollectMetrics
+            # node above the sink) — one action per sink, never a second
+            # recompute of a corpus-sized frame for telemetry
+            obs = Observation(f"rows_{name}")
+            write_csv(
+                df.observe(obs, F.count(F.lit(1)).alias("rows")),
+                f"{out_dir}/{name}",
+            )
+            counts[name] = int(obs.get["rows"])
         return counts
     finally:
         cleaned.unpersist()

@@ -68,3 +68,55 @@ def test_run_daily_outputs(spark, tmp_path, day_dir):
     ac = spark.read.option("header", True).csv(f"{out}/acessiveis")
     assert ac.columns == ACESSIVEIS_COLUMNS
     assert set(r["acessibilidade"] for r in ac.collect()) == {"true", "false"}
+
+
+def test_run_daily_write_pairs_flag(spark, tmp_path, day_dir):
+    """S10 closure: ``write_pairs=True`` emits the cleaned per-pair frame
+    as a fourth CSV (the reference's commented-out granular output,
+    ``etl-olho-vivo-velocidades-medias.py:129-131``); default stays off,
+    like the reference."""
+    out = str(tmp_path / "out")
+    counts = run_daily(
+        spark, day_dir, out, write_fact=False, write_pairs=True
+    )
+    assert counts["velocidades"] == 6  # 3 pairs per vehicle x 2 vehicles
+    pairs = spark.read.option("header", True).csv(f"{out}/velocidades")
+    # the granular frame carries the full cleaned-pair column set
+    for col in ("prefixo_veiculo", "px_anterior", "py_anterior",
+                "timestamp_anterior", "tempo", "distancia",
+                "velocidade_media", "intervalo", "data"):
+        assert col in pairs.columns, col
+    assert pairs.count() == 6
+    # default off: no fourth dataset directory
+    out2 = str(tmp_path / "out2")
+    c2 = run_daily(spark, day_dir, out2, write_fact=False)
+    assert "velocidades" not in c2
+    import os
+
+    assert not os.path.exists(f"{out2}/velocidades")
+
+
+def test_run_daily_counts_ride_the_write_jobs(
+    spark, tmp_path, day_dir, monkeypatch
+):
+    """The 100 TB telemetry contract: row counts come from an
+    Observation inside each sink's write job — the plan runs ONE action
+    per CSV sink, not write-then-recount.  Proof by prohibition: with
+    DataFrame.count and DataFrame.collect forbidden for the duration,
+    the plan must still complete AND return correct per-sink counts
+    (AQE shreds job/stage names, so structural accounting would lie —
+    this asserts the contract itself)."""
+    import pyspark.sql.dataframe as df_mod
+
+    def forbidden(self, *a, **k):
+        raise AssertionError(
+            "run_daily issued a driver action besides the sink writes"
+        )
+
+    monkeypatch.setattr(df_mod.DataFrame, "count", forbidden)
+    monkeypatch.setattr(df_mod.DataFrame, "collect", forbidden)
+    out = str(tmp_path / "out")
+    counts = run_daily(spark, day_dir, out, write_fact=False)
+    assert counts == {
+        "lentidao": 3, "velocidades_agregadas": 2, "acessiveis": 2,
+    }
