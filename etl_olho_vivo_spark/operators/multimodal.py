@@ -10,13 +10,15 @@ Design for 100 TB of mixed media:
   vectorized within the batch.  Partition count controls decode
   parallelism; the schema out of the UDF is explicit.
 
-Codec status (round 10): ``decode_media`` REALLY decodes the four
+Codec status (round 11): ``decode_media`` REALLY decodes the four
 raster formats reachable without any new dependency — BMP
 (BITMAPINFOHEADER), binary PNM (P5/P6), **PNG** (non-interlaced
 8-bit gray/RGB/gray+alpha/RGBA: stdlib zlib inflate + the five
-scanline filters, chunk CRCs verified), and **JPEG** (baseline
-sequential DCT, SOF0/SOF1: canonical Huffman entropy decode, zigzag
-dequantization, numpy-matmul IDCT, nearest-neighbor chroma upsampling
+scanline filters, chunk CRCs verified, geometry-bounded inflate), and
+**JPEG** (baseline sequential SOF0/SOF1 AND progressive SOF2 —
+spectral selection + successive approximation: canonical Huffman
+entropy decode, zigzag dequantization, vectorized-einsum IDCT,
+nearest-neighbor chroma upsampling
 for 4:4:4/4:2:2/4:2:0 and grayscale, DRI/RSTn restart markers,
 JFIF YCbCr→RGB) — with a pure-stdlib+numpy parser shipped by value
 inside the mapInPandas closure: parsed width/height from the header
@@ -33,10 +35,12 @@ amplitude), opaque-with-NULLs otherwise.  ``sample_frames`` REALLY
 demuxes MJPEG-in-AVI (RIFF chunk walk → every stride-th ``00dc``
 frame, each a complete JPEG the decoder consumes — video → frames →
 decode → dHash dedup end to end), byte-slicing stub otherwise.
-Progressive JPEG, MP3, and non-MJPEG video codecs still need
-libjpeg-turbo/libav, absent from this container (re-probed each
-round); they would slot into ``_media_parser``/``_audio_parser``/
-``_avi_demuxer`` without touching the Spark plumbing.
+MP3 and non-MJPEG video codecs still need libav, absent from this
+container (re-probed each round); they would slot into
+``_audio_parser``/``_avi_demuxer`` without touching the Spark
+plumbing.  (Progressive JPEG — formerly on this list — went native in
+round 11; arithmetic-coded, hierarchical, lossless, and 12-bit JPEG
+remain opaque by design: vanishingly rare in web corpora.)
 """
 
 from __future__ import annotations
@@ -325,19 +329,27 @@ def _media_parser(pixels: bool = False):
         return w, h, round(tot / (h * stride), 4), gray
 
     def parse_jpeg(m: bytes):
-        # JPEG (round 10): baseline sequential DCT (SOF0/SOF1), the
-        # other dominant real-corpus raster format — decodable with NO
+        # JPEG: baseline sequential (SOF0/SOF1, round 10) AND
+        # progressive (SOF2, round 11) DCT — decodable with NO
         # dependency beyond numpy (already on every executor for the
         # Arrow path): canonical Huffman entropy decode, zigzag
-        # dequantization, 8x8 IDCT as two numpy matmuls, nearest-
-        # neighbor chroma upsampling (4:4:4 / 4:2:2 / 4:2:0 and
-        # grayscale), DRI/RSTn restart markers, 0xFF00 byte-stuffing.
-        # Progressive (SOF2), arithmetic coding, 12-bit precision,
-        # >2x sampling factors, truncation, or any malformed structure
-        # degrades to opaque — one corrupt file must not kill a 100 TB
-        # decode job.  Per-symbol Huffman reads are Python-side, so
-        # this is the correctness-complete stdlib path; a production
-        # cluster would drop a native codec into this same slot.
+        # dequantization, one vectorized 8x8 IDCT over every block at
+        # once (two einsum contractions), nearest-neighbor chroma
+        # upsampling (4:4:4 / 4:2:2 / 4:2:0 and grayscale), DRI/RSTn
+        # restart markers, 0xFF00 byte-stuffing.  Both modes run
+        # through ONE coefficient-store pipeline: a baseline scan is
+        # simply the full spectral band (Ss=0..Se=63, Ah=Al=0) decoded
+        # in a single pass, while progressive accumulates DC-first /
+        # DC-refine / AC-first / AC-refine scans (spectral selection +
+        # successive approximation, ITU T.81 G.1.2) into the same
+        # per-component coefficient arrays before the shared
+        # dequant+IDCT finish.  Arithmetic coding, hierarchical /
+        # lossless modes, 12-bit precision, >2x sampling factors,
+        # truncation, or any malformed structure degrades to opaque —
+        # one corrupt file must not kill a 100 TB decode job.
+        # Per-symbol Huffman reads are Python-side, so this is the
+        # correctness-complete stdlib path; a production cluster would
+        # drop a native codec into this same slot.
         import numpy as np
 
         ZIG = (
@@ -357,10 +369,262 @@ def _media_parser(pixels: bool = False):
         qt = {}       # id -> list[64] dequant steps, zigzag order
         hufftab = {}  # (class 0=DC/1=AC, id) -> {(length, code): symbol}
         frame = None  # (h, w, [(cid, hs, vs, tq), ...])
+        progressive = False
         restart_interval = 0
-        scan = None   # ([(comp_idx, dc_id, ac_id), ...], entropy_start)
+        coefs: list = []    # per comp: (bh_full, bw_full, 64) int32, NATURAL order
+        geom = None         # (hmax, vmax, mcux, mcuy, [(bw_ni, bh_ni), ...])
+        scans_done = 0
+        dc_seen: set = set()
+        bitbuf = bitcnt = 0
+        pos = 2
+
+        def receive(nbits):
+            nonlocal bitbuf, bitcnt, pos
+            while bitcnt < nbits:
+                if pos >= n:
+                    raise _Bad
+                b = m[pos]
+                pos += 1
+                if b == 0xFF:
+                    if pos < n and m[pos] == 0x00:
+                        pos += 1  # stuffed data byte
+                    else:
+                        raise _Bad  # marker where data expected
+                bitbuf = (bitbuf << 8) | b
+                bitcnt += 8
+            bitcnt -= nbits
+            out = (bitbuf >> bitcnt) & ((1 << nbits) - 1)
+            bitbuf &= (1 << bitcnt) - 1  # keep ints small over a scan
+            return out
+
+        def huffdec(tbl):
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | receive(1)
+                v = tbl.get((length, code))
+                if v is not None:
+                    return v
+            raise _Bad
+
+        def extend(v, s):
+            return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+        def do_scan(seg, data_start):
+            """Decode one SOS segment's entropy data into the
+            coefficient store; leaves pos at the next marker."""
+            nonlocal pos, bitbuf, bitcnt
+            if frame is None or len(seg) < 1:
+                raise _Bad
+            fh, fw, comps = frame
+            ns = seg[0]
+            if ns < 1 or len(seg) < 1 + 2 * ns + 3:
+                raise _Bad
+            sel = []
+            for c in range(ns):
+                cs, tda = seg[1 + 2 * c:3 + 2 * c]
+                idx = next(
+                    (i for i, cc in enumerate(comps) if cc[0] == cs),
+                    None,
+                )
+                if idx is None:
+                    raise _Bad
+                sel.append((idx, tda >> 4, tda & 15))
+            ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if not progressive:
+                # a baseline scan spans the whole band, all components
+                if ss != 0 or se != 63 or ah or al or ns != len(comps):
+                    raise _Bad
+            else:
+                if ss == 0:
+                    if se != 0:
+                        raise _Bad  # DC scans carry only coefficient 0
+                elif ns != 1 or not ss <= se <= 63:
+                    raise _Bad  # AC scans are single-component
+                if al > 13 or (ah and ah != al + 1):
+                    raise _Bad  # successive approximation steps by 1 bit
+            dc_scan = ss == 0
+            dcs, acs = [], []
+            for (idx, td, ta) in sel:
+                if dc_scan and ah == 0:
+                    if (0, td) not in hufftab:
+                        raise _Bad
+                    dcs.append(hufftab[(0, td)])
+                    dc_seen.add(idx)
+                else:
+                    dcs.append(None)
+                if (not progressive) or not dc_scan:
+                    if (1, ta) not in hufftab:
+                        raise _Bad
+                    acs.append(hufftab[(1, ta)])
+                else:
+                    acs.append(None)
+            hmax, vmax, mcux, mcuy, ni_dims = geom
+            pos = data_start
+            bitbuf = bitcnt = 0
+            eobrun = 0
+            preds = [0] * ns
+            rst = 0
+            p1 = 1 << al
+            m1 = (-1) << al
+
+            def resync():
+                nonlocal bitbuf, bitcnt, pos, rst, eobrun, preds
+                bitbuf = bitcnt = 0  # byte-align
+                # un-consumed pad bytes may precede the marker (a pad
+                # byte of 1s is 0xFF + stuffed 0x00): scan forward to
+                # the next real marker, which must be the expected RSTn
+                while pos + 1 < n and not (
+                    m[pos] == 0xFF and m[pos + 1] != 0x00
+                ):
+                    pos += 1
+                if pos + 2 > n or m[pos] != 0xFF \
+                        or m[pos + 1] != 0xD0 + (rst & 7):
+                    raise _Bad
+                pos += 2
+                rst += 1
+                eobrun = 0
+                preds = [0] * ns
+
+            def dc_first(ci, blk):
+                s = huffdec(dcs[ci])
+                if s > 11:
+                    raise _Bad
+                diff = extend(receive(s), s) if s else 0
+                preds[ci] += diff
+                blk[0] = preds[ci] << al
+
+            def dc_refine(ci, blk):
+                if receive(1):
+                    blk[0] = int(blk[0]) | p1
+
+            def ac_first(ci, blk):
+                nonlocal eobrun
+                if eobrun > 0:
+                    eobrun -= 1
+                    return
+                k = 1 if not progressive else ss
+                while k <= se:
+                    rs = huffdec(acs[ci])
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        if progressive:
+                            # EOBn: run of (1<<r)+ext band-empty blocks
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += receive(r)
+                        break  # EOB (baseline ignores r, as round 10 did)
+                    k += r
+                    if k > se or s > 10:
+                        raise _Bad
+                    blk[ZIG[k]] = extend(receive(s), s) << al
+                    k += 1
+
+            def ac_refine(ci, blk):
+                # T.81 G.1.2.3: correction bits for already-nonzero
+                # coefficients, one new +-(1<<Al) coefficient per (r,1)
+                # symbol, EOB runs whose member blocks still receive
+                # whole-band correction bits
+                nonlocal eobrun
+
+                def correct(z):
+                    v = int(blk[z])
+                    if v and receive(1) and (v & p1) == 0:
+                        blk[z] = v + (p1 if v >= 0 else m1)
+                        return
+                    return v
+
+                if eobrun > 0:
+                    eobrun -= 1
+                    for k in range(ss, se + 1):
+                        correct(ZIG[k])
+                    return
+                k = ss
+                while k <= se:
+                    rs = huffdec(acs[ci])
+                    r, s = rs >> 4, rs & 15
+                    newval = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += receive(r)
+                            break
+                        # r == 15: skip 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise _Bad
+                        newval = p1 if receive(1) else m1
+                    while k <= se:
+                        z = ZIG[k]
+                        if int(blk[z]):
+                            correct(z)
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if newval:
+                        if k > se:
+                            raise _Bad
+                        blk[ZIG[k]] = newval
+                    k += 1
+                if eobrun > 0:
+                    # the EOB run includes THIS block: its remaining
+                    # band positions still carry correction bits
+                    for kk in range(k, se + 1):
+                        correct(ZIG[kk])
+                    eobrun -= 1
+
+            def decode_block(ci, blk):
+                if not progressive:
+                    dc_first(ci, blk)
+                    ac_first(ci, blk)
+                elif dc_scan:
+                    (dc_first if ah == 0 else dc_refine)(ci, blk)
+                else:
+                    (ac_first if ah == 0 else ac_refine)(ci, blk)
+
+            unit = 0  # restart counting: MCUs (interleaved) or blocks
+            if ns > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if restart_interval and unit \
+                                and unit % restart_interval == 0:
+                            resync()
+                        unit += 1
+                        for ci, (idx, _, _) in enumerate(sel):
+                            _, hs, vs, _ = comps[idx]
+                            for by in range(vs):
+                                for bx in range(hs):
+                                    decode_block(
+                                        ci,
+                                        coefs[idx][my * vs + by,
+                                                   mx * hs + bx],
+                                    )
+            else:
+                # non-interleaved: the component's OWN block grid
+                # (ceil(cw/8) x ceil(ch/8)), not the MCU-padded one
+                idx = sel[0][0]
+                bw_ni, bh_ni = ni_dims[idx]
+                for by in range(bh_ni):
+                    for bx in range(bw_ni):
+                        if restart_interval and unit \
+                                and unit % restart_interval == 0:
+                            resync()
+                        unit += 1
+                        decode_block(0, coefs[idx][by, bx])
+            # leave pos at the first byte of the next marker so the
+            # outer loop resumes cleanly after the entropy data
+            while pos + 1 < n and not (
+                m[pos] == 0xFF and m[pos + 1] != 0x00
+            ):
+                pos += 1
+
         try:
-            pos = 2
             while pos + 2 <= n:
                 if m[pos] != 0xFF:
                     raise _Bad
@@ -374,8 +638,12 @@ def _media_parser(pixels: bool = False):
                 pos += 2
                 if marker == 0x01 or 0xD0 <= marker <= 0xD8:
                     continue  # standalone markers
-                if marker == 0xD9 or pos + 2 > n:
-                    raise _Bad  # EOI (or truncation) before any scan
+                if marker == 0xD9:  # EOI
+                    if not scans_done:
+                        raise _Bad
+                    break
+                if pos + 2 > n:
+                    raise _Bad
                 seglen = int.from_bytes(m[pos:pos + 2], "big")
                 if seglen < 2 or pos + seglen > n:
                     raise _Bad
@@ -419,9 +687,11 @@ def _media_parser(pixels: bool = False):
                         i += 17 + total
                     if i != len(seg):
                         raise _Bad
-                elif marker in (0xC0, 0xC1):  # baseline / ext. sequential
+                elif marker in (0xC0, 0xC1, 0xC2):
+                    # baseline / extended sequential / progressive
                     if frame is not None or len(seg) < 6 or seg[0] != 8:
                         raise _Bad
+                    progressive = marker == 0xC2
                     h = int.from_bytes(seg[1:3], "big")
                     w = int.from_bytes(seg[3:5], "big")
                     nc = seg[5]
@@ -437,176 +707,82 @@ def _media_parser(pixels: bool = False):
                         if hs not in (1, 2) or vs not in (1, 2):
                             raise _Bad
                         if nc == 1:
-                            # single-component scans are NON-interleaved:
-                            # the data-unit grid is ceil(w/8) x ceil(h/8)
-                            # regardless of declared sampling factors
+                            # single-component frames: the data-unit
+                            # grid is ceil(w/8) x ceil(h/8) regardless
+                            # of declared sampling factors
                             hs = vs = 1
                         comps.append((cid, hs, vs, tq))
                     frame = (h, w, comps)
-                elif 0xC2 <= marker <= 0xCF and marker != 0xC8:
-                    raise _Bad  # progressive/arithmetic/lossless SOFs
+                    hmax = max(c[1] for c in comps)
+                    vmax = max(c[2] for c in comps)
+                    mcux = -(-w // (8 * hmax))
+                    mcuy = -(-h // (8 * vmax))
+                    ni_dims = []
+                    for (cid, hs, vs, tq) in comps:
+                        cw = -(-(w * hs) // hmax)
+                        ch = -(-(h * vs) // vmax)
+                        ni_dims.append((-(-cw // 8), -(-ch // 8)))
+                        coefs.append(np.zeros(
+                            (mcuy * vs, mcux * hs, 64), dtype=np.int32
+                        ))
+                    geom = (hmax, vmax, mcux, mcuy, ni_dims)
+                elif 0xC0 <= marker <= 0xCF:
+                    # other SOFs (hierarchical/lossless/12-bit), DAC
+                    # (arithmetic), reserved JPG — unsupported
+                    raise _Bad
                 elif marker == 0xDD:  # DRI
                     if len(seg) < 2:
                         raise _Bad
                     restart_interval = int.from_bytes(seg[0:2], "big")
                 elif marker == 0xDA:  # SOS — entropy data follows
-                    if frame is None or len(seg) < 1:
-                        raise _Bad
-                    ns = seg[0]
-                    _, _, comps = frame
-                    if ns != len(comps) or len(seg) < 1 + 2 * ns + 3:
-                        raise _Bad
-                    sel = []
-                    for c in range(ns):
-                        cs, tda = seg[1 + 2 * c:3 + 2 * c]
-                        idx = next(
-                            (i for i, cc in enumerate(comps)
-                             if cc[0] == cs),
-                            None,
-                        )
-                        if idx is None:
-                            raise _Bad
-                        sel.append((idx, tda >> 4, tda & 15))
-                    ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
-                    if ss != 0 or se != 63 or ahal != 0:
-                        raise _Bad  # baseline scans span 0..63 at Ah=Al=0
-                    scan = (sel, pos + seglen)
-                    break
+                    do_scan(seg, pos + seglen)
+                    scans_done += 1
+                    if scans_done > 99:
+                        raise _Bad  # hostile scan flood
+                    if not progressive:
+                        break  # a baseline image is one scan
+                    continue  # do_scan left pos at the next marker
                 # APPn / COM / other tables: skip
                 pos += seglen
-            if scan is None:
+            if frame is None or not scans_done:
                 raise _Bad
-
             h, w, comps = frame
-            sel, pos = scan
-            hmax = max(c[1] for c in comps)
-            vmax = max(c[2] for c in comps)
-            mcux = -(-w // (8 * hmax))
-            mcuy = -(-h // (8 * vmax))
-            planes, dqs, dcs, acs = [], [], [], []
-            for (idx, td, ta) in sel:
-                cid, hs, vs, tq = comps[idx]
-                if tq not in qt or (0, td) not in hufftab \
-                        or (1, ta) not in hufftab:
-                    raise _Bad
-                planes.append(
-                    np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.int16)
-                )
-                dqs.append(np.array(qt[tq], dtype=np.float64))
-                dcs.append(hufftab[(0, td)])
-                acs.append(hufftab[(1, ta)])
+            if dc_seen != set(range(len(comps))):
+                raise _Bad  # every component needs a DC-first scan
+            hmax, vmax = geom[0], geom[1]
 
-            # IDCT basis: A[u, x] = c(u)/2 * cos((2x+1)uπ/16);
-            # pixels = Aᵀ · coefs · A  (coefs in natural row=v, col=u)
+            # IDCT basis: A[u, x] = c(u)/2 * cos((2x+1)u*pi/16);
+            # pixels = A^T . coefs . A  (coefs natural row=v, col=u),
+            # contracted over EVERY block of a component at once
             x = np.arange(8)
             A = 0.5 * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
             A[0, :] *= 1 / np.sqrt(2.0)
-
-            bitbuf, bitcnt, rst = 0, 0, 0
-            nat_rows = np.array([z // 8 for z in ZIG])
-            nat_cols = np.array([z % 8 for z in ZIG])
-
-            def receive(nbits):
-                nonlocal bitbuf, bitcnt, pos
-                while bitcnt < nbits:
-                    if pos >= n:
-                        raise _Bad
-                    b = m[pos]
-                    pos += 1
-                    if b == 0xFF:
-                        if pos < n and m[pos] == 0x00:
-                            pos += 1  # stuffed data byte
-                        else:
-                            raise _Bad  # marker where data expected
-                    bitbuf = (bitbuf << 8) | b
-                    bitcnt += 8
-                bitcnt -= nbits
-                out = (bitbuf >> bitcnt) & ((1 << nbits) - 1)
-                bitbuf &= (1 << bitcnt) - 1  # keep ints small over a scan
-                return out
-
-            def huffdec(tbl):
-                code = 0
-                for length in range(1, 17):
-                    code = (code << 1) | receive(1)
-                    v = tbl.get((length, code))
-                    if v is not None:
-                        return v
-                raise _Bad
-
-            def extend(v, s):
-                return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
-
-            preds = [0] * len(sel)
-            mcu_count = 0
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    if restart_interval and mcu_count \
-                            and mcu_count % restart_interval == 0:
-                        bitbuf = bitcnt = 0  # byte-align
-                        # un-consumed pad bytes may precede the marker
-                        # (a pad byte of 1s is 0xFF + stuffed 0x00):
-                        # scan forward to the next real marker, which
-                        # must be the expected RSTn
-                        while pos + 1 < n and not (
-                            m[pos] == 0xFF and m[pos + 1] != 0x00
-                        ):
-                            pos += 1
-                        if pos + 2 > n or m[pos] != 0xFF \
-                                or m[pos + 1] != 0xD0 + (rst & 7):
-                            raise _Bad
-                        pos += 2
-                        rst += 1
-                        preds = [0] * len(sel)
-                    mcu_count += 1
-                    for ci, (idx, _, _) in enumerate(sel):
-                        _, hs, vs, _ = comps[idx]
-                        for by in range(vs):
-                            for bx in range(hs):
-                                zz = np.zeros(64, dtype=np.float64)
-                                s = huffdec(dcs[ci])
-                                if s > 11:
-                                    raise _Bad
-                                diff = extend(receive(s), s) if s else 0
-                                preds[ci] += diff
-                                zz[0] = preds[ci]
-                                k = 1
-                                while k < 64:
-                                    rs = huffdec(acs[ci])
-                                    r, s = rs >> 4, rs & 15
-                                    if s == 0:
-                                        if r != 15:
-                                            break  # EOB
-                                        k += 16  # ZRL
-                                        continue
-                                    k += r
-                                    if k > 63 or s > 10:
-                                        raise _Bad
-                                    zz[k] = extend(receive(s), s)
-                                    k += 1
-                                coef = np.zeros((8, 8))
-                                coef[nat_rows, nat_cols] = zz * dqs[ci]
-                                px = A.T @ coef @ A + 128.0
-                                blk = np.clip(
-                                    np.rint(px), 0, 255
-                                ).astype(np.int16)
-                                r0 = (my * vs + by) * 8
-                                c0 = (mx * hs + bx) * 8
-                                planes[ci][r0:r0 + 8, c0:c0 + 8] = blk
+            inv = np.empty(64, dtype=np.int64)
+            for k, z in enumerate(ZIG):
+                inv[z] = k  # natural position z holds zigzag index k
 
             full = []
-            for ci, (idx, _, _) in enumerate(sel):
-                _, hs, vs, _ = comps[idx]
-                p = planes[ci]
+            for i, (cid, hs, vs, tq) in enumerate(comps):
+                if tq not in qt:
+                    raise _Bad
+                qnat = np.array(qt[tq], dtype=np.float64)[inv]
+                B = (coefs[i].astype(np.float64) * qnat)
+                bh_b, bw_b = B.shape[:2]
+                B = B.reshape(bh_b, bw_b, 8, 8)
+                px = np.einsum("ji,mnjk,kl->mnil", A, B, A) + 128.0
+                plane = np.clip(np.rint(px), 0, 255)
+                plane = plane.transpose(0, 2, 1, 3).reshape(
+                    bh_b * 8, bw_b * 8
+                )
                 if hs < hmax:
-                    p = np.repeat(p, hmax // hs, axis=1)
+                    plane = np.repeat(plane, hmax // hs, axis=1)
                 if vs < vmax:
-                    p = np.repeat(p, vmax // vs, axis=0)
-                full.append(p[:h, :w].astype(np.float64))
+                    plane = np.repeat(plane, vmax // vs, axis=0)
+                full.append(plane[:h, :w])
             if len(full) == 1:
                 mean = float(full[0].mean())
                 gray = full[0]
-            else:  # JFIF YCbCr → RGB, then mean over all three samples
+            else:  # JFIF YCbCr -> RGB, then mean over all three samples
                 y, cb, cr = full
                 r = y + 1.402 * (cr - 128.0)
                 g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

@@ -2141,16 +2141,20 @@ _JPEG_ZIG = (
 )
 
 
-def _jpeg_tables():
+def _jpeg_tables(progressive=False):
     """Canonical Huffman tables covering every baseline symbol: DC
     categories 0-11 at length 4 (12 < 16 codes), AC = EOB + ZRL + all
-    (run 0-15, size 1-10) pairs at length 8 (162 < 256 codes)."""
+    (run 0-15, size 1-10) pairs at length 8 (162 < 256 codes).
+    ``progressive`` additionally assigns the EOBn symbols (r<<4)|0 for
+    r=1..14 (176 < 256 still fits length 8)."""
     dc_bits = [0, 0, 0, 12] + [0] * 12
     dc_vals = list(range(12))
-    ac_bits = [0] * 7 + [162] + [0] * 8
     ac_vals = [0x00, 0xF0] + [
         (r << 4) | s for r in range(16) for s in range(1, 11)
     ]
+    if progressive:
+        ac_vals += [(r << 4) for r in range(1, 15)]
+    ac_bits = [0] * 7 + [len(ac_vals)] + [0] * 8
 
     def canonical(bits, vals):
         enc, code, k = {}, 0, 0
@@ -2293,6 +2297,233 @@ def _make_jpeg(w, h, planes, hv, restart=0, sof=0xC0):
                         )
     bw.flush()
     out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _zz_blocks(planes, hv, mcux, mcuy):
+    """Per-component zigzag coefficient grids at the MCU-padded block
+    resolution (quant all-ones, same forward DCT as the baseline
+    encoder) — shared by the baseline and progressive writers so a
+    sibling pair carries IDENTICAL coefficients."""
+    import numpy as np
+
+    out = []
+    for ci, (hs, vs) in enumerate(hv):
+        p = np.asarray(planes[ci])
+        bh, bw = mcuy * vs, mcux * hs
+        grid = [[None] * bw for _ in range(bh)]
+        for by in range(bh):
+            for bx in range(bw):
+                Fq = _jpeg_fdct_quant(
+                    p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                )
+                grid[by][bx] = [
+                    int(Fq[_JPEG_ZIG[k] // 8, _JPEG_ZIG[k] % 8])
+                    for k in range(64)
+                ]
+        out.append(grid)
+    return out
+
+
+class _ProgAcState:
+    """Cross-block AC-scan state: the pending EOB run and the
+    correction bits that belong to it (emitted together on flush)."""
+
+    def __init__(self, w, ac_enc):
+        self.w, self.enc = w, ac_enc
+        self.eobrun = 0
+        self.be = []
+
+    def flush(self):
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            self.w.put(*self.enc[r << 4])
+            if r:
+                self.w.put(self.eobrun - (1 << r), r)
+        for b in self.be:
+            self.w.put(b, 1)
+        self.be = []
+        self.eobrun = 0
+
+
+def _prog_ac_first_block(zz, ss, se, al, st):
+    """AC first scan (T.81 G.1.2.2): runs + EOBn accumulation, values
+    magnitude-shifted by Al (sign preserved)."""
+    w, enc = st.w, st.enc
+    r = 0
+    for k in range(ss, se + 1):
+        v = zz[k]
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            st.flush()
+            w.put(*enc[0xF0])
+            r -= 16
+        st.flush()
+        s = t.bit_length()
+        assert s <= 10
+        w.put(*enc[(r << 4) | s])
+        tv = t if v > 0 else -t
+        w.put(tv if tv > 0 else tv + (1 << s) - 1, s)
+        r = 0
+    if r:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush()
+
+
+def _prog_ac_refine_block(zz, ss, se, al, st):
+    """AC refinement scan (T.81 G.1.2.3): one correction bit per
+    already-nonzero coefficient, (run,1)+sign for newly-significant
+    ones, zero runs beyond the last new coefficient folded into the
+    EOB run together with their correction bits."""
+    w, enc = st.w, st.enc
+    absv = [abs(zz[ss + i]) >> al for i in range(se - ss + 1)]
+    eob = 0
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i + 1
+    r = 0
+    br = []  # correction bits since the last emitted symbol
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i < eob:
+            st.flush()
+            w.put(*enc[0xF0])
+            r -= 16
+            for b in br:
+                w.put(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        st.flush()
+        w.put(*enc[(r << 4) | 1])
+        w.put(1 if zz[ss + i] > 0 else 0, 1)
+        for b in br:
+            w.put(b, 1)
+        br = []
+        r = 0
+    if r or br:
+        st.eobrun += 1
+        st.be.extend(br)
+        if st.eobrun == 0x7FFF:
+            st.flush()
+
+
+def _make_progressive_jpeg(w, h, planes, hv, dc_al=1, ac_al=1,
+                           bands=((1, 5), (6, 63))):
+    """Independent progressive (SOF2) encoder: spectral selection via
+    ``bands`` plus successive approximation (DC first at Al=``dc_al``
+    with one-bit refinements down to 0; AC first at Al=``ac_al`` with
+    refinement scans down to 0; both 0 = spectral selection only).
+    Same all-ones quant table and forward DCT as the baseline encoder,
+    so a progressive file and its baseline sibling carry IDENTICAL
+    coefficients — the decoder must produce the same pixels for both.
+    Like the decoder, this is an original implementation of the
+    T.81 G.1.2 procedures, so parity is a genuine cross-check."""
+    (dc_payload, dc_enc), (ac_payload, ac_enc) = _jpeg_tables(True)
+    nc = len(planes)
+    hmax = max(hs for hs, _ in hv)
+    vmax = max(vs for _, vs in hv)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    grids = _zz_blocks(planes, hv, mcux, mcuy)
+    # non-interleaved (single-component scan) block grids
+    ni = []
+    for hs, vs in hv:
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        ni.append((-(-cw // 8), -(-ch // 8)))
+
+    def seg(marker, payload):
+        return (
+            b"\xff" + bytes([marker])
+            + (len(payload) + 2).to_bytes(2, "big") + payload
+        )
+
+    def sos(sel, ss, se, ah, al):
+        p = bytes([len(sel)])
+        for cid, tdta in sel:
+            p += bytes([cid, tdta])
+        p += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, p)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(0xC4, bytes([0x00]) + dc_payload)
+    out += seg(0xC4, bytes([0x10]) + ac_payload)
+    sofp = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([nc])
+    for ci, (hs, vs) in enumerate(hv):
+        sofp += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += seg(0xC2, sofp)
+
+    def mcu_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (hs, vs) in enumerate(hv):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            yield ci, grids[ci][my * vs + by][mx * hs + bx]
+
+    # 1. DC first scan (interleaved, Al=dc_al): diffs of the
+    # floor-shifted DC values
+    out += sos([(ci + 1, 0x00) for ci in range(nc)], 0, 0, 0, dc_al)
+    bw_ = _JpegBits()
+    preds = [0] * nc
+    for ci, zz in mcu_blocks():
+        v = zz[0] >> dc_al
+        diff = v - preds[ci]
+        preds[ci] = v
+        s = abs(diff).bit_length()
+        bw_.put(*dc_enc[s])
+        if s:
+            bw_.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    bw_.flush()
+    out += bw_.buf
+    # 2. DC refinement scans: one raw bit per block per level
+    for al in range(dc_al - 1, -1, -1):
+        out += sos([(ci + 1, 0x00) for ci in range(nc)], 0, 0, al + 1, al)
+        bw_ = _JpegBits()
+        for ci, zz in mcu_blocks():
+            bw_.put((zz[0] >> al) & 1, 1)
+        bw_.flush()
+        out += bw_.buf
+    # 3. AC first scans: per component, per band, at Al=ac_al
+    for ci in range(nc):
+        bwn, bhn = ni[ci]
+        for (ss, se) in bands:
+            out += sos([(ci + 1, 0x00)], ss, se, 0, ac_al)
+            bw_ = _JpegBits()
+            st = _ProgAcState(bw_, ac_enc)
+            for by in range(bhn):
+                for bx in range(bwn):
+                    _prog_ac_first_block(grids[ci][by][bx], ss, se,
+                                         ac_al, st)
+            st.flush()
+            bw_.flush()
+            out += bw_.buf
+    # 4. AC refinement scans down to Al=0
+    for al in range(ac_al - 1, -1, -1):
+        for ci in range(nc):
+            bwn, bhn = ni[ci]
+            for (ss, se) in bands:
+                out += sos([(ci + 1, 0x00)], ss, se, al + 1, al)
+                bw_ = _JpegBits()
+                st = _ProgAcState(bw_, ac_enc)
+                for by in range(bhn):
+                    for bx in range(bwn):
+                        _prog_ac_refine_block(grids[ci][by][bx], ss, se,
+                                              al, st)
+                st.flush()
+                bw_.flush()
+                out += bw_.buf
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -2444,6 +2675,74 @@ def test_decode_jpeg_ac_coefficients_and_restarts(spark):
         b"\xff\xda", b"\xff\xdd\x00\x04\x00\x01\xff\xda", 1
     )
     assert parse(broken)[2] == "opaque"
+
+
+def test_decode_progressive_jpeg_matches_baseline_exactly(spark):
+    """Round-11 progressive (SOF2) decode: the independent progressive
+    encoder emits the SAME quantized coefficients as its baseline
+    sibling (shared forward DCT + all-ones quant), so the decoded
+    pixel grids must match BIT-EXACTLY across every scan-script
+    variant — spectral selection only, successive approximation on DC
+    and AC, multi-band scripts, grayscale/4:4:4/4:2:0, odd crops whose
+    non-interleaved AC grids differ from the MCU-padded DC grid, and
+    flat content that drives multi-block EOB runs.  dHash container
+    invariance extends to progressive-vs-baseline pairs."""
+    import numpy as np
+
+    parse = multimodal._media_parser(pixels=True)
+    dhash = multimodal._dhash_fn()
+    rng = np.random.RandomState(11)
+
+    def rand_plane(h, w):
+        return rng.randint(0, 256, size=(h, w)).astype(np.float64)
+
+    cases = []
+    # grayscale, full-spectrum noise (dense AC symbols + corrections)
+    cases.append((16, 24, [rand_plane(24, 16)], [(1, 1)]))
+    # 4:4:4 color
+    cases.append(
+        (16, 16, [rand_plane(16, 16) for _ in range(3)], [(1, 1)] * 3)
+    )
+    # 4:2:0 color, odd dims: luma ni grid 3x2 inside a 4x2 padded
+    # grid — AC scans cover fewer blocks than the interleaved DC scan
+    cases.append((
+        17, 9,
+        [rand_plane(16, 32), rand_plane(8, 16), rand_plane(8, 16)],
+        [(2, 2), (1, 1), (1, 1)],
+    ))
+    # mostly-flat grayscale: solid blocks make band-empty blocks, so
+    # EOBn runs span many blocks (incl. correction bits in refinement)
+    flat = np.full((32, 32), 77.0)
+    flat[8:16, 8:16] = rand_plane(8, 8)
+    flat[24:32, 0:8] = rand_plane(8, 8)
+    cases.append((32, 32, [flat], [(1, 1)]))
+    # sparse high-frequency content: a lone coefficient deep in the
+    # zigzag exercises ZRL inside refinement scans
+    coef = np.zeros((8, 8))
+    coef[5, 6] = 3  # zigzag position ~50
+    sparse = np.tile(_jpeg_idct_oracle(coef), (2, 2))
+    cases.append((16, 16, [sparse], [(1, 1)]))
+
+    variants = [
+        dict(dc_al=0, ac_al=0),                       # spectral only
+        dict(dc_al=1, ac_al=1),                       # SA on DC + AC
+        dict(dc_al=2, ac_al=1, bands=((1, 63),)),     # single band
+        dict(dc_al=1, ac_al=2,
+             bands=((1, 2), (3, 10), (11, 63))),      # deep SA, 3 bands
+    ]
+    for w, h, planes, hv in cases:
+        base = parse(_make_jpeg(w, h, planes, hv))
+        assert base[2] == "jpeg", (w, h)
+        for var in variants:
+            prog = parse(_make_progressive_jpeg(w, h, planes, hv, **var))
+            assert prog[2] == "jpeg", (w, h, var)
+            assert prog[3:6] == base[3:6], (w, h, var)  # w, h, mean
+            assert prog[6] is not None
+            assert np.array_equal(prog[6], base[6]), (w, h, var)
+            assert dhash(prog[6]) == dhash(base[6])
+    # arithmetic-coded SOF stays opaque (unsupported, loud-by-fallback)
+    w, h, planes, hv = cases[0]
+    assert parse(_make_jpeg(w, h, planes, hv, sof=0xC9))[2] == "opaque"
 
 
 # ---------------------------------------------------------------------------
