@@ -493,6 +493,19 @@ def _build_parser() -> argparse.ArgumentParser:
     qtr.add_argument("--iters", type=int, default=40)
     qtr.add_argument("--lr", type=float, default=1.0)
     qtr.add_argument("--l2", type=float, default=1e-4)
+    qtr.add_argument(
+        "--sample-frac", type=float, default=None, metavar="F",
+        help="minibatch training: each iteration's gradient runs over "
+        "a deterministic md5-Bernoulli sample of the labeled docs "
+        "(fraction F in (0,1]; the scale path once labels come from "
+        "an LLM judge at millions of rows — per-step cost is F x the "
+        "labeled set, not all of it)",
+    )
+    qtr.add_argument(
+        "--sample-seed", type=int, default=0, metavar="N",
+        help="seed for the per-iteration minibatch keys (same seed = "
+        "same batches under any partitioning)",
+    )
 
     qcu = sub.add_parser(
         "quality-cuts",
@@ -1199,6 +1212,8 @@ def main(argv: list[str] | None = None) -> int:
                 iters=args.iters,
                 lr=args.lr,
                 l2=args.l2,
+                sample_frac=args.sample_frac,
+                seed=args.sample_seed,
                 caches=bag,
             )
         finally:

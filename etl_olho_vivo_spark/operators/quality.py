@@ -95,9 +95,11 @@ def train_quality_classifier(
     lr: float = 1.0,
     l2: float = 1e-4,
     round_dp: int = 6,
+    sample_frac: float | None = None,
+    seed: int = 0,
     caches: "CacheBag | None" = None,
 ) -> dict:
-    """Full-batch logistic regression on the labeled pair of corpora →
+    """Logistic regression on the labeled pair of corpora →
     a JSON-serializable model dict ``{"n_buckets", "bias", "weights"
     (dense list), "iters", "lr", "l2", "n_pos", "n_neg"}``.
 
@@ -107,6 +109,19 @@ def train_quality_classifier(
     The gradient is rounded ``round_dp`` per step for cross-partitioning
     determinism.  Raises on empty/feature-less inputs — a silently
     degenerate model would pass everything downstream.
+
+    **Minibatch (round 11)**: ``sample_frac`` < 1 switches to
+    sampled-gradient descent — each iteration computes its gradient
+    over a deterministic md5-Bernoulli sample of the labeled docs
+    (key ``qgrad-<seed>-<iter>``, the engine-wide seeded_key_expr
+    discipline: same seed ⇒ same per-iteration batches under ANY
+    partitioning).  This is the scale path once labels come from an
+    LLM judge at millions of rows: per-iteration cost ∝ sample, never
+    the full labeled set, while the bounded-driver-state contract
+    (≤ n_buckets + 2 doubles per step) is unchanged.  The sampled
+    gradient normalizes by the ACTUAL batch size (collected as a
+    sentinel row in the same job); an empty batch is a no-op step, and
+    training fails loudly if every batch sampled empty.
     """
     from etl_olho_vivo_spark.caching import SESSION_BAG
 
@@ -117,6 +132,10 @@ def train_quality_classifier(
     if iters < 1 or lr <= 0 or l2 < 0:
         raise ValueError(
             f"need iters >= 1, lr > 0, l2 >= 0; got {iters}/{lr}/{l2}"
+        )
+    if sample_frac is not None and not 0.0 < sample_frac <= 1.0:
+        raise ValueError(
+            f"sample_frac must be in (0, 1], got {sample_frac}"
         )
     bag = caches if caches is not None else SESSION_BAG
     spark = pos_docs.sparkSession
@@ -161,20 +180,37 @@ def train_quality_classifier(
         )
     n = float(n_pos + n_neg)
 
+    from etl_olho_vivo_spark.functions.hashing import seeded_key_expr
+
+    sampling = sample_frac is not None and sample_frac < 1.0
+    threshold = int(sample_frac * (1 << 32)) if sampling else 0
     weights = [0.0] * n_buckets
     bias = 0.0
-    for _ in range(iters):
+    updates = 0
+    for it in range(iters):
         w_rel = spark.createDataFrame(
             [(b, w) for b, w in enumerate(weights) if w != 0.0]
             or [(0, 0.0)],
             "bucket bigint, w double",
         )
+        if sampling:
+            # deterministic per-iteration Bernoulli batch: the doc key
+            # (label:id) hashed under the iteration-salted seed — same
+            # batches under any partitioning, oracle-expressible
+            key = F.expr(seeded_key_expr(
+                "concat(CAST(k.lbl AS STRING), ':', "
+                "CAST(k.id AS STRING))",
+                f"qgrad-{seed}-{it}",
+            ))
+            batch = labeled.filter(key < F.lit(threshold))
+        else:
+            batch = labeled
         # per-doc margin from raw counts: Σ cnt·w / Σ cnt (the L1
         # normalization folded into the aggregate — no per-doc-total
         # window), residual σ(m) − y, doc total carried for the
         # gradient's cnt/tot normalization
         margins = (
-            labeled.join(F.broadcast(w_rel), "bucket", "left")
+            batch.join(F.broadcast(w_rel), "bucket", "left")
             .groupBy("k")
             .agg(
                 F.first("y").alias("y"),
@@ -196,36 +232,91 @@ def train_quality_classifier(
         )
         # gradient: symmetric labeled-set-scaled join → merge-pinned
         # (round-7 AQE-broadcast lesson); the bias gradient rides along
-        # as sentinel bucket −1, so each iteration is ONE job collecting
-        # ≤ n_buckets + 1 rounded doubles (AQE reuses the margins
-        # exchange between the two branches)
-        grad_rows = (
-            labeled.join(margins.hint("merge"), "k")
-            .groupBy("bucket")
-            .agg(
-                F.round(
-                    F.sum(F.col("resid") * F.col("cnt") / F.col("tot"))
-                    / n,
-                    round_dp,
-                ).alias("g")
+        # as sentinel bucket −1 (and, when sampling, the batch size as
+        # sentinel −2), so each iteration is ONE job collecting
+        # ≤ n_buckets + 2 rounded doubles (AQE reuses the margins
+        # exchange between the branches)
+        if sampling:
+            # raw rounded sums; the /n_t normalization happens driver-
+            # side against the batch size collected in the same job
+            per_bucket = (
+                batch.join(margins.hint("merge"), "k")
+                .groupBy("bucket")
+                .agg(
+                    F.round(
+                        F.sum(F.col("resid") * F.col("cnt") / F.col("tot")),
+                        round_dp,
+                    ).alias("g")
+                )
             )
-            .unionByName(
-                margins.agg(
-                    F.round(F.sum("resid") / n, round_dp).alias("g")
-                ).select(F.lit(-1).cast("bigint").alias("bucket"), "g")
+            extras = margins.agg(
+                F.round(F.sum("resid"), round_dp).alias("gb"),
+                F.count(F.lit(1)).cast("double").alias("nt"),
+            ).select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit(-1).cast("bigint").alias("bucket"),
+                            F.col("gb").alias("g"),
+                        ),
+                        F.struct(
+                            F.lit(-2).cast("bigint").alias("bucket"),
+                            F.col("nt").alias("g"),
+                        ),
+                    )
+                ).alias("x")
+            ).select("x.bucket", "x.g")
+            grad_rows = per_bucket.unionByName(extras).collect()
+            n_t = next(
+                (r["g"] for r in grad_rows if r["bucket"] == -2), 0.0
             )
-            .collect()
-        )
-        for r in grad_rows:
-            b = r["bucket"]
-            if b < 0:
-                bias -= lr * r["g"]
-            else:
-                weights[b] -= lr * (r["g"] + l2 * weights[b])
+            if not n_t:
+                continue  # empty batch: a no-op step, deterministically
+            updates += 1
+            for r in grad_rows:
+                b = r["bucket"]
+                if b == -2:
+                    continue
+                g = round(r["g"] / n_t, round_dp)
+                if b < 0:
+                    bias -= lr * g
+                else:
+                    weights[b] -= lr * (g + l2 * weights[b])
+        else:
+            grad_rows = (
+                labeled.join(margins.hint("merge"), "k")
+                .groupBy("bucket")
+                .agg(
+                    F.round(
+                        F.sum(F.col("resid") * F.col("cnt") / F.col("tot"))
+                        / n,
+                        round_dp,
+                    ).alias("g")
+                )
+                .unionByName(
+                    margins.agg(
+                        F.round(F.sum("resid") / n, round_dp).alias("g")
+                    ).select(F.lit(-1).cast("bigint").alias("bucket"), "g")
+                )
+                .collect()
+            )
+            updates += 1
+            for r in grad_rows:
+                b = r["bucket"]
+                if b < 0:
+                    bias -= lr * r["g"]
+                else:
+                    weights[b] -= lr * (r["g"] + l2 * weights[b])
         weights = [round(w, round_dp + 3) for w in weights]
         bias = round(bias, round_dp + 3)
+    if not updates:
+        raise ValueError(
+            f"every one of the {iters} sampled batches was empty "
+            f"(sample_frac={sample_frac}, {int(n)} labeled docs) — "
+            f"raise sample_frac or the labeled set size"
+        )
 
-    return {
+    model = {
         "n_buckets": n_buckets,
         "bias": bias,
         "weights": weights,
@@ -235,6 +326,10 @@ def train_quality_classifier(
         "n_pos": n_pos,
         "n_neg": n_neg,
     }
+    if sampling:
+        model["sample_frac"] = sample_frac
+        model["seed"] = seed
+    return model
 
 
 def save_model(model: dict, path: str) -> None:
@@ -314,35 +409,77 @@ def brute_force_reference(
     l2: float,
     round_dp: int = 6,
     bucket_fn=None,
+    sample_frac: float | None = None,
+    seed: int = 0,
+    ids_pos: list | None = None,
+    ids_neg: list | None = None,
 ) -> tuple[float, list[float]]:
     """Pure-Python rederivation of the SAME training loop (for tests):
     given the per-text bucket lists from ``bucket_fn``, runs the
-    identical rounded full-batch GD and returns (bias, weights)."""
+    identical rounded GD — full-batch, or sampled-gradient when
+    ``sample_frac`` is set (the same md5 qgrad-<seed>-<iter> Bernoulli
+    keys, which then need the docs' ids via ``ids_pos``/``ids_neg``) —
+    and returns (bias, weights)."""
+    import hashlib
+
     docs = []
-    for y, texts in ((1.0, texts_pos), (0.0, texts_neg)):
-        for t in texts:
+    for y, texts, ids in (
+        (1.0, texts_pos, ids_pos), (0.0, texts_neg, ids_neg)
+    ):
+        for j, t in enumerate(texts):
             buckets = bucket_fn(t)
             if buckets:
                 hist: dict[int, float] = {}
                 for b in buckets:
                     hist[b] = hist.get(b, 0.0) + 1.0
                 tot = sum(hist.values())
-                docs.append((y, {b: c / tot for b, c in hist.items()}))
+                docs.append((
+                    y,
+                    {b: c / tot for b, c in hist.items()},
+                    None if ids is None else ids[j],
+                ))
     n = float(len(docs))
+    sampling = sample_frac is not None and sample_frac < 1.0
+    threshold = int(sample_frac * (1 << 32)) if sampling else 0
     weights = [0.0] * n_buckets
     bias = 0.0
-    for _ in range(iters):
+    for it in range(iters):
+        if sampling:
+            batch = []
+            for y, x, did in docs:
+                key = int(hashlib.md5(
+                    f"{y}:{did}:qgrad-{seed}-{it}".encode()
+                ).hexdigest()[:8], 16)
+                if key < threshold:
+                    batch.append((y, x, did))
+            if not batch:
+                continue
+            n_it = float(len(batch))
+        else:
+            batch, n_it = docs, n
         grad: dict[int, float] = {}
         g_bias = 0.0
-        for y, x in docs:
+        for y, x, _ in batch:
             m = bias + sum(weights[b] * v for b, v in x.items())
             resid = 1.0 / (1.0 + math.exp(-m)) - y
             g_bias += resid
             for b, v in x.items():
                 grad[b] = grad.get(b, 0.0) + resid * v
-        for b, g in grad.items():
-            weights[b] -= lr * (round(g / n, round_dp) + l2 * weights[b])
-        bias -= lr * round(g_bias / n, round_dp)
+        if sampling:
+            # mirror the Spark numerics: sums rounded in the job,
+            # normalized driver-side against the batch size, re-rounded
+            for b, g in grad.items():
+                weights[b] -= lr * (
+                    round(round(g, round_dp) / n_it, round_dp)
+                    + l2 * weights[b]
+                )
+            bias -= lr * round(round(g_bias, round_dp) / n_it, round_dp)
+        else:
+            for b, g in grad.items():
+                weights[b] -= lr * (
+                    round(g / n_it, round_dp) + l2 * weights[b]
+                )
+            bias -= lr * round(g_bias / n_it, round_dp)
         weights = [round(w, round_dp + 3) for w in weights]
         bias = round(bias, round_dp + 3)
     return bias, weights
