@@ -164,11 +164,20 @@ def _build_parser() -> argparse.ArgumentParser:
         "gate never computes quantiles inline, same determinism "
         "contract as --lm-max-entropy).  NOTE: unlike the LM gate "
         "(scores stable per doc), DSIR weights depend on the POOL the "
-        "p_raw histogram is fit on — the gate refits on the "
-        "post-dedup/quality survivors, so derive the cut with dsir-cuts "
-        "on a pool matching what reaches this stage (e.g. a prior "
-        "run's pre-DSIR output), or treat the keep-fraction "
-        "calibration as approximate",
+        "p_raw histogram is fit on — pass --dsir-hist (persisted by "
+        "dsir-cuts --hist-out) to apply the floor to the calibrated "
+        "weight definition exactly; without it the gate refits on the "
+        "post-dedup/quality survivors and the keep-fraction "
+        "calibration is approximate",
+    )
+    cor.add_argument(
+        "--dsir-hist", default=None, metavar="PARQUET_DIR",
+        help="fit-once DSIR: the target/raw bucket histograms persisted "
+        "by dsir-cuts --hist-out; the gate scores survivors against "
+        "these FROZEN distributions (no refit), so --dsir-min-logw "
+        "keeps exactly the calibrated fraction of the calibrated "
+        "pool's distribution.  Replaces --dsir-target (the target "
+        "corpus itself is not re-read)",
     )
     cor.add_argument(
         "--dsir-sampled", action="store_true",
@@ -471,6 +480,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "--out", required=True, metavar="JSON_PATH",
         help="where to persist the cut points (one small JSON file)",
     )
+    dsc.add_argument(
+        "--hist-out", default=None, metavar="PARQUET_DIR",
+        help="also persist the fitted target/raw bucket histograms "
+        "(the DSIR model itself, <= --buckets rows) — hand them to "
+        "corpus --dsir-hist so the gate applies the floor to EXACTLY "
+        "the weight definition it was calibrated on (fit-once), "
+        "instead of refitting p_raw on whatever pool reaches the gate",
+    )
 
     qtr = sub.add_parser(
         "quality-train",
@@ -680,6 +697,7 @@ def main(argv: list[str] | None = None) -> int:
             dsir_sampled=args.dsir_sampled,
             dsir_seed=args.dsir_seed,
             dsir_buckets=args.dsir_buckets,
+            dsir_hist_dir=args.dsir_hist,
             quality_model_path=args.quality_model,
             quality_min_score=args.quality_min_score,
             dedup_resolution=args.resolution,
@@ -1138,6 +1156,16 @@ def main(argv: list[str] | None = None) -> int:
         )
         bag = CacheBag()
         try:
+            hist = None
+            if args.hist_out:
+                # fit once, persist, and score THROUGH the persisted
+                # relation — cut points and histograms cannot drift
+                dsirops.dsir_histograms(
+                    docs.select("text"),
+                    spark.read.parquet(args.target).select("text"),
+                    n_buckets=buckets,
+                ).write.mode("overwrite").parquet(args.hist_out)
+                hist = spark.read.parquet(args.hist_out)
             # persisted: approxQuantile and the count would each re-run
             # the two feature scans + scoring joins from scratch
             scores = bag.add(
@@ -1145,6 +1173,7 @@ def main(argv: list[str] | None = None) -> int:
                     docs.select("doc_id", "text"),
                     spark.read.parquet(args.target).select("text"),
                     n_buckets=buckets,
+                    hist=hist,
                     caches=bag,
                 )
             )
@@ -1181,6 +1210,7 @@ def main(argv: list[str] | None = None) -> int:
             "cut_points": cuts,
             "n_scored_docs": n_docs,
             "target": args.target,
+            "hist_out": args.hist_out,
         }
         import os as _os
 

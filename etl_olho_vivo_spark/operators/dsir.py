@@ -111,14 +111,64 @@ def hashed_features(
     )
 
 
-def dsir_log_weights(
+def dsir_histograms(
     raw_docs: DataFrame,
     target_docs: DataFrame,
+    *,
+    text: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """The FIT of the DSIR model as one persistable relation:
+    ``(bucket, t_n, r_n, n_buckets)`` — target and raw bucket counts
+    full-outer-merged (absent side = 0), every row stamped with the
+    bucket count so a consumer can refuse a grid mismatch loudly.
+
+    This is the fit-once hand-off (round-11 structural fix): persist
+    this relation beside the ``dsir-cuts`` cut points and feed it to
+    ``dsir_log_weights(hist=...)`` in the corpus gate, so the
+    calibrated floor is applied to EXACTLY the weight definition it
+    was derived on — the paper's design — instead of weights refit on
+    whatever pool reaches the gate."""
+    t_rel = (
+        hashed_features(
+            target_docs.select(text).withColumn("__tid__", F.lit(0)),
+            id_col="__tid__",
+            text=text,
+            n_buckets=n_buckets,
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("t_n"))
+    )
+    r_rel = (
+        hashed_features(
+            raw_docs.select(text).withColumn("__rid__", F.lit(0)),
+            id_col="__rid__",
+            text=text,
+            n_buckets=n_buckets,
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("r_n"))
+    )
+    return (
+        t_rel.join(r_rel, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("t_n", F.lit(0)).cast("bigint").alias("t_n"),
+            F.coalesce("r_n", F.lit(0)).cast("bigint").alias("r_n"),
+            F.lit(n_buckets).cast("int").alias("n_buckets"),
+        )
+    )
+
+
+def dsir_log_weights(
+    raw_docs: DataFrame,
+    target_docs: DataFrame | None,
     *,
     id_col: str = "doc_id",
     text: str = "text",
     n_buckets: int = N_BUCKETS,
     round_dp: int = 6,
+    hist: DataFrame | None = None,
     caches: "CacheBag | None" = None,
 ) -> DataFrame:
     """Per-document log importance weight under the hashed-n-gram
@@ -134,6 +184,15 @@ def dsir_log_weights(
     The raw corpus' feature frame feeds BOTH the ``p_raw`` histogram and
     the scoring join, so it is persisted (``caches`` or the module-level
     SESSION_BAG) — one corpus scan, not two.
+
+    **Fit-once (round 11)**: pass ``hist`` (a ``dsir_histograms``
+    relation, typically read back from the parquet the ``dsir-cuts``
+    run persisted) to score against FROZEN distributions instead of
+    refitting ``p_target``/``p_raw`` on the inputs — the weight of a
+    given document is then identical between the calibration run and
+    the gate, whatever subset reaches the gate.  With ``hist`` set,
+    ``target_docs`` is unused (pass None) and a stamped-bucket-count
+    mismatch raises.
     """
     from etl_olho_vivo_spark.caching import SESSION_BAG
 
@@ -143,17 +202,41 @@ def dsir_log_weights(
             raw_docs, id_col=id_col, text=text, n_buckets=n_buckets
         )
     )
-    t_rel = (
-        hashed_features(
-            target_docs.select(text).withColumn("__tid__", F.lit(0)),
-            id_col="__tid__",
-            text=text,
-            n_buckets=n_buckets,
+    if hist is not None:
+        stamped = hist.select("n_buckets").first()
+        if stamped is None:
+            raise ValueError(
+                "DSIR histogram relation is empty — refusing to score "
+                "against a vacuous model"
+            )
+        if int(stamped["n_buckets"]) != n_buckets:
+            raise ValueError(
+                f"DSIR histogram was fit with n_buckets="
+                f"{int(stamped['n_buckets'])}, scoring requested "
+                f"{n_buckets} — the bucket grids are incommensurate; "
+                f"re-run dsir-cuts or match the flag"
+            )
+        t_rel = hist.select("bucket", "t_n").filter(F.col("t_n") > 0)
+        r_rel = hist.select("bucket", "r_n").filter(F.col("r_n") > 0)
+    else:
+        if target_docs is None:
+            raise ValueError(
+                "dsir_log_weights needs target_docs (to fit) or hist "
+                "(fit-once) — got neither"
+            )
+        t_rel = (
+            hashed_features(
+                target_docs.select(text).withColumn("__tid__", F.lit(0)),
+                id_col="__tid__",
+                text=text,
+                n_buckets=n_buckets,
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("t_n"))
         )
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("t_n"))
-    )
-    r_rel = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("r_n"))
+        r_rel = feats.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("r_n")
+        )
     # 1-row total frames, broadcast-cross-joined: the normalization
     # constants stay INSIDE the lazy plan (no eager .count() at
     # construction) and the oracle SQL mirrors the same CROSS JOIN.

@@ -147,6 +147,7 @@ def run_corpus(
     dsir_sampled: bool = False,
     dsir_seed: int = 0,
     dsir_buckets: int | None = None,
+    dsir_hist_dir: str | None = None,
     quality_model_path: str | None = None,
     quality_min_score: float | None = None,
 ) -> dict[str, int]:
@@ -184,15 +185,23 @@ def run_corpus(
         raise ValueError(
             f"lm_scheme must be addk, backoff, or kn, got {lm_scheme!r}"
         )
-    if dsir_target_dir is not None and dsir_min_logw is None:
+    if dsir_target_dir is not None and dsir_hist_dir is not None:
+        raise ValueError(
+            "dsir_target_dir and dsir_hist_dir are mutually exclusive: "
+            "the histogram IS the fitted model (fit-once) — refitting "
+            "against a target at the same time would silently pick one"
+        )
+    dsir_on = dsir_target_dir is not None or dsir_hist_dir is not None
+    if dsir_on and dsir_min_logw is None:
         # same validate-before-work rule: the DSIR stage runs after the
         # shuffling dedup stages, and the threshold is the selection —
         # silently defaulting it would keep (or drop) the whole corpus
         raise ValueError(
-            "dsir_target_dir requires dsir_min_logw (derive it offline "
-            "with the dsir-cuts CLI, like lm-cuts for the LM gate)"
+            "dsir_target_dir/dsir_hist_dir require dsir_min_logw "
+            "(derive it offline with the dsir-cuts CLI, like lm-cuts "
+            "for the LM gate)"
         )
-    if dsir_target_dir is None and (
+    if not dsir_on and (
         dsir_min_logw is not None
         or dsir_sampled
         or dsir_seed != 0
@@ -203,9 +212,9 @@ def run_corpus(
         # ungated corpus the user believed was filtered
         raise ValueError(
             "DSIR flags (dsir_min_logw / dsir_sampled / dsir_seed / "
-            "dsir_buckets) require dsir_target_dir — without a target "
-            "the DSIR stage does not run and the corpus would ship "
-            "unfiltered"
+            "dsir_buckets) require dsir_target_dir or dsir_hist_dir — "
+            "without one the DSIR stage does not run and the corpus "
+            "would ship unfiltered"
         )
     if quality_model_path is not None and quality_min_score is None:
         # same pairing rule as dsir_target_dir/dsir_min_logw: the
@@ -499,7 +508,7 @@ def run_corpus(
             )
             stats["gopher"] = kept.count()
 
-        if dsir_target_dir is not None:
+        if dsir_on:
             # DSIR selection (operators/dsir.py, Xie et al. 2023) AFTER
             # the quality gates (they judge each doc alone; DSIR ranks
             # the survivors against the target distribution) and BEFORE
@@ -512,15 +521,30 @@ def run_corpus(
             # --dsir-sampled perturbs the weight with the seeded Gumbel
             # before thresholding, turning the hard floor into
             # importance RESAMPLING (sample ∝ w) with the same plan.
+            # Fit-once (round 11): with dsir_hist_dir the survivors are
+            # scored against the FROZEN histograms the dsir-cuts run
+            # persisted, so the floor keeps exactly the calibrated
+            # fraction of the calibrated distribution; the legacy
+            # target-dir path refits p_raw on the survivors (its help
+            # text documents the approximation).
             from etl_olho_vivo_spark.operators import dsir as dsirops
 
             w = dsirops.dsir_log_weights(
                 kept.select("doc_id", "text"),
-                spark.read.parquet(dsir_target_dir).select("text"),
+                (
+                    spark.read.parquet(dsir_target_dir).select("text")
+                    if dsir_target_dir is not None
+                    else None
+                ),
                 n_buckets=(
                     dsir_buckets
                     if dsir_buckets is not None
                     else dsirops.N_BUCKETS
+                ),
+                hist=(
+                    spark.read.parquet(dsir_hist_dir)
+                    if dsir_hist_dir is not None
+                    else None
                 ),
                 caches=stage_caches,
             )

@@ -878,6 +878,66 @@ def test_dsir_cuts_subcommand_hands_off_to_gate(spark, tmp_path, capsys):
     with pytest.raises(ValueError, match="dsir_min_logw"):
         main(["--cpus", "8", "corpus", "--sf-dir", docs_dir, "--out",
               out, "--dsir-target", tgt_dir])
+
+
+@pytest.mark.sweep
+def test_dsir_fit_once_hist_keeps_calibrated_fraction(
+    spark, tmp_path, capsys
+):
+    """Round-11 fit-once hand-off: dsir-cuts --hist-out persists the
+    fitted histograms beside the cut points, and the corpus gate's
+    --dsir-hist scores survivors against those FROZEN distributions —
+    every surviving doc keeps its calibration-run weight, so the
+    keep-0.5 floor keeps ~half TIGHTLY (the refit path needs 0.3-0.7
+    slack for exactly this reason; see the test above)."""
+    from pyspark.sql import functions as F
+
+    docs_dir = str(tmp_path / "docs")
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs.write.parquet(docs_dir + "/documents.parquet")
+    tgt_dir = str(tmp_path / "target")
+    docs.filter(F.col("doc_id") % 7 == 0).select("text").write.parquet(
+        tgt_dir
+    )
+    cuts_path = str(tmp_path / "meta" / "dsir_cuts.json")
+    hist_dir = str(tmp_path / "meta" / "dsir_hist")
+    assert main([
+        "--cpus", "8", "dsir-cuts", "--in",
+        docs_dir + "/documents.parquet", "--target", tgt_dir,
+        "--out", cuts_path, "--keep-fractions", "0.5",
+        "--hist-out", hist_dir,
+    ]) == 0
+    emitted = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert emitted["hist_out"] == hist_dir
+    hist = spark.read.parquet(hist_dir)
+    assert set(hist.columns) == {"bucket", "t_n", "r_n", "n_buckets"}
+    (half_cut,) = emitted["cut_points"]
+
+    out = str(tmp_path / "corpus")
+    assert main([
+        "--cpus", "8", "corpus", "--sf-dir", docs_dir, "--out", out,
+        "--min-tokens", "2", "--dsir-hist", hist_dir,
+        "--dsir-min-logw", str(half_cut),
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    frac = stats["dsir"] / stats["quality"]
+    assert 0.44 <= frac <= 0.56, stats
+
+    # the two fit sources are mutually exclusive — refitting against a
+    # target while a frozen model is supplied would silently pick one
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        main([
+            "--cpus", "8", "corpus", "--sf-dir", docs_dir, "--out",
+            out, "--dsir-target", tgt_dir, "--dsir-hist", hist_dir,
+            "--dsir-min-logw", str(half_cut),
+        ])
+    # and a frozen model still demands its floor
+    with pytest.raises(ValueError, match="dsir_min_logw"):
+        main([
+            "--cpus", "8", "corpus", "--sf-dir", docs_dir, "--out",
+            out, "--dsir-hist", hist_dir,
+        ])
     capsys.readouterr()
     with pytest.raises(SystemExit, match="keep-fractions"):
         main(["dsir-cuts", "--in", docs_dir + "/documents.parquet",

@@ -210,6 +210,70 @@ def test_featureless_target_raises_loudly(spark, frames):
     assert dsir.dsir_log_weights(raw_df, tgt_df, n_buckets=B).count() > 0
 
 
+def test_fit_once_histograms_freeze_the_weight_definition(
+    spark, frames, tmp_path
+):
+    """Round-11 structural fix (fit-once DSIR): (1) scoring through a
+    persisted dsir_histograms relation reproduces the refit path
+    EXACTLY on the same pool; (2) a document's weight is UNCHANGED
+    when the pool shrinks — the property the corpus gate needs so a
+    dsir-cuts floor keeps the calibrated fraction (a refit on the
+    survivor pool moves every weight, proven here too); (3) grid
+    mismatch / empty histogram / neither-input raise loudly."""
+    raw, target, raw_df, tgt_df = frames
+    path = str(tmp_path / "hist")
+    dsir.dsir_histograms(
+        raw_df.select("text"), tgt_df, n_buckets=B
+    ).write.parquet(path)
+    hist = spark.read.parquet(path)
+
+    refit = {
+        r["doc_id"]: (r["n_feats"], r["log_w"])
+        for r in dsir.dsir_log_weights(
+            raw_df, tgt_df, n_buckets=B
+        ).collect()
+    }
+    frozen = {
+        r["doc_id"]: (r["n_feats"], r["log_w"])
+        for r in dsir.dsir_log_weights(
+            raw_df, None, n_buckets=B, hist=hist
+        ).collect()
+    }
+    assert frozen == refit
+
+    # shrink the pool by ~a third ("dedup survivors"): frozen weights
+    # are unchanged per doc; a refit moves them
+    survivors = raw_df.filter(F.col("doc_id") % 3 != 0)
+    frozen_sub = {
+        r["doc_id"]: (r["n_feats"], r["log_w"])
+        for r in dsir.dsir_log_weights(
+            survivors, None, n_buckets=B, hist=hist
+        ).collect()
+    }
+    assert frozen_sub == {
+        d: v for d, v in refit.items() if d % 3 != 0
+    }
+    refit_sub = {
+        r["doc_id"]: r["log_w"]
+        for r in dsir.dsir_log_weights(
+            survivors, tgt_df, n_buckets=B
+        ).collect()
+    }
+    moved = [
+        d for d, lw in refit_sub.items() if lw != refit[d][1]
+    ]
+    assert moved, "refit on a subset should move weights"
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir.dsir_log_weights(raw_df, None, n_buckets=B * 2, hist=hist)
+    with pytest.raises(ValueError, match="empty"):
+        dsir.dsir_log_weights(
+            raw_df, None, n_buckets=B, hist=hist.filter(F.lit(False))
+        )
+    with pytest.raises(ValueError, match="neither"):
+        dsir.dsir_log_weights(raw_df, None, n_buckets=B)
+
+
 def test_plan_shape(spark):
     """The 100 TB pins: bucket histograms broadcast, top-k compiled to
     TakeOrdered (no global sort), no Python, no cartesian over data
