@@ -216,10 +216,21 @@ SELECT vec_a, vec_b, cell_id, cos_sim FROM p WHERE cos_sim >= 0.4
     "vectors; real corpora use 0.9+ with the identical plan.",
 )
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 16 cells is the ORACLE PIN (the DuckDB SQL above hardcodes the
+    # same assignment); production scales the dial with the corpus —
+    # embedding_near_dup_frame(n_cells=...) is the parameterized form
+    # the bench's scale tier measures with n_cells ∝ corpus
+    return embedding_near_dup_frame(spark, sf_dir, n_cells=16)
+
+
+def embedding_near_dup_frame(
+    spark: SparkSession, sf_dir: str, n_cells: int = 16
+) -> DataFrame:
     from etl_olho_vivo_spark.caching import SESSION_BAG
 
     emb = read_table(spark, sf_dir, "embeddings")
-    # 16 cells: within-cell pair count (the quadratic term) scales ~1/cells;
+    # n_cells: within-cell pair count (the quadratic term) scales ~1/cells,
+    # so n_cells ∝ corpus keeps per-cell density — and wall — near-linear;
     # persist so both self-join sides reuse one assignment pass (tracked in
     # SESSION_BAG — the materializing harness owns the release).  The
     # vector norm is per-VECTOR, so it is computed once here on the
@@ -231,7 +242,7 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(0 AS BIGINT), (s, v) -> s + v)"
     )
     assigned = SESSION_BAG.add(
-        ivf_assign(emb, n_cells=16).withColumn(
+        ivf_assign(emb, n_cells=n_cells).withColumn(
             "nrm", F.sqrt(F.expr(f"CAST({norm} AS DOUBLE)"))
         )
     )

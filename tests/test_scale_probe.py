@@ -225,6 +225,31 @@ def test_embedding_pairs_blocked_join_at_10x(spark, scale10_dir):
 
 
 @pytest.mark.slow
+def test_embedding_pairs_plan_pins_hold_with_dial_on(spark, scale10_dir):
+    """Round-11: the production parameterization (n_cells ∝ corpus —
+    here 160 cells on the 10× replicas, constant per-cell density)
+    keeps every 100 TB plan pin of the fixed-cell query: sort-merge
+    equi join on cell_id, corpus sides never broadcast, no cartesian,
+    one persisted assignment pass feeding both self-join sides.  This
+    is the plan the bench tier's embedding_near_dup_dial row times."""
+    from etl_olho_vivo_spark.registry_extra import (
+        embedding_near_dup_frame,
+    )
+
+    df = embedding_near_dup_frame(spark, scale10_dir, n_cells=160)
+    n = len(df.collect())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    release_session_caches()
+    assert n > 0
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "SortMergeJoin" in final
+    assert "BroadcastHashJoin" not in final
+    assert "TableCacheQueryStage" in final, final[:2000]
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+
+
+@pytest.mark.slow
 def test_trigram_lm_pins_hold_at_10x(spark, scale10_dir):
     """The order-3 LM query (round 8) gets its measured 10× point: on
     10× documents the final adaptive plan must stay aggregate-first
