@@ -114,6 +114,7 @@ def test_append_equals_full_rebuild_assignment(spark, emb, tmp_path):
     )
 
 
+@pytest.mark.sweep
 def test_rebuild_clears_stale_batches_and_watermark(spark, emb, tmp_path):
     """A full rebuild must reset the WHOLE cells tree: batch partitions
     appended under the previous index generation were assigned with the
@@ -253,6 +254,7 @@ def test_grid_and_shape_validation(spark, emb, tmp_path, built):
         ann_index.load_ivf_index(spark, doctored)
 
 
+@pytest.mark.sweep
 def test_kmeans_build_is_usable(spark, emb, tmp_path):
     """The production build (k-means|| quantizer) yields a usable index:
     ≥40% 10-NN recall vs the cosine brute force on a 2-of-8-cell probe
@@ -525,6 +527,7 @@ def test_occupancy_rebuild_trigger_end_to_end(spark, emb, tmp_path):
     assert ann_index._read_watermark(spark, path) == 0
 
 
+@pytest.mark.sweep
 def test_rebuild_crash_resume_from_snapshot(spark, emb, tmp_path):
     """A crash AFTER the resident snapshot lands but before the rebuild
     completes must be repaired by the next call: a valid rebuild_src
@@ -759,6 +762,7 @@ def test_ivfpq_validation(spark, emb, tmp_path, built, pq_built):
         ann_index.append_to_ivfpq_index(emb, pq_built, -1)
 
 
+@pytest.mark.sweep
 def test_index_type_is_unambiguous_across_lifecycle(spark, emb, tmp_path):
     """Round-11 ADVICE guards: an IVF-PQ tree refuses codes-less appends
     (NULL adc_dist sorts first under ascending orderBy and would crowd

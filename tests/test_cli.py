@@ -10,6 +10,7 @@ import pytest
 from etl_olho_vivo_spark.__main__ import main
 
 
+@pytest.mark.sweep
 def test_ingest_then_daily_roundtrip(spark, tmp_path, capsys):
     raw = str(tmp_path / "raw")
     out = str(tmp_path / "etl")
@@ -270,6 +271,7 @@ def test_corpus_split_and_shuffled_export(spark, tmp_path, capsys):
     assert top_dirs <= {"split=train", "split=val"} and top_dirs
 
 
+@pytest.mark.sweep
 def test_corpus_mixture_flag(spark, tmp_path, capsys):
     """--mix reweights the written corpus to the target token mixture:
     unlisted source domains vanish, listed ones survive in proportion."""

@@ -160,6 +160,7 @@ def test_replayed_batch_is_idempotent(spark, dirs):
     assert ids == [1, 2, 6]
 
 
+@pytest.mark.sweep
 def test_zero_caches_after_each_batch(spark, dirs):
     """Every batch's signature caches are released on exit (CacheBag
     context) — a streaming query must not accumulate cache entries."""
@@ -175,6 +176,7 @@ def test_zero_caches_after_each_batch(spark, dirs):
     assert jmap().size() == before
 
 
+@pytest.mark.sweep
 def test_store_compaction_roundtrip(spark, dirs, tmp_path):
     """append-per-batch store → compact_signature_store → bucketed store
     with identical signatures, usable as the incremental join's store
@@ -253,6 +255,7 @@ def test_append_store_compaction_in_place(spark, dirs):
     assert ids == [1, 2, 6]
 
 
+@pytest.mark.sweep
 def test_replay_that_admits_nothing_clears_prior_partition(spark, dirs):
     """A restart with a changed dedup config can replay a batch that now
     admits ZERO docs; the prior attempt's rows must be replaced, not

@@ -145,6 +145,7 @@ def test_asof_join_matches_pandas_merge_asof_property(spark):
     prop()
 
 
+@pytest.mark.sweep
 def test_salted_agg_equals_groupby_property(spark):
     """Property (hypothesis): salted two-phase aggregation is exact for
     algebraic aggregates on arbitrarily skewed random data."""

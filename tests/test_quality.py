@@ -109,19 +109,19 @@ def test_minibatch_training_matches_python_brute_force(spark):
     reproduce the pure-Python rederivation (same md5 qgrad-Bernoulli
     batches, same rounded-sum → driver-normalized numerics) and stay
     partitioning-invariant, exactly like the full-batch path."""
-    pos = _corpus(1, 20, POS_VOCAB)
-    neg = _corpus(2, 20, NEG_VOCAB)
+    pos = _corpus(1, 16, POS_VOCAB)
+    neg = _corpus(2, 16, NEG_VOCAB)
     bag = CacheBag()
     try:
         model = quality.train_quality_classifier(
             _df(spark, pos), _df(spark, neg),
-            n_buckets=B, iters=8, lr=1.0, l2=1e-4,
+            n_buckets=B, iters=5, lr=1.0, l2=1e-4,
             sample_frac=0.5, seed=7, caches=bag,
         )
         hostile = quality.train_quality_classifier(
             _df(spark, pos).repartition(5, "text"),
             _df(spark, neg).repartition(3),
-            n_buckets=B, iters=8, lr=1.0, l2=1e-4,
+            n_buckets=B, iters=5, lr=1.0, l2=1e-4,
             sample_frac=0.5, seed=7, caches=bag,
         )
     finally:
@@ -131,7 +131,7 @@ def test_minibatch_training_matches_python_brute_force(spark):
     assert model["sample_frac"] == 0.5 and model["seed"] == 7
     bias, weights = quality.brute_force_reference(
         [t for _, t in pos], [t for _, t in neg],
-        n_buckets=B, iters=8, lr=1.0, l2=1e-4,
+        n_buckets=B, iters=5, lr=1.0, l2=1e-4,
         bucket_fn=lambda t: _feats(t, B),
         sample_frac=0.5, seed=7,
         ids_pos=[i for i, _ in pos], ids_neg=[i for i, _ in neg],
