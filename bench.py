@@ -103,7 +103,10 @@ PAIR_HEAVY = [
 # with the data; doc_bigram_cross_entropy — count aggregates + scoring
 # joins, expected ≈linear.  (dedup_lines stays ad-hoc below: its
 # newline-separator operator shape has no registry row — the driver row
-# dedup_corpus_lines uses the space separator.)  doc_stupid_backoff
+# dedup_corpus_lines uses the space separator.  embedding_near_dup_dial
+# is ad-hoc too — round 11: the fixed-cell registry query re-run with
+# n_cells ∝ corpus rows, so the tier SHOWS the near-linear wall the
+# dial buys next to the oracle-pinned fixed-16-cell row.)  doc_stupid_backoff
 # (round 9) — per-order count aggregates + broadcast-join scoring,
 # expected ≈linear like the other count-relation LM row.
 SCALE_EXTRA = [

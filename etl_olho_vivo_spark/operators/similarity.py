@@ -131,17 +131,40 @@ def ivf_assign(
     """
     if centroids is None:
         centroids = _default_centroids(emb, n_cells)
+    spark = emb.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    # The n·cells distance evaluation is COMPUTE-bound (one 64-element
+    # integer dot/HOF per candidate), and a small embeddings file scans
+    # as one partition — at n_cells ∝ corpus the whole O(n·cells·d)
+    # stage then runs on one core (the round-11 dial probe: 31 s of a
+    # 34 s wall, single-threaded).  Hash-repartition the vectors by
+    # vec_id up front: the broadcast cross join preserves it, so the
+    # argmin groupBy and the qv join-back BOTH reuse this one exchange
+    # (zero additional shuffles) — the same repartition(par, key)
+    # compute-pin the edit-distance verify stage uses.
     vecs = emb.select(
         "vec_id", "label", F.expr(_quantize("embedding")).alias("qv")
-    )
+    ).repartition(par, "vec_id")
     dist = F.expr(_l2sq_int("qv", "qc"))
-    w = Window.partitionBy("vec_id").orderBy("dist", "cell_id")
-    return (
-        vecs.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "label", "qv", "cell_id", dist.alias("dist"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "cell_id", "qv")
+    # Argmin as a SLIM aggregate, not a window: the old row_number form
+    # shuffled n·cells rows each dragging two 64-long arrays.  Here the
+    # broadcast cross join's candidates are projected to (vec_id, dist,
+    # cell_id) BEFORE any exchange and min(struct) partial-aggregates
+    # map-side (n·cells rows collapse to n inside the scan stage); the
+    # qv payload rides the co-partitioned vec_id join-back instead of
+    # the shuffle.  min(struct(dist, cell_id)) IS the (dist, cell_id)
+    # ordering of the old window — exact integers, same deterministic
+    # argmin.
+    best = (
+        vecs.select("vec_id", "qv")
+        .crossJoin(F.broadcast(centroids))
+        .select("vec_id", dist.alias("dist"), "cell_id")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cell_id")).alias("b"))
+        .select("vec_id", F.col("b.cell_id").alias("cell_id"))
+    )
+    return vecs.join(best, "vec_id").select(
+        "vec_id", "label", "cell_id", "qv"
     )
 
 
