@@ -2953,6 +2953,87 @@ def test_sample_frames_real_avi_mjpeg(spark):
     assert demux(avi[: len(avi) - 10]) is None
 
 
+def _make_y4m(w, h, lumas, cs=b"C420jpeg", frame_params=b""):
+    """Minimal YUV4MPEG2 stream, independent of the demuxer: ASCII
+    stream header, then FRAME marker + raw planar picture per entry
+    (constant luma plane, chroma planes filled with 128)."""
+    if cs.startswith(b"C420"):
+        chroma = 2 * ((w + 1) // 2) * ((h + 1) // 2)
+    elif cs == b"C422":
+        chroma = 2 * ((w + 1) // 2) * h
+    elif cs == b"C444":
+        chroma = 2 * w * h
+    else:  # Cmono or exotic — caller's problem, zero chroma bytes
+        chroma = 0
+    out = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 %s\n" % (w, h, cs)
+    for v in lumas:
+        out += b"FRAME" + frame_params + b"\n"
+        out += bytes([v]) * (w * h) + bytes([128]) * chroma
+    return out
+
+
+def test_sample_frames_real_y4m(spark):
+    """Round-11 uncompressed video path: YUV4MPEG2 media demux into
+    per-picture luma planes re-wrapped as P5 PGMs — every stride-th
+    frame decodes through the existing image pipeline — while
+    non-video media keep the byte-slicing stub."""
+    y4m = _make_y4m(8, 6, [40, 128, 220], frame_params=b" Xsome=param")
+    rows = [
+        (1, bytearray(y4m)),
+        (2, bytearray(b"plain text media, sliced not demuxed")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = multimodal.sample_frames(df, frame_size=4, stride=2).collect()
+
+    vid = sorted(
+        (r for r in out if r["doc_id"] == 1), key=lambda r: r["frame_idx"]
+    )
+    assert [(r["frame_idx"], r["n_frames_total"]) for r in vid] == [
+        (0, 3), (2, 3),
+    ]
+    parse = multimodal._media_parser()
+    means = []
+    for r in vid:
+        n, _, kind, w, h, mean = parse(bytes(r["frame"]))
+        assert (kind, w, h) == ("pnm", 8, 6)
+        means.append(round(mean))
+    assert means == [40, 220]  # frames 0 and 2, source order preserved
+
+    stub = [r for r in out if r["doc_id"] == 2]
+    assert stub and all(len(bytes(r["frame"])) == 4 for r in stub)
+
+
+def test_y4m_demuxer_colorspaces_and_degradations():
+    """Plane geometry per colorspace tag, and every malformed shape
+    degrades to None (the stub path) instead of raising — the 100 TB
+    mixed-corpus contract."""
+    demux = multimodal._y4m_demuxer()
+
+    # every honestly-covered colorspace walks to the same luma planes
+    for cs in (b"C420jpeg", b"C420mpeg2", b"C420paldv", b"C422",
+               b"C444", b"Cmono"):
+        frames = demux(_make_y4m(6, 4, [10, 200], cs=cs))
+        assert frames is not None and len(frames) == 2, cs
+        assert frames[0] == b"P5\n6 4\n255\n" + bytes([10]) * 24, cs
+        assert frames[1].endswith(bytes([200]) * 24), cs
+
+    # colorspace default (no C tag) is 420jpeg
+    explicit = _make_y4m(4, 4, [99])
+    no_tag = explicit.replace(b" C420jpeg", b"", 1)
+    assert demux(no_tag) == demux(explicit)
+
+    good = _make_y4m(4, 4, [50, 60])
+    assert demux(good[: len(good) - 3]) is None      # truncated picture
+    assert demux(good.replace(b"FRAME", b"FRAMX", 1)) is None  # desync
+    assert demux(good.replace(b" H4", b"", 1)) is None         # no H
+    assert demux(good.replace(b"W4", b"Wx", 1)) is None        # bad int
+    assert demux(_make_y4m(4, 4, [1], cs=b"C420p10")) is None  # 10-bit
+    assert demux(b"YUV4MPEG2 W4 H4" + b" " * 5000) is None     # no newline
+    # geometry bomb: header claims 2^13 x 2^13 (> 2^24 samples)
+    assert demux(b"YUV4MPEG2 W8192 H8192 C420jpeg\n") is None
+    assert demux(b"not a y4m stream") is None
+
+
 def test_decode_jpeg_fill_bytes_before_marker(spark):
     """Legal 0xFF fill bytes before a marker (JPEG B.1.1.2) must not
     desync the marker walk — one fill byte (odd run) before DQT
