@@ -468,6 +468,7 @@ def test_audio_fingerprint_container_invariance(spark):
     assert pairs == [(1, 2, 0)]
 
 
+@pytest.mark.sweep
 def test_audio_fingerprint_gain_invariance_and_discrimination(spark):
     """Uniform gain change (exact integer halving) keeps the
     fingerprint bit-identical — band energies scale together, the
@@ -492,6 +493,7 @@ def test_audio_fingerprint_gain_invariance_and_discrimination(spark):
     assert pairs == {(1, 2)}
 
 
+@pytest.mark.sweep
 def test_audio_fingerprint_noise_robustness(spark):
     """A lightly perturbed copy (±1 LSB on a few % of samples — a
     re-quantization-grade change) stays within a small Hamming
