@@ -913,15 +913,81 @@ def _audio_parser(samples: bool = False):
       unsigned around 128, 16-bit signed LE), vectorized via
       ``numpy.frombuffer`` — no per-sample Python loop on a 100 TB
       decode job;
-    - anything else — truncated chunk, float/ADPCM/extensible formats,
+    - format tag 0x11 (IMA/DVI ADPCM, round 11 — the ubiquitous
+      compressed-WAV variant) REALLY decompresses: per-block predictor
+      /step-index headers, round-robin 4-byte nibble words, the
+      standard 89-entry step table, ``fact``-chunk frame-count
+      truncation of the zero-padded final block;
+    - anything else — truncated chunk, float/extensible formats,
       a text document starting with "RIFF" — degrades to ``opaque``
       with NULL audio fields, never an executor crash.
     """
 
+    # IMA/DVI ADPCM constants (IMA "Recommended Practices for
+    # Enhancing Digital Audio Compatibility", 1992 — the table every
+    # WAV codec ships verbatim; transcription cross-checked against an
+    # independently-typed copy in tests/test_adpcm.py)
+    _IMA_STEP = (
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+        22385, 24623, 27086, 29794, 32767,
+    )
+    _IMA_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+    def _ima_blocks(data, nch, block_align):
+        """Decode IMA ADPCM `data` into per-channel int sample lists.
+        Block layout: per-channel 4-byte header (int16 LE predictor =
+        the block's first sample, step index, reserved), then 4-byte
+        nibble words round-robin across channels, low nibble first.
+        Returns None on any structural lie (bad step index, ragged
+        block) — caller degrades to opaque."""
+        chans = [[] for _ in range(nch)]
+        for base in range(0, len(data) - block_align + 1, block_align):
+            preds, idxs = [], []
+            for c in range(nch):
+                off = base + 4 * c
+                pred = int.from_bytes(
+                    data[off:off + 2], "little", signed=True
+                )
+                idx = data[off + 2]
+                if idx > 88:
+                    return None
+                preds.append(pred)
+                idxs.append(idx)
+                chans[c].append(pred)
+            for w, woff in enumerate(
+                range(base + 4 * nch, base + block_align, 4)
+            ):
+                c = w % nch
+                pred, idx = preds[c], idxs[c]
+                out = chans[c]
+                for byte in data[woff:woff + 4]:
+                    for n in (byte & 0xF, byte >> 4):
+                        step = _IMA_STEP[idx]
+                        diff = step >> 3
+                        if n & 1:
+                            diff += step >> 2
+                        if n & 2:
+                            diff += step >> 1
+                        if n & 4:
+                            diff += step
+                        if n & 8:
+                            diff = -diff
+                        pred = max(-32768, min(32767, pred + diff))
+                        idx = max(0, min(88, idx + _IMA_ADJ[n & 7]))
+                        out.append(pred)
+                preds[c], idxs[c] = pred, idx
+        return chans
+
     def parse_wav(m: bytes):
         if len(m) < 44 or m[:4] != b"RIFF" or m[8:12] != b"WAVE":
             return None
-        fmt = data = None
+        fmt = data = fact = None
         pos = 12
         while pos + 8 <= len(m):
             cid = m[pos : pos + 4]
@@ -933,6 +999,8 @@ def _audio_parser(samples: bool = False):
                 fmt = body
             elif cid == b"data" and data is None:
                 data = body
+            elif cid == b"fact" and fact is None and size >= 4:
+                fact = int.from_bytes(body[0:4], "little")
             pos += 8 + size + (size & 1)  # bodies are word-aligned
         if fmt is None or data is None or len(fmt) < 16:
             return None
@@ -941,7 +1009,45 @@ def _audio_parser(samples: bool = False):
         sample_rate = int.from_bytes(fmt[4:8], "little")
         block_align = int.from_bytes(fmt[12:14], "little")
         bits = int.from_bytes(fmt[14:16], "little")
-        if audio_format != 1 or n_channels < 1 or sample_rate <= 0:
+        if n_channels < 1 or sample_rate <= 0:
+            return None
+        if audio_format == 0x11:  # IMA/DVI ADPCM (round 11)
+            if bits != 4 or block_align <= 4 * n_channels \
+                    or (block_align - 4 * n_channels) % (4 * n_channels):
+                return None
+            spb = (block_align - 4 * n_channels) * 2 // n_channels + 1
+            if len(fmt) >= 20 and int.from_bytes(
+                fmt[18:20], "little"
+            ) != spb:
+                return None  # header lies about samples-per-block
+            n_blocks = len(data) // block_align
+            decoded = _ima_blocks(
+                data[: n_blocks * block_align], n_channels, block_align
+            ) if n_blocks else [[] for _ in range(n_channels)]
+            if decoded is None:
+                return None
+            n_frames = n_blocks * spb
+            if fact is not None:
+                # compressed WAV carries the true frame count; the
+                # final block may be zero-padded past it
+                if fact > n_frames or fact <= (n_blocks - 1) * spb:
+                    return None
+                n_frames = fact
+                decoded = [c[:n_frames] for c in decoded]
+            duration = round(n_frames / sample_rate, 6)
+            mono = None
+            if n_frames == 0:
+                mean = None
+            else:
+                import numpy as np
+
+                arr = np.asarray(decoded, dtype=np.float64) / 32768.0
+                mean = round(float(np.abs(arr).mean()), 6)
+                if samples:
+                    mono = arr.mean(axis=0)
+            return (n_channels, sample_rate, bits, n_frames, duration,
+                    mean, mono)
+        if audio_format != 1:
             return None
         if bits not in (8, 16) or block_align != n_channels * (bits // 8):
             return None
