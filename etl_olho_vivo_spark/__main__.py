@@ -578,6 +578,35 @@ def _build_parser() -> argparse.ArgumentParser:
         "--rsd", type=float, default=0.05,
         help="HLL relative standard deviation for approx_distinct",
     )
+
+    med = sub.add_parser(
+        "media-dedup",
+        help="perceptual near-duplicate pass over a binary media "
+        "column: image dHash or audio spectral fingerprints + the "
+        "pigeonhole Hamming pairing; writes the pair list and, with "
+        "--survivors-out, the corpus keeping one representative "
+        "(min id) per duplicate component",
+    )
+    med.add_argument(
+        "--in", dest="in_dir", required=True,
+        help="parquet with (id, media) columns",
+    )
+    med.add_argument(
+        "--kind", choices=["image", "audio"], required=True,
+        help="which fingerprint family decodes the media bytes",
+    )
+    med.add_argument("--pairs-out", required=True,
+                     help="near-dup pairs parquet (doc_a, doc_b, hamming)")
+    med.add_argument(
+        "--survivors-out", default=None,
+        help="also resolve pairs via connected components and write "
+        "the rows whose id IS their component's min (the survivor "
+        "convention image/audio share with the text dedup passes)",
+    )
+    med.add_argument("--max-hamming", type=int, default=6)
+    med.add_argument("--n-bands", type=int, default=8)
+    med.add_argument("--id-col", default="doc_id")
+    med.add_argument("--media-col", default="media")
     return p
 
 
@@ -1421,6 +1450,68 @@ def main(argv: list[str] | None = None) -> int:
         )
         for r in prof.collect():  # one row per COLUMN — tiny by design
             print(json.dumps(r.asDict()))
+        return 0
+
+    if args.command == "media-dedup":
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        from etl_olho_vivo_spark.operators.multimodal import (
+            audio_near_dups,
+            image_near_dups,
+        )
+
+        if args.max_hamming < 0:
+            raise SystemExit(
+                f"--max-hamming must be >= 0, got {args.max_hamming}"
+            )
+        df = spark.read.parquet(args.in_dir)
+        for col in (args.id_col, args.media_col):
+            if col not in df.columns:
+                raise SystemExit(
+                    f"--in table has no column {col!r} "
+                    f"(columns: {df.columns})"
+                )
+        media = df.select(
+            F.col(args.id_col).alias("doc_id"),
+            F.col(args.media_col).alias("media"),
+        )
+        pair_fn = image_near_dups if args.kind == "image" \
+            else audio_near_dups
+        pairs = pair_fn(
+            media, max_hamming=args.max_hamming, n_bands=args.n_bands
+        )
+        # the pair relation is reused (written + clustered): persist so
+        # the decode fan-in runs once; count rides the write via
+        # Observation — one action per sink, never a recompute
+        pairs = pairs.persist()
+        obs = Observation("media_pairs")
+        pairs.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(args.pairs_out)
+        counts = {"pairs": obs.get["rows"]}
+        if args.survivors_out:
+            from etl_olho_vivo_spark.operators.dedup import (
+                connected_components,
+            )
+
+            labels = connected_components(pairs)
+            losers = labels.filter(
+                F.col("doc_id") != F.col("component")
+            ).select(F.col("doc_id").alias(args.id_col))
+            sobs = Observation("media_survivors")
+            # losers scales with the corpus' duplicate fraction —
+            # merge-pinned like every symmetric corpus-scaled join
+            # (the round-7 starved-driver lesson)
+            survivors = df.join(losers.hint("merge"), args.id_col,
+                                "left_anti")
+            survivors.observe(
+                sobs, F.count(F.lit(1)).alias("rows")
+            ).write.mode("overwrite").parquet(args.survivors_out)
+            counts["survivors"] = sobs.get["rows"]
+        pairs.unpersist()
+        print(json.dumps({"command": "media-dedup", "kind": args.kind,
+                          **counts}))
         return 0
 
     raise AssertionError(f"unhandled command {args.command!r}")

@@ -992,3 +992,80 @@ def test_corpus_lm_gate_kn_scheme(spark, tmp_path, capsys):
     assert main(base + ["--lm-max-entropy", "1e9", "--lm-ref", ref]) == 0
     statsr = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert statsr["lm_filter"] == statsr["quality"]
+
+
+def _p5_img(rows):
+    body = b"".join(bytes(r) for r in rows)
+    return b"P5\n%d %d\n255\n" % (len(rows[0]), len(rows)) + body
+
+
+@pytest.mark.sweep
+def test_media_dedup_subcommand_image(spark, tmp_path, capsys):
+    """End-to-end media-dedup CLI, image kind: exact-duplicate images
+    pair at Hamming 0, connected components resolve to the min-id
+    survivor, opaque/NULL rows never pair and always survive."""
+    img_a = [[(7 * r + 13 * c) % 256 for c in range(16)] for r in range(16)]
+    img_b = [[(3 * r * c + 5) % 256 for c in range(16)] for r in range(16)]
+    rows = [
+        (1, bytearray(_p5_img(img_a))),
+        (2, bytearray(_p5_img(img_a))),   # exact dup of 1
+        (3, bytearray(_p5_img(img_b))),
+        (4, bytearray(b"plain text media")),
+        (5, None),
+    ]
+    src = str(tmp_path / "media")
+    spark.createDataFrame(rows, "doc_id long, media binary").write.parquet(
+        src
+    )
+    pairs_out = str(tmp_path / "pairs")
+    surv_out = str(tmp_path / "survivors")
+    assert main(["--cpus", "8", "media-dedup", "--in", src,
+                 "--kind", "image", "--pairs-out", pairs_out,
+                 "--survivors-out", surv_out,
+                 "--max-hamming", "0", "--n-bands", "1"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats == {"command": "media-dedup", "kind": "image",
+                     "pairs": 1, "survivors": 4}
+    got = [(r["doc_a"], r["doc_b"], r["hamming"])
+           for r in spark.read.parquet(pairs_out).collect()]
+    assert got == [(1, 2, 0)]
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(surv_out).collect()
+    )
+    assert kept == [1, 3, 4, 5]
+
+
+def test_media_dedup_subcommand_audio_and_guards(spark, tmp_path, capsys):
+    """Audio kind smoke (identical WAVs pair; pairs-only run) + the
+    driver-side argument guards."""
+    import struct
+
+    pcm = b"".join(
+        struct.pack("<h", (v * 37) % 2000 - 1000) for v in range(64)
+    )
+    wav = (b"RIFF" + (36 + len(pcm)).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+           + b"data" + len(pcm).to_bytes(4, "little") + pcm)
+    src = str(tmp_path / "audio")
+    spark.createDataFrame(
+        [(10, bytearray(wav)), (11, bytearray(wav)),
+         (12, bytearray(b"not audio"))],
+        "doc_id long, media binary",
+    ).write.parquet(src)
+    pairs_out = str(tmp_path / "apairs")
+    assert main(["--cpus", "8", "media-dedup", "--in", src,
+                 "--kind", "audio", "--pairs-out", pairs_out,
+                 "--max-hamming", "0", "--n-bands", "1"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats == {"command": "media-dedup", "kind": "audio",
+                     "pairs": 1}
+    assert [(r["doc_a"], r["doc_b"]) for r in
+            spark.read.parquet(pairs_out).collect()] == [(10, 11)]
+
+    with pytest.raises(SystemExit, match="max-hamming"):
+        main(["media-dedup", "--in", src, "--kind", "audio",
+              "--pairs-out", pairs_out, "--max-hamming", "-1"])
+    with pytest.raises(SystemExit, match="no column"):
+        main(["media-dedup", "--in", src, "--kind", "audio",
+              "--pairs-out", pairs_out, "--id-col", "nope"])
