@@ -1021,6 +1021,10 @@ def _audio_parser(samples: bool = False):
             ) != spb:
                 return None  # header lies about samples-per-block
             n_blocks = len(data) // block_align
+            if n_blocks * spb * n_channels > (1 << 24):
+                # same bomb bound as the image decoders (w*h > 2^24):
+                # nibbles expand 4x + Python-int overhead on top
+                return None
             decoded = _ima_blocks(
                 data[: n_blocks * block_align], n_channels, block_align
             ) if n_blocks else [[] for _ in range(n_channels)]
@@ -1052,6 +1056,8 @@ def _audio_parser(samples: bool = False):
         if bits not in (8, 16) or block_align != n_channels * (bits // 8):
             return None
         n_frames = len(data) // block_align
+        if n_frames * n_channels > (1 << 24):
+            return None  # shared decode-size bound (float64 blow-up ×8)
         duration = round(n_frames / sample_rate, 6)
         usable = data[: n_frames * block_align]
         mono = None
@@ -1119,8 +1125,8 @@ def _audio_parser(samples: bool = False):
         total = (((streaminfo[13] & 0x0F) << 32)
                  | int.from_bytes(streaminfo[14:18], "big"))
         md5_want = streaminfo[18:34]
-        if sr == 0:
-            return None
+        if sr == 0 or total * nch > (1 << 24):
+            return None  # shared decode-size bound
 
         # ---- MSB-first bit reader over the remaining bytes
         bitpos = pos * 8
@@ -1271,6 +1277,11 @@ def _audio_parser(samples: bool = False):
                     bs = getbits(16) + 1
                 else:
                     bs = 256 << (bs_code - 8)
+                if (n_samples + bs) * nch > (1 << 24):
+                    # a CONSTANT subframe expands ~10 bytes to 65k
+                    # samples (x26000): without this in-loop bound an
+                    # unknown-total (total=0) stream is a decode bomb
+                    return None
                 if sr_code == 12:
                     getbits(8)  # kHz — STREAMINFO stays authoritative
                 elif sr_code in (13, 14):

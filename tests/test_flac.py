@@ -517,6 +517,68 @@ def test_audio_fingerprint_noise_robustness(spark):
     assert pairs == [(1, 2)]
 
 
+def test_audio_decode_bombs_degrade_to_opaque(parse):
+    """The audio legs carry the image decoders' 2^24-sample bound.
+    FLAC is the real amplifier — a ~12-byte CONSTANT subframe expands
+    to 65k samples (×5000+), so a few-KB unknown-total stream would
+    otherwise materialize gigabytes; the in-loop guard stops it at the
+    cap.  The STREAMINFO-total and PCM/ADPCM geometry variants are
+    header-cheap and rejected before any decode."""
+    import struct
+
+    # --- FLAC, unknown total (total=0 is legal): 257 hand-built
+    # max-blocksize CONSTANT frames ≈ 4 KB claiming 16.8M samples
+    bs = 65535
+    frames = b""
+    for idx in range(257):
+        bw = _BW()
+        bw.w(0x3FFE, 14)
+        bw.w(0, 2)          # reserved + fixed blocking
+        bw.w(7, 4)          # blocksize: 16-bit field
+        bw.w(0, 4)          # sample rate: from STREAMINFO
+        bw.w(0, 4)          # mono
+        bw.w(2, 3)          # 12-bit (keeps MD5 out of the hot loop)
+        bw.w(0, 1)
+        for b in _utf8(idx):
+            bw.w(b, 8)
+        bw.w(bs - 1, 16)
+        hdr = bw.out()
+        body = _BW()
+        body.w(0, 1)
+        body.w(0, 6)        # CONSTANT
+        body.w(0, 1)        # no wasted bits
+        body.w(0, 12)       # the constant sample
+        body.align()
+        f = hdr + bytes([_crc8(hdr)]) + body.out()
+        frames += f + _crc16(f).to_bytes(2, "big")
+    bomb = (b"fLaC"
+            + _streaminfo(bs, 8000, 1, 12, 0, b"\x00" * 16) + frames)
+    assert len(bomb) < 8192  # the whole point: tiny bytes, huge claim
+    got = parse(bomb)
+    assert got == (len(bomb), "opaque") + (None,) * 6
+
+    # --- FLAC, STREAMINFO total already over the cap: instant reject
+    big_total = (b"fLaC"
+                 + _streaminfo(64, 8000, 2, 16, 1 << 25, b"\x00" * 16))
+    assert parse(big_total)[1] == "opaque"
+
+    # --- PCM WAV over the cap (guard fires before numpy touches it)
+    data = bytes(17 * 1024 * 1024)
+    wav = (b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+           + b"data" + len(data).to_bytes(4, "little") + data)
+    assert parse(wav)[1] == "opaque"
+
+    # --- ADPCM over the cap (nibbles would expand 4x past it)
+    adata = bytes(15 * 1024 * 1024)
+    adpcm = (b"RIFF" + (38 + len(adata)).to_bytes(4, "little") + b"WAVE"
+             + b"fmt " + (20).to_bytes(4, "little")
+             + struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000, 8, 4, 2, 9)
+             + b"data" + len(adata).to_bytes(4, "little") + adata)
+    assert parse(adpcm)[1] == "opaque"
+
+
 def test_flac_parser_survives_cloudpickle():
     """Same by-value contract as the WAV leg: the closure (now with
     the FLAC branch inside) must round-trip through cloudpickle."""
