@@ -847,24 +847,10 @@ def simhash_near_dups(
     )
 
 
-def hamming_near_dups(
-    hashes: DataFrame,
-    *,
-    hash_col: str,
-    bits: int,
-    max_hamming: int,
-    n_bands: int,
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Generic pigeonhole Hamming pairing over ANY b-bit integer hash
-    column (SimHash for text, dHash for images): split the hash into
-    ``n_bands`` contiguous segments, equi-join on (band, segment) —
-    any pair within Hamming ≤ n_bands − 1 agrees on at least one
-    segment — then verify exactly with ``bit_count(a XOR b)``.
-    Segment extraction uses ``shiftrightunsigned`` so full-width 64-bit
-    hashes (stored as SIGNED longs, possibly negative) band correctly;
-    for non-negative hashes it is bit-identical to the former
-    pow/div arithmetic.  Returns (doc_a, doc_b, hamming)."""
+def _hamming_validate(bits: int, max_hamming: int, n_bands: int) -> None:
+    """Shared parameter contract for the pigeonhole pairings — also
+    called at stream start-up so a bad config fails before the first
+    micro-batch."""
     if max_hamming >= n_bands:
         raise ValueError(
             f"max_hamming={max_hamming} needs n_bands > max_hamming "
@@ -875,10 +861,13 @@ def hamming_near_dups(
         raise ValueError(f"bits must be in [1, 64], got {bits}")
     if bits % n_bands:
         raise ValueError(f"bits={bits} not divisible by n_bands={n_bands}")
+
+
+def _hamming_band_keys(sims: DataFrame, bits: int, n_bands: int) -> DataFrame:
+    """(doc_id, band, seg) keys for a (doc_id, __h__) frame.  Segment
+    extraction uses ``shiftrightunsigned`` so full-width 64-bit hashes
+    (stored as SIGNED longs, possibly negative) band correctly."""
     w = bits // n_bands
-    sims = hashes.select(
-        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("__h__")
-    )
     # full-width segment (n_bands=1, bits=64): the mask 2^64-1 does not
     # fit a BIGINT literal (Spark parses it as DECIMAL and `&` rejects
     # it) — but as a SIGNED 64-bit value all-ones IS -1, and x & -1 = x
@@ -888,9 +877,31 @@ def hamming_near_dups(
         f"struct(b AS band, shiftrightunsigned(__h__, b * {w}) "
         f"& {mask} AS seg))"
     )
-    banded = sims.select(
+    return sims.select(
         "doc_id", F.explode(F.expr(seg)).alias("bk")
     ).select("doc_id", "bk.band", "bk.seg")
+
+
+def hamming_near_dups(
+    hashes: DataFrame,
+    *,
+    hash_col: str,
+    bits: int,
+    max_hamming: int,
+    n_bands: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Generic pigeonhole Hamming pairing over ANY b-bit integer hash
+    column (SimHash for text, dHash for images, the audio spectral
+    fingerprint): split the hash into ``n_bands`` contiguous segments,
+    equi-join on (band, segment) — any pair within Hamming ≤
+    n_bands − 1 agrees on at least one segment — then verify exactly
+    with ``bit_count(a XOR b)``.  Returns (doc_a, doc_b, hamming)."""
+    _hamming_validate(bits, max_hamming, n_bands)
+    sims = hashes.select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("__h__")
+    )
+    banded = _hamming_band_keys(sims, bits, n_bands)
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "seg")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "seg")
     pairs = (
@@ -911,6 +922,67 @@ def hamming_near_dups(
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def hamming_near_dups_incremental(
+    new_hashes: DataFrame,
+    store: DataFrame,
+    *,
+    hash_col: str,
+    bits: int,
+    max_hamming: int,
+    n_bands: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hamming near-dup pairs between a NEW batch of fingerprints and a
+    persisted fingerprint store — the pigeonhole sibling of
+    ``incremental_near_duplicates``.  Both frames carry (id_col,
+    hash_col); only slim 64-bit rows are involved (the caller already
+    paid the decode).  Returns (doc_new, doc_old, hamming ≤
+    max_hamming); resolve drops on the caller's policy (typically:
+    drop doc_new — the stored row was admitted first).
+
+    Scale shape: the band join is deliberately UNHINTED for the same
+    reason as the MinHash incremental pairing — the store side is
+    CORPUS-sized but the batch side scales with the micro-batch, so
+    AQE's byte-bounded runtime broadcast of the batch band keys keeps
+    cost ∝ batch, while a degenerate corpus-sized catch-up batch falls
+    back to a spillable sort-merge join.  The ``doc_new != doc_old``
+    identity guard keeps an at-least-once replay (own earlier write
+    already folded into a compacted store base) from matching itself.
+    """
+    _hamming_validate(bits, max_hamming, n_bands)
+    new_sims = new_hashes.select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("__h__")
+    )
+    old_sims = store.select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("__h__")
+    )
+    new_b = _hamming_band_keys(new_sims, bits, n_bands) \
+        .withColumnRenamed("doc_id", "doc_new")
+    old_b = _hamming_band_keys(old_sims, bits, n_bands) \
+        .withColumnRenamed("doc_id", "doc_old")
+    pairs = (
+        new_b.join(old_b, ["band", "seg"])
+        .filter(F.col("doc_new") != F.col("doc_old"))
+        .select("doc_new", "doc_old")
+        .dropDuplicates(["doc_new", "doc_old"])
+    )
+    h_new = new_sims.select(
+        F.col("doc_id").alias("doc_new"), F.col("__h__").alias("ha")
+    )
+    h_old = old_sims.select(
+        F.col("doc_id").alias("doc_old"), F.col("__h__").alias("hb")
+    )
+    return (
+        # unhinted like the band join: pairs/h_new are batch-scaled,
+        # h_old is corpus-scaled — AQE broadcasts the small sides
+        pairs.join(h_new, "doc_new")
+        .join(h_old, "doc_old")
+        .withColumn("hamming", F.bit_count(F.expr("ha ^ hb")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_new", "doc_old", "hamming")
     )
 
 
