@@ -607,6 +607,32 @@ def _build_parser() -> argparse.ArgumentParser:
     med.add_argument("--n-bands", type=int, default=8)
     med.add_argument("--id-col", default="doc_id")
     med.add_argument("--media-col", default="media")
+
+    mst = sub.add_parser(
+        "media-stream",
+        help="continuous media ingestion: drain a landing directory of "
+        "(doc_id, media) parquet through the perceptual-dedup admit "
+        "loop (in-batch + vs the persisted fingerprint store)",
+    )
+    mst.add_argument("--in", dest="in_dir", required=True,
+                     help="landing directory of parquet micro-batches")
+    mst.add_argument("--corpus", required=True,
+                     help="admitted-media output directory")
+    mst.add_argument("--store", required=True,
+                     help="fingerprint store directory")
+    mst.add_argument("--checkpoint", required=True)
+    mst.add_argument("--kind", choices=["image", "audio"], required=True)
+    mst.add_argument("--max-hamming", type=int, default=6)
+    mst.add_argument("--n-bands", type=int, default=8)
+    mst.add_argument(
+        "--max-files-per-trigger", type=int, default=0,
+        help="bound each micro-batch to N landing files (0 = no bound)",
+    )
+    mst.add_argument(
+        "--compact", action="store_true",
+        help="fold the store's per-batch partitions into the -1 base "
+        "after the drain",
+    )
     return p
 
 
@@ -1450,6 +1476,61 @@ def main(argv: list[str] | None = None) -> int:
         )
         for r in prof.collect():  # one row per COLUMN — tiny by design
             print(json.dumps(r.asDict()))
+        return 0
+
+    if args.command == "media-stream":
+        from pyspark.errors import AnalysisException
+
+        from etl_olho_vivo_spark.streaming.media_stream import (
+            compact_media_store,
+            run_media_stream,
+        )
+
+        # a file stream needs an explicit schema; lift it from a static
+        # read of the same landing dir (footer-only — no data scan)
+        try:
+            schema = spark.read.parquet(args.in_dir).schema
+        except AnalysisException as e:
+            if e.getCondition() in (
+                "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"
+            ):
+                raise SystemExit(f"no input files in {args.in_dir}")
+            raise
+        reader = spark.readStream.schema(schema)
+        if args.max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(args.max_files_per_trigger)
+            )
+        q = run_media_stream(
+            reader.parquet(args.in_dir),
+            args.corpus,
+            args.store,
+            args.checkpoint,
+            kind=args.kind,
+            max_hamming=args.max_hamming,
+            n_bands=args.n_bands,
+        )
+        q.awaitTermination()
+        try:
+            n_docs = spark.read.parquet(args.corpus).count()
+        except AnalysisException as e:
+            # a drain that admitted NOTHING is a valid outcome
+            if e.getCondition() in (
+                "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"
+            ):
+                n_docs = 0
+            else:
+                raise
+        out = {"command": "media-stream", "kind": args.kind,
+               "corpus_docs": n_docs}
+        if args.compact:
+            if n_docs:
+                out["store_fingerprints_compacted"] = compact_media_store(
+                    spark, args.store
+                )
+            else:
+                out["store_fingerprints_compacted"] = 0
+        print(json.dumps(out))
         return 0
 
     if args.command == "media-dedup":

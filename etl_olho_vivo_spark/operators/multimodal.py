@@ -1815,6 +1815,7 @@ def image_near_dups(
     max_hamming: int = 6,
     n_bands: int = 8,
     id_col: str = "doc_id",
+    caches=None,
 ) -> DataFrame:
     """Image near-duplicate pairs: dHash fingerprints + the generic
     pigeonhole Hamming pairing (``dedup.hamming_near_dups``, the same
@@ -1825,10 +1826,21 @@ def image_near_dups(
     exact ``bit_count`` verify touches only banded candidates.  The
     decode is the costly stage and is embarrassingly parallel —
     partition count is the dial, and a persisted fingerprint table
-    (like the MinHash signature store) turns re-runs incremental."""
-    from etl_olho_vivo_spark.operators.dedup import hamming_near_dups
+    (like the MinHash signature store) turns re-runs incremental.
 
-    hashes = image_dhash(df, id_col).filter(F.col("dhash").isNotNull())
+    The fingerprint frame is persisted (``dedup._persist`` — pass
+    ``caches`` to own the release): the pairing's lineage consumes it
+    FOUR times (band keys both sides + both verify sides), and without
+    the cache each consumer would re-run the Arrow decode — 4× the
+    dominant cost at any scale."""
+    from etl_olho_vivo_spark.operators.dedup import (
+        _persist,
+        hamming_near_dups,
+    )
+
+    hashes = _persist(
+        image_dhash(df, id_col).filter(F.col("dhash").isNotNull()), caches
+    )
     return hamming_near_dups(
         hashes,
         hash_col="dhash",
@@ -1931,16 +1943,23 @@ def audio_near_dups(
     max_hamming: int = 6,
     n_bands: int = 8,
     id_col: str = "doc_id",
+    caches=None,
 ) -> DataFrame:
     """Audio near-duplicate pairs: spectral fingerprints + the generic
     pigeonhole Hamming pairing (``dedup.hamming_near_dups`` — the same
     construction SimHash and the image dHash use).  Returns (doc_a,
-    doc_b, hamming).  Same 100 TB shape as ``image_near_dups``: one
-    Arrow decode pass, 64-bit rows shuffle, banding equi-joins, exact
-    ``bit_count`` verify on banded candidates only."""
-    from etl_olho_vivo_spark.operators.dedup import hamming_near_dups
+    doc_b, hamming).  Same 100 TB shape as ``image_near_dups``,
+    including the persisted fingerprint frame (the pairing lineage
+    would otherwise re-run the decode four times)."""
+    from etl_olho_vivo_spark.operators.dedup import (
+        _persist,
+        hamming_near_dups,
+    )
 
-    prints = audio_fingerprint(df, id_col).filter(F.col("afp").isNotNull())
+    prints = _persist(
+        audio_fingerprint(df, id_col).filter(F.col("afp").isNotNull()),
+        caches,
+    )
     return hamming_near_dups(
         prints,
         hash_col="afp",

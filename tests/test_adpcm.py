@@ -190,6 +190,7 @@ def test_adpcm_lies_degrade_to_opaque(parse):
     opaque(make_adpcm_wav(chans, fact_override=10)[0])
 
 
+@pytest.mark.sweep
 def test_adpcm_near_dups_with_its_pcm_source(spark):
     """The lossy-compression near-dup story: an ADPCM re-encode of a
     PCM original is a NEAR duplicate (small Hamming distance on the

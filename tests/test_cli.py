@@ -1069,3 +1069,59 @@ def test_media_dedup_subcommand_audio_and_guards(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="no column"):
         main(["media-dedup", "--in", src, "--kind", "audio",
               "--pairs-out", pairs_out, "--id-col", "nope"])
+
+
+@pytest.mark.sweep
+def test_media_stream_subcommand(spark, tmp_path, capsys):
+    """Full media-stream CLI drain: two single-file micro-batches of
+    images, cross-batch exact dup dropped vs the store, --compact
+    folds the fingerprint partitions into the -1 base."""
+    import glob
+    import os
+    import shutil
+
+    def img(seed):
+        s = seed * 2654435761 % (1 << 31)
+        body = bytearray()
+        for _ in range(256):
+            s = (s * 1103515245 + 12345) & 0x7FFFFFFF
+            body.append(s % 256)
+        return bytearray(b"P5\n16 16\n255\n" + bytes(body))
+
+    stage = str(tmp_path / "landing")
+    os.makedirs(stage)
+
+    def land(name, rows):
+        df = spark.createDataFrame(
+            rows, "doc_id long, media binary"
+        ).coalesce(1)
+        tmp = f"{stage}__{name}"
+        df.write.mode("overwrite").parquet(tmp)
+        (part,) = glob.glob(f"{tmp}/part-*.parquet")
+        shutil.move(part, os.path.join(stage, f"{name}.parquet"))
+        shutil.rmtree(tmp)
+
+    land("b0", [(1, img(5)), (2, img(40))])
+    land("b1", [(10, img(5)), (11, img(77))])  # 10 = cross-batch dup
+
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    assert main(["--cpus", "8", "media-stream", "--in", stage,
+                 "--corpus", corpus, "--store", store,
+                 "--checkpoint", str(tmp_path / "ckpt"),
+                 "--kind", "image", "--max-files-per-trigger", "1",
+                 "--compact"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats == {"command": "media-stream", "kind": "image",
+                     "corpus_docs": 3, "store_fingerprints_compacted": 3}
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [1, 2, 11]
+    folded = spark.read.parquet(store)
+    assert [r["ingest_batch_id"] for r in
+            folded.select("ingest_batch_id").distinct().collect()] == [-1]
+
+    with pytest.raises(SystemExit, match="no input files"):
+        main(["media-stream", "--in", str(tmp_path / "nowhere"),
+              "--corpus", corpus, "--store", store,
+              "--checkpoint", str(tmp_path / "ckpt2"), "--kind", "image"])

@@ -393,6 +393,7 @@ def test_flac_corruption_degrades_to_opaque(parse):
     opaque(bytes(bad))
 
 
+@pytest.mark.sweep
 def test_flac_decode_audio_mixed_corpus(spark):
     """The Spark leg: decode_audio over a mixed media column — FLAC
     rows get real features, WAV keeps its path, text stays opaque,
