@@ -814,6 +814,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     bits: int = SIMHASH_NEAR_DUP_BITS,
     n_bands: int = 4,
+    caches: "CacheBag | None" = None,
 ) -> DataFrame:
     """Doc pairs with Hamming(simhash_a, simhash_b) ≤ ``max_hamming``.
 
@@ -837,7 +838,13 @@ def simhash_near_dups(
     breaks (a qualifying pair could differ in every segment) — rejected
     loudly rather than silently losing recall.
     """
-    sims = simhash(df, text, bits).select("doc_id", "simhash")
+    # persisted for the same reason as the media pairings: the pairing
+    # lineage consumes the fingerprint frame four times, and the
+    # simhash expression re-tokenizes + re-hashes the full corpus text
+    # on every consumer without the cache
+    sims = _persist(
+        simhash(df, text, bits).select("doc_id", "simhash"), caches
+    )
     return hamming_near_dups(
         sims,
         hash_col="simhash",
