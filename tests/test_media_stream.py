@@ -175,6 +175,39 @@ def test_run_media_stream_validates_at_startup(spark, dirs):
                          dirs["ckpt"], max_hamming=8, n_bands=8)
 
 
+def test_incremental_pairing_broadcasts_batch_not_store(spark, tmp_path):
+    """The 100 TB contract of the unhinted batch-vs-store join: with a
+    store 5000x the batch, AQE must pick broadcast joins (the slim
+    batch side ships) — a SortMergeJoin in the final plan would mean
+    the corpus-sized store gets shuffled+sorted EVERY micro-batch."""
+    from pyspark.sql import functions as F
+
+    from etl_olho_vivo_spark.operators.dedup import (
+        hamming_near_dups_incremental,
+    )
+
+    store_path = str(tmp_path / "fpstore")
+    spark.range(50_000).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        # xxhash64 spreads ids over the full 64-bit space — realistic
+        # fingerprint entropy so banding produces few collisions
+        F.xxhash64("id").alias("fp"),
+    ).write.parquet(store_path)
+    store = spark.read.parquet(store_path)
+    batch = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.xxhash64("id", "id").alias("fp")
+    )
+    out = hamming_near_dups_incremental(
+        batch, store, hash_col="fp", bits=64, max_hamming=6, n_bands=8
+    )
+    out.collect()  # finalize the adaptive plan
+    final = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "BroadcastHashJoin" in final, final
+    assert "SortMergeJoin" not in final, final
+
+
 @pytest.mark.sweep
 def test_media_stream_end_to_end(spark, dirs):
     """Full readStream → foreachBatch drain across three single-file
