@@ -163,7 +163,15 @@ def ivf_assign(
         .agg(F.min(F.struct("dist", "cell_id")).alias("b"))
         .select("vec_id", F.col("b.cell_id").alias("cell_id"))
     )
-    return vecs.join(best, "vec_id").select(
+    # merge-pinned: `best` is CORPUS-scaled (one slim row per vector),
+    # and without the pin AQE's runtime size estimate broadcasts it at
+    # test scale — the exact round-7 hazard (a corpus-sized broadcast
+    # build dies under a starved driver at 30×), and a violation of
+    # the embedding-pairs plan pins ("corpus sides never broadcast").
+    # Both sides are already hash-partitioned by vec_id (vecs by the
+    # explicit repartition, best by the groupBy that reuses it), so the
+    # sort-merge join adds two spillable sorts and ZERO exchanges.
+    return vecs.join(best.hint("merge"), "vec_id").select(
         "vec_id", "label", "cell_id", "qv"
     )
 
