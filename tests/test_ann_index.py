@@ -657,6 +657,7 @@ def test_ivfpq_serving_scan_is_pruned_slim_and_shuffle_free(
     assert "TakeOrderedAndProject" in plan
 
 
+@pytest.mark.sweep
 def test_ivfpq_lifecycle_append_compact_rebuild(spark, emb, tmp_path):
     """Append encodes against the persisted codebooks and is servable;
     compaction preserves the codes column; the occupancy rebuild routes

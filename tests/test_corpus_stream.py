@@ -88,6 +88,7 @@ def test_three_batch_ingestion_drops_cross_batch_dups(spark, dirs):
     assert corpus.select("ingest_batch_id").distinct().count() >= 2
 
 
+@pytest.mark.sweep
 def test_streaming_decontamination_vs_eval_store(spark, dirs, tmp_path):
     """With --eval-grams, the admit loop also rejects docs sharing an
     n-gram with the benchmark, and keeps their signatures out of the

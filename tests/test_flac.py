@@ -518,16 +518,15 @@ def test_audio_fingerprint_noise_robustness(spark):
     assert pairs == [(1, 2)]
 
 
-def test_audio_decode_bombs_degrade_to_opaque(parse):
-    """The audio legs carry the image decoders' 2^24-sample bound.
-    FLAC is the real amplifier — a ~12-byte CONSTANT subframe expands
-    to 65k samples (×5000+), so a few-KB unknown-total stream would
-    otherwise materialize gigabytes; the in-loop guard stops it at the
-    cap.  The STREAMINFO-total and PCM/ADPCM geometry variants are
-    header-cheap and rejected before any decode."""
-    import struct
-
-    # --- FLAC, unknown total (total=0 is legal): 257 hand-built
+@pytest.mark.sweep
+def test_flac_unknown_total_bomb_degrades_to_opaque(parse):
+    """FLAC is the real decode amplifier — a ~12-byte CONSTANT
+    subframe expands to 65k samples (×5000+), so a few-KB
+    unknown-total (total=0 is legal) stream would otherwise
+    materialize gigabytes; the in-loop cumulative guard stops the
+    frame walk at the 2^24-sample cap.  Sweep tier: the guard fires
+    only after ~16M cheap constant samples decode, ~1.5 s."""
+    # --- FLAC, unknown total: 257 hand-built
     # max-blocksize CONSTANT frames ≈ 4 KB claiming 16.8M samples
     bs = 65535
     frames = b""
@@ -557,6 +556,12 @@ def test_audio_decode_bombs_degrade_to_opaque(parse):
     assert len(bomb) < 8192  # the whole point: tiny bytes, huge claim
     got = parse(bomb)
     assert got == (len(bomb), "opaque") + (None,) * 6
+
+
+def test_audio_decode_size_bounds_reject_cheaply(parse):
+    """The header-visible variants of the 2^24-sample bound — shared
+    with the image decoders — reject before any decode work."""
+    import struct
 
     # --- FLAC, STREAMINFO total already over the cap: instant reject
     big_total = (b"fLaC"

@@ -177,7 +177,7 @@ def test_run_media_stream_validates_at_startup(spark, dirs):
 
 def test_incremental_pairing_broadcasts_batch_not_store(spark, tmp_path):
     """The 100 TB contract of the unhinted batch-vs-store join: with a
-    store 5000x the batch, AQE must pick broadcast joins (the slim
+    store 2000x the batch, AQE must pick broadcast joins (the slim
     batch side ships) — a SortMergeJoin in the final plan would mean
     the corpus-sized store gets shuffled+sorted EVERY micro-batch."""
     from pyspark.sql import functions as F
@@ -187,7 +187,7 @@ def test_incremental_pairing_broadcasts_batch_not_store(spark, tmp_path):
     )
 
     store_path = str(tmp_path / "fpstore")
-    spark.range(50_000).select(
+    spark.range(20_000).select(
         (F.col("id") + 1_000_000).alias("doc_id"),
         # xxhash64 spreads ids over the full 64-bit space — realistic
         # fingerprint entropy so banding produces few collisions

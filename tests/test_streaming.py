@@ -408,6 +408,7 @@ def test_stream_dedup_exact_drops_cross_batch_redelivery(spark, tmp_path):
     assert rows == {1: "first", 2: "x", 3: "y"}
 
 
+@pytest.mark.sweep
 def test_stream_sessionize_continues_across_batches(spark, tmp_path):
     """Session state survives micro-batch boundaries: a gap that spans
     two batches but stays within 1800 s must NOT open a new session,
