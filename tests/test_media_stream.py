@@ -175,6 +175,7 @@ def test_run_media_stream_validates_at_startup(spark, dirs):
                          dirs["ckpt"], max_hamming=8, n_bands=8)
 
 
+@pytest.mark.sweep
 def test_incremental_pairing_broadcasts_batch_not_store(spark, tmp_path):
     """The 100 TB contract of the unhinted batch-vs-store join: with a
     store 2000x the batch, AQE must pick broadcast joins (the slim

@@ -104,6 +104,7 @@ def test_training_is_partitioning_invariant(spark, trained):
     assert hostile["weights"] == model["weights"]
 
 
+@pytest.mark.sweep
 def test_minibatch_training_matches_python_brute_force(spark):
     """Round-11 sampled-gradient path: Spark's minibatch loop must
     reproduce the pure-Python rederivation (same md5 qgrad-Bernoulli
