@@ -1530,6 +1530,13 @@ def main(argv: list[str] | None = None) -> int:
                 )
             else:
                 out["store_fingerprints_compacted"] = 0
+        from etl_olho_vivo_spark.streaming.media_stream import (
+            media_store_stats,
+        )
+
+        # compaction dial in the job artifact: partition growth taxes
+        # every future admit with per-file open cost
+        out["store"] = media_store_stats(spark, args.store)
         print(json.dumps(out))
         return 0
 

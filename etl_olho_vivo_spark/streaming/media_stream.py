@@ -160,6 +160,45 @@ def admit_media_batch(
         fps.unpersist()
 
 
+def media_store_stats(spark: SparkSession, store_dir: str) -> dict:
+    """Fingerprint-store telemetry — the compaction dial, mirroring
+    the ANN index's ``cell_stats``.  The store's cost driver is its
+    PARTITION COUNT, not its row count: every micro-batch's banded
+    join re-lists and re-opens one parquet directory per accumulated
+    batch, so thousands of tiny partitions tax every admit with
+    per-file open cost long before data volume matters.  One bounded
+    aggregation (one result row per batch partition); the skew summary
+    reuses ``io.ann_index.occupancy_stats`` so the formula can never
+    drift between the two artifacts.  Run ``compact_media_store`` when
+    ``n_partitions`` grows past a few dozen — the ``media-stream`` CLI
+    emits this dict after every drain so the drift is visible in job
+    artifacts."""
+    from etl_olho_vivo_spark.io.ann_index import occupancy_stats
+
+    df = _fp_store_frame(spark, store_dir)
+    if df is None:
+        return {"n_partitions": 0, "fingerprints": 0,
+                "max_partition": 0, "mean_partition": 0.0,
+                "skew_ratio": None}
+    raw = spark.read.parquet(store_dir)
+    key = "ingest_batch_id" if "ingest_batch_id" in raw.columns \
+        else F.lit(-1)
+    counts = [
+        int(r["n"])
+        for r in raw.groupBy(key).agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()  # bounded: one row per batch partition
+    ]
+    s = occupancy_stats(counts)
+    return {
+        "n_partitions": s["n"],
+        "fingerprints": sum(counts),
+        "max_partition": s["max"],
+        "mean_partition": s["mean"],
+        "skew_ratio": s["skew_ratio"],
+    }
+
+
 def compact_media_store(spark: SparkSession, store_dir: str) -> int:
     """Fold the per-batch fingerprint partitions into ONE base
     partition (``ingest_batch_id = -1``), in place, through the

@@ -1112,8 +1112,12 @@ def test_media_stream_subcommand(spark, tmp_path, capsys):
                  "--kind", "image", "--max-files-per-trigger", "1",
                  "--compact"]) == 0
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    store_stats = stats.pop("store")
     assert stats == {"command": "media-stream", "kind": "image",
                      "corpus_docs": 3, "store_fingerprints_compacted": 3}
+    # after --compact the telemetry shows ONE folded base partition
+    assert store_stats["n_partitions"] == 1
+    assert store_stats["fingerprints"] == 3
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(corpus).collect()
     ) == [1, 2, 11]

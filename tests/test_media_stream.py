@@ -159,6 +159,37 @@ def test_media_store_compaction_then_dedup_vs_base(spark, dirs):
     assert _ids(spark, dirs["corpus"]) == [1, 2, 6]
 
 
+def test_media_store_stats_telemetry(spark, dirs):
+    """The compaction dial: zeros before the first batch, then one
+    occupied partition per admitted batch with the fingerprint total
+    (opaque rows contribute none), skew over partition sizes."""
+    from etl_olho_vivo_spark.streaming.media_stream import (
+        admit_media_batch,
+        media_store_stats,
+    )
+
+    assert media_store_stats(spark, dirs["store"]) == {
+        "n_partitions": 0, "fingerprints": 0, "max_partition": 0,
+        "mean_partition": 0.0, "skew_ratio": None,
+    }
+    admit_media_batch(
+        spark, spark.createDataFrame(
+            [(1, _img(5)), (2, _img(40)),
+             (3, bytearray(b"opaque media"))], SCHEMA
+        ),
+        0, dirs["corpus"], dirs["store"],
+    )
+    admit_media_batch(
+        spark, spark.createDataFrame([(4, _img(77))], SCHEMA),
+        1, dirs["corpus"], dirs["store"],
+    )
+    got = media_store_stats(spark, dirs["store"])
+    assert got == {
+        "n_partitions": 2, "fingerprints": 3, "max_partition": 2,
+        "mean_partition": 1.5, "skew_ratio": 1.33,
+    }
+
+
 def test_run_media_stream_validates_at_startup(spark, dirs):
     stream = (
         spark.readStream.schema(SCHEMA)
