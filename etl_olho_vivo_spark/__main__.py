@@ -215,6 +215,15 @@ def _build_parser() -> argparse.ArgumentParser:
         "<out>_bpe_vocab",
     )
     cor.add_argument(
+        "--unigram-tokenize", type=int, default=None, metavar="N_VOCAB",
+        help="the --tokenizer=unigram family: train an N-piece "
+        "unigram-LM (SentencePiece-style) vocabulary on the surviving "
+        "corpus, apply it (unigram_tokens + integer unigram_ids "
+        "columns), and persist the model at <out>_unigram_model and "
+        "the id vocabulary at <out>_unigram_vocab; mutually exclusive "
+        "with --bpe-tokenize",
+    )
+    cor.add_argument(
         "--c4", action="store_true",
         help="apply C4's heuristic cleanup (Raffel et al. 2020): drop "
         "lines not ending in terminal punctuation or under 5 words, "
@@ -582,7 +591,8 @@ def _build_parser() -> argparse.ArgumentParser:
     med = sub.add_parser(
         "media-dedup",
         help="perceptual near-duplicate pass over a binary media "
-        "column: image dHash or audio spectral fingerprints + the "
+        "column: image dHash, audio spectral, or per-clip video "
+        "majority fingerprints + the "
         "pigeonhole Hamming pairing; writes the pair list and, with "
         "--survivors-out, the corpus keeping one representative "
         "(min id) per duplicate component",
@@ -592,7 +602,7 @@ def _build_parser() -> argparse.ArgumentParser:
         help="parquet with (id, media) columns",
     )
     med.add_argument(
-        "--kind", choices=["image", "audio"], required=True,
+        "--kind", choices=["image", "audio", "video"], required=True,
         help="which fingerprint family decodes the media bytes",
     )
     med.add_argument("--pairs-out", required=True,
@@ -621,7 +631,9 @@ def _build_parser() -> argparse.ArgumentParser:
     mst.add_argument("--store", required=True,
                      help="fingerprint store directory")
     mst.add_argument("--checkpoint", required=True)
-    mst.add_argument("--kind", choices=["image", "audio"], required=True)
+    mst.add_argument(
+        "--kind", choices=["image", "audio", "video"], required=True
+    )
     mst.add_argument("--max-hamming", type=int, default=6)
     mst.add_argument("--n-bands", type=int, default=8)
     mst.add_argument(
@@ -633,7 +645,52 @@ def _build_parser() -> argparse.ArgumentParser:
         help="fold the store's per-batch partitions into the -1 base "
         "after the drain",
     )
+    for sub_p in (med, mst):
+        # pre-store quality gates (round 12): floors over the decode
+        # metadata, evaluated on the SAME pass that fingerprints —
+        # gated rows never reach the pairing, survivors, corpus, or
+        # fingerprint store
+        sub_p.add_argument("--min-width", type=int, default=None,
+                           help="image gate: minimum decoded width")
+        sub_p.add_argument("--min-height", type=int, default=None,
+                           help="image gate: minimum decoded height")
+        sub_p.add_argument(
+            "--min-sample-rate", type=int, default=None,
+            help="audio gate: minimum sample rate (Hz)",
+        )
+        sub_p.add_argument(
+            "--min-duration", type=float, default=None,
+            help="audio gate: minimum duration (seconds)",
+        )
+        sub_p.add_argument(
+            "--min-frames", type=int, default=None,
+            help="video gate: minimum demuxed frame count",
+        )
+        sub_p.add_argument(
+            "--reject-undecodable", action="store_true",
+            help="drop opaque/undecodable media instead of admitting "
+            "them unfingerprinted",
+        )
     return p
+
+
+def _media_gates_from_args(args) -> dict | None:
+    """Collect the media quality-gate dials into the gates dict the
+    admit loop takes; None when every dial is at its default."""
+    g = {}
+    if args.min_width is not None:
+        g["min_width"] = args.min_width
+    if args.min_height is not None:
+        g["min_height"] = args.min_height
+    if args.min_sample_rate is not None:
+        g["min_sample_rate"] = args.min_sample_rate
+    if args.min_duration is not None:
+        g["min_duration_s"] = args.min_duration
+    if args.min_frames is not None:
+        g["min_frames"] = args.min_frames
+    if args.reject_undecodable:
+        g["reject_undecodable"] = True
+    return g or None
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -743,6 +800,7 @@ def main(argv: list[str] | None = None) -> int:
             span_k=args.span_k,
             span_min_count=args.span_min_count,
             bpe_tokenize=args.bpe_tokenize,
+            unigram_tokenize=args.unigram_tokenize,
             lm_max_entropy=args.lm_max_entropy,
             lm_ref_dir=args.lm_ref,
             lm_order=args.lm_order,
@@ -1501,15 +1559,19 @@ def main(argv: list[str] | None = None) -> int:
             reader = reader.option(
                 "maxFilesPerTrigger", str(args.max_files_per_trigger)
             )
-        q = run_media_stream(
-            reader.parquet(args.in_dir),
-            args.corpus,
-            args.store,
-            args.checkpoint,
-            kind=args.kind,
-            max_hamming=args.max_hamming,
-            n_bands=args.n_bands,
-        )
+        try:
+            q = run_media_stream(
+                reader.parquet(args.in_dir),
+                args.corpus,
+                args.store,
+                args.checkpoint,
+                kind=args.kind,
+                max_hamming=args.max_hamming,
+                n_bands=args.n_bands,
+                gates=_media_gates_from_args(args),
+            )
+        except ValueError as e:  # gate/banding config error: exit 2
+            raise SystemExit(str(e))
         q.awaitTermination()
         try:
             n_docs = spark.read.parquet(args.corpus).count()
@@ -1544,15 +1606,24 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
-        from etl_olho_vivo_spark.operators.multimodal import (
-            audio_near_dups,
-            image_near_dups,
+        from etl_olho_vivo_spark.operators.dedup import (
+            hamming_near_dups,
+        )
+        from etl_olho_vivo_spark.streaming.media_stream import (
+            apply_media_gates,
+            media_fingerprints,
+            validate_media_gates,
         )
 
         if args.max_hamming < 0:
             raise SystemExit(
                 f"--max-hamming must be >= 0, got {args.max_hamming}"
             )
+        gates = _media_gates_from_args(args)
+        try:
+            validate_media_gates(args.kind, gates)
+        except ValueError as e:
+            raise SystemExit(str(e))
         df = spark.read.parquet(args.in_dir)
         for col in (args.id_col, args.media_col):
             if col not in df.columns:
@@ -1564,20 +1635,29 @@ def main(argv: list[str] | None = None) -> int:
             F.col(args.id_col).alias("doc_id"),
             F.col(args.media_col).alias("media"),
         )
-        pair_fn = image_near_dups if args.kind == "image" \
-            else audio_near_dups
-        pairs = pair_fn(
-            media, max_hamming=args.max_hamming, n_bands=args.n_bands
+        # one Arrow decode pass shared by gates, banding, and both
+        # verify sides (round 12: the CLI now runs the SAME
+        # fingerprint+gate path as the streaming admit loop)
+        fps = media_fingerprints(media, args.kind).persist()
+        admitted = apply_media_gates(fps, args.kind, gates)
+        counts = {}
+        if gates:
+            # slim persisted frame: two bounded counts of telemetry
+            counts["gated_out"] = fps.count() - admitted.count()
+        pairs = hamming_near_dups(
+            admitted.filter(F.col("fp").isNotNull()),
+            hash_col="fp", bits=64,
+            max_hamming=args.max_hamming, n_bands=args.n_bands,
         )
         # the pair relation is reused (written + clustered): persist so
-        # the decode fan-in runs once; count rides the write via
+        # the banding fan-in runs once; count rides the write via
         # Observation — one action per sink, never a recompute
         pairs = pairs.persist()
         obs = Observation("media_pairs")
         pairs.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
             "overwrite"
         ).parquet(args.pairs_out)
-        counts = {"pairs": obs.get["rows"]}
+        counts["pairs"] = obs.get["rows"]
         if args.survivors_out:
             from etl_olho_vivo_spark.operators.dedup import (
                 connected_components,
@@ -1588,16 +1668,27 @@ def main(argv: list[str] | None = None) -> int:
                 F.col("doc_id") != F.col("component")
             ).select(F.col("doc_id").alias(args.id_col))
             sobs = Observation("media_survivors")
+            # gated-out rows are not survivors either (they never
+            # entered the corpus candidate set)
+            survivors = df
+            if gates:
+                survivors = survivors.join(
+                    admitted.select(
+                        F.col("doc_id").alias(args.id_col)
+                    ),
+                    args.id_col, "left_semi",
+                )
             # losers scales with the corpus' duplicate fraction —
             # merge-pinned like every symmetric corpus-scaled join
             # (the round-7 starved-driver lesson)
-            survivors = df.join(losers.hint("merge"), args.id_col,
-                                "left_anti")
+            survivors = survivors.join(losers.hint("merge"), args.id_col,
+                                       "left_anti")
             survivors.observe(
                 sobs, F.count(F.lit(1)).alias("rows")
             ).write.mode("overwrite").parquet(args.survivors_out)
             counts["survivors"] = sobs.get["rows"]
         pairs.unpersist()
+        fps.unpersist()
         print(json.dumps({"command": "media-dedup", "kind": args.kind,
                           **counts}))
         return 0

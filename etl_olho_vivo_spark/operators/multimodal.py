@@ -15,7 +15,9 @@ raster formats reachable without any new dependency — BMP
 (BITMAPINFOHEADER), binary PNM (P5/P6), **PNG** (non-interlaced
 8-bit gray/RGB/gray+alpha/RGBA: stdlib zlib inflate + the five
 scanline filters, chunk CRCs verified, geometry-bounded inflate), and
-**JPEG** (baseline sequential SOF0/SOF1 AND progressive SOF2 —
+**JPEG** (baseline sequential SOF0/SOF1 — interleaved single-scan OR
+multi-scan with one SOS per component subset, both legal T.81 — AND
+progressive SOF2 —
 spectral selection + successive approximation: canonical Huffman
 entropy decode, zigzag dequantization, vectorized-einsum IDCT,
 nearest-neighbor chroma upsampling
@@ -344,9 +346,11 @@ def _media_parser(pixels: bool = False):
         # once (two einsum contractions), nearest-neighbor chroma
         # upsampling (4:4:4 / 4:2:2 / 4:2:0 and grayscale), DRI/RSTn
         # restart markers, 0xFF00 byte-stuffing.  Both modes run
-        # through ONE coefficient-store pipeline: a baseline scan is
-        # simply the full spectral band (Ss=0..Se=63, Ah=Al=0) decoded
-        # in a single pass, while progressive accumulates DC-first /
+        # through ONE coefficient-store pipeline: a sequential scan is
+        # simply the full spectral band (Ss=0..Se=63, Ah=Al=0) — one
+        # interleaved scan of all components OR several scans covering
+        # disjoint component subsets (one SOS per component is legal
+        # T.81; round 12) — while progressive accumulates DC-first /
         # DC-refine / AC-first / AC-refine scans (spectral selection +
         # successive approximation, ITU T.81 G.1.2) into the same
         # per-component coefficient arrays before the shared
@@ -439,9 +443,14 @@ def _media_parser(pixels: bool = False):
             ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 15
             if not progressive:
-                # a baseline scan spans the whole band, all components
-                if ss != 0 or se != 63 or ah or al or ns != len(comps):
+                # a sequential scan spans the whole band, but the
+                # components may be SPLIT across scans (one SOS per
+                # component is legal T.81 — round 12, per ADVICE);
+                # each component decodes exactly once
+                if ss != 0 or se != 63 or ah or al:
                     raise _Bad
+                if any(idx in dc_seen for idx, _, _ in sel):
+                    raise _Bad  # sequential component re-scanned
             else:
                 if ss == 0:
                     if se != 0:
@@ -746,8 +755,13 @@ def _media_parser(pixels: bool = False):
                     scans_done += 1
                     if scans_done > 99:
                         raise _Bad  # hostile scan flood
-                    if not progressive:
-                        break  # a baseline image is one scan
+                    if not progressive and \
+                            dc_seen == set(range(len(frame[2]))):
+                        # sequential image complete — single-scan OR
+                        # one-SOS-per-component; stopping here (not at
+                        # EOI) keeps the old tolerance for truncated
+                        # but fully-scanned baseline files
+                        break
                     continue  # do_scan left pos at the next marker
                 # APPn / COM / other tables: skip
                 pos += seglen
@@ -1093,8 +1107,32 @@ def _audio_parser(samples: bool = False):
         bit-exact.  Any failure — bad magic, reserved codes, CRC or
         MD5 mismatch, truncation — returns None and the caller
         degrades to ``opaque``: one corrupt file never kills a 100 TB
-        decode job."""
+        decode job.
+
+        Straggler bound (round 12, per ADVICE): the hot per-byte /
+        per-bit loops are table-driven CRCs (one 256-entry table per
+        polynomial, built once per file — ~8× fewer Python ops than
+        the former bit-at-a-time loops over every frame byte),
+        32-bits-at-a-time unary scanning, and numpy-vectorized
+        per-frame |sample| sums + MD5 byte packing — so a max-size
+        file (the shared 2^24-sample bound) costs seconds, not
+        minutes, of single-core time per row."""
         import hashlib
+
+        import numpy as np
+
+        # table-driven CRC-8 (poly 0x07) / CRC-16 (poly 0x8005)
+        crc8_tbl, crc16_tbl = [], []
+        for byte in range(256):
+            c = byte
+            for _ in range(8):
+                c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1)
+            crc8_tbl.append(c)
+            c = byte << 8
+            for _ in range(8):
+                c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 \
+                    else (c << 1)
+            crc16_tbl.append(c)
 
         if len(m) < 42 or m[:4] != b"fLaC":
             return None
@@ -1147,26 +1185,37 @@ def _audio_parser(samples: bool = False):
             return v - (1 << n) if v >> (n - 1) else v
 
         def unary():
+            # word-at-a-time: peek up to 32 bits, count leading zeros
+            # via bit_length — one iteration consumes a whole zero run
+            # chunk instead of one bit
+            nonlocal bitpos
             q = 0
-            while getbits(1) == 0:
-                q += 1
-            return q
+            while True:
+                if bitpos >= nbits:
+                    raise EOFError
+                avail = min(32, nbits - bitpos)
+                end = bitpos + avail
+                first, lastb = bitpos >> 3, (end + 7) >> 3
+                v = int.from_bytes(m[first:lastb], "big")
+                v >>= (lastb << 3) - end
+                v &= (1 << avail) - 1
+                if v:
+                    lead = avail - v.bit_length()
+                    bitpos += lead + 1
+                    return q + lead
+                q += avail
+                bitpos = end
 
         def crc8(buf):
             c = 0
             for b in buf:
-                c ^= b
-                for _ in range(8):
-                    c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1)
+                c = crc8_tbl[c ^ b]
             return c
 
         def crc16(buf):
             c = 0
             for b in buf:
-                c ^= b << 8
-                for _ in range(8):
-                    c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 \
-                        else (c << 1)
+                c = crc16_tbl[(c >> 8) ^ b] ^ ((c << 8) & 0xFFFF)
             return c
 
         def residual(bs, order):
@@ -1329,20 +1378,25 @@ def _audio_parser(samples: bool = False):
                 if crc16(m[fstart:(bitpos >> 3) - 2]) != want16:
                     return None
                 n_samples += bs
-                for ch in chans:
-                    sum_abs += sum(abs(v) for v in ch)
+                carr = np.asarray(chans, dtype=np.int64)
+                sum_abs += int(np.abs(carr).sum())
                 if mono_parts is not None:
-                    import numpy as np
-
                     mono_parts.append(
-                        np.asarray(chans, dtype=np.float64).mean(axis=0)
-                        / (1 << (bps - 1))
+                        carr.mean(axis=0) / (1 << (bps - 1))
                     )
                 if md5 is not None:
-                    md5.update(b"".join(
-                        v.to_bytes(sample_bytes, "little", signed=True)
-                        for frame in zip(*chans) for v in frame
-                    ))
+                    inter = carr.T  # frames × channels, interleaved
+                    if sample_bytes in (1, 2, 4):
+                        md5.update(
+                            inter.astype(f"<i{sample_bytes}").tobytes()
+                        )
+                    else:  # 24-bit: no native dtype — explicit pack
+                        md5.update(b"".join(
+                            int(v).to_bytes(
+                                sample_bytes, "little", signed=True
+                            )
+                            for frame in inter for v in frame
+                        ))
         except (EOFError, ValueError, OverflowError):
             return None
         if n_samples == 0 or (total and n_samples != total):
@@ -1935,6 +1989,170 @@ def audio_fingerprint(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "media").mapInPandas(batches, AFP_SCHEMA)
+
+
+VFP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_kind", T.StringType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("vfp", T.LongType()),
+    ]
+)
+
+
+def _vfp_votes_fn():
+    """Factory for the per-video 64-bit fingerprint fold: bitwise
+    MAJORITY vote (= the bitwise median frame) over the sampled
+    frames' dHashes.  Rationale (round 12 — video as a first-class
+    near-dup kind):
+
+    - container invariance is inherited from the frame dHash — two
+      muxes of the same pictures (MJPEG-in-AVI vs Y4M) yield per-frame
+      hashes within re-encode distance, and a per-bit majority over
+      many frames absorbs those few-bit flips entirely, so the video
+      fingerprints land even CLOSER than their worst frame pair;
+    - a majority is deterministic and order-free: no alignment step,
+      no anchor-frame choice, ties (exactly half the frames) resolve
+      to 0;
+    - temporal structure is deliberately NOT encoded: a time-segmented
+      variant (per-segment majorities, the audio fingerprint's shape)
+      was considered and rejected because it breaks on the common
+      re-encode operations that CHANGE the time axis (frame-rate
+      resampling, trims) — the identity we dedup on is "same
+      pictures", and a reversed or re-paced copy of a clip IS a
+      near-dup for training-data purposes.
+
+    Returns ``fold(hashes) -> signed i64 | None`` over an iterable of
+    signed 64-bit frame dHashes."""
+
+    def fold(hashes):
+        votes = [0] * 64
+        n = 0
+        for h in hashes:
+            if h is None:
+                continue
+            h &= (1 << 64) - 1
+            n += 1
+            for b in range(64):
+                votes[b] += (h >> b) & 1
+        if n == 0:
+            return None
+        val = 0
+        for b in range(64):
+            if 2 * votes[b] > n:  # strict majority; ties → 0
+                val |= 1 << b
+        return val - (1 << 64) if val >= (1 << 63) else val
+
+    return fold
+
+
+def video_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", stride: int = 1
+) -> DataFrame:
+    """Arrow-batched per-VIDEO perceptual fingerprinting over the
+    binary column — the third fingerprint family beside ``image_dhash``
+    and ``audio_fingerprint``: demux (the same MJPEG-in-AVI / Y4M
+    walkers ``sample_frames`` uses), decode every ``stride``-th frame
+    through the image parser, dHash each, fold with the bitwise
+    majority (``_vfp_votes_fn``).  Non-demuxable / zero-decodable-frame
+    media yield a NULL ``vfp`` (the opaque contract) and never pair.
+    ``n_frames`` is the demuxed TOTAL (not the sampled count) so
+    telemetry sees the true clip length.
+
+    100 TB shape: identical to the image/audio legs — the decode is
+    the costly, embarrassingly-parallel Arrow stage (one demux + one
+    JPEG/PGM decode per sampled frame, all executor-side); only
+    (doc_id, 8-byte fingerprint) rows ever shuffle.  ``stride`` is the
+    decode-cost dial: 1 folds every frame (most noise immunity), the
+    ``sample_frames`` default 4 quarters the decode at a measured
+    few-bit fingerprint cost."""
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+    demux_avi = _avi_demuxer()
+    demux_y4m = _y4m_demuxer()
+    parse = _media_parser(pixels=True)
+    dhash = _dhash_fn()
+    fold = _vfp_votes_fn()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            kinds, counts, vfps = [], [], []
+            for media in pdf["media"]:
+                kind, nf, vfp = "opaque", None, None
+                if media is not None:
+                    m = bytes(media)
+                    frames = demux_avi(m)
+                    if frames is not None:
+                        kind = "avi"
+                    else:
+                        frames = demux_y4m(m)
+                        if frames is not None:
+                            kind = "y4m"
+                    if frames:
+                        nf = len(frames)
+                        vfp = fold(
+                            dhash(parse(frames[i])[6])
+                            for i in range(0, len(frames), stride)
+                        )
+                kinds.append(kind)
+                counts.append(nf)
+                vfps.append(vfp)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "media_kind": pd.Series(kinds, dtype="object"),
+                    "n_frames": pd.Series(counts, dtype="Int32"),
+                    "vfp": pd.Series(vfps, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(batches, VFP_SCHEMA)
+
+
+def video_near_dups(
+    df: DataFrame,
+    *,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    id_col: str = "doc_id",
+    stride: int = 1,
+    caches=None,
+) -> DataFrame:
+    """Video near-duplicate pairs: per-video majority fingerprints +
+    the generic pigeonhole Hamming pairing — two re-encodes of the
+    same clip (different container, re-quantized frames) resolve to
+    one survivor exactly like images and audio now do.  Returns
+    (doc_a, doc_b, hamming).  Same 100 TB shape as ``image_near_dups``
+    including the persisted fingerprint frame (the pairing lineage
+    would otherwise re-run the demux+decode four times).
+
+    A frame-count agreement guard was considered (pair only when
+    clip lengths are within a ratio) and rejected: it would need
+    ``n_frames`` in the streaming fingerprint store, forking the
+    store schema per kind, and frame-rate-resampled re-encodes — real
+    near-dups — legitimately change the count.  The majority
+    fingerprint alone is the identity, uniform across batch, CLI and
+    stream."""
+    from etl_olho_vivo_spark.operators.dedup import (
+        _persist,
+        hamming_near_dups,
+    )
+
+    prints = _persist(
+        video_fingerprint(df, id_col, stride=stride).filter(
+            F.col("vfp").isNotNull()
+        ),
+        caches,
+    )
+    return hamming_near_dups(
+        prints,
+        hash_col="vfp",
+        bits=64,
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        id_col="doc_id",
+    )
 
 
 def audio_near_dups(

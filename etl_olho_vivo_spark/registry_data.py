@@ -369,9 +369,9 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _d_simhash_sql() -> str:
+def _d_simhash_sql(bits: int = dedup.SIMHASH_BITS) -> str:
     terms = []
-    for j in range(dedup.SIMHASH_BITS):
+    for j in range(bits):
         w = 2**j
         s = (
             f"CAST(list_sum(list_transform(wh, x -> "
@@ -388,11 +388,46 @@ def _d_simhash_sql() -> str:
     "doc_simhash",
     _d_simhash_sql(),
     doc="SimHash (16-bit, frequency-weighted) per document — near-dup "
-    "sketch whose hamming distance bounds cosine token-similarity.",
+    "sketch whose hamming distance bounds cosine token-similarity.  "
+    "driver=False since round 12: simhash_hamming_pairs took the slot "
+    "(rotation policy) and its oracle recomputes the WIDER 32-bit "
+    "simhash inside the pairing, so the expression stays driver-checked; "
+    "this 16-bit value row keeps its local oracle sweep.",
+    driver=False,
 )
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return dedup.simhash(d).select("doc_id", "simhash")
+
+
+@register(
+    "simhash_hamming_pairs",
+    f"""
+WITH sims AS ({_d_simhash_sql(dedup.SIMHASH_NEAR_DUP_BITS)})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+    doc="The generic pigeonhole Hamming pairing under the external "
+    "oracle (promoted round 12, took doc_simhash's slot): Spark runs "
+    "dedup.simhash_near_dups — the SAME hamming_near_dups machinery "
+    "(band split → (band, segment) equi-join → exact bit_count(a^b) "
+    "verify) every MEDIA fingerprint leg rides (image dHash, audio "
+    "Haitsma-Kalker, video majority fingerprint; "
+    "operators/multimodal.py, streaming/media_stream.py) — while the "
+    "oracle computes the EXACT all-pairs form over the same 32-bit "
+    "simhashes.  Hash-equality therefore ALSO proves the pigeonhole "
+    "banding is lossless at max_hamming < n_bands (Manku WWW'07), not "
+    "just self-consistent: any pair the banding missed, or any "
+    "segment-extraction drift (shiftrightunsigned over signed longs), "
+    "breaks the driver row.  All-pairs is oracle-side only — 500 docs "
+    "at the driver's sf0.01 — the Spark plan stays the banded "
+    "merge-join shape pinned in tests/test_plans.py.",
+)
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(d)
 
 
 @register(

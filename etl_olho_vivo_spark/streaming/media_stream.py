@@ -1,23 +1,38 @@
 """Streaming MEDIA ingestion with perceptual dedup — the media sibling
 of ``corpus_stream``: fingerprint each micro-batch's binary media
-(image dHash or audio spectral fingerprint), drop in-batch near-dups,
+(image dHash, audio spectral fingerprint, or per-clip video majority
+fingerprint), drop in-batch near-dups,
 drop near-dups of anything already admitted (banded Hamming join
 against a persisted fingerprint store), append the survivors.
 
 Per micro-batch (``admit_media_batch``):
 
     1. fingerprint       — ONE Arrow decode pass (the costly stage; the
-                           frame is persisted so its three consumers
-                           never re-decode)
-    2. in-batch near-dup — pigeonhole Hamming self-join over the batch
-                           fingerprints; edge-greedy resolution (keep
-                           ``doc_a``, drop ``doc_b`` — the same greedy
-                           convention as the corpus pipeline)
-    3. store near-dup    — ``hamming_near_dups_incremental`` vs the
+                           frame is persisted so its consumers never
+                           re-decode), emitting fp + kind metadata
+    2. quality gates     — optional pre-store floors over the decode
+                           metadata (min width/height, duration/sample
+                           rate, frame count, reject-undecodable) —
+                           round 12; gated rows never reach the
+                           pairing, the corpus, or the store, exactly
+                           like the text loop's pre-signature gates
+    3. in-batch near-dup — pigeonhole Hamming self-join over the batch
+                           fingerprints; pairs resolved through
+                           connected components keeping the min-id per
+                           component — the SAME survivor convention as
+                           the ``media-dedup`` CLI, so batch and stream
+                           admit identical survivor sets for identical
+                           input (round 12, per ADVICE; the TEXT corpus
+                           loop keeps its documented edge-greedy
+                           approximation — that divergence is its own
+                           trade, recorded in plans/corpus.py).  The
+                           pair graph is batch-sized, so the iterative
+                           resolution costs a few batch-local rounds
+    4. store near-dup    — ``hamming_near_dups_incremental`` vs the
                            fingerprint STORE (cost ∝ batch: AQE
                            broadcasts the batch band keys, the
                            corpus-sized store is only scanned)
-    4. append survivors  → corpus (batch_id partition)
+    5. append survivors  → corpus (batch_id partition)
        append fingerprints → fingerprint store (batch_id partition)
 
 Contracts carried over from the corpus stream, same rationale:
@@ -51,32 +66,118 @@ from etl_olho_vivo_spark.operators.dedup import (
 FP_BITS = 64
 
 
-def _fingerprints(batch: DataFrame, kind: str) -> DataFrame:
-    """(doc_id, fp) for one batch — dHash for images, spectral
-    fingerprint for audio.  NULL fp = opaque/undecodable media."""
+MEDIA_KINDS = ("image", "audio", "video")
+
+# which quality-gate dial applies to which kind (a min_width on an
+# audio stream is a config bug — rejected loudly at start-up)
+_GATE_COLS = {
+    "min_width": ("image", "width"),
+    "min_height": ("image", "height"),
+    "min_sample_rate": ("audio", "sample_rate"),
+    "min_duration_s": ("audio", "duration_s"),
+    "min_frames": ("video", "n_frames"),
+}
+
+
+def media_fingerprints(batch: DataFrame, kind: str) -> DataFrame:
+    """(doc_id, fp, <kind metadata>) for one batch — dHash + width/
+    height for images, spectral fingerprint + sample_rate/duration_s
+    for audio, per-clip majority fingerprint + n_frames for video.
+    NULL fp = opaque/undecodable media.  The metadata rides the SAME
+    Arrow decode pass that produced the fingerprint, so quality gates
+    (``apply_media_gates``) cost nothing extra to evaluate."""
     from etl_olho_vivo_spark.operators import multimodal
 
     if kind == "image":
         fps = multimodal.image_dhash(batch).select(
-            "doc_id", F.col("dhash").alias("fp")
+            "doc_id", F.col("dhash").alias("fp"), "width", "height"
         )
     elif kind == "audio":
         fps = multimodal.audio_fingerprint(batch).select(
-            "doc_id", F.col("afp").alias("fp")
+            "doc_id", F.col("afp").alias("fp"),
+            "sample_rate", "duration_s",
+        )
+    elif kind == "video":
+        fps = multimodal.video_fingerprint(batch).select(
+            "doc_id", F.col("vfp").alias("fp"), "n_frames"
         )
     else:
-        raise ValueError(f"kind must be image|audio, got {kind!r}")
+        raise ValueError(
+            f"kind must be one of {'|'.join(MEDIA_KINDS)}, got {kind!r}"
+        )
+    return fps
+
+
+def validate_media_gates(kind: str, gates: dict | None) -> dict:
+    """Driver-side gate-config validation — called at stream START-UP
+    (and CLI argument parse) so a dial that cannot apply to the kind,
+    or a non-positive floor, fails before the first micro-batch."""
+    gates = dict(gates or {})
+    for key, val in gates.items():
+        if key == "reject_undecodable":
+            if not isinstance(val, bool):
+                raise ValueError(f"reject_undecodable must be bool, "
+                                 f"got {val!r}")
+            continue
+        if key not in _GATE_COLS:
+            raise ValueError(
+                f"unknown media gate {key!r} "
+                f"(dials: {sorted(_GATE_COLS)}, reject_undecodable)"
+            )
+        want_kind, _ = _GATE_COLS[key]
+        if want_kind != kind:
+            raise ValueError(
+                f"gate {key!r} applies to kind={want_kind!r}, "
+                f"stream kind is {kind!r}"
+            )
+        if val is not None and val <= 0:
+            raise ValueError(f"gate {key!r} must be positive, got {val}")
+    return gates
+
+
+def apply_media_gates(
+    fps: DataFrame, kind: str, gates: dict | None
+) -> DataFrame:
+    """Pre-store quality gates over the fingerprint+metadata frame
+    (round 12 — the media sibling of the text admit loop's
+    pre-signature gates): rows failing a floor never reach the
+    pairing, the corpus, or the fingerprint store.
+
+    Semantics: a dimension floor (``min_width``, ``min_duration_s``,
+    ``min_frames``, ...) also rejects UNDECODABLE rows — their NULL
+    metadata cannot prove the floor (SQL NULL-comparison does this
+    naturally), which is the right default for a crawled firehose.
+    ``reject_undecodable=True`` alone drops NULL-fingerprint rows
+    while admitting every decodable size.  No gates → the frame
+    passes through untouched (the pre-gate admit-everything
+    behavior, including opaque rows)."""
+    gates = validate_media_gates(kind, gates)
+    for key, val in gates.items():
+        if val is None:
+            continue
+        if key == "reject_undecodable":
+            if val:
+                fps = fps.filter(F.col("fp").isNotNull())
+        else:
+            _, col = _GATE_COLS[key]
+            fps = fps.filter(F.col(col) >= F.lit(val))
     return fps
 
 
 def _fp_store_frame(
-    spark: SparkSession, store_dir: str, exclude_batch_id: int | None = None
+    spark: SparkSession,
+    store_dir: str,
+    exclude_batch_id: int | None = None,
+    raw: bool = False,
 ) -> DataFrame | None:
     """The accumulated fingerprint store, or None before the first
     batch.  Same existence/exclusion discipline as the signature
     store's ``_store_frame`` (probed through Spark's reader so object
     storage works; ONLY the two "not there yet" error classes mean "no
-    store"; the batch's own partition is pruned for replay safety)."""
+    store"; the batch's own partition is pruned for replay safety).
+    ``raw=True`` returns the frame with the partition column intact
+    (``media_store_stats`` groups by it) so a stats call costs ONE
+    directory listing, not two."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -89,7 +190,7 @@ def _fp_store_frame(
         raise
     if exclude_batch_id is not None and "ingest_batch_id" in df.columns:
         df = df.filter(F.col("ingest_batch_id") != exclude_batch_id)
-    return df.select("doc_id", "fp")
+    return df if raw else df.select("doc_id", "fp")
 
 
 def admit_media_batch(
@@ -102,31 +203,48 @@ def admit_media_batch(
     kind: str = "image",
     max_hamming: int = 6,
     n_bands: int = 8,
+    gates: dict | None = None,
 ) -> None:
-    """Admit one micro-batch of (doc_id, media, ...) rows: perceptual
-    dedup in-batch + vs store, append survivors.  See the module
-    docstring for the step/contract inventory."""
+    """Admit one micro-batch of (doc_id, media, ...) rows: quality
+    gates (``apply_media_gates`` — BEFORE any pairing; gated rows
+    never reach the corpus or the store), perceptual dedup in-batch +
+    vs store, append survivors.  See the module docstring for the
+    step/contract inventory."""
+    from etl_olho_vivo_spark.caching import CacheBag
     from etl_olho_vivo_spark.io.fsutil import assert_no_pending_swap
+    from etl_olho_vivo_spark.operators.dedup import connected_components
 
     _hamming_validate(FP_BITS, max_hamming, n_bands)
     assert_no_pending_swap(spark, store_dir)
 
-    # one decode pass, three consumers (self-join, store join, store
-    # append) — persist the slim fingerprint frame, never the media
-    fps = _fingerprints(batch.select("doc_id", "media"), kind).persist()
+    # one decode pass, four consumers (gates, self-join, store join,
+    # store append) — persist the slim fingerprint frame, never the
+    # media; the gates ride the same frame, so they cost no decode
+    fps = media_fingerprints(
+        batch.select("doc_id", "media"), kind
+    ).persist()
+    bag = CacheBag()
     try:
-        printable = fps.filter(F.col("fp").isNotNull())
+        admitted = apply_media_gates(fps, kind, gates)
+        printable = admitted.filter(F.col("fp").isNotNull())
 
-        # in-batch: doc_a < doc_b by construction → greedy keeps doc_a
+        # in-batch: resolve the pair graph through connected components
+        # (keep the min id per component) — the exact convention the
+        # media-dedup CLI uses, so a corpus admitted through the stream
+        # and one deduped in batch agree on the survivor set.  The
+        # graph is batch-sized; the label frame lives in `bag`
         in_pairs = hamming_near_dups(
             printable, hash_col="fp", bits=FP_BITS,
             max_hamming=max_hamming, n_bands=n_bands,
         )
-        losers = in_pairs.select(F.col("doc_b").alias("doc_id"))
+        labels = connected_components(in_pairs, caches=bag)
+        losers = labels.filter(
+            F.col("doc_id") != F.col("component")
+        ).select("doc_id")
 
-        surv_fps = printable.join(
+        surv_fps = printable.select("doc_id", "fp").join(
             losers.dropDuplicates(["doc_id"]), "doc_id", "left_anti"
-        )
+        )  # the store stays slim: metadata never leaves the batch
         store = _fp_store_frame(spark, store_dir, exclude_batch_id=batch_id)
         if store is not None:
             cross = hamming_near_dups_incremental(
@@ -142,8 +260,15 @@ def admit_media_batch(
 
         # NULL-fp rows are never losers (they never entered a pairing),
         # so the anti-join admits them alongside the fingerprint
-        # survivors — the store, not the corpus, excludes them
-        survivors = batch.join(
+        # survivors — the store, not the corpus, excludes them.  With
+        # gates active the corpus first narrows to the gated-in ids
+        # (gated-OUT rows never reach corpus or store)
+        survivors = batch
+        if gates:
+            survivors = survivors.join(
+                admitted.select("doc_id"), "doc_id", "left_semi"
+            )
+        survivors = survivors.join(
             losers.dropDuplicates(["doc_id"]).hint("merge"),
             "doc_id", "left_anti",
         )
@@ -158,6 +283,7 @@ def admit_media_batch(
         )
     finally:
         fps.unpersist()
+        bag.release()
 
 
 def media_store_stats(spark: SparkSession, store_dir: str) -> dict:
@@ -175,12 +301,11 @@ def media_store_stats(spark: SparkSession, store_dir: str) -> dict:
     artifacts."""
     from etl_olho_vivo_spark.io.ann_index import occupancy_stats
 
-    df = _fp_store_frame(spark, store_dir)
-    if df is None:
+    raw = _fp_store_frame(spark, store_dir, raw=True)
+    if raw is None:
         return {"n_partitions": 0, "fingerprints": 0,
                 "max_partition": 0, "mean_partition": 0.0,
                 "skew_ratio": None}
-    raw = spark.read.parquet(store_dir)
     key = "ingest_batch_id" if "ingest_batch_id" in raw.columns \
         else F.lit(-1)
     counts = [
@@ -234,21 +359,26 @@ def run_media_stream(
     kind: str = "image",
     max_hamming: int = 6,
     n_bands: int = 8,
+    gates: dict | None = None,
     available_now: bool = True,
 ):
     """Start the continuous media-ingestion query over a streaming
     frame with (doc_id, media) columns.  Config errors (unknown kind,
-    an unsatisfiable banding) fail HERE at start-up, not inside the
-    first foreachBatch."""
+    an unsatisfiable banding, a gate dial that cannot apply to the
+    kind) fail HERE at start-up, not inside the first foreachBatch."""
     _hamming_validate(FP_BITS, max_hamming, n_bands)
-    if kind not in ("image", "audio"):
-        raise ValueError(f"kind must be image|audio, got {kind!r}")
+    if kind not in MEDIA_KINDS:
+        raise ValueError(
+            f"kind must be one of {'|'.join(MEDIA_KINDS)}, got {kind!r}"
+        )
+    validate_media_gates(kind, gates)
     spark = media_stream.sparkSession
 
     def _admit(batch: DataFrame, batch_id: int) -> None:
         admit_media_batch(
             spark, batch, batch_id, corpus_dir, store_dir,
             kind=kind, max_hamming=max_hamming, n_bands=n_bands,
+            gates=gates,
         )
 
     writer = (

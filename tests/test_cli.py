@@ -1069,6 +1069,68 @@ def test_media_dedup_subcommand_audio_and_guards(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="no column"):
         main(["media-dedup", "--in", src, "--kind", "audio",
               "--pairs-out", pairs_out, "--id-col", "nope"])
+    # a gate dial for the wrong kind is a driver-side config error
+    with pytest.raises(SystemExit, match="applies to kind"):
+        main(["media-dedup", "--in", src, "--kind", "audio",
+              "--pairs-out", pairs_out, "--min-width", "8"])
+
+
+@pytest.mark.sweep
+def test_media_dedup_gates_cli(spark, tmp_path, capsys):
+    """Round-12 quality gates on the media-dedup CLI: --min-width +
+    --reject-undecodable drop rows BEFORE pairing and survivors, and
+    the gated_out count lands in the stats line.  An audio run gates
+    on --min-duration the same way."""
+    img = [[(7 * r + 13 * c) % 256 for c in range(16)] for r in range(16)]
+    small = [[(5 * r * c) % 256 for c in range(8)] for r in range(8)]
+    rows = [
+        (1, bytearray(_p5_img(img))),
+        (2, bytearray(_p5_img(img))),    # exact dup of 1
+        (3, bytearray(_p5_img(small))),  # below the width floor
+        (4, bytearray(b"undecodable")),
+    ]
+    src = str(tmp_path / "gated")
+    spark.createDataFrame(rows, "doc_id long, media binary").write.parquet(
+        src
+    )
+    pairs_out = str(tmp_path / "gpairs")
+    surv_out = str(tmp_path / "gsurv")
+    assert main(["--cpus", "8", "media-dedup", "--in", src,
+                 "--kind", "image", "--pairs-out", pairs_out,
+                 "--survivors-out", surv_out,
+                 "--max-hamming", "0", "--n-bands", "1",
+                 "--min-width", "16", "--reject-undecodable"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats == {"command": "media-dedup", "kind": "image",
+                     "gated_out": 2, "pairs": 1, "survivors": 1}
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(surv_out).collect()
+    )
+    assert kept == [1]
+
+    # audio: 64 frames @ 8 kHz = 0.008 s < the 0.01 s duration floor
+    import struct
+
+    pcm = b"".join(
+        struct.pack("<h", (v * 37) % 2000 - 1000) for v in range(64)
+    )
+    wav = (b"RIFF" + (36 + len(pcm)).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+           + b"data" + len(pcm).to_bytes(4, "little") + pcm)
+    asrc = str(tmp_path / "gaudio")
+    spark.createDataFrame(
+        [(10, bytearray(wav)), (11, bytearray(wav))],
+        "doc_id long, media binary",
+    ).write.parquet(asrc)
+    apairs = str(tmp_path / "gapairs")
+    assert main(["--cpus", "8", "media-dedup", "--in", asrc,
+                 "--kind", "audio", "--pairs-out", apairs,
+                 "--max-hamming", "0", "--n-bands", "1",
+                 "--min-duration", "0.01"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats == {"command": "media-dedup", "kind": "audio",
+                     "gated_out": 2, "pairs": 0}
 
 
 @pytest.mark.sweep

@@ -40,6 +40,22 @@ def _img(seed, tweak=0):
     return bytearray(_p5(rows))
 
 
+def _img_fp(bits64):
+    """9x8 P5 whose dHash is exactly ``bits64``: the 8x9 pixel grid
+    maps 1:1 onto the dHash cell grid, so dHash bit ``i*8+j`` is the
+    sign of the step between adjacent pixels of row i (+10 → 1,
+    -10 → 0).  Full 64-bit fingerprint control for convention tests."""
+    rows = []
+    for i in range(8):
+        v = 128
+        row = [v]
+        for j in range(8):
+            v += 10 if (bits64 >> (i * 8 + j)) & 1 else -10
+            row.append(v)
+        rows.append(row)
+    return bytearray(_p5(rows))
+
+
 def _write_batch(spark, stage, name, rows):
     df = spark.createDataFrame(rows, SCHEMA).coalesce(1)
     tmp = f"{stage}__{name}"
@@ -82,6 +98,30 @@ def test_admit_media_batch_in_batch_dedup(spark, dirs):
     admit_media_batch(spark, b0, 0, dirs["corpus"], dirs["store"])
     assert _ids(spark, dirs["corpus"]) == [1, 2, 4]
     assert _ids(spark, dirs["store"]) == [1, 2]
+
+
+def test_admit_media_batch_component_resolution(spark, dirs):
+    """In-batch pairs resolve through connected components (min id per
+    component) — the same survivor convention as the media-dedup CLI
+    (round 12, per ADVICE).  Fingerprints are crafted so the pair
+    graph is a chain 1—3—2 with NO direct (1,2) edge: the former
+    edge-greedy drop (lose every doc_b) would keep {1, 2}; the
+    component convention keeps only the min id 1, exactly what
+    ``media-dedup --survivors-out`` resolves for the same input."""
+    from etl_olho_vivo_spark.streaming.media_stream import (
+        admit_media_batch,
+    )
+
+    fp_a = 0b1111        # 4 flips vs fp_c, all inside band 0
+    fp_b = 0b1111 << 8   # 4 flips vs fp_c, all inside band 1
+    fp_c = 0             # hamming(a,c)=4, (b,c)=4, (a,b)=8 > 6
+    b0 = spark.createDataFrame(
+        [(1, _img_fp(fp_a)), (2, _img_fp(fp_b)), (3, _img_fp(fp_c))],
+        SCHEMA,
+    )
+    admit_media_batch(spark, b0, 0, dirs["corpus"], dirs["store"])
+    assert _ids(spark, dirs["corpus"]) == [1]
+    assert _ids(spark, dirs["store"]) == [1]
 
 
 @pytest.mark.sweep
@@ -200,10 +240,76 @@ def test_run_media_stream_validates_at_startup(spark, dirs):
 
     with pytest.raises(ValueError, match="kind"):
         run_media_stream(stream, dirs["corpus"], dirs["store"],
-                         dirs["ckpt"], kind="video")
+                         dirs["ckpt"], kind="text")
     with pytest.raises(ValueError, match="n_bands"):
         run_media_stream(stream, dirs["corpus"], dirs["store"],
                          dirs["ckpt"], max_hamming=8, n_bands=8)
+    # gate dials validate at start-up too: wrong-kind dial, unknown
+    # dial, non-positive floor
+    with pytest.raises(ValueError, match="applies to kind"):
+        run_media_stream(stream, dirs["corpus"], dirs["store"],
+                         dirs["ckpt"], kind="image",
+                         gates={"min_duration_s": 1.0})
+    with pytest.raises(ValueError, match="unknown media gate"):
+        run_media_stream(stream, dirs["corpus"], dirs["store"],
+                         dirs["ckpt"], gates={"min_pixels": 1})
+    with pytest.raises(ValueError, match="positive"):
+        run_media_stream(stream, dirs["corpus"], dirs["store"],
+                         dirs["ckpt"], gates={"min_width": 0})
+    with pytest.raises(ValueError, match="bool"):
+        run_media_stream(stream, dirs["corpus"], dirs["store"],
+                         dirs["ckpt"], gates={"reject_undecodable": 1})
+
+
+def test_admit_media_batch_quality_gates(spark, dirs):
+    """Round-12 pre-store quality gates: a below-floor image and an
+    undecodable bomb are rejected BEFORE the pairing and never reach
+    the corpus or the fingerprint store; replay stays idempotent."""
+    from etl_olho_vivo_spark.streaming.media_stream import (
+        admit_media_batch,
+    )
+
+    small = bytearray(_p5([[10 * c for c in range(8)]] * 8))  # 8x8
+    b0 = spark.createDataFrame(
+        [(1, _img(5)), (2, small), (3, bytearray(b"junk bytes")),
+         (4, _img(40))],
+        SCHEMA,
+    )
+    gates = {"min_width": 16, "reject_undecodable": True}
+    admit_media_batch(spark, b0, 0, dirs["corpus"], dirs["store"],
+                      gates=gates)
+    assert _ids(spark, dirs["corpus"]) == [1, 4]
+    assert _ids(spark, dirs["store"]) == [1, 4]
+
+    # replay the same batch: per-partition overwrite + gates are
+    # deterministic → identical outcome
+    admit_media_batch(spark, b0, 0, dirs["corpus"], dirs["store"],
+                      gates=gates)
+    assert _ids(spark, dirs["corpus"]) == [1, 4]
+    assert _ids(spark, dirs["store"]) == [1, 4]
+
+
+@pytest.mark.sweep
+def test_media_gates_dimension_floor_drops_undecodable(spark, dirs):
+    """A dimension floor alone (no reject_undecodable) also rejects
+    undecodable rows — NULL metadata cannot prove the floor — while
+    no gates at all keeps the admit-everything behavior."""
+    from etl_olho_vivo_spark.streaming.media_stream import (
+        admit_media_batch,
+    )
+
+    b0 = spark.createDataFrame(
+        [(1, _img(5)), (2, bytearray(b"junk bytes"))], SCHEMA
+    )
+    admit_media_batch(spark, b0, 0, dirs["corpus"], dirs["store"],
+                      gates={"min_height": 16})
+    assert _ids(spark, dirs["corpus"]) == [1]
+
+    corpus2 = dirs["corpus"] + "_nogate"
+    store2 = dirs["store"] + "_nogate"
+    admit_media_batch(spark, b0, 0, corpus2, store2)
+    assert _ids(spark, corpus2) == [1, 2]  # opaque admitted, unstored
+    assert _ids(spark, store2) == [1]
 
 
 @pytest.mark.sweep

@@ -2746,6 +2746,107 @@ def test_decode_progressive_jpeg_matches_baseline_exactly(spark):
     assert parse(_make_jpeg(w, h, planes, hv, sof=0xC9))[2] == "opaque"
 
 
+def _make_multiscan_jpeg(w, h, planes, hv, drop_last_scan=False):
+    """Sequential baseline JPEG with ONE non-interleaved SOS per
+    component — legal T.81 (a sequential image's components may be
+    split across scans; some scanners emit exactly this).  Each scan
+    walks the component's OWN block grid (ceil(cw/8) x ceil(ch/8)),
+    independent of the decoder like ``_make_jpeg``."""
+    import numpy as np
+
+    (dc_payload, dc_enc), (ac_payload, ac_enc) = _jpeg_tables()
+    nc = len(planes)
+    hmax = max(hs for hs, _ in hv)
+    vmax = max(vs for _, vs in hv)
+
+    def seg(marker, payload):
+        return (b"\xff" + bytes([marker])
+                + (len(payload) + 2).to_bytes(2, "big") + payload)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(0xC4, bytes([0x00]) + dc_payload)
+    out += seg(0xC4, bytes([0x10]) + ac_payload)
+    sofp = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([nc])
+    for ci, (hs, vs) in enumerate(hv):
+        sofp += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += seg(0xC0, sofp)
+    n_scans = nc - 1 if drop_last_scan else nc
+    for ci in range(n_scans):
+        hs, vs = hv[ci]
+        out += seg(0xDA, bytes([1, ci + 1, 0x00, 0, 63, 0]))
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        bw_ni, bh_ni = -(-cw // 8), -(-ch // 8)
+        bits = _JpegBits()
+        pred = 0
+        p = np.asarray(planes[ci])
+        for by in range(bh_ni):
+            for bx in range(bw_ni):
+                Fq = _jpeg_fdct_quant(
+                    p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                )
+                pred = _jpeg_encode_block(
+                    Fq, pred, dc_enc, ac_enc, bits
+                )
+        bits.flush()
+        out += bits.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_multiscan_sequential_jpeg_matches_baseline(spark):
+    """Round-12 (per ADVICE): LEGAL multi-scan sequential JPEGs —
+    non-interleaved baseline, one SOS per component — decode through
+    the unified coefficient-store path and match their single-scan
+    interleaved sibling BIT-EXACTLY (same forward DCT + quant in both
+    independent encoders).  An image missing one component's scan
+    stays opaque (incomplete coverage must not half-decode), and a
+    scan that re-codes an already-scanned component is rejected."""
+    import numpy as np
+
+    from etl_olho_vivo_spark.operators import multimodal
+
+    parse = multimodal._media_parser(pixels=True)
+    rng = np.random.RandomState(12)
+
+    def rand_plane(h, w):
+        return rng.randint(0, 256, size=(h, w)).astype(np.float64)
+
+    cases = [
+        # grayscale: one scan either way — the degenerate sanity case
+        (16, 24, [rand_plane(24, 16)], [(1, 1)]),
+        # 4:4:4 color, three scans
+        (16, 16, [rand_plane(16, 16) for _ in range(3)], [(1, 1)] * 3),
+        # 4:2:0 color, odd dims: per-component ni grids differ from
+        # the MCU-padded grid the interleaved sibling walks
+        ((17), 9,
+         [rand_plane(16, 32), rand_plane(8, 16), rand_plane(8, 16)],
+         [(2, 2), (1, 1), (1, 1)]),
+    ]
+    for w, h, planes, hv in cases:
+        base = parse(_make_jpeg(w, h, planes, hv))
+        multi = parse(_make_multiscan_jpeg(w, h, planes, hv))
+        assert base[2] == multi[2] == "jpeg", (w, h)
+        assert multi[3:6] == base[3:6], (w, h)  # width, height, mean
+        assert np.array_equal(multi[6], base[6]), (w, h)
+
+    # a component never scanned → opaque, not a half-decoded guess
+    w, h, planes, hv = cases[1]
+    missing = _make_multiscan_jpeg(w, h, planes, hv, drop_last_scan=True)
+    assert parse(missing)[2] == "opaque"
+
+    # a duplicated component scan → opaque (sequential re-scan illegal)
+    full = _make_multiscan_jpeg(w, h, planes, hv)
+    first_sos = full.index(b"\xff\xda")
+    second_sos = full.index(b"\xff\xda", first_sos + 2)
+    dup = full[:second_sos] + full[first_sos:second_sos] \
+        + full[second_sos:]
+    assert parse(dup)[2] == "opaque"
+
+
 # ---------------------------------------------------------------------------
 # Image perceptual-hash near-dup (dHash + generic Hamming banding)
 # ---------------------------------------------------------------------------

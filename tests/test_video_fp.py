@@ -1,0 +1,189 @@
+"""Video-level perceptual near-dup (round 12): per-clip majority
+fingerprint over frame dHashes (operators/multimodal.py
+video_fingerprint / video_near_dups) — container invariance
+(MJPEG-in-AVI vs Y4M of the same pictures resolve to one survivor),
+discrimination against distinct clips, and the CLI + streaming admit
+wiring for --kind video."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+from test_operators import _make_avi, _make_jpeg
+
+from etl_olho_vivo_spark.operators import multimodal
+
+SCHEMA = "doc_id long, media binary"
+
+
+def _planes(seed, n=6, h=16, w=16):
+    rng = np.random.RandomState(seed)
+    return [
+        rng.randint(0, 256, size=(h, w)).astype(np.float64)
+        for _ in range(n)
+    ]
+
+
+def _avi_clip(planes):
+    h, w = planes[0].shape
+    return _make_avi(
+        [_make_jpeg(w, h, [p], [(1, 1)]) for p in planes]
+    )
+
+
+def _y4m_clip(planes):
+    h, w = planes[0].shape
+    chroma = 2 * ((w + 1) // 2) * ((h + 1) // 2)
+    out = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420jpeg\n" % (w, h)
+    for p in planes:
+        out += (b"FRAME\n" + p.astype(np.uint8).tobytes()
+                + bytes([128]) * chroma)
+    return out
+
+
+def test_vfp_majority_fold_pins():
+    """The bitwise-majority fold on analytically-known inputs: strict
+    majority per bit, ties to 0, None frames skipped, all-None → None,
+    and the signed-i64 wrap for a set bit 63."""
+    fold = multimodal._vfp_votes_fn()
+    assert fold([]) is None
+    assert fold([None, None]) is None
+    # 3 voters: bit0 2/3 → 1; bit1 1/3 → 0; bit2 3/3 → 1
+    assert fold([0b101, 0b111, 0b100]) == 0b101
+    # ties (1/2) resolve to 0; None does not dilute the vote
+    assert fold([0b11, 0b01, None]) == 0b01
+    # a single frame IS the fingerprint (majority of one)
+    assert fold([42]) == 42
+    # majority sets bit 63 → signed two's-complement long
+    top = 1 << 63
+    assert fold([top - (1 << 64), top - (1 << 64)]) == top - (1 << 64)
+
+
+def test_video_fingerprint_container_invariance(spark):
+    """The SAME pictures muxed as MJPEG-in-AVI and as Y4M fingerprint
+    within re-encode distance (the JPEG leg re-quantizes pixels; the
+    majority fold absorbs the per-frame flips), video_near_dups pairs
+    them, and distinct clips stay far apart and unpaired.  Opaque
+    media yield NULL vfp and never pair."""
+    clip = _planes(7)
+    other = _planes(99)
+    rows = [
+        (1, bytearray(_avi_clip(clip))),
+        (2, bytearray(_y4m_clip(clip))),
+        (3, bytearray(_y4m_clip(other))),
+        (4, bytearray(b"not a video at all")),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    fps = {r["doc_id"]: r for r in multimodal.video_fingerprint(df).collect()}
+
+    assert fps[1]["media_kind"] == "avi"
+    assert fps[2]["media_kind"] == "y4m"
+    assert fps[4]["media_kind"] == "opaque" and fps[4]["vfp"] is None
+    assert fps[5]["vfp"] is None
+    assert fps[1]["n_frames"] == fps[2]["n_frames"] == len(clip)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    same = ham(fps[1]["vfp"], fps[2]["vfp"])
+    diff = ham(fps[1]["vfp"], fps[3]["vfp"])
+    assert same <= 6, f"same clip measured {same} bits apart"
+    assert diff > 6, f"distinct clips measured only {diff} bits apart"
+
+    pairs = [(r["doc_a"], r["doc_b"])
+             for r in multimodal.video_near_dups(df).collect()]
+    assert pairs == [(1, 2)]
+
+
+def test_video_fingerprint_stride_dial(spark):
+    """stride samples every k-th frame: a stride equal to the clip
+    length folds exactly frame 0, and the validation rejects
+    non-positive strides driver-side."""
+    clip = _planes(7, n=4)
+    df = spark.createDataFrame(
+        [(1, bytearray(_y4m_clip(clip)))], SCHEMA
+    )
+    full = multimodal.video_fingerprint(df).collect()[0]
+    first = multimodal.video_fingerprint(df, stride=len(clip)).collect()[0]
+    # n_frames reports the demuxed total either way
+    assert full["n_frames"] == first["n_frames"] == 4
+    dhash = multimodal._dhash_fn()
+    parse = multimodal._media_parser(pixels=True)
+    demux = multimodal._y4m_demuxer()
+    f0 = demux(_y4m_clip(clip))[0]
+    assert first["vfp"] == dhash(parse(f0)[6])
+    with pytest.raises(ValueError, match="stride"):
+        multimodal.video_fingerprint(df, stride=0)
+
+
+@pytest.mark.sweep
+def test_media_dedup_cli_video(spark, tmp_path, capsys):
+    """End-to-end media-dedup CLI, video kind: the two containers of
+    one clip resolve to the min-id survivor, the distinct clip and the
+    opaque row survive."""
+    from etl_olho_vivo_spark.__main__ import main
+
+    clip = _planes(7)
+    rows = [
+        (1, bytearray(_avi_clip(clip))),
+        (2, bytearray(_y4m_clip(clip))),
+        (3, bytearray(_y4m_clip(_planes(99)))),
+        (4, bytearray(b"opaque bytes")),
+    ]
+    src = str(tmp_path / "videos")
+    spark.createDataFrame(rows, SCHEMA).write.parquet(src)
+    pairs_out = str(tmp_path / "pairs")
+    surv_out = str(tmp_path / "survivors")
+    assert main(["--cpus", "8", "media-dedup", "--in", src,
+                 "--kind", "video", "--pairs-out", pairs_out,
+                 "--survivors-out", surv_out]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats == {"command": "media-dedup", "kind": "video",
+                     "pairs": 1, "survivors": 3}
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(surv_out).collect()
+    )
+    assert kept == [1, 3, 4]
+
+
+@pytest.mark.sweep
+def test_media_stream_admit_video(spark, tmp_path):
+    """Streaming admit loop, video kind: in-batch container dup
+    resolved to the min id, a later batch's re-encode of an admitted
+    clip dropped against the fingerprint store, fresh clip admitted."""
+    from etl_olho_vivo_spark.streaming.media_stream import (
+        admit_media_batch,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    clip = _planes(7)
+
+    b0 = spark.createDataFrame(
+        [(1, bytearray(_avi_clip(clip))),
+         (2, bytearray(_y4m_clip(clip))),
+         (3, bytearray(_y4m_clip(_planes(99))))],
+        SCHEMA,
+    )
+    admit_media_batch(spark, b0, 0, corpus, store, kind="video")
+
+    def ids(path):
+        return sorted(
+            r["doc_id"] for r in spark.read.parquet(path).collect()
+        )
+
+    assert ids(corpus) == [1, 3]
+    assert ids(store) == [1, 3]
+
+    b1 = spark.createDataFrame(
+        [(10, bytearray(_y4m_clip(clip))),          # re-encode of 1
+         (11, bytearray(_avi_clip(_planes(123))))],  # fresh
+        SCHEMA,
+    )
+    admit_media_batch(spark, b1, 1, corpus, store, kind="video")
+    assert ids(corpus) == [1, 3, 11]
+    assert ids(store) == [1, 3, 11]
