@@ -138,6 +138,7 @@ def run_corpus(
     eval_grams_dir: str | None = None,
     eval_ngram: int = 5,
     bpe_tokenize: int | None = None,
+    unigram_tokenize: int | None = None,
     lm_max_entropy: float | None = None,
     lm_ref_dir: str | None = None,
     lm_order: int = 2,
@@ -177,6 +178,15 @@ def run_corpus(
         # same validate-before-work rule: the tokenize stage runs LAST
         raise ValueError(
             f"bpe_tokenize must be >= 1, got {bpe_tokenize}"
+        )
+    if unigram_tokenize is not None and unigram_tokenize < 1:
+        raise ValueError(
+            f"unigram_tokenize must be >= 1, got {unigram_tokenize}"
+        )
+    if bpe_tokenize is not None and unigram_tokenize is not None:
+        raise ValueError(
+            "bpe_tokenize and unigram_tokenize are mutually exclusive: "
+            "one corpus ships with ONE tokenizer family"
         )
     if lm_order < 2:
         # same rule — the LM gate runs mid-pipeline, after dedup
@@ -645,6 +655,35 @@ def run_corpus(
             # stream AND the model-input ids under the persisted vocab
             kept = bpeops.bpe_apply(kept, merges, emit="both", vocab=vocab)
             out_cols.extend(["bpe_tokens", "bpe_ids"])
+
+        if unigram_tokenize is not None:
+            # the unigram (SentencePiece-style) alternative — same
+            # hand-off contract as BPE: train on the SURVIVING corpus
+            # (operators/unigram.py: one histogram scan, distributed
+            # EM E-steps, driver-bounded M-step/prune), apply with the
+            # production Viterbi mapInPandas tokenizer, persist the
+            # model (piece → log-probability) and the id vocabulary
+            from etl_olho_vivo_spark.operators import unigram as uniops
+
+            model = uniops.train_unigram(
+                kept.select("text"), vocab_size=unigram_tokenize
+            )
+            vocab = uniops.unigram_vocabulary(model)
+            stats["unigram_pieces"] = len(model)
+            spark.createDataFrame(
+                sorted(model.items()), "piece STRING, logp DOUBLE"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                out_dir + "_unigram_model"
+            )
+            spark.createDataFrame(
+                list(enumerate(vocab)), "id INT, piece STRING"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                out_dir + "_unigram_vocab"
+            )
+            kept = uniops.unigram_apply(
+                kept, model, emit="both", vocab=vocab
+            )
+            out_cols.extend(["unigram_tokens", "unigram_ids"])
 
         # plain overwrite (NOT dynamic partition overwrite): this is a
         # full corpus rebuild, and dynamic mode would leave a stale
