@@ -528,6 +528,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "labeled set, not all of it)",
     )
     qtr.add_argument(
+        "--balance-classes", action="store_true",
+        help="with --sample-frac: sample each class at its own rate "
+        "(expected batch ~50/50) and weight gradient contributions by "
+        "the inverse rate — the variance fix when one class is rare",
+    )
+    qtr.add_argument(
         "--sample-seed", type=int, default=0, metavar="N",
         help="seed for the per-iteration minibatch keys (same seed = "
         "same batches under any partitioning)",
@@ -1356,6 +1362,7 @@ def main(argv: list[str] | None = None) -> int:
                 lr=args.lr,
                 l2=args.l2,
                 sample_frac=args.sample_frac,
+                balance_classes=args.balance_classes,
                 seed=args.sample_seed,
                 caches=bag,
             )

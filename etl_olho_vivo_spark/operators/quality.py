@@ -96,6 +96,7 @@ def train_quality_classifier(
     l2: float = 1e-4,
     round_dp: int = 6,
     sample_frac: float | None = None,
+    balance_classes: bool = False,
     seed: int = 0,
     caches: "CacheBag | None" = None,
 ) -> dict:
@@ -122,6 +123,23 @@ def train_quality_classifier(
     gradient normalizes by the ACTUAL batch size (collected as a
     sentinel row in the same job); an empty batch is a no-op step, and
     training fails loudly if every batch sampled empty.
+
+    **Class-balanced importance sampling (round 12)**: with
+    ``balance_classes=True`` (requires ``sample_frac``), each class is
+    sampled at its OWN rate so the expected batch splits ~50/50 —
+    ``rate_c = min(1, sample_frac·n / (2·n_c))`` — and every sampled
+    document's gradient contribution is weighted by the inverse rate
+    (Horvitz-Thompson), with the step self-normalized by Σ(1/rate)
+    over the batch.  This is the variance fix for the realistic
+    LLM-judged regime where positives are rare: uniform Bernoulli
+    spends almost the whole batch on the majority class and the
+    minority class's gradient term is estimated from a handful of
+    rows; balancing gives both classes equal sampling support while
+    the inverse-rate weights keep the estimator aligned with the
+    full-batch gradient (a class whose rate saturates at 1 — the rare
+    class, typically — contributes its exact full-batch term at
+    weight 1).  Same md5 determinism: batches and therefore the
+    trained model are identical under any partitioning.
     """
     from etl_olho_vivo_spark.caching import SESSION_BAG
 
@@ -136,6 +154,11 @@ def train_quality_classifier(
     if sample_frac is not None and not 0.0 < sample_frac <= 1.0:
         raise ValueError(
             f"sample_frac must be in (0, 1], got {sample_frac}"
+        )
+    if balance_classes and (sample_frac is None or sample_frac >= 1.0):
+        raise ValueError(
+            "balance_classes requires sample_frac < 1 — it is a "
+            "property of the sampled-gradient path"
         )
     bag = caches if caches is not None else SESSION_BAG
     spark = pos_docs.sparkSession
@@ -183,7 +206,22 @@ def train_quality_classifier(
     from etl_olho_vivo_spark.functions.hashing import seeded_key_expr
 
     sampling = sample_frac is not None and sample_frac < 1.0
-    threshold = int(sample_frac * (1 << 32)) if sampling else 0
+    thr_expr = iw_expr = None
+    if sampling and balance_classes:
+        # per-class Bernoulli rates targeting a ~50/50 batch of the
+        # same expected size; inverse-rate (Horvitz-Thompson) weights
+        # keep the self-normalized gradient aligned with full-batch
+        rate_pos = min(1.0, sample_frac * n / (2 * n_pos))
+        rate_neg = min(1.0, sample_frac * n / (2 * n_neg))
+        thr_expr = F.when(
+            F.col("k.lbl") == 1.0, F.lit(int(rate_pos * (1 << 32)))
+        ).otherwise(F.lit(int(rate_neg * (1 << 32))))
+        iw_expr = F.when(
+            F.col("k.lbl") == 1.0, F.lit(1.0 / rate_pos)
+        ).otherwise(F.lit(1.0 / rate_neg))
+    elif sampling:
+        thr_expr = F.lit(int(sample_frac * (1 << 32)))
+        iw_expr = F.lit(1.0)
     weights = [0.0] * n_buckets
     bias = 0.0
     updates = 0
@@ -202,7 +240,7 @@ def train_quality_classifier(
                 "CAST(k.id AS STRING))",
                 f"qgrad-{seed}-{it}",
             ))
-            batch = labeled.filter(key < F.lit(threshold))
+            batch = labeled.filter(key < thr_expr)
         else:
             batch = labeled
         # per-doc margin from raw counts: Σ cnt·w / Σ cnt (the L1
@@ -228,6 +266,8 @@ def train_quality_classifier(
                     F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))
                     - F.col("y")
                 ).alias("resid"),
+                (iw_expr if iw_expr is not None else F.lit(1.0))
+                .alias("iw"),
             )
         )
         # gradient: symmetric labeled-set-scaled join → merge-pinned
@@ -244,14 +284,21 @@ def train_quality_classifier(
                 .groupBy("bucket")
                 .agg(
                     F.round(
-                        F.sum(F.col("resid") * F.col("cnt") / F.col("tot")),
+                        F.sum(
+                            F.col("resid") * F.col("cnt") / F.col("tot")
+                            * F.col("iw")
+                        ),
                         round_dp,
                     ).alias("g")
                 )
             )
             extras = margins.agg(
-                F.round(F.sum("resid"), round_dp).alias("gb"),
-                F.count(F.lit(1)).cast("double").alias("nt"),
+                F.round(
+                    F.sum(F.col("resid") * F.col("iw")), round_dp
+                ).alias("gb"),
+                # self-normalizer: Σ iw over the batch (= the exact
+                # row count when uniform, iw ≡ 1)
+                F.round(F.sum("iw"), round_dp).alias("nt"),
             ).select(
                 F.explode(
                     F.array(
@@ -329,6 +376,8 @@ def train_quality_classifier(
     if sampling:
         model["sample_frac"] = sample_frac
         model["seed"] = seed
+        if balance_classes:
+            model["balance_classes"] = True
     return model
 
 
@@ -410,6 +459,7 @@ def brute_force_reference(
     round_dp: int = 6,
     bucket_fn=None,
     sample_frac: float | None = None,
+    balance_classes: bool = False,
     seed: int = 0,
     ids_pos: list | None = None,
     ids_neg: list | None = None,
@@ -418,8 +468,9 @@ def brute_force_reference(
     given the per-text bucket lists from ``bucket_fn``, runs the
     identical rounded GD — full-batch, or sampled-gradient when
     ``sample_frac`` is set (the same md5 qgrad-<seed>-<iter> Bernoulli
-    keys, which then need the docs' ids via ``ids_pos``/``ids_neg``) —
-    and returns (bias, weights)."""
+    keys, which then need the docs' ids via ``ids_pos``/``ids_neg``;
+    ``balance_classes`` mirrors the per-class-rate Horvitz-Thompson
+    variant) — and returns (bias, weights)."""
     import hashlib
 
     docs = []
@@ -440,7 +491,21 @@ def brute_force_reference(
                 ))
     n = float(len(docs))
     sampling = sample_frac is not None and sample_frac < 1.0
-    threshold = int(sample_frac * (1 << 32)) if sampling else 0
+    if sampling and balance_classes:
+        n_pos = sum(1 for y, _, _ in docs if y == 1.0)
+        n_neg = len(docs) - n_pos
+        rates = {
+            1.0: min(1.0, sample_frac * n / (2 * n_pos)),
+            0.0: min(1.0, sample_frac * n / (2 * n_neg)),
+        }
+    else:
+        rates = {1.0: sample_frac or 1.0, 0.0: sample_frac or 1.0}
+    thresholds = {y: int(r * (1 << 32)) for y, r in rates.items()}
+    iws = (
+        {y: 1.0 / r for y, r in rates.items()}
+        if sampling and balance_classes
+        else {1.0: 1.0, 0.0: 1.0}
+    )
     weights = [0.0] * n_buckets
     bias = 0.0
     for it in range(iters):
@@ -450,11 +515,11 @@ def brute_force_reference(
                 key = int(hashlib.md5(
                     f"{y}:{did}:qgrad-{seed}-{it}".encode()
                 ).hexdigest()[:8], 16)
-                if key < threshold:
+                if key < thresholds[y]:
                     batch.append((y, x, did))
             if not batch:
                 continue
-            n_it = float(len(batch))
+            n_it = round(sum(iws[y] for y, _, _ in batch), round_dp)
         else:
             batch, n_it = docs, n
         grad: dict[int, float] = {}
@@ -462,9 +527,9 @@ def brute_force_reference(
         for y, x, _ in batch:
             m = bias + sum(weights[b] * v for b, v in x.items())
             resid = 1.0 / (1.0 + math.exp(-m)) - y
-            g_bias += resid
+            g_bias += resid * iws[y]
             for b, v in x.items():
-                grad[b] = grad.get(b, 0.0) + resid * v
+                grad[b] = grad.get(b, 0.0) + resid * v * iws[y]
         if sampling:
             # mirror the Spark numerics: sums rounded in the job,
             # normalized driver-side against the batch size, re-rounded

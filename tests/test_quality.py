@@ -143,6 +143,56 @@ def test_minibatch_training_matches_python_brute_force(spark):
 
 
 @pytest.mark.sweep
+def test_balanced_minibatch_matches_python_brute_force(spark):
+    """Round-12 class-balanced importance sampling: imbalanced labels
+    (6 pos / 30 neg) train with per-class rates + inverse-rate
+    (Horvitz-Thompson) weights; the Spark loop must reproduce the
+    pure-Python mirror, stay partitioning-invariant, saturate the
+    rare class's rate at 1 (its full-batch term rides every step),
+    and refuse balance_classes without a sample_frac."""
+    pos = _corpus(4, 6, POS_VOCAB)
+    neg = _corpus(5, 30, NEG_VOCAB)
+    bag = CacheBag()
+    try:
+        model = quality.train_quality_classifier(
+            _df(spark, pos), _df(spark, neg),
+            n_buckets=B, iters=5, lr=1.0, l2=1e-4,
+            sample_frac=0.5, balance_classes=True, seed=11,
+            caches=bag,
+        )
+        hostile = quality.train_quality_classifier(
+            _df(spark, pos).repartition(5, "text"),
+            _df(spark, neg).repartition(3),
+            n_buckets=B, iters=5, lr=1.0, l2=1e-4,
+            sample_frac=0.5, balance_classes=True, seed=11,
+            caches=bag,
+        )
+    finally:
+        bag.release()
+    assert hostile["bias"] == model["bias"]
+    assert hostile["weights"] == model["weights"]
+    assert model["balance_classes"] is True
+    # rate_pos = min(1, 0.5*36/(2*6)) = 1: the rare class saturates
+    assert min(1.0, 0.5 * 36 / (2 * 6)) == 1.0
+    bias, weights = quality.brute_force_reference(
+        [t for _, t in pos], [t for _, t in neg],
+        n_buckets=B, iters=5, lr=1.0, l2=1e-4,
+        bucket_fn=lambda t: _feats(t, B),
+        sample_frac=0.5, balance_classes=True, seed=11,
+        ids_pos=[i for i, _ in pos], ids_neg=[i for i, _ in neg],
+    )
+    assert abs(model["bias"] - bias) < 5e-6, (model["bias"], bias)
+    diffs = [abs(a - b) for a, b in zip(model["weights"], weights)]
+    assert max(diffs) < 5e-6, max(diffs)
+
+    with pytest.raises(ValueError, match="balance_classes"):
+        quality.train_quality_classifier(
+            _df(spark, pos), _df(spark, neg),
+            n_buckets=B, iters=1, balance_classes=True,
+        )
+
+
+@pytest.mark.sweep
 def test_minibatch_converges_like_full_batch(spark):
     """The judge's done-bar: a sampled-gradient model reaches the SAME
     converged separation as full batch on a bounded set — held-out
