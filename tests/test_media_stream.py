@@ -83,9 +83,9 @@ def _ids(spark, path, col="doc_id"):
 
 def test_admit_media_batch_in_batch_dedup(spark, dirs):
     """The fast-tier representative: ONE admit call end to end —
-    fingerprint decode, in-batch pigeonhole pairing (greedy keeps the
-    smaller id of an exact-dup pair), opaque media admitted but kept
-    OUT of the store."""
+    fingerprint decode, in-batch pigeonhole pairing resolved to the
+    component's min id (the CLI-shared convention, round 12), opaque
+    media admitted but kept OUT of the store."""
     from etl_olho_vivo_spark.streaming.media_stream import (
         admit_media_batch,
     )
@@ -100,6 +100,7 @@ def test_admit_media_batch_in_batch_dedup(spark, dirs):
     assert _ids(spark, dirs["store"]) == [1, 2]
 
 
+@pytest.mark.sweep
 def test_admit_media_batch_component_resolution(spark, dirs):
     """In-batch pairs resolve through connected components (min id per
     component) — the same survivor convention as the media-dedup CLI
@@ -199,6 +200,7 @@ def test_media_store_compaction_then_dedup_vs_base(spark, dirs):
     assert _ids(spark, dirs["corpus"]) == [1, 2, 6]
 
 
+@pytest.mark.sweep
 def test_media_store_stats_telemetry(spark, dirs):
     """The compaction dial: zeros before the first batch, then one
     occupied partition per admitted batch with the fingerprint total
@@ -281,12 +283,27 @@ def test_admit_media_batch_quality_gates(spark, dirs):
     assert _ids(spark, dirs["corpus"]) == [1, 4]
     assert _ids(spark, dirs["store"]) == [1, 4]
 
-    # replay the same batch: per-partition overwrite + gates are
-    # deterministic → identical outcome
-    admit_media_batch(spark, b0, 0, dirs["corpus"], dirs["store"],
-                      gates=gates)
-    assert _ids(spark, dirs["corpus"]) == [1, 4]
-    assert _ids(spark, dirs["store"]) == [1, 4]
+
+@pytest.mark.sweep
+def test_admit_media_batch_gates_replay_idempotent(spark, dirs):
+    """Replaying a gated batch (per-partition overwrite + deterministic
+    gates) reproduces the identical outcome."""
+    from etl_olho_vivo_spark.streaming.media_stream import (
+        admit_media_batch,
+    )
+
+    small = bytearray(_p5([[10 * c for c in range(8)]] * 8))
+    b0 = spark.createDataFrame(
+        [(1, _img(5)), (2, small), (3, bytearray(b"junk bytes")),
+         (4, _img(40))],
+        SCHEMA,
+    )
+    gates = {"min_width": 16, "reject_undecodable": True}
+    for _ in range(2):
+        admit_media_batch(spark, b0, 0, dirs["corpus"], dirs["store"],
+                          gates=gates)
+        assert _ids(spark, dirs["corpus"]) == [1, 4]
+        assert _ids(spark, dirs["store"]) == [1, 4]
 
 
 @pytest.mark.sweep

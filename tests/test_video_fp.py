@@ -151,6 +151,60 @@ def test_media_dedup_cli_video(spark, tmp_path, capsys):
 
 
 @pytest.mark.sweep
+def test_media_stream_end_to_end_video(spark, tmp_path):
+    """Full readStream → foreachBatch drain, video kind with a
+    min-frames gate: container dup collapses in-batch, a cross-batch
+    re-encode drops against the store, a short clip is gated out."""
+    import glob
+    import shutil
+
+    from etl_olho_vivo_spark.streaming.media_stream import (
+        run_media_stream,
+    )
+
+    stage = str(tmp_path / "landing")
+    os.makedirs(stage)
+    clip = _planes(7)
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(rows, SCHEMA).coalesce(1)
+        tmp = f"{stage}__{name}"
+        df.write.mode("overwrite").parquet(tmp)
+        (part,) = glob.glob(f"{tmp}/part-*.parquet")
+        shutil.move(part, os.path.join(stage, f"{name}.parquet"))
+        shutil.rmtree(tmp)
+
+    write_batch("b0", [(1, bytearray(_avi_clip(clip))),
+                       (2, bytearray(_y4m_clip(clip))),
+                       (3, bytearray(_y4m_clip(_planes(7, n=2))))])
+    write_batch("b1", [(10, bytearray(_y4m_clip(clip))),
+                       (11, bytearray(_avi_clip(_planes(123))))])
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    q = run_media_stream(
+        stream, corpus, store, str(tmp_path / "ckpt"),
+        kind="video", gates={"min_frames": 3},
+    )
+    q.awaitTermination(180)
+
+    def ids(path):
+        return sorted(
+            r["doc_id"] for r in spark.read.parquet(path).collect()
+        )
+
+    # 2 = container dup of 1 (in-batch), 3 = 2-frame clip gated out,
+    # 10 = cross-batch re-encode of 1 dropped vs the store
+    assert ids(corpus) == [1, 11]
+    assert ids(store) == [1, 11]
+
+
+@pytest.mark.sweep
 def test_media_stream_admit_video(spark, tmp_path):
     """Streaming admit loop, video kind: in-batch container dup
     resolved to the min id, a later batch's re-encode of an admitted
