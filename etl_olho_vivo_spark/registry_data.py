@@ -407,7 +407,7 @@ WITH sims AS ({_d_simhash_sql(dedup.SIMHASH_NEAR_DUP_BITS)})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
 """,
     doc="The generic pigeonhole Hamming pairing under the external "
     "oracle (promoted round 12, took doc_simhash's slot): Spark runs "
@@ -423,11 +423,17 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     "segment-extraction drift (shiftrightunsigned over signed longs), "
     "breaks the driver row.  All-pairs is oracle-side only — 500 docs "
     "at the driver's sf0.01 — the Spark plan stays the banded "
-    "merge-join shape pinned in tests/test_plans.py.",
+    "merge-join shape pinned in tests/test_plans.py.  Banding here is "
+    "n_bands=2 (16-bit segments), max_hamming=1: the module's own "
+    "capacity rule — segment width must track log2(n) — makes 8-bit "
+    "segments a ~10^4-doc ceiling, and the FIRST bench of this row at "
+    "the 4-band default read 4.45 s at sf0.1 (~4e5 random candidate "
+    "collisions at 5e3 docs, growing ~quadratically); 16-bit segments "
+    "collide ~500x less and hold to ~10^5-10^6 docs.",
 )
 def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_dups(d)
+    return dedup.simhash_near_dups(d, max_hamming=1, n_bands=2)
 
 
 @register(
