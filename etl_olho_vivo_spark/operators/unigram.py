@@ -372,6 +372,71 @@ def train_unigram(
 # Application (Viterbi tokenizer — the mapInPandas sibling of bpe_apply)
 # ---------------------------------------------------------------------------
 
+def sample_segment(
+    word: str,
+    logp: dict[str, float],
+    max_piece_len: int,
+    alpha: float,
+    key: str,
+) -> list[str] | None:
+    """One segmentation DRAW — subword regularization (Kudo 2018 §3):
+    sample a segmentation of ``word`` with probability ∝
+    Π p(piece)^alpha via forward-filtering backward-sampling over the
+    lattice (forward log-sums under the alpha-sharpened scores, then
+    walk backward choosing each boundary from its exact conditional).
+    alpha → ∞ concentrates on the Viterbi split; alpha → 0 approaches
+    uniform over segmentations.
+
+    Determinism contract (engine-wide): the "randomness" is an
+    md5-derived uniform stream seeded by ``key`` — the draw is a pure
+    function of (word, model, alpha, key), so the same document
+    tokenizes identically under ANY partitioning, and distinct
+    occurrences get independent draws by carrying distinct keys.
+    Returns None when no lattice path exists (caller falls back)."""
+    import hashlib
+
+    m = len(word)
+    fwd = [-math.inf] * (m + 1)
+    fwd[0] = 0.0
+    for i in range(1, m + 1):
+        terms = []
+        for j in range(max(0, i - max_piece_len), i):
+            lp = logp.get(word[j:i])
+            if lp is not None and fwd[j] != -math.inf:
+                terms.append(fwd[j] + alpha * lp)
+        if terms:
+            fwd[i] = _logsumexp(terms)
+    if fwd[m] == -math.inf:
+        return None
+    pieces: list[str] = []
+    i, step = m, 0
+    while i > 0:
+        cands: list[tuple[int, float]] = []
+        for j in range(max(0, i - max_piece_len), i):
+            lp = logp.get(word[j:i])
+            if lp is not None and fwd[j] != -math.inf:
+                cands.append((j, fwd[j] + alpha * lp))
+        # exact conditional over the incoming edges of node i
+        mx = max(s for _, s in cands)
+        ws = [math.exp(s - mx) for _, s in cands]
+        tot = sum(ws)
+        u = int(hashlib.md5(
+            f"{key}:{step}".encode()
+        ).hexdigest()[:13], 16) / float(1 << 52)
+        acc = 0.0
+        j = cands[-1][0]
+        for (cj, _), w in zip(cands, ws):
+            acc += w / tot
+            if u < acc:
+                j = cj
+                break
+        pieces.append(word[j:i])
+        i = j
+        step += 1
+    pieces.reverse()
+    return pieces
+
+
 def unigram_vocabulary(model: dict[str, float]) -> list[str]:
     """Deterministic id space for a trained model: pieces sorted by
     descending log-probability, ties lexicographic — like BPE's
@@ -391,6 +456,8 @@ def unigram_apply(
     vocab: list[str] | None = None,
     ids_out: str = "unigram_ids",
     cache_cap: int = 262_144,
+    sample_alpha: float | None = None,
+    sample_seed: int = 0,
 ) -> DataFrame:
     """Viterbi-tokenize a corpus under a trained unigram model — the
     production application path, mirroring ``bpe_apply`` exactly:
@@ -401,7 +468,21 @@ def unigram_apply(
     with the same vocab/-1-for-unknown contract as BPE.  A character
     outside the model (never seen in training) is emitted as its own
     single-char token (id −1) — the corpus must not crash on novel
-    codepoints."""
+    codepoints.
+
+    **Subword regularization (round 12)**: ``sample_alpha`` switches
+    segmentation from Viterbi to per-occurrence SAMPLING
+    (``sample_segment`` — Kudo 2018's training-time augmentation;
+    α≈0.1-0.5 is the paper's range, larger α → closer to Viterbi).
+    Each occurrence draws from an md5 stream keyed by
+    (sample_seed, md5(document), occurrence index), so the output is
+    a pure function of the data — identical under any partitioning,
+    different draws per occurrence, and a different corpus per
+    ``sample_seed`` (the training-epoch dial).  The word cache is
+    bypassed in this mode (every occurrence is its own draw — the
+    cost model is ~one lattice pass per occurrence instead of per
+    distinct word, which is the price of regularization, paid only
+    when asked for)."""
     import re
 
     if out in docs.columns:
@@ -418,12 +499,16 @@ def unigram_apply(
         raise ValueError(f"output column {ids_out!r} already exists")
     if not model:
         raise ValueError("empty model")
+    if sample_alpha is not None and sample_alpha <= 0:
+        raise ValueError(
+            f"sample_alpha must be > 0, got {sample_alpha}"
+        )
     maxlen = max(len(p) for p in model)
     tok2id = {t: i for i, t in enumerate(vocab)} if vocab else None
     if emit == "tokens":
         tok2id = None
     bc = docs.sparkSession.sparkContext.broadcast(
-        (model, maxlen, tok2id, emit)
+        (model, maxlen, tok2id, emit, sample_alpha, sample_seed)
     )
     extra = (
         [
@@ -444,42 +529,55 @@ def unigram_apply(
     strip = re.compile("[\x1f\x1e]")
 
     def _encode_batches(batches):
+        import hashlib
+
         import pandas as pd
 
-        logp, mlen, t2i, mode = bc.value
+        logp, mlen, t2i, mode, alpha, aseed = bc.value
         cache: dict[str, object] = {}
 
-        def seg_word(word: str) -> list[str]:
-            got = viterbi_segment(word, logp, mlen)
+        def seg_core(word: str, key: str | None) -> list[str] | None:
+            if alpha is None:
+                got = viterbi_segment(word, logp, mlen)
+                return got[0] if got is not None else None
+            return sample_segment(word, logp, mlen, alpha, key)
+
+        def seg_word(word: str, key: str | None) -> list[str]:
+            got = seg_core(word, key)
             if got is not None:
-                return got[0]
+                return got
             # novel characters break the lattice: segment around them
             # (each unknown char becomes its own token)
             pieces: list[str] = []
             run = ""
-            for ch in word:
+            for ri, ch in enumerate(word):
                 if ch in logp:
                     run += ch
                 else:
                     if run:
-                        pieces.extend(viterbi_segment(run, logp, mlen)[0])
+                        pieces.extend(
+                            seg_core(run, f"{key}:r{ri}")
+                        )
                         run = ""
                     pieces.append(ch)
             if run:
-                pieces.extend(viterbi_segment(run, logp, mlen)[0])
+                pieces.extend(seg_core(run, f"{key}:rt"))
             return pieces
 
+        def finish(pieces: list[str]):
+            if mode == "tokens":
+                return sep.join(pieces)
+            if mode == "ids":
+                return [t2i.get(p, -1) for p in pieces]
+            return (sep.join(pieces), [t2i.get(p, -1) for p in pieces])
+
         def enc_word(word: str):
+            # Viterbi mode only: one draw per distinct word is exact,
+            # so the Zipf cache applies; sampling needs fresh draws
             hit = cache.get(word)
             if hit is not None:
                 return hit
-            pieces = seg_word(word)
-            if mode == "tokens":
-                val: object = sep.join(pieces)
-            elif mode == "ids":
-                val = [t2i.get(p, -1) for p in pieces]
-            else:
-                val = (sep.join(pieces), [t2i.get(p, -1) for p in pieces])
+            val = finish(seg_word(word, None))
             if len(cache) >= cache_cap:
                 cache.clear()  # epoch eviction; Zipf refills the head
             cache[word] = val
@@ -489,7 +587,16 @@ def unigram_apply(
             if t is None:
                 return None if mode != "both" else (None, None)
             words = [w for w in ws.split(strip.sub("", t)) if w]
-            encs = [enc_word(w) for w in words]
+            if alpha is None:
+                encs = [enc_word(w) for w in words]
+            else:
+                # per-occurrence draws keyed by (seed, doc, position):
+                # pure function of the data — partitioning-independent
+                dk = hashlib.md5(t.encode()).hexdigest()[:16]
+                encs = [
+                    finish(seg_word(w, f"{aseed}:{dk}:{occ}"))
+                    for occ, w in enumerate(words)
+                ]
             if mode == "tokens":
                 return sep.join(encs)
             if mode == "ids":

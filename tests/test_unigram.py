@@ -215,6 +215,69 @@ def test_unigram_apply_unknown_chars_and_guards(spark):
         unigram.unigram_apply(docs, {}, emit="tokens")
 
 
+def test_sample_segment_distribution_and_limits():
+    """Subword-regularization draws: alpha→large concentrates on the
+    Viterbi split; alpha=1 reproduces the analytic segmentation
+    distribution (P([ab]) = e^-1/(e^-1+e^-2) ≈ 0.731 on the two-path
+    lattice) over distinct keys; the same key always replays the same
+    draw (md5 stream — pure function of its inputs)."""
+    model = {"a": -1.0, "b": -1.0, "ab": -1.0}
+    assert unigram.sample_segment("ab", model, 2, 50.0, "k") == ["ab"]
+    n = 400
+    hits = sum(
+        unigram.sample_segment("ab", model, 2, 1.0, f"k{i}") == ["ab"]
+        for i in range(n)
+    )
+    p = math.exp(-1) / (math.exp(-1) + math.exp(-2))
+    assert abs(hits / n - p) < 0.06, (hits / n, p)
+    assert unigram.sample_segment("ab", model, 2, 1.0, "z") == \
+        unigram.sample_segment("ab", model, 2, 1.0, "z")
+    assert unigram.sample_segment("xq", model, 2, 1.0, "z") is None
+
+
+def test_unigram_apply_sampling_mode(spark):
+    """sample_alpha: per-occurrence draws (both split variants appear
+    across one document's occurrences), lossless coverage, identical
+    output under repartitioning (content-keyed md5 randomness), a
+    different seed changes the corpus, and alpha <= 0 is rejected."""
+    model = {"a": -1.0, "b": -1.0, "ab": -1.0}
+    docs = spark.createDataFrame(
+        [(" ".join(["ab"] * 60),), ("ab ba ab",), (None,)],
+        "text string",
+    )
+    out1 = {
+        r["text"]: r["unigram_tokens"]
+        for r in unigram.unigram_apply(
+            docs.coalesce(1), model, sample_alpha=1.0, sample_seed=3
+        ).collect()
+    }
+    out7 = {
+        r["text"]: r["unigram_tokens"]
+        for r in unigram.unigram_apply(
+            docs.repartition(7), model, sample_alpha=1.0, sample_seed=3
+        ).collect()
+    }
+    assert out1 == out7  # partitioning-independent draws
+    assert out1[None] is None
+    long_toks = out1[" ".join(["ab"] * 60)].split(" ")
+    assert "".join(long_toks) == "ab" * 60  # lossless
+    # regularization actually varies the split across occurrences
+    assert {"ab", "a"} <= set(long_toks)
+    # unknown chars still fall back per-run in sampling mode
+    assert "".join(out1["ab ba ab"].split(" ")) == "abbaab"
+
+    other = {
+        r["text"]: r["unigram_tokens"]
+        for r in unigram.unigram_apply(
+            docs, model, sample_alpha=1.0, sample_seed=4
+        ).collect()
+    }
+    assert other[" ".join(["ab"] * 60)] != out1[" ".join(["ab"] * 60)]
+
+    with pytest.raises(ValueError, match="sample_alpha"):
+        unigram.unigram_apply(docs, model, sample_alpha=0.0)
+
+
 def test_unigram_vocabulary_deterministic():
     model = {"b": -1.0, "a": -1.0, "ab": -0.5}
     assert unigram.unigram_vocabulary(model) == ["ab", "a", "b"]
