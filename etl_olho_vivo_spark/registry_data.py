@@ -423,7 +423,9 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
     "segment-extraction drift (shiftrightunsigned over signed longs), "
     "breaks the driver row.  All-pairs is oracle-side only — 500 docs "
     "at the driver's sf0.01 — the Spark plan stays the banded "
-    "merge-join shape pinned in tests/test_plans.py.  Banding here is "
+    "merge-join shape pinned in tests/test_operators.py "
+    "(test_image_near_dups_plan_is_merge_banded covers the shared "
+    "hamming_near_dups pairing).  Banding here is "
     "n_bands=2 (16-bit segments), max_hamming=1: the module's own "
     "capacity rule — segment width must track log2(n) — makes 8-bit "
     "segments a ~10^4-doc ceiling, and the FIRST bench of this row at "
