@@ -657,9 +657,9 @@ def _build_parser() -> argparse.ArgumentParser:
         # gated rows never reach the pairing, survivors, corpus, or
         # fingerprint store
         sub_p.add_argument("--min-width", type=int, default=None,
-                           help="image gate: minimum decoded width")
+                           help="image/video gate: minimum decoded width")
         sub_p.add_argument("--min-height", type=int, default=None,
-                           help="image gate: minimum decoded height")
+                           help="image/video gate: minimum decoded height")
         sub_p.add_argument(
             "--min-sample-rate", type=int, default=None,
             help="audio gate: minimum sample rate (Hz)",

@@ -2012,6 +2012,8 @@ VFP_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("media_kind", T.StringType()),
         T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
         T.StructField("vfp", T.LongType()),
     ]
 )
@@ -2074,7 +2076,11 @@ def video_fingerprint(
     majority (``_vfp_votes_fn``).  Non-demuxable / zero-decodable-frame
     media yield a NULL ``vfp`` (the opaque contract) and never pair.
     ``n_frames`` is the demuxed TOTAL (not the sampled count) so
-    telemetry sees the true clip length.
+    telemetry sees the true clip length; ``width``/``height`` are the
+    first DECODABLE sampled frame's geometry (the clip resolution —
+    the quality-gate dial a crawled video firehose actually needs;
+    NULL when no sampled frame decodes), read from the same decode
+    pass that feeds the fold, never an extra pass.
 
     100 TB shape: identical to the image/audio legs — the decode is
     the costly, embarrassingly-parallel Arrow stage (one demux + one
@@ -2093,9 +2099,9 @@ def video_fingerprint(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            kinds, counts, vfps = [], [], []
+            kinds, counts, widths, heights, vfps = [], [], [], [], []
             for media in pdf["media"]:
-                kind, nf, vfp = "opaque", None, None
+                kind, nf, w, h, vfp = "opaque", None, None, None, None
                 if media is not None:
                     m = bytes(media)
                     frames = demux_avi(m)
@@ -2107,18 +2113,25 @@ def video_fingerprint(
                             kind = "y4m"
                     if frames:
                         nf = len(frames)
-                        vfp = fold(
-                            dhash(parse(frames[i])[6])
-                            for i in range(0, len(frames), stride)
-                        )
+                        hashes = []
+                        for i in range(0, len(frames), stride):
+                            parsed = parse(frames[i])
+                            if w is None and parsed[3] is not None:
+                                w, h = parsed[3], parsed[4]
+                            hashes.append(dhash(parsed[6]))
+                        vfp = fold(hashes)
                 kinds.append(kind)
                 counts.append(nf)
+                widths.append(w)
+                heights.append(h)
                 vfps.append(vfp)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "media_kind": pd.Series(kinds, dtype="object"),
                     "n_frames": pd.Series(counts, dtype="Int32"),
+                    "width": pd.Series(widths, dtype="Int32"),
+                    "height": pd.Series(heights, dtype="Int32"),
                     "vfp": pd.Series(vfps, dtype="Int64"),
                 }
             )

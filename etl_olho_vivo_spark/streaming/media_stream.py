@@ -68,14 +68,16 @@ FP_BITS = 64
 
 MEDIA_KINDS = ("image", "audio", "video")
 
-# which quality-gate dial applies to which kind (a min_width on an
-# audio stream is a config bug — rejected loudly at start-up)
+# which quality-gate dial applies to which kinds (a min_width on an
+# audio stream is a config bug — rejected loudly at start-up);
+# width/height gate VIDEO too (round 12: the per-clip fingerprint
+# frame carries the first decodable frame's geometry)
 _GATE_COLS = {
-    "min_width": ("image", "width"),
-    "min_height": ("image", "height"),
-    "min_sample_rate": ("audio", "sample_rate"),
-    "min_duration_s": ("audio", "duration_s"),
-    "min_frames": ("video", "n_frames"),
+    "min_width": (("image", "video"), "width"),
+    "min_height": (("image", "video"), "height"),
+    "min_sample_rate": (("audio",), "sample_rate"),
+    "min_duration_s": (("audio",), "duration_s"),
+    "min_frames": (("video",), "n_frames"),
 }
 
 
@@ -99,7 +101,8 @@ def media_fingerprints(batch: DataFrame, kind: str) -> DataFrame:
         )
     elif kind == "video":
         fps = multimodal.video_fingerprint(batch).select(
-            "doc_id", F.col("vfp").alias("fp"), "n_frames"
+            "doc_id", F.col("vfp").alias("fp"),
+            "n_frames", "width", "height",
         )
     else:
         raise ValueError(
@@ -124,11 +127,11 @@ def validate_media_gates(kind: str, gates: dict | None) -> dict:
                 f"unknown media gate {key!r} "
                 f"(dials: {sorted(_GATE_COLS)}, reject_undecodable)"
             )
-        want_kind, _ = _GATE_COLS[key]
-        if want_kind != kind:
+        want_kinds, _ = _GATE_COLS[key]
+        if kind not in want_kinds:
             raise ValueError(
-                f"gate {key!r} applies to kind={want_kind!r}, "
-                f"stream kind is {kind!r}"
+                f"gate {key!r} applies to kind "
+                f"{'|'.join(want_kinds)}, stream kind is {kind!r}"
             )
         if val is not None and val <= 0:
             raise ValueError(f"gate {key!r} must be positive, got {val}")

@@ -85,6 +85,10 @@ def test_video_fingerprint_container_invariance(spark):
     assert fps[4]["media_kind"] == "opaque" and fps[4]["vfp"] is None
     assert fps[5]["vfp"] is None
     assert fps[1]["n_frames"] == fps[2]["n_frames"] == len(clip)
+    # clip geometry rides the same decode pass (the resolution gate)
+    assert (fps[1]["width"], fps[1]["height"]) == (16, 16)
+    assert (fps[2]["width"], fps[2]["height"]) == (16, 16)
+    assert fps[4]["width"] is None and fps[4]["height"] is None
 
     def ham(a, b):
         return bin((a ^ b) & ((1 << 64) - 1)).count("1")
@@ -187,9 +191,11 @@ def test_media_stream_end_to_end_video(spark, tmp_path):
     )
     corpus = str(tmp_path / "corpus")
     store = str(tmp_path / "store")
+    # width/height apply to video too (round 12): the 16px floor
+    # passes every clip here — the frame-count gate does the dropping
     q = run_media_stream(
         stream, corpus, store, str(tmp_path / "ckpt"),
-        kind="video", gates={"min_frames": 3},
+        kind="video", gates={"min_frames": 3, "min_width": 16},
     )
     q.awaitTermination(180)
 
