@@ -235,15 +235,23 @@ def admit_media_batch(
         # (keep the min id per component) — the exact convention the
         # media-dedup CLI uses, so a corpus admitted through the stream
         # and one deduped in batch agree on the survivor set.  The
-        # graph is batch-sized; the label frame lives in `bag`
-        in_pairs = hamming_near_dups(
+        # graph is batch-sized; the pair frame is persisted (`bag`)
+        # because the emptiness probe below and the iterative
+        # resolution both consume it.  MOST micro-batches carry no
+        # in-batch near-dup pair at all, so one bounded action skips
+        # the resolution's several driver round-trips on that path —
+        # the skip is exact (components of an empty graph are empty)
+        in_pairs = bag.add(hamming_near_dups(
             printable, hash_col="fp", bits=FP_BITS,
             max_hamming=max_hamming, n_bands=n_bands,
-        )
-        labels = connected_components(in_pairs, caches=bag)
-        losers = labels.filter(
-            F.col("doc_id") != F.col("component")
-        ).select("doc_id")
+        ))
+        if in_pairs.limit(1).count() == 0:
+            losers = spark.createDataFrame([], "doc_id long")
+        else:
+            labels = connected_components(in_pairs, caches=bag)
+            losers = labels.filter(
+                F.col("doc_id") != F.col("component")
+            ).select("doc_id")
 
         surv_fps = printable.select("doc_id", "fp").join(
             losers.dropDuplicates(["doc_id"]), "doc_id", "left_anti"
