@@ -8,12 +8,24 @@ BENCH_r07 and BENCH_r08), so anything that must survive goes LAST
 dict, BENCH_r08 the warm dict's first key, all to front-truncation):
     {"metric": "all_queries_detail", "queries_cold": {...}, ...}   # may
         lose its front; cold times are the sacrificial detail
-    {"metric": "warm_detail", "part": 1..k, "queries": {...}}      # ALL
+    {"metric": "warm", "queries": {...}}                           # ALL
         non-headline warm entries (2-dp), chunked so whole chunks
-        survive; part 1 leads with one redundant headline key as the
-        straddle guard for the window boundary
+        survive; the first chunk leads with one redundant headline key
+        as the straddle guard for the window boundary.  Round 13: the
+        "part" counter and the "_detail" suffix were dropped and
+        loadavg_start moved to the sacrificial cold line — the 65-query
+        registry plus the new calib stamp outgrew the 2000-char window,
+        and chunk integrity was ALREADY the budget test's job, not the
+        artifact's (round-11 note below); stream order carries the
+        cheapest-first chunk order.
     {"metric": "headline_total_wall", "value": <total sec>, "unit": "sec",
-     "queries": {<headline 7, 3-dp>}, "sf": <sf>}                  # LAST
+     "queries": {<headline 7, 3-dp>}, "calib_s": [b, a],
+     "calib_py_s": p, "gate_margin": m, "sf": <sf>}                # LAST
+        — the summary is the artifact's final <=400 chars, so it ALWAYS
+        survives the 2000-char tail: the calibration pair lives here
+        (and on the cold line), not on every warm chunk, where it paid
+        ~25 chars x k chunks of the shared window for no extra
+        survivability.
 
 Round 11 (round-10 verdict "What's wrong" #1): the warm parts plus the
 summary are BUDGETED to fit the 2000-char window TOGETHER — headline
@@ -31,12 +43,31 @@ silently clipping the artifact.
 
 Load gate (round 9): r7 AND r8 benched at loadavg 4-5, leaving three
 sub-100 ms headline upticks unattributable (round-8 verdict "What's
-wrong" #1).  main() now WAITS for os.getloadavg()[0] to drop under
+wrong" #1).  main() now WAITS for the effective load
+max(loadavg1, loadavg5, 0.75*loadavg15) to drop under
 $SPARK_GRAFT_BENCH_MAX_LOAD (default 2.0; "0" disables the gate) before
-starting the JVM, retrying for up to ~6 minutes.  If the machine never
+starting the JVM, retrying for up to ~20 minutes.  If the machine never
 settles the bench still runs — numbers beat no numbers — but every line
 is stamped "load_gate": "exceeded" and the process exits rc=3 so the
-driver records the artifact as load-tainted.
+driver records the artifact as load-tainted.  Round 13: loadavg15
+joined the gate (damped 0.75 — it decays slowest and overlaps l5's
+signal) because BENCH_r12 started at l15 = 2.85 under the l1/l5-only
+gate and read ~2x hot; the comfort target dropped to 0.6*threshold so
+a wait that succeeds at comfort yields gate_margin >= 0.75 (the
+round-11 ask BENCH_r12 missed at 0.53).
+
+Host-speed calibration (round 13, r12 verdict "Next round" #1): two
+same-day r12 benches of IDENTICAL code differed 2x and both sat
+1.5-3x above r11 on untouched queries — guest loadavg cannot see host
+contention (steal), so every artifact now carries a fixed-work,
+data-independent probe: "calib_s" = [before, after] min-of-3 wall
+times of a pinned 200M-row in-JVM xxhash64 aggregate over
+spark.range (32 pinned partitions, 1-row collect), measured before
+and after the sweep.  The summary line adds "calib_py_s" (a pinned
+pure-Python loop) to separate JVM-side from interpreter-side drift.
+BASELINE.md records the idle-host calibration baseline; a future
+reader divides headline by (calib_s / baseline_calib) to normalize
+out host drift before calling anything a plan regression.
 
 The HEADLINE set is frozen (BASELINE comparability across rounds); newer
 registry queries are benchmarked too but only reported in "queries", not in
@@ -141,9 +172,20 @@ WARM_CHUNK_CHARS = 900
 TAIL_WINDOW_CHARS = 2000
 
 
+# loadavg15 decays slowest and half its signal is already in l5; the
+# damping keeps a long-finished burst from blocking forever while still
+# rejecting the BENCH_r12 condition (l15 = 2.85 -> effective 2.14 > 2.0).
+LOAD15_DAMP = 0.75
+
+
+def _effective_load(load: list[float]) -> float:
+    """The gate's scalar: max(l1, l5, LOAD15_DAMP * l15)."""
+    return max(load[0], load[1], LOAD15_DAMP * load[2])
+
+
 def _wait_for_idle() -> tuple[list[float], bool]:
-    """Block until max(loadavg1, loadavg5) < $SPARK_GRAFT_BENCH_MAX_LOAD
-    (default 2.0), polling every 10 s for up to 90 tries (~15 min).
+    """Block until _effective_load() < $SPARK_GRAFT_BENCH_MAX_LOAD
+    (default 2.0), polling every 10 s for up to 120 tries (~20 min).
     Returns the final loadavg triple and whether the gate was satisfied.
     "0" disables.
 
@@ -155,33 +197,91 @@ def _wait_for_idle() -> tuple[list[float], bool]:
 
     Round 11: the r9 AND r10 official artifacts both started within 2%
     of the threshold (1.86, 1.97) — technically under the wire, zero
-    margin.  The wait loop now targets a COMFORT level (75% of the
-    threshold) and only falls back to the bare threshold when the
-    ceiling expires; the summary line carries "gate_margin" =
-    threshold − max(l1, l5) so a marginal run is visible in the
-    artifact itself."""
+    margin.  The wait loop now targets a COMFORT level and only falls
+    back to the bare threshold when the ceiling expires; the summary
+    line carries "gate_margin" = threshold − effective_load so a
+    marginal run is visible in the artifact itself.
+
+    Round 13 (r12 verdict "Next round" #2): loadavg15 joined the gate
+    (damped — module docstring) after BENCH_r12 passed at l15 = 2.85
+    and read ~2x hot; comfort dropped 0.75→0.6 of the threshold so a
+    comfort-satisfied start records gate_margin >= 0.75 (the missed
+    r11 ask).  Ceiling extended 15→20 min: l15 needs ~3x l5's decay
+    time."""
     max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
     load = list(os.getloadavg())
     if max_load <= 0:
         return load, True
-    comfort = 0.75 * max_load
-    for _ in range(90):
-        if max(load[0], load[1]) < comfort:
+    comfort = 0.6 * max_load
+    for _ in range(120):
+        if _effective_load(load) < comfort:
             return load, True
         time.sleep(10)
         load = list(os.getloadavg())
-    return load, max(load[0], load[1]) < max_load
+    return load, _effective_load(load) < max_load
+
+
+# Pinned calibration work sizes — NEVER change (cross-round
+# comparability of calib_s is the whole point; a resize would need a
+# new BASELINE.md calibration baseline and a name bump to calib2_s).
+CALIB_RANGE_ROWS = 200_000_000
+CALIB_RANGE_PARTITIONS = 32
+CALIB_PY_LOOP = 3_000_000
+
+
+def _calibrate_jvm(spark, runs: int = 3) -> float:
+    """Fixed-work host-speed probe: min-of-``runs`` wall time of a
+    pinned 200M-row xxhash64 sum over spark.range — data-independent
+    (no I/O, no shuffle: range scan + partial agg + 32-row final agg),
+    saturates all executor threads, 1-row collect.  TWO untimed runs
+    first: whole-stage-codegen compile and the first JIT tier both
+    land outside the minimum (measured: one warmup leaves the first
+    timed pass ~25% above steady state; two leave repeated calls
+    within ~5% — 0.194-0.212 s across back-to-back passes on the
+    round-13 idle host).  The 20-bit mask keeps the sum ~2e14 <<
+    LONG_MAX: the session runs ANSI mode, where an unmasked 200M-term
+    xxhash64 sum overflows."""
+    def run() -> None:
+        spark.range(
+            0, CALIB_RANGE_ROWS, 1, CALIB_RANGE_PARTITIONS
+        ).selectExpr("sum(xxhash64(id) & 1048575) AS h").collect()
+
+    run()
+    run()
+    out = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        run()
+        out.append(time.perf_counter() - t0)
+    return min(out)
+
+
+def _calibrate_py(runs: int = 3) -> float:
+    """Single-core pure-Python spin (pinned loop): separates
+    interpreter/host drift from JVM-side drift in the artifact."""
+    def run() -> None:
+        s = 0
+        for i in range(CALIB_PY_LOOP):
+            s += i * i & 1023
+
+    out = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        run()
+        out.append(time.perf_counter() - t0)
+    return min(out)
 
 
 def _warm_lines(
     timings: dict[str, float], gate_ok: bool = True
 ) -> list[str]:
     """Serialize warm per-query times as chunked JSON lines (module
-    docstring): parts 1..k carry ALL non-headline entries at 2-dp —
+    docstring): the chunks carry ALL non-headline entries at 2-dp —
     headline warm times live only on the summary line, so nothing is
-    duplicated into the budget twice.  Part 1 leads with one redundant
-    headline key: the window boundary that precedes the warm block can
-    then clip only redundant data (round-9 straddle lesson)."""
+    duplicated into the budget twice.  The first chunk leads with one
+    redundant headline key: the window boundary that precedes the warm
+    block can then clip only redundant data (round-9 straddle
+    lesson)."""
     compact = {"separators": (",", ":")}
     # cheapest-first: if the tail window ever overflows, the clipped
     # chunk is the one holding the CHEAPEST queries — regressions on
@@ -198,7 +298,7 @@ def _warm_lines(
     chunks: list[dict[str, float]] = []
     cur: dict[str, float] = {}
     base_overhead = len(json.dumps(
-        {"metric": "warm_detail", "part": 99, "queries": {}}, **compact,
+        {"metric": "warm", "queries": {}}, **compact,
     )) + pad_cost
     budget = WARM_CHUNK_CHARS - base_overhead
     used = 0
@@ -213,14 +313,16 @@ def _warm_lines(
         chunks.append(cur)
     # taint marker on EVERY line (module contract): the artifact is read
     # in tail-truncated form, so a consumer must see the taint on
-    # whichever line survives, not only on the summary
+    # whichever line survives, not only on the summary.  (The calib
+    # stamp does NOT get the same treatment: taint is one short token,
+    # calib is ~25 chars/chunk, and the tail-guaranteed summary already
+    # carries the pair — module docstring.)
     taint = {} if gate_ok else {"load_gate": "exceeded"}
     lines = []
     for i, q in enumerate(chunks):
         head = pad if i == 0 else {}
         lines.append(json.dumps(
-            {"metric": "warm_detail", "part": i + 1,
-             "queries": {**head, **q}, **taint},
+            {"metric": "warm", "queries": {**head, **q}, **taint},
             **compact,
         ))
     return lines
@@ -260,6 +362,7 @@ def scale_tier(spark, sf_dir: str) -> None:
 
     replicas = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
     registry.queries()
+    calib_before = round(_calibrate_jvm(spark), 3)
     dN = tempfile.mkdtemp(prefix="bench_scale_")
     try:
         replicate_events(
@@ -327,6 +430,7 @@ def scale_tier(spark, sf_dir: str) -> None:
             "replicas": replicas,
             "queries": out,
             "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+            "calib_s": [calib_before, round(_calibrate_jvm(spark), 3)],
         }
         if errors:
             line["errors"] = errors
@@ -373,6 +477,11 @@ def main() -> None:
         scale_tier(spark, sf_dir)
         return
 
+    # Host-speed calibration AROUND the sweep (module docstring): a
+    # before/after pair also shows drift DURING the run, which a single
+    # sample can't.
+    calib_before = round(_calibrate_jvm(spark), 3)
+
     registry.queries()  # loads the plugin registries into REGISTRY
     from etl_olho_vivo_spark.caching import release_session_caches
 
@@ -403,6 +512,10 @@ def main() -> None:
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
 
+    calib_after = round(_calibrate_jvm(spark), 3)
+    calib = [calib_before, calib_after]
+    calib_py = round(_calibrate_py(), 3)
+
     total = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
     # Lines least valuable first (module docstring): cold detail is
     # sacrificial; warm times go out in chunked lines so whole chunks
@@ -413,6 +526,8 @@ def main() -> None:
         "errors": errors,
         "sf": sf,
         "loadavg_start": load,
+        "calib_s": calib,
+        "calib_py_s": calib_py,
     }
     if not gate_ok:
         detail["load_gate"] = "exceeded"
@@ -428,10 +543,13 @@ def main() -> None:
         "unit": "sec",
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
         "sf": sf,
-        "loadavg_start": load,
+        # loadavg_start lives on the (sacrificial) cold line since
+        # round 13 — gate_margin below is its tail-surviving digest
+        "calib_s": calib,
+        "calib_py_s": calib_py,
         # how far under the gate this run started — a squeaked-under
         # artifact (margin near 0) is visible without cross-referencing
-        "gate_margin": round(max_load - max(load[0], load[1]), 2),
+        "gate_margin": round(max_load - _effective_load(load), 2),
     }
     if not gate_ok:
         summary["load_gate"] = "exceeded"

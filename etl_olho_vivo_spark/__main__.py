@@ -289,6 +289,17 @@ def _build_parser() -> argparse.ArgumentParser:
     cst.add_argument("--checkpoint", required=True, help="stream checkpoint")
     cst.add_argument("--threshold", type=float, default=0.5)
     cst.add_argument(
+        "--resolution", dest="stream_resolution",
+        choices=["greedy", "components"],
+        default="greedy",
+        help="in-batch near-dup pair-graph resolution, the batch "
+        "pipeline's dial (round 13): greedy (drop larger id per pair; "
+        "default, matching the batch default) or components (exact "
+        "clustering, keep min id — the media stream's convention).  "
+        "keep_best is batch-only: the stream's admitted-first contract "
+        "overrides quality across batches",
+    )
+    cst.add_argument(
         "--max-files-per-trigger", type=int, default=None, metavar="N",
         help="micro-batch size in files (default: all available in one)",
     )
@@ -920,6 +931,7 @@ def main(argv: list[str] | None = None) -> int:
             snapshot_overlap=args.stream_snapshot_overlap,
             quality_model_path=args.stream_quality_model,
             quality_min_score=args.stream_quality_min_score,
+            dedup_resolution=args.stream_resolution,
         )
         q.awaitTermination()
         try:

@@ -106,6 +106,7 @@ def admit_batch(
     snapshot_overlap: float = 0.5,
     quality_model: dict | None = None,
     quality_min_score: float | None = None,
+    dedup_resolution: str = "greedy",
 ) -> None:
     """Admit one micro-batch: dedup in-batch + vs store, append survivors.
 
@@ -130,6 +131,37 @@ def admit_batch(
     near a store doc is dropped (the corpus row wins — it was admitted
     first).  Idempotent per ``batch_id``: each replay overwrites the
     batch's own partition directory, even when it admits zero docs.
+
+    ``dedup_resolution`` picks the in-batch pair→drop convention and
+    mirrors the batch pipeline's dial (round 13, unifying the
+    conventions the way round 12 unified the media loop):
+
+    - ``"greedy"`` (default — the batch pipeline's default too): every
+      verified pair drops its larger doc_id; one join, no iteration.
+    - ``"components"``: connected-components clustering keeping each
+      cluster's min doc_id — the exact convention
+      ``media_stream.admit_media_batch`` uses, with the same empty-pair
+      fast path (most micro-batches have no in-batch pair; one bounded
+      probe skips the resolution's driver round-trips, exactly —
+      components of an empty graph are empty).
+    - ``"keep_best"`` is REJECTED: the stream's cross-batch contract is
+      admitted-first-wins (a store doc always beats a batch doc,
+      whatever its quality), so a quality-aware survivor choice could
+      only ever apply within one micro-batch — claiming keep-best
+      semantics while delivering them per-batch would be the silent
+      divergence this dial exists to remove.  Re-dedup offline with
+      ``dedup_resolution="keep_best"`` in the batch pipeline instead.
+
+    Matching resolutions => matching survivor sets: for identical
+    input presented as one batch to this loop (no store, no gates) and
+    to ``plans.corpus``'s near-dup stage, greedy==greedy and
+    components==components produce identical survivors
+    (tests/test_corpus_stream.py pins both).  Across MULTIPLE
+    micro-batches the stream is still order-dependent by design —
+    first-seen wins and signatures of dropped docs never enter the
+    store, so a chain A~B~C (A≁C) split across batches keeps C where
+    the global batch clustering drops it.  That residual divergence is
+    inherent to single-pass ingestion, not a convention mismatch.
 
     ``eval_grams_dir`` additionally decontaminates each batch against a
     persisted eval gram store (``decontam.write_eval_gram_store``):
@@ -160,6 +192,16 @@ def admit_batch(
     # the next compaction.  Fail loudly instead; the replay succeeds
     # after compact_append_store recovers.
     assert_no_pending_swap(spark, store_dir)
+    if dedup_resolution not in ("greedy", "components"):
+        detail = (
+            "keep_best is batch-only: the stream's admitted-first "
+            "contract overrides quality across batches"
+            if dedup_resolution == "keep_best"
+            else f"got {dedup_resolution!r}"
+        )
+        raise ValueError(
+            f"dedup_resolution must be greedy|components ({detail})"
+        )
     if gates:
         from etl_olho_vivo_spark.plans.corpus import gate_documents
 
@@ -201,7 +243,21 @@ def admit_batch(
             )
         )
         pairs = dedup.near_duplicates(sig=sig, threshold=threshold)
-        drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        if dedup_resolution == "components":
+            # the media loop's convention and fast path, verbatim
+            # (media_stream.admit_media_batch): persist the pair frame
+            # (emptiness probe + iterative resolution both consume it),
+            # skip the propagation when the batch has no pair at all
+            pairs = bag.add(pairs)
+            if pairs.limit(1).count() == 0:
+                drops = spark.createDataFrame([], "doc_id long")
+            else:
+                labels = dedup.connected_components(pairs, caches=bag)
+                drops = labels.filter(
+                    F.col("doc_id") != F.col("component")
+                ).select("doc_id")
+        else:  # greedy: every verified pair drops its larger doc_id
+            drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
         surv_sig = sig.join(drops, "doc_id", "left_anti")
 
         store = _store_frame(spark, store_dir, exclude_batch_id=batch_id)
@@ -324,9 +380,12 @@ def run_corpus_stream(
     snapshot_overlap: float = 0.5,
     quality_model_path: str | None = None,
     quality_min_score: float | None = None,
+    dedup_resolution: str = "greedy",
 ):
     """Start the continuous ingestion query over a streaming documents
     frame (any readStream source with doc_id + text columns).
+    ``dedup_resolution`` (greedy|components — see ``admit_batch``) is
+    validated HERE at start-up, not inside the first foreachBatch.
 
     The eval gram store is loaded, n-verified, and persisted ONCE here
     (benchmark-sized — it fits; the cache lives as long as the stream),
@@ -338,6 +397,18 @@ def run_corpus_stream(
     one-shot drains (the CLI) exit the JVM anyway.
     """
     spark = docs_stream.sparkSession
+
+    if dedup_resolution not in ("greedy", "components"):
+        # same message as admit_batch — fail before the stream starts
+        detail = (
+            "keep_best is batch-only: the stream's admitted-first "
+            "contract overrides quality across batches"
+            if dedup_resolution == "keep_best"
+            else f"got {dedup_resolution!r}"
+        )
+        raise ValueError(
+            f"dedup_resolution must be greedy|components ({detail})"
+        )
 
     eval_grams = None
     if eval_grams_dir is not None:
@@ -421,6 +492,7 @@ def run_corpus_stream(
             snapshot_overlap=snapshot_overlap,
             quality_model=quality_model,
             quality_min_score=quality_min_score,
+            dedup_resolution=dedup_resolution,
         )
 
     writer = (

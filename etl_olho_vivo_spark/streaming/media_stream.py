@@ -22,10 +22,11 @@ Per micro-batch (``admit_media_batch``):
                            component — the SAME survivor convention as
                            the ``media-dedup`` CLI, so batch and stream
                            admit identical survivor sets for identical
-                           input (round 12, per ADVICE; the TEXT corpus
-                           loop keeps its documented edge-greedy
-                           approximation — that divergence is its own
-                           trade, recorded in plans/corpus.py).  The
+                           input (round 12, per ADVICE; round 13 gave
+                           the TEXT corpus loop the same choice as a
+                           ``dedup_resolution`` dial mirroring the
+                           batch pipeline's — see
+                           ``corpus_stream.admit_batch``).  The
                            pair graph is batch-sized, so the iterative
                            resolution costs a few batch-local rounds
     4. store near-dup    — ``hamming_near_dups_incremental`` vs the

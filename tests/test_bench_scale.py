@@ -52,14 +52,15 @@ def test_warm_lines_survive_2000_char_tail_capture():
         n: round(0.05 + (i % 31) * 0.31 + (i % 3) * 0.007, 3)
         for i, n in enumerate(names)
     }
-    load = [1.13, 1.27, 1.31]
+    calib = [1.234, 1.256]  # round-13 host-speed stamp (summary line)
     lines = bench._warm_lines(timings)
     for ln in lines:
         assert len(ln) <= bench.WARM_CHUNK_CHARS, len(ln)
     headline = json.dumps({
         "metric": "headline_total_wall", "value": 3.712, "unit": "sec",
         "queries": {n: timings[n] for n in bench.HEADLINE},
-        "sf": "0.1", "loadavg_start": load, "gate_margin": 0.73,
+        "sf": "0.1", "calib_s": calib,
+        "calib_py_s": 0.312, "gate_margin": 0.73,
     }, separators=(",", ":"))
     block = "\n".join(lines + [headline]) + "\n"
     # the whole recoverable block fits the window — THIS is the claim
@@ -78,6 +79,35 @@ def test_warm_lines_survive_2000_char_tail_capture():
         for n in timings
     }
     assert recovered == want
+
+
+def test_calib_stamp_survives_tail_capture():
+    """Round-13 contract (r12 verdict "Next round" #1): the host-speed
+    calibration must be readable from the TAIL-TRUNCATED artifact.
+    The summary line is printed LAST, so it occupies the artifact's
+    final bytes and survives ANY tail window that can hold it at all —
+    the calib pair therefore lives there (and on the sacrificial cold
+    line), not on every warm chunk.  This test replays the truncation:
+    build a worst-case realistic summary, bury it under 5000 chars,
+    take the 2000-char tail, and require calib_s + calib_py_s +
+    gate_margin to parse back out."""
+    import bench
+
+    summary = json.dumps({
+        "metric": "headline_total_wall", "value": 9.999, "unit": "sec",
+        "queries": {n: 9.999 for n in bench.HEADLINE},
+        "sf": "0.1", "calib_s": [11.234, 11.256], "calib_py_s": 10.312,
+        "gate_margin": -10.73, "load_gate": "exceeded",
+        "error_queries": ["a_pretty_long_failing_query_name"],
+    }, separators=(",", ":"))
+    # the summary must fit the tail window with lots of room to spare —
+    # it shares the window with the warm chunks
+    assert len(summary) <= 500, len(summary)
+    stream = "x" * 5000 + "\n" + summary
+    recovered = json.loads(stream[-2000:].splitlines()[-1])
+    assert recovered["calib_s"] == [11.234, 11.256]
+    assert recovered["calib_py_s"] == 10.312
+    assert recovered["gate_margin"] == -10.73
 
 
 def test_warm_lines_clip_cheapest_first():
@@ -154,9 +184,30 @@ def test_wait_for_idle_gates_on_loadavg5_too(monkeypatch):
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     load, ok = bench._wait_for_idle()
     assert not ok
-    monkeypatch.setattr(bench.os, "getloadavg", lambda: (1.0, 1.5, 5.0))
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (1.0, 1.5, 1.5))
     load, ok = bench._wait_for_idle()
     assert ok
+
+
+def test_wait_for_idle_gates_on_loadavg15(monkeypatch):
+    """Round 13 (r12 verdict "Next round" #2): BENCH_r12 started at
+    loadavg15 = 2.85 under the l1/l5-only gate and the artifact read
+    ~2x hot.  The exact r12 condition must now FAIL the gate; a fully
+    settled machine must pass with gate_margin headroom >= 0.75."""
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0")
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    # the BENCH_r12 start condition (l1/l5 under, l15 hot)
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.9, 1.2, 2.85))
+    load, ok = bench._wait_for_idle()
+    assert not ok
+    assert bench._effective_load(load) > 2.0
+    # comfort-satisfied start => margin >= 0.75 (the missed r11 ask)
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.5, 0.7, 1.1))
+    load, ok = bench._wait_for_idle()
+    assert ok
+    assert 2.0 - bench._effective_load(load) >= 0.75
 
 
 def test_scale_env_zero_means_off(monkeypatch):
