@@ -444,3 +444,109 @@ def test_snapshot_filter_rejects_previous_crawl_docs(spark, dirs, tmp_path):
             snapshot_filter_dir=str(tmp_path / "snap"),
             snapshot_overlap=1.5,
         )
+
+
+# Bridge structure for the resolution-dial tests (round 13): doc 3 is
+# near BOTH doc 1 and doc 2 (two words changed each), but 1 and 2 are
+# not near each other (four words apart) — at threshold 0.4 the pair
+# graph is exactly {(1,3), (2,3)} (probed empirically; minhash seeds
+# are fixed, so detection is deterministic).  greedy drops only the
+# bridge (doc_b = 3 in both pairs) => survivors {1, 2}; components
+# folds all three into one cluster, keep min id => survivor {1}.  The
+# two conventions genuinely DIFFER on this input, so agreement with the
+# batch pipeline is a discriminating check, not a vacuous one.
+def _bridge_rows():
+    w = THIRD.split()
+    v1 = list(w)
+    v1[3], v1[8] = "ancient", "shifting"
+    v2 = list(w)
+    v2[13], v2[17] = "wandering", "frozen"
+    return [(1, " ".join(v1)), (2, " ".join(v2)), (3, THIRD), (4, FOURTH)]
+
+
+@pytest.mark.sweep
+@pytest.mark.parametrize(
+    "resolution,want",
+    [("greedy", [1, 2, 4]), ("components", [1, 4])],
+)
+def test_in_batch_resolution_matches_batch_pipeline(
+    spark, dirs, tmp_path, resolution, want
+):
+    """Round 13 (r12 verdict "Next round" #4): for identical input
+    presented as ONE batch, the stream's in-batch survivor set must
+    equal the batch pipeline's near-dup survivor set under the SAME
+    ``dedup_resolution`` — the convention unification the media loop
+    got in round 12, now for text."""
+    import etl_olho_vivo_spark.plans.corpus as corpus_mod
+    from pyspark.sql import functions as F
+    from etl_olho_vivo_spark.streaming.corpus_stream import admit_batch
+
+    rows = _bridge_rows()
+
+    # stream side: one micro-batch, no store, no gates
+    batch = spark.createDataFrame(rows, SCHEMA)
+    admit_batch(
+        spark, batch, 0, dirs["corpus"], dirs["store"],
+        threshold=0.4, dedup_resolution=resolution,
+    )
+    got_stream = sorted(
+        r["doc_id"] for r in spark.read.parquet(dirs["corpus"]).collect()
+    )
+
+    # batch side: the full pipeline over the same docs (permissive
+    # gates so only the near-dup stage can drop anything)
+    df = spark.createDataFrame(
+        [(i, t, "en", "web") for i, t in rows],
+        ["doc_id", "text", "lang", "source"],
+    ).withColumn("n_chars", F.length("text"))
+    orig = corpus_mod.read_table
+    corpus_mod.read_table = lambda _s, _d, _n: df
+    try:
+        corpus_mod.run_corpus(
+            spark,
+            sf_dir="unused",
+            out_dir=str(tmp_path / f"batch_{resolution}"),
+            keep_langs=("en", "de", "es", "fr", "unknown"),
+            min_tokens=3,
+            min_quality=0.0,
+            jaccard_threshold=0.4,
+            dedup_resolution=resolution,
+        )
+    finally:
+        corpus_mod.read_table = orig
+    got_batch = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(
+            str(tmp_path / f"batch_{resolution}")
+        ).select("doc_id").collect()
+    )
+
+    assert got_stream == got_batch == want
+
+
+def test_stream_rejects_keep_best_resolution(spark, dirs):
+    """keep_best is batch-only (the stream's admitted-first contract
+    overrides quality across batches) — both entry points must fail
+    loudly, at start-up, with the reason in the message."""
+    from etl_olho_vivo_spark.streaming.corpus_stream import (
+        admit_batch,
+        run_corpus_stream,
+    )
+
+    batch = spark.createDataFrame([(1, BASE)], SCHEMA)
+    with pytest.raises(ValueError, match="admitted-first"):
+        admit_batch(
+            spark, batch, 0, dirs["corpus"], dirs["store"],
+            dedup_resolution="keep_best",
+        )
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="admitted-first"):
+        run_corpus_stream(
+            stream, dirs["corpus"], dirs["store"], dirs["ckpt"],
+            dedup_resolution="keep_best",
+        )
+    with pytest.raises(ValueError, match="greedy|components"):
+        admit_batch(
+            spark, batch, 0, dirs["corpus"], dirs["store"],
+            dedup_resolution="typo",
+        )
