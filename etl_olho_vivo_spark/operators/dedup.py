@@ -993,6 +993,23 @@ def hamming_near_dups_incremental(
     )
 
 
+def simhash_expr(col: str, bits: int) -> str:
+    """SQL expression string: frequency-weighted SimHash over an
+    integer-array column (the per-bit sign fold of ``simhash``,
+    factored out in round 13 so registry rows can build multi-half
+    fingerprints from transformed token-hash streams without
+    duplicating the formula)."""
+    terms = []
+    for j in range(bits):
+        w = 2**j
+        bit_sum = (
+            f"aggregate({col}, 0, (acc, x) -> acc + "
+            f"(CASE WHEN (x div {w}) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN ({bit_sum}) > 0 THEN {w} ELSE 0 END)")
+    return " + ".join(terms)
+
+
 def simhash(df: DataFrame, text: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
     """Frequency-weighted SimHash over md5-derived token hashes.
 
@@ -1003,16 +1020,8 @@ def simhash(df: DataFrame, text: str = "text", bits: int = SIMHASH_BITS) -> Data
     the 16 per-bit folds are 16 linear passes over a computed array, not
     16 full re-tokenize+md5 passes.
     """
-    terms = []
-    for j in range(bits):
-        w = 2**j
-        bit_sum = (
-            f"aggregate(wh, 0, (acc, x) -> acc + "
-            f"(CASE WHEN (x div {w}) % 2 = 1 THEN 1 ELSE -1 END))"
-        )
-        terms.append(f"(CASE WHEN ({bit_sum}) > 0 THEN {w} ELSE 0 END)")
     return (
         with_token_hashes(df, text)
-        .withColumn("simhash", F.expr(" + ".join(terms)))
+        .withColumn("simhash", F.expr(simhash_expr("wh", bits)))
         .drop("wh")
     )

@@ -369,17 +369,24 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _d_simhash_sql(bits: int = dedup.SIMHASH_BITS) -> str:
+def _d_simhash_terms(col: str, bits: int) -> str:
+    """DuckDB mirror of dedup.simhash_expr over an arbitrary list
+    column (list_sum over an empty list is NULL, and NULL > 0 falls to
+    the ELSE 0 branch — the same bit Spark's aggregate-from-0 yields)."""
     terms = []
     for j in range(bits):
         w = 2**j
         s = (
-            f"CAST(list_sum(list_transform(wh, x -> "
+            f"CAST(list_sum(list_transform({col}, x -> "
             f"CASE WHEN (x // {w}) % 2 = 1 THEN 1 ELSE -1 END)) AS BIGINT)"
         )
         terms.append(f"(CASE WHEN ({s}) > 0 THEN {w} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _d_simhash_sql(bits: int = dedup.SIMHASH_BITS) -> str:
     return (
-        f"SELECT doc_id, {' + '.join(terms)} AS simhash "
+        f"SELECT doc_id, {_d_simhash_terms('wh', bits)} AS simhash "
         f"FROM (SELECT doc_id, {_D_WH} AS wh FROM documents)"
     )
 
@@ -431,11 +438,110 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
     "segments a ~10^4-doc ceiling, and the FIRST bench of this row at "
     "the 4-band default read 4.45 s at sf0.1 (~4e5 random candidate "
     "collisions at 5e3 docs, growing ~quadratically); 16-bit segments "
-    "collide ~500x less and hold to ~10^5-10^6 docs.",
+    "collide ~500x less and hold to ~10^5-10^6 docs.  driver=False "
+    "since round 13 (rotation policy, same as doc_simhash in r12): "
+    "media_fp_pairs took the slot — the same hamming_near_dups "
+    "machinery, but 64-bit, multi-band (4), max_hamming=3, and read "
+    "from a PERSISTED fingerprint parquet (the media-store shape) — "
+    "so the pairing family stays driver-checked with STRICTLY more of "
+    "the pigeonhole surface under the hard signal (multi-segment "
+    "candidate generation + dropDuplicates de-dup, which 2 bands at "
+    "max_hamming=1 barely exercised); this row keeps its local oracle "
+    "sweep and its bench row (idle floor 2.18 s, BASELINE.md r13).",
+    driver=False,
 )
 def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return dedup.simhash_near_dups(d, max_hamming=1, n_bands=2)
+
+
+# The low fingerprint half remixes each token hash through a MINSTD
+# step before its own simhash fold — two quasi-independent 32-bit
+# halves concatenate into a 64-bit fingerprint whose Hamming distance
+# still tracks document similarity (near-dup text => both halves
+# close).  Pure `* %` integer arithmetic, bounded < 2^48 — identical
+# in both engines.
+_FP_REMIX = "x -> (x * 48271) % 2147483647"
+
+_MEDIA_FP_BUILT: set[str] = set()
+
+
+@register(
+    "media_fp_pairs",
+    f"""
+WITH w AS (SELECT doc_id, {_D_WH} AS wh FROM documents),
+w2 AS (SELECT doc_id, wh,
+              list_transform(wh, {_FP_REMIX}) AS wl
+       FROM w),
+halves AS (SELECT doc_id,
+                  {_d_simhash_terms('wh', 32)} AS hi,
+                  {_d_simhash_terms('wl', 32)} AS lo
+           FROM w2),
+fps AS (SELECT doc_id,
+               CAST(CASE WHEN v >= 9223372036854775808
+                         THEN v - 18446744073709551616
+                         ELSE v END AS BIGINT) AS fp
+        FROM (SELECT doc_id,
+                     CAST(hi AS HUGEINT) * 4294967296 + lo AS v
+              FROM halves))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+""",
+    doc="The MEDIA dedup leg end-to-end under the hard signal (round "
+    "13, r12 verdict 'What's missing' #5): pairing of PRE-COMPUTED "
+    "64-bit fingerprints read back from a persisted slim (doc_id, fp) "
+    "parquet relation — exactly the media fingerprint-store shape "
+    "(streaming/media_stream.py: the store holds one 64-bit row per "
+    "admitted doc and the pairing never touches the media again) — "
+    "through the SAME dedup.hamming_near_dups every media kind rides "
+    "(image dHash, audio Haitsma-Kalker, video majority fold).  The "
+    "corpus has no decodable media (multimodal_decode's doc), so the "
+    "fingerprint VALUES are a deterministic 64-bit text surrogate "
+    "(two quasi-independent 32-bit simhash halves; near-dup docs get "
+    "near fingerprints, so the pairing output is non-trivial) that "
+    "DuckDB recomputes from the documents view — the oracle cannot "
+    "see the scratch store, so fp synthesis must be SQL-expressible; "
+    "what the store round-trip proves is that the pairing consumes "
+    "the PERSISTED relation (signed-long parquet round-trip included: "
+    "hi-half bit 31 set makes fp negative, and shiftrightunsigned "
+    "banding must still segment it correctly).  Banding is n_bands=4 "
+    "(16-bit segments, the module's capacity rule at corpus sizes "
+    "~10^5), max_hamming=3 = n_bands-1 (the FULL lossless pigeonhole "
+    "budget, vs the simhash row's 1) — hash-equality vs the all-pairs "
+    "oracle again proves the banding lossless (Manku WWW'07), now "
+    "with multi-segment candidate generation and the dropDuplicates "
+    "de-dup genuinely load-bearing.  Build-once per (sf_dir, pid) "
+    "like bucketed_order_rollup: the row measures the store-read + "
+    "pairing path (what every micro-batch pays), not the one-time "
+    "fingerprint write (decode cost is multimodal_decode's row).",
+)
+def q_media_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8] + f"_{os.getpid()}"
+    path = f"{tempfile.gettempdir()}/etl_olho_vivo_media_fp/{tag}"
+    if tag not in _MEDIA_FP_BUILT or not os.path.exists(path):
+        d = read_table(spark, sf_dir, "documents")
+        hi = dedup.simhash_expr("wh", 32)
+        lo = dedup.simhash_expr("wl", 32)
+        fps = (
+            dedup.with_token_hashes(d)
+            .withColumn("wl", F.expr(f"transform(wh, {_FP_REMIX})"))
+            .select(
+                "doc_id",
+                F.expr(f"shiftleft(({hi}), 32) | ({lo})").alias("fp"),
+            )
+        )
+        fps.write.mode("overwrite").parquet(path)
+        _MEDIA_FP_BUILT.add(tag)
+    store = spark.read.parquet(path)
+    return dedup.hamming_near_dups(
+        store, hash_col="fp", bits=64, max_hamming=3, n_bands=4
+    )
 
 
 @register(
