@@ -59,8 +59,10 @@ one mistyped coefficient yields plausible-but-wrong PCM that
 round-trips its own encoder perfectly and silently corrupts every
 downstream fingerprint.  Absent an authoritative in-container source
 to diff the table against (no libav, no mpg123/mad/lame — re-probed
-this round via importlib + ctypes.util.find_library, all absent),
-honest coverage means opaque fallback.  Revisit the moment a libav
+round 13, 2026-08-16, via importlib + ctypes.util.find_library +
+shutil.which over av/cv2/soundfile/librosa/ffmpeg/ffprobe/avcodec/
+avformat/mpg123/mad/mp3lame: all absent), honest coverage means
+opaque fallback.  Revisit the moment a libav
 lands in the environment: MP3/Layer-II would slot into
 ``_audio_parser`` — and H.26x/VPx/AV1 into ``_avi_demuxer`` — without
 touching the Spark plumbing.  (Progressive JPEG — formerly on this list — went native in
@@ -2039,7 +2041,16 @@ def _vfp_votes_fn():
       re-encode operations that CHANGE the time axis (frame-rate
       resampling, trims) — the identity we dedup on is "same
       pictures", and a reversed or re-paced copy of a clip IS a
-      near-dup for training-data purposes.
+      near-dup for training-data purposes;
+    - the boundary of that identity (round 13, pinned by
+      tests/test_video_fp.py::test_video_excerpt_is_not_a_near_dup):
+      re-paces and MINORITY trims keep the fingerprint, but an
+      EXCERPT whose frames are a minority of the source (a 10 s cut
+      from a 2-min clip) folds its own majority over a different
+      frame population and will NOT match the source.  That is the
+      decision, not an accident: "same pictures by majority" —
+      sub-clip containment is retrieval's job (ANN over per-frame
+      hashes), not dedup's.
 
     Returns ``fold(hashes) -> signed i64 | None`` over an iterable of
     signed 64-bit frame dHashes."""

@@ -247,3 +247,35 @@ def test_media_stream_admit_video(spark, tmp_path):
     admit_media_batch(spark, b1, 1, corpus, store, kind="video")
     assert ids(corpus) == [1, 3, 11]
     assert ids(store) == [1, 3, 11]
+
+def test_video_excerpt_is_not_a_near_dup(spark):
+    """Round 13 (r12 verdict "What's missing" #3): the identity the
+    majority fingerprint encodes is "same pictures BY MAJORITY" —
+    re-paces and minority trims keep the fingerprint, but an EXCERPT
+    whose frames are a minority of the source folds its own majority
+    over a different frame population and must NOT pair.  Pinned as a
+    decision, not left as a surprise.  Y4M frames are lossless, so the
+    majorities here are exact: full = 9xA + 3xB folds to dHash(A);
+    the one-frame trim keeps that majority (pairs, hamming 0); the
+    tail excerpt (1xA + 3xB) folds to dHash(B) (no pair)."""
+    a = _planes(7, n=1)[0]
+    b = _planes(99, n=1)[0]
+    rows = [
+        (1, bytearray(_y4m_clip([a] * 9 + [b] * 3))),   # the source
+        (2, bytearray(_y4m_clip([a] * 8 + [b] * 3))),   # minority trim
+        (3, bytearray(_y4m_clip([a] + [b] * 3))),       # tail excerpt
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    fps = {r["doc_id"]: r["vfp"]
+           for r in multimodal.video_fingerprint(df).collect()}
+    dhash = multimodal._dhash_fn()
+    parse = multimodal._media_parser(pixels=True)
+    demux = multimodal._y4m_demuxer()
+    fp_a = dhash(parse(demux(_y4m_clip([a]))[0])[6])
+    fp_b = dhash(parse(demux(_y4m_clip([b]))[0])[6])
+    assert fps[1] == fps[2] == fp_a    # exact majorities, trim-stable
+    assert fps[3] == fp_b              # the excerpt IS its own majority
+
+    pairs = [(r["doc_a"], r["doc_b"])
+             for r in multimodal.video_near_dups(df).collect()]
+    assert pairs == [(1, 2)]           # trim pairs; excerpt does not
