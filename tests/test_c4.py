@@ -77,6 +77,7 @@ def test_plan_is_pure_projection(spark):
         assert bad not in plan, plan[:2000]
 
 
+@pytest.mark.sweep
 def test_run_corpus_c4_stage(spark, tmp_path):
     """--c4 end-to-end: line cleanup happens BEFORE profiling (token
     counts and fingerprints reflect shipped text), the page gate drops

@@ -35,6 +35,7 @@ def test_ingest_then_daily_roundtrip(spark, tmp_path, capsys):
     assert day["lentidao"] == slow.count()
 
 
+@pytest.mark.sweep
 def test_daily_date_partition_pruning(spark, tmp_path, capsys):
     """--date selects one hive day partition by PATH (the reference's
     'yesterday' batch) — present day processes, absent day fails loudly
@@ -64,6 +65,7 @@ def test_daily_date_partition_pruning(spark, tmp_path, capsys):
                   "--out", str(tmp_path / "etl3"), "--date", bad])
 
 
+@pytest.mark.sweep
 def test_corpus_subcommand(tmp_path, capsys):
     out = str(tmp_path / "corpus")
     assert main([
@@ -239,6 +241,7 @@ def test_corpus_bpe_tokenize_stage(spark, tmp_path, capsys):
     ).count() == 0
 
 
+@pytest.mark.sweep
 def test_corpus_split_and_shuffled_export(spark, tmp_path, capsys):
     """--splits stamps a deterministic split column; --shuffle-shards
     turns the JSONL export into seeded decorrelated shards."""
@@ -339,6 +342,7 @@ def test_corpus_batch_decontamination(spark, tmp_path, capsys):
     assert victim["doc_id"] not in survivors
 
 
+@pytest.mark.sweep
 def test_ann_build_append_query(spark, tmp_path, capsys):
     """ann-build → ann-build --append → ann-query end-to-end: the CLI
     serves nearest neighbors from the persisted partition-pruned index."""
@@ -420,6 +424,7 @@ def test_corpus_rejects_zero_shuffle_shards(tmp_path):
         ])
 
 
+@pytest.mark.sweep
 def test_corpus_gopher_gate_and_source_cap(spark, tmp_path, capsys):
     out = str(tmp_path / "corpus")
     assert main([
@@ -436,6 +441,7 @@ def test_corpus_gopher_gate_and_source_cap(spark, tmp_path, capsys):
     assert per_source and all(r["count"] <= 2 for r in per_source)
 
 
+@pytest.mark.sweep
 def test_eval_index_then_decontaminated_stream(spark, tmp_path, capsys):
     """eval-index builds the gram store; corpus-stream --eval-grams
     rejects the leaking doc end-to-end from the CLI."""

@@ -95,6 +95,7 @@ def test_synthetic_stages(spark, tmp_path):
     assert sorted(r["doc_id"] for r in back.collect()) == [1, 4, 6]
 
 
+@pytest.mark.sweep
 def test_pack_stage_emits_training_sequences(spark, tmp_path):
     """pack=(max_tokens, overlap, budget) writes packed sequences whose
     token totals conserve the surviving corpus (overlap=0) and respect

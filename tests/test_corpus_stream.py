@@ -133,6 +133,7 @@ def test_streaming_decontamination_vs_eval_store(spark, dirs, tmp_path):
     assert in_store == [2, 3]
 
 
+@pytest.mark.sweep
 def test_replayed_batch_is_idempotent(spark, dirs):
     """foreachBatch is at-least-once after failures: re-admitting the
     SAME batch id must leave corpus and store byte-identical, not
@@ -287,6 +288,7 @@ def test_replay_that_admits_nothing_clears_prior_partition(spark, dirs):
     ) == [1]
 
 
+@pytest.mark.sweep
 def test_compaction_ignores_session_dynamic_overwrite_mode(spark, dirs):
     """compact_append_store must fully replace the store even when the
     SESSION default partitionOverwriteMode is dynamic — otherwise only

@@ -99,6 +99,7 @@ def test_plan_is_aggregate_and_join_shaped(spark):
     assert "HashAggregate" in final or "SortAggregate" in final
 
 
+@pytest.mark.sweep
 def test_order2_general_path_matches_bigram_path(spark):
     """The order-n generalization at order=2 must reproduce the bigram
     pair EXACTLY (counts, V, scores) — the parity pin that lets the

@@ -735,6 +735,7 @@ def test_ivf_multiprobe_recall(spark, embeddings):
     assert all(r["dot_q"] <= best_exact for r in one_rows)
 
 
+@pytest.mark.sweep
 def test_kmeans_beats_naive_seeding(spark, embeddings):
     """The refined quantizer should cluster at least as tightly as the
     demo first-n seeding (that is its entire reason to exist)."""
@@ -876,6 +877,7 @@ def test_cache_bag_releases_operator_caches(spark, docs):
     assert _cached_ids(spark) - base == set()
 
 
+@pytest.mark.sweep
 def test_session_bag_releases_registry_query_caches(spark):
     """The pair queries cache intermediates via SESSION_BAG; repeated
     invocation must not grow the cache (CacheManager canonical-plan dedup)
@@ -1885,6 +1887,7 @@ def test_ivfpq_full_probe_full_rerank_equals_exact_search(
     assert got == [(r["vec_id"], r["d"]) for r in exact]
 
 
+@pytest.mark.sweep
 def test_ivfpq_probe_and_rerank_are_the_recall_dials(spark, embeddings):
     """recall@10 vs exact integer-L2 must not decrease as either dial
     widens (probes at fixed pool, pool at fixed probes)."""

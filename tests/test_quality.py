@@ -89,6 +89,7 @@ def test_train_matches_python_brute_force(spark, trained):
     assert model["n_pos"] == 15 and model["n_neg"] == 15
 
 
+@pytest.mark.sweep
 def test_training_is_partitioning_invariant(spark, trained):
     pos, neg, model = trained
     bag = CacheBag()

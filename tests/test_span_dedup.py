@@ -86,6 +86,7 @@ def test_overlapping_spans_cover_union(spark):
     assert out == _brute(rows, k=5)
 
 
+@pytest.mark.sweep
 def test_brute_force_fuzz_both_modes(spark):
     rng = random.Random(1107)
     vocab = [f"w{i}" for i in range(12)]
