@@ -157,6 +157,12 @@ SCALE_EXTRA = [
     "pq_topk",
     "ivfpq_topk",
     "doc_kneser_ney",
+    # round-13 addition: the new driver row — persisted-fingerprint
+    # store read + 4-band pigeonhole pairing; replicas densify the
+    # 16-bit-segment bands ~10x like the other pair rows, expected
+    # sub-linear wall (store build is once per (sf_dir, pid), so the
+    # min-of-3 times the read+pair path the row exists to measure)
+    "media_fp_pairs",
 ]
 
 

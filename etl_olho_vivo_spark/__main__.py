@@ -605,6 +605,25 @@ def _build_parser() -> argparse.ArgumentParser:
         help="HLL relative standard deviation for approx_distinct",
     )
 
+    dcd = sub.add_parser(
+        "datacard",
+        help="corpus data card: per-lang/per-source/length-histogram "
+        "doc+token+char counts as one JSON artifact (one scan, one "
+        "grouping-sets aggregation)",
+    )
+    dcd.add_argument("--in", dest="in_dir", required=True,
+                     help="corpus parquet dir")
+    dcd.add_argument("--out", required=True, help="JSON output path")
+    dcd.add_argument("--text-col", default="text")
+    dcd.add_argument(
+        "--dims", default="lang,source", metavar="C1,C2",
+        help="categorical dimension columns (default: lang,source)",
+    )
+    dcd.add_argument(
+        "--quality-col", default=None,
+        help="add approximate score deciles for this column",
+    )
+
     med = sub.add_parser(
         "media-dedup",
         help="perceptual near-duplicate pass over a binary media "
@@ -1533,6 +1552,24 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.command == "datacard":
+        from etl_olho_vivo_spark.operators.datacard import write_datacard
+
+        dims = tuple(
+            s.strip() for s in args.dims.split(",") if s.strip()
+        )
+        card = write_datacard(
+            spark, args.in_dir, args.out,
+            text=args.text_col, dims=dims,
+            quality_col=args.quality_col,
+        )
+        print(json.dumps({
+            "command": "datacard", "out": args.out,
+            "docs": card["docs"], "tokens": card["tokens"],
+            "dims": {d: len(v) for d, v in card["by"].items()},
+        }))
         return 0
 
     if args.command == "profile":

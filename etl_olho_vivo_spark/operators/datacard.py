@@ -1,0 +1,181 @@
+"""Corpus data card — the statistics sheet a training run ships with.
+
+Production corpora publish a "datasheet" (Gebru et al. 2021; the Dolma
+and FineWeb releases each ship one): how many documents and tokens,
+from which sources, in which languages, with what length distribution.
+This module computes that artifact the Spark-first way:
+
+- ``corpus_stats``: ONE scan over a slim projection (the text column
+  is reduced to two integers per row before anything shuffles), one
+  grouping-sets aggregation (single Expand + one partial-aggregated
+  exchange — NOT one job per dimension), bounded output: one row per
+  (dimension, key) — |langs| + |sources| + ~21 length buckets + 1
+  total.  At 100 TB the scan dominates and parallelizes perfectly;
+  the Expand multiplies only slim (string, int, int) rows by the
+  number of grouping sets.
+- ``datacard``: collects the (bounded) stats frame into the JSON-able
+  dict the ``datacard`` CLI subcommand writes, optionally adding
+  quality-score deciles via ``approxQuantile`` (documented
+  approximate — deciles are for humans; the exact per-dim counts are
+  the machine-readable contract).
+
+The length histogram buckets by floor(log2(n_tokens)) computed as an
+integer CASE ladder (``len_bucket_sql``) — NOT ``floor(log2(x))``:
+log2 is transcendental and a libm that returns 2.9999999997 for
+log2(8) on one engine but 3.0 on the other would silently shift a
+bucket boundary; integer comparisons are exact in every engine, so
+the same generated SQL string is the Spark expression AND the DuckDB
+oracle's (the registry row ``corpus_datacard`` pins cross-engine
+parity).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# log2(10^6-token docs) = 20 — wide enough for any real document; the
+# ladder's top bucket absorbs anything longer
+MAX_LEN_BUCKET = 20
+
+
+def len_bucket_sql(n: str, max_bucket: int = MAX_LEN_BUCKET) -> str:
+    """floor(log2(n)) for n >= 1 as an exact integer CASE ladder —
+    one SQL string valid in both Spark and DuckDB (module docstring:
+    transcendental log2 is a parity hazard at power-of-two
+    boundaries)."""
+    clauses = " ".join(
+        f"WHEN ({n}) >= {2 ** b} THEN {b}"
+        for b in range(max_bucket, 0, -1)
+    )
+    return f"(CASE {clauses} ELSE 0 END)"
+
+
+def corpus_stats(
+    df: DataFrame,
+    text: str = "text",
+    dims: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """(dim, key, docs, tokens, chars) — one row per value of each
+    categorical dimension, per log2 token-length bucket, plus the
+    'total' row.  ONE grouping-sets aggregation: the plan is a single
+    Expand over the slim profile projection feeding one
+    partially-aggregated exchange (tests pin exactly one Expand — the
+    naive per-dimension union re-scans the corpus once per dim).
+
+    Token counting is the engine's corpus convention (``split(text,
+    ' ')`` with empties kept — the same tokenization every dedup and
+    LM operator uses), so the card's token totals are consistent with
+    what the pipeline actually deduped and gated."""
+    if not dims:
+        raise ValueError("dims must name at least one column")
+    prof = df.select(
+        *[F.col(d) for d in dims],
+        F.size(F.split(F.col(text), " ")).alias("n_tokens"),
+        F.length(F.col(text)).alias("n_chars"),
+    ).withColumn("len_bucket", F.expr(len_bucket_sql("n_tokens")))
+
+    cols = list(dims) + ["len_bucket"]
+    sets = [[c] for c in cols] + [[]]
+    grouped = (
+        prof.groupingSets(sets, *[F.col(c) for c in cols])
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum("n_chars").alias("chars"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+    # grouping_id: bit i (MSB-first over ``cols``) is SET when the
+    # column is aggregated away, so the set keeping col i alone is
+    # all-ones minus its bit; the grand total is all-ones
+    n = len(cols)
+    gid_all = 2 ** n - 1
+    dim_expr = "CASE "
+    key_expr = "CASE "
+    for i, c in enumerate(cols):
+        gid = gid_all - 2 ** (n - 1 - i)
+        dim_expr += f"WHEN gid = {gid} THEN '{c}' "
+        key_expr += f"WHEN gid = {gid} THEN CAST({c} AS STRING) "
+    dim_expr += "ELSE 'total' END"
+    key_expr += "ELSE 'all' END"
+    return grouped.select(
+        F.expr(dim_expr).alias("dim"),
+        F.expr(key_expr).alias("key"),
+        F.col("docs").cast("long").alias("docs"),
+        F.col("tokens").cast("long").alias("tokens"),
+        F.col("chars").cast("long").alias("chars"),
+    )
+
+
+def datacard(
+    df: DataFrame,
+    text: str = "text",
+    dims: tuple[str, ...] = ("lang", "source"),
+    quality_col: str | None = None,
+) -> dict:
+    """The JSON-able data card: totals, per-dimension breakdowns with
+    fractions, the log2 length histogram, and (optionally) approximate
+    quality deciles.  Driver state is the BOUNDED stats frame — never
+    the corpus."""
+    rows = corpus_stats(df, text=text, dims=dims).collect()
+    total = next(r for r in rows if r["dim"] == "total")
+    card: dict = {
+        "docs": total["docs"],
+        "tokens": total["tokens"],
+        "chars": total["chars"],
+        "by": {},
+        "len_log2_histogram": {},
+    }
+    for r in sorted(rows, key=lambda r: (r["dim"], str(r["key"]))):
+        if r["dim"] == "total":
+            continue
+        if r["dim"] == "len_bucket":
+            card["len_log2_histogram"][r["key"]] = r["docs"]
+            continue
+        card["by"].setdefault(r["dim"], {})[r["key"]] = {
+            "docs": r["docs"],
+            "tokens": r["tokens"],
+            "chars": r["chars"],
+            "doc_frac": round(r["docs"] / total["docs"], 6)
+            if total["docs"] else None,
+            "token_frac": round(r["tokens"] / total["tokens"], 6)
+            if total["tokens"] else None,
+        }
+    if quality_col is not None:
+        probs = [i / 10 for i in range(11)]
+        # approxQuantile: documented approximate (1e-3 relative error);
+        # the deciles are the card's human-facing summary, not a
+        # machine contract — exact per-dim counts above are that
+        qs = df.approxQuantile(quality_col, probs, 0.001)
+        card["quality_deciles"] = {
+            f"p{int(p * 100)}": round(q, 6) for p, q in zip(probs, qs)
+        }
+    return card
+
+
+def write_datacard(
+    spark: SparkSession,
+    corpus_dir: str,
+    out_path: str,
+    text: str = "text",
+    dims: tuple[str, ...] = ("lang", "source"),
+    quality_col: str | None = None,
+) -> dict:
+    """Read a corpus parquet, compute its card, write it as JSON
+    (driver-side — the card is KBs), return the dict."""
+    df = spark.read.parquet(corpus_dir)
+    missing = [c for c in (*dims, text) if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"corpus at {corpus_dir} lacks column(s) {missing}; "
+            f"pass --dims/--text-col matching its schema"
+        )
+    if quality_col is not None and quality_col not in df.columns:
+        raise ValueError(f"corpus has no quality column {quality_col!r}")
+    card = datacard(df, text=text, dims=dims, quality_col=quality_col)
+    with open(out_path, "w") as f:
+        json.dump(card, f, indent=1, sort_keys=True)
+    return card

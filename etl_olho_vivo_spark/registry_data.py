@@ -1175,6 +1175,66 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _datacard_oracle() -> str:
+    from etl_olho_vivo_spark.operators.datacard import len_bucket_sql
+
+    agg = (
+        "CAST(count(*) AS BIGINT) AS docs, "
+        "CAST(sum(n_tokens) AS BIGINT) AS tokens, "
+        "CAST(sum(n_chars) AS BIGINT) AS chars"
+    )
+    return f"""
+WITH base AS (
+  SELECT lang, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS n_chars
+  FROM documents
+),
+prof AS (
+  SELECT lang, source, n_tokens, n_chars,
+         {len_bucket_sql('n_tokens')} AS len_bucket
+  FROM base
+)
+SELECT 'lang' AS dim, CAST(lang AS VARCHAR) AS key, {agg}
+FROM prof GROUP BY lang
+UNION ALL
+SELECT 'source' AS dim, CAST(source AS VARCHAR) AS key, {agg}
+FROM prof GROUP BY source
+UNION ALL
+SELECT 'len_bucket' AS dim, CAST(len_bucket AS VARCHAR) AS key, {agg}
+FROM prof GROUP BY len_bucket
+UNION ALL
+SELECT 'total' AS dim, 'all' AS key, {agg}
+FROM prof
+"""
+
+
+@register(
+    "corpus_datacard",
+    _datacard_oracle(),
+    doc="The corpus data card (round 13 — the statistics sheet a "
+    "training corpus ships with, Dolma/FineWeb-style): per-language, "
+    "per-source, and log2-token-length-bucket doc/token/char counts "
+    "plus the grand total, from operators/datacard.py.  ONE scan, ONE "
+    "grouping-sets aggregation (single Expand over a slim projection "
+    "feeding one partial-aggregated exchange — plan-pinned; the naive "
+    "form is one corpus re-scan per dimension), bounded result.  The "
+    "length bucket is an integer CASE ladder shared verbatim with "
+    "this oracle (len_bucket_sql) — floor(log2(x)) via libm would be "
+    "a cross-engine parity hazard exactly at power-of-two bucket "
+    "boundaries.  The oracle recomputes every grouping set as a "
+    "literal GROUP BY (the groupby_extensions convention: same "
+    "values, no GROUPING_ID dialect dependence).  driver=False: the "
+    "50-row window is full — parity runs in the local oracle sweep "
+    "and the row stays benchmarked.",
+    driver=False,
+)
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_olho_vivo_spark.operators.datacard import corpus_stats
+
+    return corpus_stats(read_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------

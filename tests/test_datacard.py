@@ -1,0 +1,124 @@
+"""Corpus data card (operators/datacard.py, round 13): exact
+per-dimension counts from ONE grouping-sets aggregation, the integer
+length-bucket ladder, the JSON artifact, and the CLI wiring.  Oracle
+parity for ``corpus_datacard`` rides the registry sweep
+(tests/test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_olho_vivo_spark.operators import datacard as dc
+
+ROWS = [
+    # (doc_id, text, lang, source) — token counts 1, 2, 4, 5, 8
+    (1, "alpha", "en", "web"),
+    (2, "alpha beta", "en", "web"),
+    (3, "a b c d", "en", "books"),
+    (4, "w x y z q", "de", "web"),
+    (5, "one two three four five six seven eight", "de", "code"),
+]
+SCHEMA = ["doc_id", "text", "lang", "source"]
+
+
+def test_len_bucket_ladder_is_exact_floor_log2():
+    """The ladder equals floor(log2(n)) at and around every power of
+    two (the boundaries where a libm log2 could betray parity), and
+    the top bucket absorbs the overflow."""
+    import math
+
+    expr = dc.len_bucket_sql("n")
+    # evaluate the generated CASE ladder in pure Python
+    def ladder(n):
+        for b in range(dc.MAX_LEN_BUCKET, 0, -1):
+            if n >= 2 ** b:
+                return b
+        return 0
+
+    assert f"WHEN (n) >= {2 ** dc.MAX_LEN_BUCKET}" in expr
+    for n in [1, 2, 3, 4, 7, 8, 9, 1023, 1024, 1025]:
+        assert ladder(n) == int(math.floor(math.log2(n))), n
+    assert ladder(2 ** dc.MAX_LEN_BUCKET * 5) == dc.MAX_LEN_BUCKET
+
+
+def test_corpus_stats_known_answer(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    got = {
+        (r["dim"], r["key"]): (r["docs"], r["tokens"], r["chars"])
+        for r in dc.corpus_stats(df).collect()
+    }
+    chars = {i: len(t) for i, (_, t, _, _) in enumerate(ROWS, 1)}
+    assert got[("total", "all")] == (5, 20, sum(chars.values()))
+    assert got[("lang", "en")] == (3, 7, chars[1] + chars[2] + chars[3])
+    assert got[("lang", "de")] == (2, 13, chars[4] + chars[5])
+    assert got[("source", "web")] == (3, 8, chars[1] + chars[2] + chars[4])
+    assert got[("source", "books")] == (1, 4, chars[3])
+    assert got[("source", "code")] == (1, 8, chars[5])
+    # token counts 1,2,4,5,8 -> buckets 0,1,2,2,3
+    assert got[("len_bucket", "0")][0] == 1
+    assert got[("len_bucket", "1")][0] == 1
+    assert got[("len_bucket", "2")][0] == 2
+    assert got[("len_bucket", "3")][0] == 1
+    # exactly the four grouping sets, nothing cross-dimensional
+    assert {d for d, _ in got} == {"total", "lang", "source", "len_bucket"}
+
+
+def test_corpus_stats_single_expand_plan(spark):
+    """The card is ONE grouping-sets job: exactly one Expand in the
+    optimized plan (the naive per-dimension form re-scans the corpus
+    once per dim and unions), and the text column is projected away
+    before the Expand (slim rows multiply, not documents)."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    plan = (
+        dc.corpus_stats(df)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("Expand") == 1, plan
+    assert "Union" not in plan, plan
+
+
+def test_datacard_dict_and_fractions(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    card = dc.datacard(df)
+    assert card["docs"] == 5 and card["tokens"] == 20
+    assert card["by"]["lang"]["en"]["docs"] == 3
+    assert card["by"]["lang"]["en"]["doc_frac"] == 0.6
+    assert card["by"]["source"]["web"]["token_frac"] == round(8 / 20, 6)
+    assert card["len_log2_histogram"] == {"0": 1, "1": 1, "2": 2, "3": 1}
+    assert "quality_deciles" not in card
+    scored = df.withColumn("q", F.col("doc_id") / 10.0)
+    deciles = dc.datacard(scored, quality_col="q")["quality_deciles"]
+    assert deciles["p0"] == 0.1 and deciles["p100"] == 0.5
+
+
+def test_write_datacard_validates_columns(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    corpus = str(tmp_path / "corpus")
+    df.write.parquet(corpus)
+    with pytest.raises(ValueError, match="lacks column"):
+        dc.write_datacard(spark, corpus, str(tmp_path / "c.json"),
+                          dims=("lang", "nope"))
+    with pytest.raises(ValueError, match="quality column"):
+        dc.write_datacard(spark, corpus, str(tmp_path / "c.json"),
+                          quality_col="q")
+
+
+@pytest.mark.sweep
+def test_datacard_cli_roundtrip(spark, tmp_path, capsys):
+    from etl_olho_vivo_spark.__main__ import main
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "card.json")
+    df.write.parquet(corpus)
+    rc = main([
+        "datacard", "--in", corpus, "--out", out,
+    ])
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["docs"] == 5 and line["tokens"] == 20
+    card = json.load(open(out))
+    assert card["by"]["source"]["code"]["tokens"] == 8
