@@ -96,6 +96,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "keep_best (exact clustering, keep highest quality_score)",
     )
     cor.add_argument(
+        "--datacard", action="store_true",
+        help="after the corpus write, emit its data card (per-lang/"
+        "per-source/length-histogram doc+token+char counts, plus "
+        "quality deciles when quality_score shipped) at <out>_card.json",
+    )
+    cor.add_argument(
         "--snapshot-filter", default=None, metavar="FILTER_DIR",
         help="drop docs whose 3-gram overlap with a previous crawl's "
         "persisted Bloom filter (see bloom-build) reaches "
@@ -892,6 +898,25 @@ def main(argv: list[str] | None = None) -> int:
                     args.jsonl_out,
                     by=["split", "lang_guess"] if has_split else "lang_guess",
                 )
+        if args.datacard:
+            # the card of the SHIPPED corpus (post-gates, post-dedup) —
+            # dims are the corpus schema's (detected language + source);
+            # quality deciles ride along when the score column survived
+            from etl_olho_vivo_spark.operators.datacard import (
+                write_datacard,
+            )
+
+            card_path = args.out.rstrip("/") + "_card.json"
+            cols = spark.read.parquet(args.out).columns
+            card = write_datacard(
+                spark, args.out, card_path,
+                dims=("lang_guess", "source"),
+                quality_col=(
+                    "quality_score" if "quality_score" in cols else None
+                ),
+            )
+            stats["datacard"] = card_path
+            stats["datacard_tokens"] = card["tokens"]
         print(json.dumps({"command": "corpus", **stats}))
         return 0
 

@@ -122,3 +122,35 @@ def test_datacard_cli_roundtrip(spark, tmp_path, capsys):
     assert line["docs"] == 5 and line["tokens"] == 20
     card = json.load(open(out))
     assert card["by"]["source"]["code"]["tokens"] == 8
+
+
+@pytest.mark.sweep
+def test_corpus_cli_emits_datacard(spark, tmp_path, capsys):
+    """--datacard on the corpus pipeline writes the SHIPPED corpus'
+    card beside it: counts match the written parquet exactly, dims are
+    the corpus schema's, quality deciles ride along."""
+    from etl_olho_vivo_spark.__main__ import main
+
+    out = str(tmp_path / "clean")
+    rc = main([
+        "corpus", "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+        "--min-tokens", "3", "--datacard",
+    ])
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["datacard"] == out + "_card.json"
+    card = json.load(open(line["datacard"]))
+    back = spark.read.parquet(out)
+    assert card["docs"] == back.count()
+    assert card["tokens"] == line["datacard_tokens"] > 0
+    assert set(card["by"]) == {"lang_guess", "source"}
+    assert "quality_deciles" in card
+    # per-language docs in the card == per-partition counts on disk
+    by_lang = {
+        r["lang_guess"]: r["n"]
+        for r in back.groupBy("lang_guess").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert {k: v["docs"] for k, v in card["by"]["lang_guess"].items()} \
+        == by_lang
