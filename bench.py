@@ -9,15 +9,23 @@ dict, BENCH_r08 the warm dict's first key, all to front-truncation):
     {"metric": "all_queries_detail", "queries_cold": {...}, ...}   # may
         lose its front; cold times are the sacrificial detail
     {"metric": "warm", "queries": {...}}                           # ALL
-        non-headline warm entries (2-dp), chunked so whole chunks
-        survive; the first chunk leads with one redundant headline key
-        as the straddle guard for the window boundary.  Round 13: the
-        "part" counter and the "_detail" suffix were dropped and
-        loadavg_start moved to the sacrificial cold line — the 65-query
-        registry plus the new calib stamp outgrew the 2000-char window,
-        and chunk integrity was ALREADY the budget test's job, not the
-        artifact's (round-11 note below); stream order carries the
-        cheapest-first chunk order.
+        non-headline warm entries (2-dp), chunked CHEAPEST-FIRST so a
+        front truncation costs the cheapest chunk, never the expensive
+        regression signals.  Round 13: the "part" counter and the
+        "_detail" suffix were dropped and loadavg_start moved to the
+        sacrificial cold line — the 67-query registry plus the new
+        calib stamp outgrew the 2000-char window — and the round-9
+        part-1 "straddle pad" (a redundant headline key leading chunk
+        1) was REMOVED as dead weight: a front-clipped JSON line never
+        parses at all, pad or no pad, so the pad could not save a
+        single byte of chunk 1 — it only displaced a real key into the
+        shared budget (the r13 bench measured the real block 25 chars
+        over the window while the padded-format budget test passed at
+        1995).  The degradation contract is now explicit in
+        tests/test_bench_scale.py: the whole block SHOULD fit (asserted
+        at realistic value widths against the live registry), the
+        summary plus the most-expensive chunk MUST fit, and an
+        overflow may cost at most the single cheapest chunk.
     {"metric": "headline_total_wall", "value": <total sec>, "unit": "sec",
      "queries": {<headline 7, 3-dp>}, "calib_s": [b, a],
      "calib_py_s": p, "gate_margin": m, "sf": <sf>}                # LAST
@@ -284,10 +292,9 @@ def _warm_lines(
     """Serialize warm per-query times as chunked JSON lines (module
     docstring): the chunks carry ALL non-headline entries at 2-dp —
     headline warm times live only on the summary line, so nothing is
-    duplicated into the budget twice.  The first chunk leads with one
-    redundant headline key: the window boundary that precedes the warm
-    block can then clip only redundant data (round-9 straddle
-    lesson)."""
+    duplicated into the budget twice.  Chunks are ordered (and filled)
+    cheapest-first, so a front truncation of the tail window costs the
+    cheapest chunk."""
     compact = {"separators": (",", ":")}
     # cheapest-first: if the tail window ever overflows, the clipped
     # chunk is the one holding the CHEAPEST queries — regressions on
@@ -298,14 +305,11 @@ def _warm_lines(
         ((n, round(t, 2)) for n, t in timings.items() if n not in HEADLINE),
         key=lambda nt: nt[1],
     )
-    pad_key = next((n for n in HEADLINE if n in timings), None)
-    pad = {pad_key: round(timings[pad_key], 2)} if pad_key else {}
-    pad_cost = len(json.dumps(pad, **compact)) if pad else 0
     chunks: list[dict[str, float]] = []
     cur: dict[str, float] = {}
     base_overhead = len(json.dumps(
         {"metric": "warm", "queries": {}}, **compact,
-    )) + pad_cost
+    ))
     budget = WARM_CHUNK_CHARS - base_overhead
     used = 0
     for n, t in rest:
@@ -324,14 +328,12 @@ def _warm_lines(
     # calib is ~25 chars/chunk, and the tail-guaranteed summary already
     # carries the pair — module docstring.)
     taint = {} if gate_ok else {"load_gate": "exceeded"}
-    lines = []
-    for i, q in enumerate(chunks):
-        head = pad if i == 0 else {}
-        lines.append(json.dumps(
-            {"metric": "warm", "queries": {**head, **q}, **taint},
-            **compact,
-        ))
-    return lines
+    return [
+        json.dumps(
+            {"metric": "warm", "queries": q, **taint}, **compact,
+        )
+        for q in chunks
+    ]
 
 
 def scale_enabled() -> bool:
