@@ -39,6 +39,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # Round 13: ContextCleaner only reclaims unreferenced
+        # broadcasts/shuffles when a DRIVER GC runs, and a big-heap JVM
+        # can go a long time without one — measured consequence: a query
+        # benched hours into a session read up to 18x its fresh-session
+        # floor (doc_kneser_ney 5→91 s, BASELINE.md r13) from the
+        # accumulated backlog.  A 5-minute periodic System.gc() (Spark's
+        # own knob for exactly this; default 30min) bounds the backlog
+        # for long-lived sessions — the streaming admit loops are the
+        # production case.
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
