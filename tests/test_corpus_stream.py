@@ -552,3 +552,43 @@ def test_stream_rejects_keep_best_resolution(spark, dirs):
             spark, batch, 0, dirs["corpus"], dirs["store"],
             dedup_resolution="typo",
         )
+
+
+@pytest.mark.sweep
+def test_multi_batch_ingestion_with_components_resolution(spark, dirs):
+    """The components dial through the FULL stream machinery across
+    three micro-batches: batch 0 exercises the real resolution path
+    (one in-batch pair -> connected-components min-id), batches 1-2
+    exercise the empty-pair fast path (no in-batch pair; drops come
+    from the store join), and the final corpus matches the greedy
+    run's for this input (a single pairwise dup resolves identically
+    under both conventions — the cross-batch drops are the store's
+    job either way)."""
+    from etl_olho_vivo_spark.streaming.corpus_stream import run_corpus_stream
+
+    _write_batch(spark, dirs["stage"], "b0",
+                 [(1, BASE), (2, OTHER), (3, BASE)])
+    _write_batch(spark, dirs["stage"], "b1", [(10, BASE), (11, THIRD)])
+    near = THIRD.replace("birds", "geese")
+    _write_batch(spark, dirs["stage"], "b2", [(20, near), (21, FOURTH)])
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dirs["stage"])
+    )
+    q = run_corpus_stream(
+        stream, dirs["corpus"], dirs["store"], dirs["ckpt"],
+        threshold=0.5, dedup_resolution="components",
+    )
+    q.awaitTermination(180)
+
+    admitted = sorted(
+        r["doc_id"] for r in spark.read.parquet(dirs["corpus"]).collect()
+    )
+    assert admitted == [1, 2, 11, 21]
+    store = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(dirs["store"]).select("doc_id").collect()
+    )
+    assert store == [1, 2, 11, 21]
