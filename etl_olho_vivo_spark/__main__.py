@@ -349,6 +349,27 @@ def _build_parser() -> argparse.ArgumentParser:
         "with it)",
     )
     cst.add_argument(
+        "--stats-dir", dest="stream_stats_dir", default=None,
+        metavar="DIR",
+        help="maintain the corpus data card incrementally: one bounded "
+        "(dim,key,docs,tokens,chars) partition per micro-batch over "
+        "the admitted survivors — card emission then never rescans "
+        "corpus text (see --datacard)",
+    )
+    cst.add_argument(
+        "--stats-dims", dest="stream_stats_dims", default=None,
+        metavar="C1,C2",
+        help="categorical columns to track in the stats store "
+        "(default: none — totals + length histogram only)",
+    )
+    cst.add_argument(
+        "--datacard", dest="stream_datacard", default=None,
+        metavar="OUT_JSON",
+        help="after the drain, aggregate the --stats-dir store into "
+        "the corpus data card at this path (cost is proportional to "
+        "the number of batches, never the corpus)",
+    )
+    cst.add_argument(
         "--snapshot-filter", dest="stream_snapshot_filter",
         default=None, metavar="FILTER_DIR",
         help="reject batch docs whose 3-gram overlap with a previous "
@@ -962,6 +983,16 @@ def main(argv: list[str] | None = None) -> int:
             gates["gopher"] = True
         if args.stream_c4:
             gates["c4"] = True
+        if args.stream_datacard and not args.stream_stats_dir:
+            raise SystemExit(
+                "--datacard requires --stats-dir (the card aggregates "
+                "the incremental stats store, never the corpus text)"
+            )
+        stats_dims = tuple(
+            s.strip()
+            for s in (args.stream_stats_dims or "").split(",")
+            if s.strip()
+        )
         q = run_corpus_stream(
             reader.parquet(args.in_dir),
             args.corpus,
@@ -976,6 +1007,8 @@ def main(argv: list[str] | None = None) -> int:
             quality_model_path=args.stream_quality_model,
             quality_min_score=args.stream_quality_min_score,
             dedup_resolution=args.stream_resolution,
+            stats_dir=args.stream_stats_dir,
+            stats_dims=stats_dims,
         )
         q.awaitTermination()
         try:
@@ -1000,6 +1033,22 @@ def main(argv: list[str] | None = None) -> int:
                 # nothing admitted → no signatures to fold; calling the
                 # compactor would die reading an empty/missing store
                 out["store_signatures_compacted"] = 0
+        if args.stream_datacard:
+            from etl_olho_vivo_spark.operators.datacard import (
+                card_from_stats_store,
+            )
+
+            if n_docs:
+                card = card_from_stats_store(spark, args.stream_stats_dir)
+            else:
+                # zero-admit drain: an empty/missing stats store is a
+                # valid outcome — emit the empty card, don't die
+                card = {"docs": 0, "tokens": 0, "chars": 0,
+                        "by": {}, "len_log2_histogram": {}}
+            with open(args.stream_datacard, "w") as f:
+                json.dump(card, f, indent=1, sort_keys=True)
+            out["datacard"] = args.stream_datacard
+            out["datacard_tokens"] = card["tokens"]
         print(json.dumps(out))
         return 0
 

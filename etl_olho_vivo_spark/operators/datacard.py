@@ -68,9 +68,10 @@ def corpus_stats(
     Token counting is the engine's corpus convention (``split(text,
     ' ')`` with empties kept — the same tokenization every dedup and
     LM operator uses), so the card's token totals are consistent with
-    what the pipeline actually deduped and gated."""
-    if not dims:
-        raise ValueError("dims must name at least one column")
+    what the pipeline actually deduped and gated.
+
+    ``dims=()`` is legal (totals + length histogram only) — streaming
+    landing schemas often carry nothing but (doc_id, text)."""
     prof = df.select(
         *[F.col(d) for d in dims],
         F.size(F.split(F.col(text), " ")).alias("n_tokens"),
@@ -110,18 +111,14 @@ def corpus_stats(
     )
 
 
-def datacard(
-    df: DataFrame,
-    text: str = "text",
-    dims: tuple[str, ...] = ("lang", "source"),
-    quality_col: str | None = None,
-) -> dict:
-    """The JSON-able data card: totals, per-dimension breakdowns with
-    fractions, the log2 length histogram, and (optionally) approximate
-    quality deciles.  Driver state is the BOUNDED stats frame — never
-    the corpus."""
-    rows = corpus_stats(df, text=text, dims=dims).collect()
-    total = next(r for r in rows if r["dim"] == "total")
+def _card_from_rows(rows) -> dict:
+    """Assemble the card dict from (dim, key, docs, tokens, chars)
+    rows — shared by the one-shot path (``datacard``) and the
+    streaming stats-store path (``card_from_stats_store``)."""
+    total = next(
+        (r for r in rows if r["dim"] == "total"),
+        {"docs": 0, "tokens": 0, "chars": 0},
+    )
     card: dict = {
         "docs": total["docs"],
         "tokens": total["tokens"],
@@ -144,6 +141,20 @@ def datacard(
             "token_frac": round(r["tokens"] / total["tokens"], 6)
             if total["tokens"] else None,
         }
+    return card
+
+
+def datacard(
+    df: DataFrame,
+    text: str = "text",
+    dims: tuple[str, ...] = ("lang", "source"),
+    quality_col: str | None = None,
+) -> dict:
+    """The JSON-able data card: totals, per-dimension breakdowns with
+    fractions, the log2 length histogram, and (optionally) approximate
+    quality deciles.  Driver state is the BOUNDED stats frame — never
+    the corpus."""
+    card = _card_from_rows(corpus_stats(df, text=text, dims=dims).collect())
     if quality_col is not None:
         probs = [i / 10 for i in range(11)]
         # approxQuantile: documented approximate (1e-3 relative error);
@@ -154,6 +165,32 @@ def datacard(
             f"p{int(p * 100)}": round(q, 6) for p, q in zip(probs, qs)
         }
     return card
+
+
+def card_from_stats_store(spark: SparkSession, stats_dir: str) -> dict:
+    """The card of a STREAM-ingested corpus, from its per-batch stats
+    store (``corpus_stream.admit_batch(stats_dir=...)`` writes one
+    bounded (dim, key, docs, tokens, chars) partition per micro-batch)
+    — re-aggregation touches only those slim rows, NEVER the corpus
+    text, so emitting the card after every drain costs ∝ batches, not
+    corpus size.  Counts are exact: sums of disjoint batch sums.
+
+    Contract: the stats store covers exactly the batches admitted
+    WITH ``stats_dir`` configured — it must be set from the corpus'
+    FIRST drain.  Enabling it mid-life undercounts silently; backfill
+    once with ``write_datacard`` over the corpus (one text scan) or
+    restart the corpus if exactness matters."""
+    rows = (
+        spark.read.parquet(stats_dir)
+        .groupBy("dim", "key")
+        .agg(
+            F.sum("docs").cast("long").alias("docs"),
+            F.sum("tokens").cast("long").alias("tokens"),
+            F.sum("chars").cast("long").alias("chars"),
+        )
+        .collect()  # bounded: one row per (dimension, key)
+    )
+    return _card_from_rows(rows)
 
 
 def write_datacard(

@@ -107,8 +107,24 @@ def admit_batch(
     quality_model: dict | None = None,
     quality_min_score: float | None = None,
     dedup_resolution: str = "greedy",
+    stats_dir: str | None = None,
+    stats_dims: tuple[str, ...] = (),
 ) -> None:
     """Admit one micro-batch: dedup in-batch + vs store, append survivors.
+
+    ``stats_dir`` (round 13) maintains the corpus data card
+    incrementally: each batch appends ONE bounded partition of
+    (dim, key, docs, tokens, chars) rows over its SURVIVORS
+    (``datacard.corpus_stats`` — the same grouping-sets pass the batch
+    card uses, here over a batch-sized frame), so
+    ``datacard.card_from_stats_store`` can emit the whole corpus' card
+    at any time without rescanning corpus text — cost ∝ batches.
+    ``stats_dims`` names the categorical columns to track (default
+    none: totals + length histogram — landing schemas often carry only
+    doc_id + text).  The stats write is the same per-partition
+    overwrite as the corpus/store writes, so at-least-once replays
+    stay idempotent: a replayed batch replaces exactly its own stats
+    partition.
 
     ``snapshot_filter`` = ``(bitmap, num_bits, num_hashes)`` from
     ``bloom.read_bloom_filter`` — inter-SNAPSHOT dedup: batch docs
@@ -313,6 +329,14 @@ def admit_batch(
         surv_sig.write.mode("overwrite").parquet(
             f"{store_dir}/ingest_batch_id={batch_id}"
         )
+        if stats_dir is not None:
+            from etl_olho_vivo_spark.operators.datacard import corpus_stats
+
+            corpus_stats(
+                survivors, text=text, dims=stats_dims
+            ).write.mode("overwrite").parquet(
+                f"{stats_dir}/ingest_batch_id={batch_id}"
+            )
 
 
 def compact_append_store(spark: SparkSession, store_dir: str) -> int:
@@ -381,11 +405,15 @@ def run_corpus_stream(
     quality_model_path: str | None = None,
     quality_min_score: float | None = None,
     dedup_resolution: str = "greedy",
+    stats_dir: str | None = None,
+    stats_dims: tuple[str, ...] = (),
 ):
     """Start the continuous ingestion query over a streaming documents
     frame (any readStream source with doc_id + text columns).
     ``dedup_resolution`` (greedy|components — see ``admit_batch``) is
-    validated HERE at start-up, not inside the first foreachBatch.
+    validated HERE at start-up, not inside the first foreachBatch;
+    so are the ``stats_dims`` (they must exist in the stream schema —
+    a typo'd dimension must not fail inside batch 50).
 
     The eval gram store is loaded, n-verified, and persisted ONCE here
     (benchmark-sized — it fits; the cache lives as long as the stream),
@@ -409,6 +437,16 @@ def run_corpus_stream(
         raise ValueError(
             f"dedup_resolution must be greedy|components ({detail})"
         )
+
+    if stats_dims and stats_dir is None:
+        raise ValueError("stats_dims requires stats_dir")
+    if stats_dir is not None:
+        missing = [c for c in stats_dims if c not in docs_stream.columns]
+        if missing:
+            raise ValueError(
+                f"stats_dims column(s) {missing} not in the stream "
+                f"schema {docs_stream.columns}"
+            )
 
     eval_grams = None
     if eval_grams_dir is not None:
@@ -493,6 +531,8 @@ def run_corpus_stream(
             quality_model=quality_model,
             quality_min_score=quality_min_score,
             dedup_resolution=dedup_resolution,
+            stats_dir=stats_dir,
+            stats_dims=stats_dims,
         )
 
     writer = (

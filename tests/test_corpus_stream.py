@@ -592,3 +592,92 @@ def test_multi_batch_ingestion_with_components_resolution(spark, dirs):
         for r in spark.read.parquet(dirs["store"]).select("doc_id").collect()
     )
     assert store == [1, 2, 11, 21]
+
+
+@pytest.mark.sweep
+def test_incremental_stats_store_matches_one_shot_card(spark, dirs, tmp_path):
+    """The per-batch stats store (admit_batch stats_dir=...) aggregates
+    to EXACTLY the card a one-shot scan of the admitted corpus
+    produces — counts are sums of disjoint batch sums, and the card
+    emission never touches corpus text."""
+    from etl_olho_vivo_spark.operators.datacard import (
+        card_from_stats_store,
+        datacard,
+    )
+    from etl_olho_vivo_spark.streaming.corpus_stream import admit_batch
+
+    stats = str(tmp_path / "stats")
+    schema = "doc_id long, text string, lang string"
+    b0 = spark.createDataFrame(
+        [(1, BASE, "en"), (2, OTHER, "en"), (3, BASE, "en")], schema
+    )  # 3 drops in-batch
+    b1 = spark.createDataFrame(
+        [(10, BASE, "en"), (11, THIRD, "de")], schema
+    )  # 10 drops vs store
+    for bid, b in enumerate([b0, b1]):
+        admit_batch(
+            spark, b, bid, dirs["corpus"], dirs["store"],
+            threshold=0.5, stats_dir=stats, stats_dims=("lang",),
+        )
+
+    incremental = card_from_stats_store(spark, stats)
+    one_shot = datacard(
+        spark.read.parquet(dirs["corpus"]), dims=("lang",)
+    )
+    assert incremental == one_shot
+    assert incremental["docs"] == 3  # 1, 2, 11
+    assert incremental["by"]["lang"]["de"]["docs"] == 1
+    # a replay of batch 1 replaces its own stats partition, not appends
+    admit_batch(
+        spark, b1, 1, dirs["corpus"], dirs["store"],
+        threshold=0.5, stats_dir=stats, stats_dims=("lang",),
+    )
+    assert card_from_stats_store(spark, stats) == one_shot
+
+
+def test_stats_dims_validated_at_startup(spark, dirs, tmp_path):
+    from etl_olho_vivo_spark.streaming.corpus_stream import run_corpus_stream
+
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="stats_dims requires"):
+        run_corpus_stream(
+            stream, dirs["corpus"], dirs["store"], dirs["ckpt"],
+            stats_dims=("lang",),
+        )
+    with pytest.raises(ValueError, match="not in the stream schema"):
+        run_corpus_stream(
+            stream, dirs["corpus"], dirs["store"], dirs["ckpt"],
+            stats_dir=str(tmp_path / "stats"), stats_dims=("lang",),
+        )
+
+
+@pytest.mark.sweep
+def test_corpus_stream_cli_emits_datacard(spark, dirs, tmp_path, capsys):
+    """corpus-stream --stats-dir --datacard: the drain maintains the
+    incremental stats store and the post-drain card matches the
+    admitted corpus exactly."""
+    import json as _json
+
+    from etl_olho_vivo_spark.__main__ import main
+
+    _write_batch(spark, dirs["stage"], "b0",
+                 [(1, BASE), (2, OTHER), (3, BASE)])
+    _write_batch(spark, dirs["stage"], "b1", [(10, BASE), (11, THIRD)])
+    card_path = str(tmp_path / "card.json")
+    rc = main([
+        "corpus-stream", "--in", dirs["stage"],
+        "--corpus", dirs["corpus"], "--store", dirs["store"],
+        "--checkpoint", dirs["ckpt"],
+        "--max-files-per-trigger", "1",
+        "--stats-dir", str(tmp_path / "stats"),
+        "--datacard", card_path,
+    ])
+    assert rc in (0, None)
+    line = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["datacard"] == card_path
+    card = _json.load(open(card_path))
+    back = spark.read.parquet(dirs["corpus"])
+    assert card["docs"] == back.count() == line["corpus_docs"]
+    assert card["tokens"] == line["datacard_tokens"] > 0
+    assert card["by"] == {}  # no dims configured
+    assert sum(card["len_log2_histogram"].values()) == card["docs"]
