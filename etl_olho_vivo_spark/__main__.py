@@ -651,6 +651,18 @@ def _build_parser() -> argparse.ArgumentParser:
         help="add approximate score deciles for this column",
     )
 
+    dcdiff = sub.add_parser(
+        "datacard-diff",
+        help="drift report between two corpus data cards (old vs new "
+        "crawl): total deltas, per-dimension share shifts, the top-k "
+        "token-share movers — pure JSON math, no Spark job",
+    )
+    dcdiff.add_argument("--old", required=True, help="previous card JSON")
+    dcdiff.add_argument("--new", required=True, help="current card JSON")
+    dcdiff.add_argument("--out", default=None, help="write the full "
+                        "diff JSON here (summary prints regardless)")
+    dcdiff.add_argument("--top-k", type=int, default=10)
+
     med = sub.add_parser(
         "media-dedup",
         help="perceptual near-duplicate pass over a binary media "
@@ -758,6 +770,29 @@ def _media_gates_from_args(args) -> dict | None:
 
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
+
+    if args.command == "datacard-diff":
+        # pure dict math over two KB-sized JSON files — dispatched
+        # BEFORE the SparkSession factory so drift checks never pay a
+        # JVM start-up (the one subcommand with no Spark job at all)
+        from etl_olho_vivo_spark.operators.datacard import diff_datacards
+
+        with open(args.old) as f:
+            old_card = json.load(f)
+        with open(args.new) as f:
+            new_card = json.load(f)
+        diff = diff_datacards(old_card, new_card, top_k=args.top_k)
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(diff, f, indent=1, sort_keys=True)
+        print(json.dumps({
+            "command": "datacard-diff",
+            "totals": diff["totals"],
+            "top_shifts": diff["top_shifts"][:3],
+            **({"out": args.out} if args.out else {}),
+        }))
+        return 0
+
     from etl_olho_vivo_spark.session import get_spark
 
     spark = get_spark(app_name=f"olho-vivo-{args.command}", cpus=args.cpus)

@@ -193,6 +193,67 @@ def card_from_stats_store(spark: SparkSession, stats_dir: str) -> dict:
     return _card_from_rows(rows)
 
 
+def diff_datacards(old: dict, new: dict, top_k: int = 10) -> dict:
+    """Drift report between two data cards (pure driver-side dict
+    math — cards are KBs; no Spark involved): total deltas, per-
+    dimension key arrivals/departures and count deltas, length-
+    histogram deltas, and the ``top_shifts`` headline — the
+    ``top_k`` largest absolute token-share shifts across every
+    dimension, which is the number a corpus owner actually watches
+    between crawls (a source suddenly contributing 3x its share, a
+    language draining away).  Shares are compared as fractions of
+    each card's own total, so the report is meaningful even when the
+    corpus grew — absolute deltas are reported alongside."""
+    def rel(a: int, b: int) -> float | None:
+        return round((b - a) / a, 6) if a else None
+
+    out: dict = {
+        "totals": {
+            k: {"old": old.get(k, 0), "new": new.get(k, 0),
+                "delta": new.get(k, 0) - old.get(k, 0),
+                "rel": rel(old.get(k, 0), new.get(k, 0))}
+            for k in ("docs", "tokens", "chars")
+        },
+        "by": {},
+        "len_log2_histogram": {},
+        "top_shifts": [],
+    }
+    shifts: list[tuple[float, str, str]] = []
+    dims = sorted(set(old.get("by", {})) | set(new.get("by", {})))
+    for dim in dims:
+        o, n = old.get("by", {}).get(dim, {}), new.get("by", {}).get(dim, {})
+        keys = sorted(set(o) | set(n))
+        entry: dict = {"added": sorted(set(n) - set(o)),
+                       "removed": sorted(set(o) - set(n)), "keys": {}}
+        for k in keys:
+            ok, nk = o.get(k), n.get(k)
+            of = (ok or {}).get("token_frac") or 0.0
+            nf = (nk or {}).get("token_frac") or 0.0
+            entry["keys"][k] = {
+                "docs_delta": (nk or {}).get("docs", 0)
+                - (ok or {}).get("docs", 0),
+                "tokens_delta": (nk or {}).get("tokens", 0)
+                - (ok or {}).get("tokens", 0),
+                "token_frac_shift": round(nf - of, 6),
+            }
+            shifts.append((abs(nf - of), dim, k))
+        out["by"][dim] = entry
+    oh = old.get("len_log2_histogram", {})
+    nh = new.get("len_log2_histogram", {})
+    for b in sorted(set(oh) | set(nh), key=int):
+        out["len_log2_histogram"][b] = nh.get(b, 0) - oh.get(b, 0)
+    shifts.sort(key=lambda s: (-s[0], s[1], s[2]))
+    out["top_shifts"] = [
+        {"dim": d, "key": k, "token_frac_shift": round(
+            (new.get("by", {}).get(d, {}).get(k, {}).get("token_frac")
+             or 0.0)
+            - (old.get("by", {}).get(d, {}).get(k, {}).get("token_frac")
+               or 0.0), 6)}
+        for _, d, k in shifts[:top_k]
+    ]
+    return out
+
+
 def write_datacard(
     spark: SparkSession,
     corpus_dir: str,

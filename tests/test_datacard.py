@@ -154,3 +154,65 @@ def test_corpus_cli_emits_datacard(spark, tmp_path, capsys):
     }
     assert {k: v["docs"] for k, v in card["by"]["lang_guess"].items()} \
         == by_lang
+
+
+def _mini_card(by_lang, by_source, total_tokens, total_docs, hist):
+    def entry(docs, tokens):
+        return {"docs": docs, "tokens": tokens, "chars": tokens * 5,
+                "doc_frac": round(docs / total_docs, 6),
+                "token_frac": round(tokens / total_tokens, 6)}
+    return {
+        "docs": total_docs, "tokens": total_tokens,
+        "chars": total_tokens * 5,
+        "by": {"lang": {k: entry(*v) for k, v in by_lang.items()},
+               "source": {k: entry(*v) for k, v in by_source.items()}},
+        "len_log2_histogram": hist,
+    }
+
+
+def test_diff_datacards_drift_report():
+    """Pure-dict drift math: totals, arrivals/departures, token-share
+    shifts computed against each card's OWN total (meaningful under
+    growth), top_shifts ranked by absolute share movement."""
+    old = _mini_card({"en": (8, 80), "de": (2, 20)},
+                     {"web": (10, 100)}, 100, 10, {"3": 10})
+    new = _mini_card({"en": (12, 90), "fr": (8, 110)},
+                     {"web": (14, 120), "code": (6, 80)},
+                     200, 20, {"3": 15, "4": 5})
+    d = dc.diff_datacards(old, new)
+    assert d["totals"]["tokens"] == {
+        "old": 100, "new": 200, "delta": 100, "rel": 1.0}
+    assert d["by"]["lang"]["added"] == ["fr"]
+    assert d["by"]["lang"]["removed"] == ["de"]
+    # en: 80/100 -> 90/200 = share shift -0.35 despite +10 tokens
+    en = d["by"]["lang"]["keys"]["en"]
+    assert en["tokens_delta"] == 10
+    assert en["token_frac_shift"] == -0.35
+    assert d["len_log2_histogram"] == {"3": 5, "4": 5}
+    # the biggest absolute share movers lead
+    top = [(s["dim"], s["key"]) for s in d["top_shifts"]]
+    assert top[0] == ("lang", "fr")       # 0 -> 0.55
+    assert ("lang", "en") in top and ("source", "code") in top
+    shifts = [abs(s["token_frac_shift"]) for s in d["top_shifts"]]
+    assert shifts == sorted(shifts, reverse=True)
+
+
+def test_datacard_diff_cli_no_spark(tmp_path, capsys):
+    """datacard-diff dispatches BEFORE the SparkSession factory — it
+    must work with no Spark job at all and write the full diff."""
+    old = _mini_card({"en": (5, 50)}, {"web": (5, 50)}, 50, 5, {"3": 5})
+    new = _mini_card({"en": (6, 80)}, {"web": (6, 80)}, 80, 6, {"3": 6})
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    out = tmp_path / "diff.json"
+
+    from etl_olho_vivo_spark.__main__ import main
+
+    rc = main(["datacard-diff", "--old", str(po), "--new", str(pn),
+               "--out", str(out)])
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["totals"]["docs"]["delta"] == 1
+    full = json.loads(out.read_text())
+    assert full["totals"]["tokens"]["rel"] == 0.6
