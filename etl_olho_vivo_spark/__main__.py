@@ -1073,13 +1073,29 @@ def main(argv: list[str] | None = None) -> int:
                 card_from_stats_store,
             )
 
-            if n_docs:
-                card = card_from_stats_store(spark, args.stream_stats_dir)
-            else:
-                # zero-admit drain: an empty/missing stats store is a
-                # valid outcome — emit the empty card, don't die
-                card = {"docs": 0, "tokens": 0, "chars": 0,
-                        "by": {}, "len_log2_histogram": {}}
+            try:
+                card = card_from_stats_store(
+                    spark, args.stream_stats_dir, corpus_dir=args.corpus
+                )
+            except AnalysisException as e:
+                # a drain that processed ZERO micro-batches (zero-admit
+                # stream, or a no-op replay over an already-drained
+                # input) leaves the stats store empty or absent — a
+                # valid outcome even when the corpus itself is
+                # non-empty (n_docs counts the WHOLE corpus, not this
+                # drain); emit the empty card, don't die.  The
+                # mid-life-enablement case (store exists but misses
+                # batches) is caught inside card_from_stats_store via
+                # the corpus_dir coverage check instead.
+                if e.getCondition() in (
+                    "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"
+                ):
+                    card = {"docs": 0, "tokens": 0, "chars": 0,
+                            "by": {}, "len_log2_histogram": {}}
+                    if n_docs:
+                        card["partial"] = True
+                else:
+                    raise
             with open(args.stream_datacard, "w") as f:
                 json.dump(card, f, indent=1, sort_keys=True)
             out["datacard"] = args.stream_datacard

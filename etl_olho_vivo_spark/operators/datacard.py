@@ -40,6 +40,21 @@ from pyspark.sql import functions as F
 # ladder's top bucket absorbs anything longer
 MAX_LEN_BUCKET = 20
 
+# Card key for a NULL dimension value.  NULL must become SOME string:
+# the card is a JSON dict (None keys crash ``json.dump(sort_keys=True)``)
+# and the stats store groups by key.  The NUL prefix keeps the sentinel
+# out of the printable-string space real corpus values live in; DuckDB
+# oracles spell it ``chr(0) || 'null'`` (a literal NUL inside a SQL
+# string is a parser error there — tested).
+NULL_KEY = "\x00null"
+
+
+def _bt(name: str) -> str:
+    """Backtick-quote a column name for Spark's column resolver —
+    parquet allows spaces, hyphens, and dots in names, and ``--dims``
+    flows user input straight here; embedded backticks double."""
+    return "`" + name.replace("`", "``") + "`"
+
 
 def len_bucket_sql(n: str, max_bucket: int = MAX_LEN_BUCKET) -> str:
     """floor(log2(n)) for n >= 1 as an exact integer CASE ladder —
@@ -73,15 +88,17 @@ def corpus_stats(
     ``dims=()`` is legal (totals + length histogram only) — streaming
     landing schemas often carry nothing but (doc_id, text)."""
     prof = df.select(
-        *[F.col(d) for d in dims],
-        F.size(F.split(F.col(text), " ")).alias("n_tokens"),
-        F.length(F.col(text)).alias("n_chars"),
+        *[F.col(_bt(d)) for d in dims],
+        F.size(F.split(F.col(_bt(text)), " ")).alias("n_tokens"),
+        F.length(F.col(_bt(text))).alias("n_chars"),
     ).withColumn("len_bucket", F.expr(len_bucket_sql("n_tokens")))
 
     cols = list(dims) + ["len_bucket"]
-    sets = [[c] for c in cols] + [[]]
+    # Column objects, not name strings, inside the grouping sets too —
+    # bare strings there go through the attribute-name parser
+    sets = [[F.col(_bt(c))] for c in cols] + [[]]
     grouped = (
-        prof.groupingSets(sets, *[F.col(c) for c in cols])
+        prof.groupingSets(sets, *[F.col(_bt(c)) for c in cols])
         .agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum("n_tokens").alias("tokens"),
@@ -91,20 +108,25 @@ def corpus_stats(
     )
     # grouping_id: bit i (MSB-first over ``cols``) is SET when the
     # column is aggregated away, so the set keeping col i alone is
-    # all-ones minus its bit; the grand total is all-ones
+    # all-ones minus its bit; the grand total is all-ones.  Built as
+    # Column objects (F.when), NOT interpolated SQL — a dims name with
+    # a space or hyphen (legal in parquet, and --dims is user input)
+    # must not reach a SQL parser; NULL dim values map to the NULL_KEY
+    # sentinel so the card dict never carries a None key.
     n = len(cols)
     gid_all = 2 ** n - 1
-    dim_expr = "CASE "
-    key_expr = "CASE "
+    dim_col = key_col = None
     for i, c in enumerate(cols):
         gid = gid_all - 2 ** (n - 1 - i)
-        dim_expr += f"WHEN gid = {gid} THEN '{c}' "
-        key_expr += f"WHEN gid = {gid} THEN CAST({c} AS STRING) "
-    dim_expr += "ELSE 'total' END"
-    key_expr += "ELSE 'all' END"
+        cond = F.col("gid") == gid
+        key = F.coalesce(F.col(_bt(c)).cast("string"), F.lit(NULL_KEY))
+        dim_col = (F.when(cond, F.lit(c)) if dim_col is None
+                   else dim_col.when(cond, F.lit(c)))
+        key_col = (F.when(cond, key) if key_col is None
+                   else key_col.when(cond, key))
     return grouped.select(
-        F.expr(dim_expr).alias("dim"),
-        F.expr(key_expr).alias("key"),
+        dim_col.otherwise(F.lit("total")).alias("dim"),
+        key_col.otherwise(F.lit("all")).alias("key"),
         F.col("docs").cast("long").alias("docs"),
         F.col("tokens").cast("long").alias("tokens"),
         F.col("chars").cast("long").alias("chars"),
@@ -114,7 +136,16 @@ def corpus_stats(
 def _card_from_rows(rows) -> dict:
     """Assemble the card dict from (dim, key, docs, tokens, chars)
     rows — shared by the one-shot path (``datacard``) and the
-    streaming stats-store path (``card_from_stats_store``)."""
+    streaming stats-store path (``card_from_stats_store``).  A None
+    key (a stats store written before keys were NULL-coalesced) maps
+    to NULL_KEY defensively — json.dump(sort_keys=True) cannot order
+    None against str."""
+    rows = [
+        {"dim": r["dim"],
+         "key": r["key"] if r["key"] is not None else NULL_KEY,
+         "docs": r["docs"], "tokens": r["tokens"], "chars": r["chars"]}
+        for r in rows
+    ]
     total = next(
         (r for r in rows if r["dim"] == "total"),
         {"docs": 0, "tokens": 0, "chars": 0},
@@ -167,7 +198,26 @@ def datacard(
     return card
 
 
-def card_from_stats_store(spark: SparkSession, stats_dir: str) -> dict:
+def _batch_id_partitions(spark: SparkSession, path: str) -> set[str] | None:
+    """The ``ingest_batch_id=`` partition-value set under ``path`` from
+    ONE directory listing (Hadoop FS — works on any scheme the session
+    reaches), or None when the directory does not exist."""
+    from etl_olho_vivo_spark.io.fsutil import hadoop_fs
+
+    fs, p = hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return None
+    ids = set()
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("ingest_batch_id="):
+            ids.add(name.split("=", 1)[1])
+    return ids
+
+
+def card_from_stats_store(
+    spark: SparkSession, stats_dir: str, corpus_dir: str | None = None
+) -> dict:
     """The card of a STREAM-ingested corpus, from its per-batch stats
     store (``corpus_stream.admit_batch(stats_dir=...)`` writes one
     bounded (dim, key, docs, tokens, chars) partition per micro-batch)
@@ -177,9 +227,14 @@ def card_from_stats_store(spark: SparkSession, stats_dir: str) -> dict:
 
     Contract: the stats store covers exactly the batches admitted
     WITH ``stats_dir`` configured — it must be set from the corpus'
-    FIRST drain.  Enabling it mid-life undercounts silently; backfill
-    once with ``write_datacard`` over the corpus (one text scan) or
-    restart the corpus if exactness matters."""
+    FIRST drain.  Pass ``corpus_dir`` to make a violation LOUD instead
+    of silently undercounted: both directories carry the same
+    ``ingest_batch_id=`` partition layout, so coverage is one cheap
+    listing — any corpus batch absent from the stats store stamps the
+    card ``"partial": true`` plus the missing ids (a wrong token total
+    on a data card is exactly the artifact error a downstream consumer
+    cannot see).  Backfill a partial store once with ``write_datacard``
+    over the corpus (one text scan), or restart the corpus."""
     rows = (
         spark.read.parquet(stats_dir)
         .groupBy("dim", "key")
@@ -190,7 +245,22 @@ def card_from_stats_store(spark: SparkSession, stats_dir: str) -> dict:
         )
         .collect()  # bounded: one row per (dimension, key)
     )
-    return _card_from_rows(rows)
+    card = _card_from_rows(rows)
+    if corpus_dir is not None:
+        corpus_ids = _batch_id_partitions(spark, corpus_dir) or set()
+        stats_ids = _batch_id_partitions(spark, stats_dir) or set()
+        missing = corpus_ids - stats_ids
+        if missing:
+            card["partial"] = True
+            card["missing_batch_ids"] = sorted(
+                missing, key=lambda s: (len(s), s)
+            )
+            card["note"] = (
+                "stats store misses corpus batches (stats_dir enabled "
+                "mid-life?); totals undercount — backfill with "
+                "write_datacard over the corpus, then resume"
+            )
+    return card
 
 
 def diff_datacards(old: dict, new: dict, top_k: int = 10) -> dict:

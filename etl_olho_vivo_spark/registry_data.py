@@ -460,8 +460,14 @@ def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # halves concatenate into a 64-bit fingerprint whose Hamming distance
 # still tracks document similarity (near-dup text => both halves
 # close).  Pure `* %` integer arithmetic, bounded < 2^48 — identical
-# in both engines.
-_FP_REMIX = "x -> (x * 48271) % 2147483647"
+# in both engines.  The modulus is the largest prime BELOW 2^32
+# (4294967291): an odd-prime modulus mixes every bit (a power-of-two
+# modulus would leave bit 0 of the remix equal to bit 0 of the input,
+# duplicating one hi-half simhash bit into the lo half), and a range
+# reaching past 2^31 keeps the lo half's MSB live — the r13 value
+# 2147483647 made bit 31 structurally zero, so one 16-bit pigeonhole
+# band carried only 15 informative bits (round-14 advisor finding).
+_FP_REMIX = "x -> (x * 48271) % 4294967291"
 
 _MEDIA_FP_BUILT: set[str] = set()
 
@@ -518,13 +524,20 @@ WHERE bit_count(xor(a.fp, b.fp)) <= 3
     "fingerprint write (decode cost is multimodal_decode's row).",
 )
 def q_media_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
     import hashlib
     import os
+    import shutil
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8] + f"_{os.getpid()}"
     path = f"{tempfile.gettempdir()}/etl_olho_vivo_media_fp/{tag}"
     if tag not in _MEDIA_FP_BUILT or not os.path.exists(path):
+        # scratch hygiene (r13 verdict): the store is per-(sf_dir, pid)
+        # — without cleanup every driver process leaves one parquet dir
+        # in $TMPDIR forever.  Registered once per tag, before the
+        # write, so a build that crashes mid-write is swept too.
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         d = read_table(spark, sf_dir, "documents")
         hi = dedup.simhash_expr("wh", 32)
         lo = dedup.simhash_expr("wl", 32)
@@ -1195,10 +1208,12 @@ prof AS (
          {len_bucket_sql('n_tokens')} AS len_bucket
   FROM base
 )
-SELECT 'lang' AS dim, CAST(lang AS VARCHAR) AS key, {agg}
+SELECT 'lang' AS dim,
+       COALESCE(CAST(lang AS VARCHAR), chr(0) || 'null') AS key, {agg}
 FROM prof GROUP BY lang
 UNION ALL
-SELECT 'source' AS dim, CAST(source AS VARCHAR) AS key, {agg}
+SELECT 'source' AS dim,
+       COALESCE(CAST(source AS VARCHAR), chr(0) || 'null') AS key, {agg}
 FROM prof GROUP BY source
 UNION ALL
 SELECT 'len_bucket' AS dim, CAST(len_bucket AS VARCHAR) AS key, {agg}

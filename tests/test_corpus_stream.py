@@ -681,3 +681,41 @@ def test_corpus_stream_cli_emits_datacard(spark, dirs, tmp_path, capsys):
     assert card["tokens"] == line["datacard_tokens"] > 0
     assert card["by"] == {}  # no dims configured
     assert sum(card["len_log2_histogram"].values()) == card["docs"]
+
+
+@pytest.mark.sweep
+def test_stream_datacard_fresh_stats_dir_no_op_drain(
+    spark, dirs, tmp_path, capsys
+):
+    """--stats-dir newly configured + a drain that processes ZERO
+    micro-batches (input already checkpointed): the stats store never
+    materializes while the corpus is non-empty.  The CLI must finish
+    cleanly with an empty card stamped partial=true — r13 shipped a
+    PATH_NOT_FOUND crash here (round-14 advisor finding)."""
+    import json as _json
+
+    from etl_olho_vivo_spark.__main__ import main
+
+    _write_batch(spark, dirs["stage"], "b0", [(1, BASE), (2, OTHER)])
+    rc = main([
+        "corpus-stream", "--in", dirs["stage"],
+        "--corpus", dirs["corpus"], "--store", dirs["store"],
+        "--checkpoint", dirs["ckpt"],
+    ])
+    assert rc in (0, None)
+    capsys.readouterr()
+
+    card_path = str(tmp_path / "late_card.json")
+    rc = main([
+        "corpus-stream", "--in", dirs["stage"],
+        "--corpus", dirs["corpus"], "--store", dirs["store"],
+        "--checkpoint", dirs["ckpt"],
+        "--stats-dir", str(tmp_path / "late_stats"),
+        "--datacard", card_path,
+    ])
+    assert rc in (0, None)
+    line = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["corpus_docs"] > 0
+    card = _json.load(open(card_path))
+    assert card["docs"] == 0
+    assert card.get("partial") is True

@@ -216,3 +216,94 @@ def test_datacard_diff_cli_no_spark(tmp_path, capsys):
     assert line["totals"]["docs"]["delta"] == 1
     full = json.loads(out.read_text())
     assert full["totals"]["tokens"]["rel"] == 0.6
+
+
+def test_null_dim_values_get_sentinel_key(spark):
+    """A NULL dimension value must become the NULL_KEY sentinel, not a
+    None dict key — json.dump(sort_keys=True) cannot order None
+    against str, so the r13 code crashed card emission on the first
+    null lang (round-14 advisor finding)."""
+    rows = ROWS + [(6, "nil lang doc", None, "web"),
+                   (7, "x y", "en", None)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    card = dc.datacard(df)
+    json.dumps(card, sort_keys=True)  # the exact crash site
+    assert card["docs"] == 7
+    assert card["by"]["lang"][dc.NULL_KEY]["docs"] == 1
+    assert card["by"]["source"][dc.NULL_KEY]["tokens"] == 2
+    assert None not in card["by"]["lang"]
+
+
+def test_null_dim_oracle_parity(spark):
+    """The DuckDB oracle COALESCEs to the same sentinel (spelled
+    chr(0) || 'null' — a literal NUL in a SQL string is a DuckDB
+    parser error), so a corpus WITH nulls still hash-matches."""
+    import duckdb
+
+    from etl_olho_vivo_spark.registry_data import _datacard_oracle
+
+    rows = ROWS + [(6, "nil lang doc", None, "web"),
+                   (7, "x y", "en", None)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        (r["dim"], r["key"]): (r["docs"], r["tokens"], r["chars"])
+        for r in dc.corpus_stats(df).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.register("documents", df.toPandas())
+        want = {
+            (d, k): (docs, toks, chars)
+            for d, k, docs, toks, chars
+            in con.execute(_datacard_oracle()).fetchall()
+        }
+    finally:
+        con.close()
+    assert got == want
+    assert ("lang", dc.NULL_KEY) in got
+
+
+def test_dims_with_spaces_hyphens_backticks(spark):
+    """Dimension names flow from --dims into generated expressions;
+    parquet allows spaces/hyphens (and backticks are legal Spark
+    identifiers when doubled) — none may reach a SQL parser raw."""
+    df = (
+        spark.createDataFrame(ROWS, SCHEMA)
+        .withColumnRenamed("lang", "lang code")
+        .withColumnRenamed("source", "source-kind")
+    )
+    card = dc.datacard(df, dims=("lang code", "source-kind"))
+    assert card["by"]["lang code"]["en"]["docs"] == 3
+    assert card["by"]["source-kind"]["web"]["docs"] == 3
+    weird = df.withColumnRenamed("lang code", "l`ng")
+    assert dc.datacard(weird, dims=("l`ng",))["by"]["l`ng"]["de"]["docs"] == 2
+
+
+def test_stats_store_midlife_undercount_is_loud(spark, tmp_path):
+    """card_from_stats_store(corpus_dir=...) compares ingest_batch_id
+    partition sets: a stats store enabled mid-life (missing batches)
+    stamps the card partial=true + the missing ids + a backfill note
+    instead of returning a silently-wrong total (r13 verdict #3)."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    corpus = str(tmp_path / "corpus")
+    stats = str(tmp_path / "stats")
+    parts = {bid: df.where(F.col("doc_id") % 3 == bid) for bid in (0, 1, 2)}
+    for bid, part in parts.items():
+        part.write.mode("overwrite").parquet(
+            f"{corpus}/ingest_batch_id={bid}"
+        )
+        if bid != 0:  # stats enabled only from batch 1 on
+            dc.corpus_stats(part).write.mode("overwrite").parquet(
+                f"{stats}/ingest_batch_id={bid}"
+            )
+    card = dc.card_from_stats_store(spark, stats, corpus_dir=corpus)
+    assert card["partial"] is True
+    assert card["missing_batch_ids"] == ["0"]
+    assert "write_datacard" in card["note"]
+    # backfilling the missing batch clears the stamp and fixes totals
+    dc.corpus_stats(parts[0]).write.mode("overwrite").parquet(
+        f"{stats}/ingest_batch_id=0"
+    )
+    full = dc.card_from_stats_store(spark, stats, corpus_dir=corpus)
+    assert "partial" not in full and "missing_batch_ids" not in full
+    assert full["docs"] == 5

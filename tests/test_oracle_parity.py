@@ -121,3 +121,26 @@ def test_parity_fast_representatives(spark, duck, name):
     assert q.oracle is not None, name
     problems = compare(q.fn(spark, SF_DIR), duck.execute(q.oracle).df())
     assert not problems, f"{name}: " + " | ".join(problems)
+
+
+def test_media_fp_remix_covers_full_32_bit_range():
+    """round-14 advisor: the r13 remix modulus 2^31-1 zeroed bit 31 of
+    the lo fingerprint half, so one 16-bit pigeonhole band carried only
+    15 informative bits.  The remix must (a) reach past 2^31 on real
+    token-hash inputs and (b) keep an odd-prime modulus — a power-of-
+    two modulus would leave bit 0 of the remix equal to bit 0 of the
+    input, duplicating a hi-half simhash bit into the lo half."""
+    import hashlib
+
+    from etl_olho_vivo_spark.registry_data import _FP_REMIX
+
+    assert _FP_REMIX == "x -> (x * 48271) % 4294967291"
+
+    def token_hash(w: str) -> int:
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+
+    vals = [(token_hash(f"w{i}") * 48271) % 4294967291 for i in range(256)]
+    assert max(vals) >= 2 ** 31, "bit 31 never set on a 256-token sample"
+    assert min(vals) < 2 ** 31
+    # bounds discipline: intermediate < 2^48, well inside BIGINT
+    assert max(token_hash(f"w{i}") for i in range(256)) * 48271 < 2 ** 48
