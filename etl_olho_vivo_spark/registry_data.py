@@ -1239,10 +1239,11 @@ FROM prof
     "a cross-engine parity hazard exactly at power-of-two bucket "
     "boundaries.  The oracle recomputes every grouping set as a "
     "literal GROUP BY (the groupby_extensions convention: same "
-    "values, no GROUPING_ID dialect dependence).  driver=False: the "
-    "50-row window is full — parity runs in the local oracle sweep "
-    "and the row stays benchmarked.",
-    driver=False,
+    "values, no GROUPING_ID dialect dependence).  Promoted to the "
+    "driver window in round 14 (took order_priority_pivot's slot per "
+    "the rotation policy): grouping sets are an aggregation family "
+    "the window otherwise lacks, and the card is the repo's shipping "
+    "artifact for corpus releases.",
 )
 def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_olho_vivo_spark.operators.datacard import corpus_stats

@@ -332,7 +332,12 @@ SELECT o_orderstatus,
 FROM orders GROUP BY o_orderstatus
 """,
     doc="Pivot as conditional aggregation (map-side combinable — scales "
-    "unlike a true transpose).",
+    "unlike a true transpose).  driver=False since round 14 (rotation "
+    "policy): corpus_datacard took the slot — grouping sets are a new "
+    "aggregation family the driver window lacked, while conditional-"
+    "aggregation pivots stay driver-covered by groupby_extensions and "
+    "bucketed_order_rollup; this row keeps its local oracle sweep.",
+    driver=False,
 )
 def q_order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
