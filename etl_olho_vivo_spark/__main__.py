@@ -720,6 +720,19 @@ def _build_parser() -> argparse.ArgumentParser:
         help="fold the store's per-batch partitions into the -1 base "
         "after the drain",
     )
+    mst.add_argument(
+        "--stats-dir", dest="media_stats_dir", default=None,
+        help="maintain an incremental media data-card stats store: one "
+        "bounded (dim, key, docs) partition per micro-batch, computed "
+        "on the decode pass the admit loop already runs — the card "
+        "then never re-decodes media (see --datacard)",
+    )
+    mst.add_argument(
+        "--datacard", dest="media_datacard", default=None,
+        help="after the drain, aggregate the --stats-dir store into "
+        "the admitted media corpus' data card and write it as JSON "
+        "at this path",
+    )
     for sub_p in (med, mst):
         # pre-store quality gates (round 12): floors over the decode
         # metadata, evaluated on the SAME pass that fingerprints —
@@ -1740,6 +1753,11 @@ def main(argv: list[str] | None = None) -> int:
             reader = reader.option(
                 "maxFilesPerTrigger", str(args.max_files_per_trigger)
             )
+        if args.media_datacard and not args.media_stats_dir:
+            raise SystemExit(
+                "--datacard requires --stats-dir (the card aggregates "
+                "the incremental stats store, never re-decodes media)"
+            )
         try:
             q = run_media_stream(
                 reader.parquet(args.in_dir),
@@ -1750,6 +1768,7 @@ def main(argv: list[str] | None = None) -> int:
                 max_hamming=args.max_hamming,
                 n_bands=args.n_bands,
                 gates=_media_gates_from_args(args),
+                stats_dir=args.media_stats_dir,
             )
         except ValueError as e:  # gate/banding config error: exit 2
             raise SystemExit(str(e))
@@ -1780,6 +1799,32 @@ def main(argv: list[str] | None = None) -> int:
         # compaction dial in the job artifact: partition growth taxes
         # every future admit with per-file open cost
         out["store"] = media_store_stats(spark, args.store)
+        if args.media_datacard:
+            from etl_olho_vivo_spark.operators.datacard import (
+                media_card_from_stats_store,
+            )
+
+            try:
+                card = media_card_from_stats_store(
+                    spark, args.media_stats_dir, args.kind,
+                    corpus_dir=args.corpus,
+                )
+            except AnalysisException as e:
+                # zero-batch drain: empty/missing stats store is a
+                # valid outcome — emit the empty card (partial when
+                # the corpus itself is non-empty), don't die
+                if e.getCondition() in (
+                    "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"
+                ):
+                    card = {"kind": args.kind, "docs": 0, "by": {}}
+                    if n_docs:
+                        card["partial"] = True
+                else:
+                    raise
+            with open(args.media_datacard, "w") as f:
+                json.dump(card, f, indent=1, sort_keys=True)
+            out["datacard"] = args.media_datacard
+            out["datacard_docs"] = card["docs"]
         print(json.dumps(out))
         return 0
 

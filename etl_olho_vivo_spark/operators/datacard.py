@@ -93,26 +93,38 @@ def corpus_stats(
         F.length(F.col(_bt(text))).alias("n_chars"),
     ).withColumn("len_bucket", F.expr(len_bucket_sql("n_tokens")))
 
-    cols = list(dims) + ["len_bucket"]
+    return _grouping_stats(
+        prof,
+        list(dims) + ["len_bucket"],
+        {
+            "docs": F.count(F.lit(1)),
+            "tokens": F.sum("n_tokens"),
+            "chars": F.sum("n_chars"),
+        },
+    )
+
+
+def _grouping_stats(
+    prof: DataFrame, cols: list[str], aggs: dict
+) -> DataFrame:
+    """The shared grouping-sets core of every data card (text AND
+    media): one Expand over the already-slim profile frame, one
+    partial-aggregated exchange, one output row per (dim, key) plus
+    the 'total' row.  Everything is built as Column objects (F.when /
+    F.col with backtick quoting), NOT interpolated SQL — a dims name
+    with a space or hyphen (legal in parquet, and --dims is user
+    input) must never reach a SQL parser; NULL dim values map to the
+    NULL_KEY sentinel so the card dict never carries a None key."""
     # Column objects, not name strings, inside the grouping sets too —
     # bare strings there go through the attribute-name parser
     sets = [[F.col(_bt(c))] for c in cols] + [[]]
-    grouped = (
-        prof.groupingSets(sets, *[F.col(_bt(c)) for c in cols])
-        .agg(
-            F.count(F.lit(1)).alias("docs"),
-            F.sum("n_tokens").alias("tokens"),
-            F.sum("n_chars").alias("chars"),
-            F.grouping_id().alias("gid"),
-        )
+    grouped = prof.groupingSets(sets, *[F.col(_bt(c)) for c in cols]).agg(
+        *[expr.alias(name) for name, expr in aggs.items()],
+        F.grouping_id().alias("gid"),
     )
     # grouping_id: bit i (MSB-first over ``cols``) is SET when the
     # column is aggregated away, so the set keeping col i alone is
-    # all-ones minus its bit; the grand total is all-ones.  Built as
-    # Column objects (F.when), NOT interpolated SQL — a dims name with
-    # a space or hyphen (legal in parquet, and --dims is user input)
-    # must not reach a SQL parser; NULL dim values map to the NULL_KEY
-    # sentinel so the card dict never carries a None key.
+    # all-ones minus its bit; the grand total is all-ones
     n = len(cols)
     gid_all = 2 ** n - 1
     dim_col = key_col = None
@@ -127,9 +139,7 @@ def corpus_stats(
     return grouped.select(
         dim_col.otherwise(F.lit("total")).alias("dim"),
         key_col.otherwise(F.lit("all")).alias("key"),
-        F.col("docs").cast("long").alias("docs"),
-        F.col("tokens").cast("long").alias("tokens"),
-        F.col("chars").cast("long").alias("chars"),
+        *[F.col(name).cast("long").alias(name) for name in aggs],
     )
 
 
@@ -247,20 +257,31 @@ def card_from_stats_store(
     )
     card = _card_from_rows(rows)
     if corpus_dir is not None:
-        corpus_ids = _batch_id_partitions(spark, corpus_dir) or set()
-        stats_ids = _batch_id_partitions(spark, stats_dir) or set()
-        missing = corpus_ids - stats_ids
-        if missing:
-            card["partial"] = True
-            card["missing_batch_ids"] = sorted(
-                missing, key=lambda s: (len(s), s)
-            )
-            card["note"] = (
-                "stats store misses corpus batches (stats_dir enabled "
-                "mid-life?); totals undercount — backfill with "
-                "write_datacard over the corpus, then resume"
-            )
+        _stamp_if_partial(card, spark, stats_dir, corpus_dir)
     return card
+
+
+def _stamp_if_partial(
+    card: dict, spark: SparkSession, stats_dir: str, corpus_dir: str,
+    backfill: str = "write_datacard",
+) -> None:
+    """Stamp ``card`` partial=true + the missing batch ids when the
+    stats store misses ``ingest_batch_id=`` partitions the corpus has
+    (stats_dir enabled mid-life) — shared by the text and media card
+    store paths."""
+    corpus_ids = _batch_id_partitions(spark, corpus_dir) or set()
+    stats_ids = _batch_id_partitions(spark, stats_dir) or set()
+    missing = corpus_ids - stats_ids
+    if missing:
+        card["partial"] = True
+        card["missing_batch_ids"] = sorted(
+            missing, key=lambda s: (len(s), s)
+        )
+        card["note"] = (
+            "stats store misses corpus batches (stats_dir enabled "
+            f"mid-life?); totals undercount — backfill with {backfill} "
+            "over the corpus, then resume"
+        )
 
 
 def diff_datacards(old: dict, new: dict, top_k: int = 10) -> dict:
@@ -346,4 +367,141 @@ def write_datacard(
     card = datacard(df, text=text, dims=dims, quality_col=quality_col)
     with open(out_path, "w") as f:
         json.dump(card, f, indent=1, sort_keys=True)
+    return card
+
+
+# ---------------------------------------------------------------------------
+# Media data card (round 14) — the media sibling of the corpus card
+# ---------------------------------------------------------------------------
+
+# per-kind bucketed dimensions over the decode metadata
+# (media_stream.media_fingerprints column names); every card also
+# carries the ``decoded`` dimension (fingerprintable vs opaque)
+_MEDIA_DIMS = {
+    "image": ("width_bucket", "height_bucket"),
+    "audio": ("sample_rate", "duration_s_bucket"),
+    "video": ("n_frames_bucket", "width_bucket", "height_bucket"),
+}
+
+
+def _null_safe_bucket(src_sql: str):
+    """log2 bucket of an integer metadata column that PRESERVES NULL —
+    an undecodable doc must land on the NULL_KEY, not be conflated
+    with bucket 0 (the ladder's ELSE would otherwise swallow it)."""
+    return F.expr(
+        f"CASE WHEN {src_sql} IS NULL THEN NULL "
+        f"ELSE {len_bucket_sql(src_sql)} END"
+    )
+
+
+def media_profile(fps: DataFrame, kind: str) -> DataFrame:
+    """Slim per-doc media profile from the fingerprint+metadata frame
+    (``media_stream.media_fingerprints`` output — the metadata rides
+    the SAME Arrow decode pass that fingerprints, so the card costs no
+    extra decode): the ``decoded`` flag plus the kind's bucketed
+    dimensions (log2 ladders over width/height/frame-count/duration;
+    sample_rate stays categorical — real corpora hold a handful of
+    rates and the exact value matters)."""
+    if kind not in _MEDIA_DIMS:
+        raise ValueError(
+            f"kind must be one of {'|'.join(sorted(_MEDIA_DIMS))}, "
+            f"got {kind!r}"
+        )
+    cols = [F.col("fp").isNotNull().alias("decoded")]
+    if kind == "image":
+        cols += [
+            _null_safe_bucket("width").alias("width_bucket"),
+            _null_safe_bucket("height").alias("height_bucket"),
+        ]
+    elif kind == "audio":
+        cols += [
+            F.col("sample_rate").alias("sample_rate"),
+            # TRY_CAST: ANSI mode aborts on a NaN/overflow double
+            _null_safe_bucket(
+                "TRY_CAST(duration_s AS BIGINT)"
+            ).alias("duration_s_bucket"),
+        ]
+    else:  # video
+        cols += [
+            _null_safe_bucket("n_frames").alias("n_frames_bucket"),
+            _null_safe_bucket("width").alias("width_bucket"),
+            _null_safe_bucket("height").alias("height_bucket"),
+        ]
+    return fps.select(*cols)
+
+
+def media_stats(fps: DataFrame, kind: str) -> DataFrame:
+    """(dim, key, docs) — the media card's bounded stats frame through
+    the SAME single-Expand grouping-sets core the corpus card uses."""
+    prof = media_profile(fps, kind)
+    return _grouping_stats(
+        prof, prof.columns, {"docs": F.count(F.lit(1))}
+    )
+
+
+def _media_card_from_rows(rows, kind: str) -> dict:
+    rows = [
+        {"dim": r["dim"],
+         "key": r["key"] if r["key"] is not None else NULL_KEY,
+         "docs": r["docs"]}
+        for r in rows
+    ]
+    total = next((r for r in rows if r["dim"] == "total"), {"docs": 0})
+    card: dict = {"kind": kind, "docs": total["docs"], "by": {}}
+    for r in sorted(rows, key=lambda r: (r["dim"], r["key"])):
+        if r["dim"] == "total":
+            continue
+        card["by"].setdefault(r["dim"], {})[r["key"]] = {
+            "docs": r["docs"],
+            "doc_frac": round(r["docs"] / total["docs"], 6)
+            if total["docs"] else None,
+        }
+    return card
+
+
+def media_datacard(
+    df: DataFrame, kind: str, media: str = "media", id_col: str = "doc_id"
+) -> dict:
+    """One-shot media card over an admitted media corpus: ONE Arrow
+    decode pass (the same ``media_fingerprints`` stage the admit loop
+    runs) feeding the bounded grouping-sets aggregation.  Driver state
+    is one row per (dim, key) — never the media bytes."""
+    from etl_olho_vivo_spark.streaming.media_stream import (
+        media_fingerprints,
+    )
+
+    fps = media_fingerprints(
+        df.select(
+            F.col(_bt(id_col)).alias("doc_id"),
+            F.col(_bt(media)).alias("media"),
+        ),
+        kind,
+    )
+    return _media_card_from_rows(media_stats(fps, kind).collect(), kind)
+
+
+def media_card_from_stats_store(
+    spark: SparkSession,
+    stats_dir: str,
+    kind: str,
+    corpus_dir: str | None = None,
+) -> dict:
+    """The card of a STREAM-ingested media corpus from its per-batch
+    stats store (``admit_media_batch(stats_dir=...)`` writes one
+    bounded (dim, key, docs) partition per micro-batch, computed on
+    the decode pass the admit loop already ran) — card emission costs
+    ∝ batches and NEVER re-decodes media.  Pass ``corpus_dir`` to make
+    mid-life enablement loud (same partition-set coverage check as the
+    text card; the backfill is ``media_datacard`` — one decode scan)."""
+    rows = (
+        spark.read.parquet(stats_dir)
+        .groupBy("dim", "key")
+        .agg(F.sum("docs").cast("long").alias("docs"))
+        .collect()  # bounded: one row per (dimension, key)
+    )
+    card = _media_card_from_rows(rows, kind)
+    if corpus_dir is not None:
+        _stamp_if_partial(
+            card, spark, stats_dir, corpus_dir, backfill="media_datacard"
+        )
     return card

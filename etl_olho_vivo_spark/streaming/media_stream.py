@@ -208,12 +208,23 @@ def admit_media_batch(
     max_hamming: int = 6,
     n_bands: int = 8,
     gates: dict | None = None,
+    stats_dir: str | None = None,
 ) -> None:
     """Admit one micro-batch of (doc_id, media, ...) rows: quality
     gates (``apply_media_gates`` — BEFORE any pairing; gated rows
     never reach the corpus or the store), perceptual dedup in-batch +
     vs store, append survivors.  See the module docstring for the
-    step/contract inventory."""
+    step/contract inventory.
+
+    ``stats_dir`` (round 14 — the media sibling of the text loop's
+    incremental data card): also write one bounded (dim, key, docs)
+    stats partition per micro-batch, computed from the SAME decode
+    pass over exactly the admitted rows, so
+    ``media_card_from_stats_store`` emits the corpus' card after any
+    drain without ever re-decoding media.  Same contract as the text
+    store: set it from the corpus' FIRST drain (mid-life enablement is
+    detected by the card's coverage check); replay-idempotent via the
+    per-partition overwrite."""
     from etl_olho_vivo_spark.caching import CacheBag
     from etl_olho_vivo_spark.io.fsutil import assert_no_pending_swap
     from etl_olho_vivo_spark.operators.dedup import connected_components
@@ -293,6 +304,19 @@ def admit_media_batch(
         surv_fps.write.mode("overwrite").parquet(
             f"{store_dir}/ingest_batch_id={batch_id}"
         )
+        if stats_dir is not None:
+            from etl_olho_vivo_spark.operators.datacard import media_stats
+
+            # the admitted rows' metadata, from the persisted decode
+            # pass: post-gate frame minus dedup losers — same id set
+            # as the corpus partition just written (NULL-fp admitted
+            # rows included: the card's 'decoded' dim counts them)
+            admitted_fps = admitted.join(
+                losers.dropDuplicates(["doc_id"]), "doc_id", "left_anti"
+            )
+            media_stats(admitted_fps, kind).write.mode(
+                "overwrite"
+            ).parquet(f"{stats_dir}/ingest_batch_id={batch_id}")
     finally:
         fps.unpersist()
         bag.release()
@@ -372,6 +396,7 @@ def run_media_stream(
     max_hamming: int = 6,
     n_bands: int = 8,
     gates: dict | None = None,
+    stats_dir: str | None = None,
     available_now: bool = True,
 ):
     """Start the continuous media-ingestion query over a streaming
@@ -390,7 +415,7 @@ def run_media_stream(
         admit_media_batch(
             spark, batch, batch_id, corpus_dir, store_dir,
             kind=kind, max_hamming=max_hamming, n_bands=n_bands,
-            gates=gates,
+            gates=gates, stats_dir=stats_dir,
         )
 
     writer = (

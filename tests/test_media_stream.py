@@ -389,3 +389,123 @@ def test_media_stream_end_to_end(spark, dirs):
 
     assert _ids(spark, dirs["corpus"]) == [1, 2, 11, 21]
     assert _ids(spark, dirs["store"]) == [1, 2, 11]
+
+
+@pytest.mark.sweep
+def test_incremental_media_stats_store_matches_one_shot_card(spark, dirs):
+    """The media data card (round 14 — the media sibling of the text
+    loop's stats_dir): per-batch (dim, key, docs) partitions computed
+    on the admit loop's own decode pass aggregate to EXACTLY the card
+    a one-shot decode of the admitted corpus produces, and a replayed
+    batch replaces its stats partition (idempotent)."""
+    from etl_olho_vivo_spark.operators.datacard import (
+        media_card_from_stats_store,
+        media_datacard,
+    )
+    from etl_olho_vivo_spark.streaming.media_stream import (
+        admit_media_batch,
+    )
+
+    stats = dirs["corpus"] + "_stats"
+    b0 = spark.createDataFrame(
+        [(1, _img(5)), (2, _img(40)), (3, _img(5)),
+         (4, bytearray(b"not an image at all"))],
+        SCHEMA,
+    )
+    b1 = spark.createDataFrame(
+        [(10, _img(5, tweak=9)), (11, _img(77))], SCHEMA
+    )
+    for bid, b in enumerate([b0, b1]):
+        admit_media_batch(
+            spark, b, bid, dirs["corpus"], dirs["store"],
+            stats_dir=stats,
+        )
+
+    incremental = media_card_from_stats_store(
+        spark, stats, "image", corpus_dir=dirs["corpus"]
+    )
+    one_shot = media_datacard(
+        spark.read.parquet(dirs["corpus"]), "image"
+    )
+    assert incremental == one_shot
+    # admitted: 1, 2, 4 (in-batch dup 3 dropped), 11 (10 near-dups 1)
+    assert incremental["docs"] == 4
+    assert incremental["by"]["decoded"]["true"]["docs"] == 3
+    assert incremental["by"]["decoded"]["false"]["docs"] == 1
+    # 16x16 images: width/height bucket 4; the opaque row lands on
+    # the NULL sentinel, never bucket 0
+    from etl_olho_vivo_spark.operators.datacard import NULL_KEY
+
+    assert incremental["by"]["width_bucket"]["4"]["docs"] == 3
+    assert incremental["by"]["width_bucket"][NULL_KEY]["docs"] == 1
+    assert "partial" not in incremental
+    # replay of batch 1: stats partition replaced, card unchanged
+    admit_media_batch(
+        spark, b1, 1, dirs["corpus"], dirs["store"], stats_dir=stats
+    )
+    assert media_card_from_stats_store(
+        spark, stats, "image", corpus_dir=dirs["corpus"]
+    ) == one_shot
+
+
+@pytest.mark.sweep
+def test_media_stats_store_midlife_is_loud(spark, dirs):
+    """stats_dir enabled only from batch 1: the card stamps
+    partial=true + the missing batch id + the media_datacard backfill
+    pointer (same coverage check as the text card)."""
+    from etl_olho_vivo_spark.operators.datacard import (
+        media_card_from_stats_store,
+    )
+    from etl_olho_vivo_spark.streaming.media_stream import (
+        admit_media_batch,
+    )
+
+    stats = dirs["corpus"] + "_stats"
+    b0 = spark.createDataFrame([(1, _img(5))], SCHEMA)
+    b1 = spark.createDataFrame([(11, _img(77))], SCHEMA)
+    admit_media_batch(spark, b0, 0, dirs["corpus"], dirs["store"])
+    admit_media_batch(
+        spark, b1, 1, dirs["corpus"], dirs["store"], stats_dir=stats
+    )
+    card = media_card_from_stats_store(
+        spark, stats, "image", corpus_dir=dirs["corpus"]
+    )
+    assert card["partial"] is True
+    assert card["missing_batch_ids"] == ["0"]
+    assert "media_datacard" in card["note"]
+    assert card["docs"] == 1  # undercount, but loudly stamped
+
+
+@pytest.mark.sweep
+def test_media_stream_cli_emits_datacard(spark, dirs, tmp_path, capsys):
+    """media-stream --stats-dir --datacard: the drain maintains the
+    incremental stats store and the post-drain card matches the
+    admitted corpus exactly."""
+    import json as _json
+
+    from etl_olho_vivo_spark.__main__ import main
+    from etl_olho_vivo_spark.operators.datacard import media_datacard
+
+    _write_batch(spark, dirs["stage"], "b0",
+                 [(1, _img(5)), (2, _img(40)), (3, _img(5))])
+    _write_batch(spark, dirs["stage"], "b1",
+                 [(10, _img(5, tweak=9)), (11, _img(77))])
+    card_path = str(tmp_path / "media_card.json")
+    rc = main([
+        "media-stream", "--in", dirs["stage"],
+        "--corpus", dirs["corpus"], "--store", dirs["store"],
+        "--checkpoint", dirs["ckpt"], "--kind", "image",
+        "--max-files-per-trigger", "1",
+        "--stats-dir", str(tmp_path / "stats"),
+        "--datacard", card_path,
+    ])
+    assert rc in (0, None)
+    line = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["datacard"] == card_path
+    card = _json.load(open(card_path))
+    assert card == media_datacard(
+        spark.read.parquet(dirs["corpus"]), "image"
+    )
+    assert card["docs"] == line["datacard_docs"] == line["corpus_docs"]
+    assert card["kind"] == "image"
+    assert "partial" not in card
