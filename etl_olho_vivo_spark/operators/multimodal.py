@@ -2050,7 +2050,11 @@ def _vfp_votes_fn():
       frame population and will NOT match the source.  That is the
       decision, not an accident: "same pictures by majority" —
       sub-clip containment is retrieval's job (ANN over per-frame
-      hashes), not dedup's.
+      hashes), not dedup's.  That retrieval side exists since round
+      14: ``video_frame_fingerprints`` (the unfolded per-frame
+      relation, same decode pass) + ``video_containment_pairs``
+      (pigeonhole pairing + matched-frame-fraction rollup) report
+      the excerpt this fold correctly refuses to pair.
 
     Returns ``fold(hashes) -> signed i64 | None`` over an iterable of
     signed 64-bit frame dHashes."""
@@ -2148,6 +2152,162 @@ def video_fingerprint(
             )
 
     return df.select(id_col, "media").mapInPandas(batches, VFP_SCHEMA)
+
+
+FRAME_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("fp", T.LongType()),
+    ]
+)
+
+
+def video_frame_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", stride: int = 1
+) -> DataFrame:
+    """(doc_id, frame_idx, fp) — one row per DECODABLE sampled frame:
+    the per-frame dHash relation ``video_fingerprint`` folds away.
+
+    This is the retrieval side of the round-13 excerpt decision
+    (``_vfp_votes_fn``: "sub-clip containment is retrieval's job —
+    ANN over per-frame hashes, not dedup's"): the majority fold
+    deliberately cannot see a 10 s excerpt inside a 2-min compilation
+    because the excerpt folds its own majority over a different frame
+    population, so containment needs the UNFOLDED relation.  Same
+    demux + JPEG/PGM decode + dHash pass as ``video_fingerprint`` —
+    a caller indexing a corpus pays the decode once and keeps both
+    artifacts.  ``frame_idx`` is the demux index (0-based, pre-stride)
+    so excerpt offsets stay meaningful; non-demuxable media and
+    undecodable frames emit no row (an opaque doc simply cannot be
+    probed or matched — the NULL-fp contract at frame granularity).
+
+    100 TB shape: the decode is the embarrassingly-parallel Arrow
+    stage; what shuffles afterwards is (8-byte id, 4-byte idx, 8-byte
+    fp) rows — ~1000× smaller than the frames.  The relation is
+    frames-per-video × corpus-sized: persist it partitioned like the
+    fingerprint store (the caller's one-decode index) and query it
+    with ``video_containment_pairs`` (probe-scaled, never re-decodes).
+    """
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+    demux_avi = _avi_demuxer()
+    demux_y4m = _y4m_demuxer()
+    parse = _media_parser(pixels=True)
+    dhash = _dhash_fn()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, fps = [], [], []
+            for doc_id, media in zip(
+                pdf[id_col].astype("int64"), pdf["media"]
+            ):
+                if media is None:
+                    continue
+                m = bytes(media)
+                frames = demux_avi(m)
+                if frames is None:
+                    frames = demux_y4m(m)
+                if not frames:
+                    continue
+                for i in range(0, len(frames), stride):
+                    h = dhash(parse(frames[i])[6])
+                    if h is None:
+                        continue
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    fps.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "fp": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(batches, FRAME_FP_SCHEMA)
+
+
+def video_containment_pairs(
+    probe_frames: DataFrame,
+    index_frames: DataFrame,
+    *,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    min_frac: float = 0.5,
+) -> DataFrame:
+    """Sub-clip containment over per-frame fingerprint relations
+    (``video_frame_fingerprints`` output, typically the index side
+    read back from its persisted parquet): report (doc_probe,
+    doc_index, matched_frames, probe_frames, frac) for every probe
+    clip whose frames are ≥ ``min_frac`` covered by near frames
+    (Hamming ≤ ``max_hamming``) of one index clip — the 10-s-excerpt-
+    in-a-2-min-compilation case the majority fingerprint cannot and
+    must not see (round-13 decision, ``_vfp_votes_fn``).
+
+    Mechanics: the frame pairing is the SAME pigeonhole machinery
+    every fingerprint kind rides (``hamming_near_dups_incremental``
+    with a (doc_id, frame_idx) struct id — band equi-join, exact
+    bit_count verify), asymmetric probe-vs-store so AQE broadcasts
+    the probe band keys and the corpus-sized index is only scanned;
+    then a hits-only rollup counts DISTINCT matched probe frames per
+    (probe, index) pair.  A probe frame matching many index frames
+    counts once — containment is "how much of the probe is covered",
+    not match volume.
+
+    The threshold compares in exact integer arithmetic
+    (``matched * 1e6 >= round(min_frac * 1e6) * total``): a float
+    ``0.6 * n`` boundary is engine-dependent (DECIMAL vs IEEE), and
+    cross-engine oracles must agree on boundary pairs.  Self pairs
+    (probe doc present in the index) are excluded — every clip
+    trivially contains itself."""
+    from etl_olho_vivo_spark.operators.dedup import (
+        hamming_near_dups_incremental,
+    )
+
+    if not 0 < min_frac <= 1:
+        raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
+    thr_ppm = round(min_frac * 1_000_000)
+    pf = probe_frames.select(
+        F.struct("doc_id", "frame_idx").alias("fid"), "fp"
+    )
+    xf = index_frames.select(
+        F.struct("doc_id", "frame_idx").alias("fid"), "fp"
+    )
+    pairs = hamming_near_dups_incremental(
+        pf, xf, hash_col="fp", bits=64,
+        max_hamming=max_hamming, n_bands=n_bands, id_col="fid",
+    )
+    matched = (
+        pairs.select(
+            F.col("doc_new.doc_id").alias("doc_probe"),
+            F.col("doc_new.frame_idx").alias("pframe"),
+            F.col("doc_old.doc_id").alias("doc_index"),
+        )
+        .filter(F.col("doc_probe") != F.col("doc_index"))
+        .dropDuplicates(["doc_probe", "pframe", "doc_index"])
+        .groupBy("doc_probe", "doc_index")
+        .agg(F.count(F.lit(1)).alias("matched_frames"))
+    )
+    # probe-scaled relation: one row per probe doc — AQE broadcasts it
+    totals = probe_frames.groupBy(
+        F.col("doc_id").alias("doc_probe")
+    ).agg(F.count(F.lit(1)).alias("probe_frames"))
+    return (
+        matched.join(totals, "doc_probe")
+        .filter(
+            F.col("matched_frames") * 1_000_000
+            >= F.lit(thr_ppm) * F.col("probe_frames")
+        )
+        .select(
+            "doc_probe", "doc_index",
+            F.col("matched_frames").cast("long").alias("matched_frames"),
+            F.col("probe_frames").cast("long").alias("probe_frames"),
+            F.round(
+                F.col("matched_frames") / F.col("probe_frames"), 6
+            ).alias("frac"),
+        )
+    )
 
 
 def video_near_dups(

@@ -557,6 +557,124 @@ def q_media_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Surrogate per-frame fingerprints for the containment oracle: one
+# "frame" per even 3-gram position, fp = (gram mod 2^32) in the hi half
+# ‖ a full-range prime remix in the lo half (the media_fp recipe at
+# frame granularity).  gram < P = 2^32+15, so the hi half must reduce
+# mod 2^32 BEFORE the shift — shiftleft would silently wrap in Spark
+# while DuckDB's HUGEINT path would not, diverging the engines.
+_FRAME_GH = f"((wh[i] * {MIX} + wh[i+1]) % {P} * {MIX} + wh[i+2]) % {P}"
+_FRAME_GH_DUCK = (
+    f"((wh[i+1] * {MIX} + wh[i+2]) % {P} * {MIX} + wh[i+3]) % {P}"
+)
+
+_FRAME_FP_BUILT: set[str] = set()
+
+
+@register(
+    "video_frame_containment",
+    f"""
+WITH w AS (SELECT doc_id, {_D_WH} AS wh FROM documents),
+pos AS (SELECT doc_id, wh,
+               unnest(range(0, greatest(len(wh) - 2, 0))) AS i
+        FROM w),
+g AS (SELECT doc_id, CAST(i AS INT) AS frame_idx,
+             {_FRAME_GH_DUCK} AS gh
+      FROM pos WHERE i % 2 = 0),
+fr AS (SELECT doc_id, frame_idx,
+              CAST(CASE WHEN v >= 9223372036854775808
+                        THEN v - 18446744073709551616
+                        ELSE v END AS BIGINT) AS fp
+       FROM (SELECT doc_id, frame_idx,
+                    CAST(gh % 4294967296 AS HUGEINT) * 4294967296
+                      + (gh * 48271) % 4294967291 AS v
+             FROM g)),
+n AS (SELECT doc_id, count(*) AS n_frames FROM fr GROUP BY doc_id),
+m AS (SELECT a.doc_id AS doc_probe, b.doc_id AS doc_index,
+             count(DISTINCT a.frame_idx) AS matched_frames
+      FROM fr a JOIN fr b
+        ON a.doc_id != b.doc_id
+       AND bit_count(xor(a.fp, b.fp)) <= 3
+      GROUP BY a.doc_id, b.doc_id)
+SELECT m.doc_probe, m.doc_index,
+       CAST(m.matched_frames AS BIGINT) AS matched_frames,
+       CAST(n.n_frames AS BIGINT) AS probe_frames,
+       round(CAST(m.matched_frames AS DOUBLE) / n.n_frames, 6) AS frac
+FROM m JOIN n ON n.doc_id = m.doc_probe
+WHERE m.matched_frames * 1000000 >= 600000 * n.n_frames
+""",
+    doc="Sub-clip containment end-to-end under a local oracle (round "
+    "14, r13 verdict #1): multimodal.video_containment_pairs — the "
+    "retrieval sibling of the video majority fingerprint's pinned "
+    "excerpt boundary ('sub-clip containment is retrieval's job: ANN "
+    "over per-frame hashes') — probing a PERSISTED per-frame "
+    "fingerprint relation (the video_frame_fingerprints store shape; "
+    "signed-long parquet round-trip included) through the pigeonhole "
+    "pairing with a (doc_id, frame_idx) struct id, then the hits-only "
+    "matched-frame-fraction rollup.  The corpus has no real video, so "
+    "frame fps are a deterministic text surrogate DuckDB recomputes "
+    "from the documents view: one frame per even word-3-gram "
+    "position, 64-bit fp = (gram mod 2^32) ‖ prime remix — near-dup "
+    "docs share most gram frames exactly, so containment is real "
+    "n-gram coverage and the output is non-trivial (~56 pairs at "
+    "sf0.001).  max_hamming=3 = n_bands-1: the FULL lossless "
+    "pigeonhole budget, verified hash-exactly against the all-pairs "
+    "bit_count(xor) oracle at frame granularity.  The fraction "
+    "threshold compares in exact integer ppm arithmetic on BOTH "
+    "sides — a float 0.6*n boundary is DECIMAL in DuckDB and IEEE in "
+    "Spark, an engine-dependent boundary.  driver=False: the 50-row "
+    "window is full — parity runs in the local oracle sweep.",
+    driver=False,
+)
+def q_video_frame_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_olho_vivo_spark.operators.multimodal import (
+        video_containment_pairs,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8] + f"_{os.getpid()}"
+    path = f"{tempfile.gettempdir()}/etl_olho_vivo_frame_fp/{tag}"
+    if tag not in _FRAME_FP_BUILT or not os.path.exists(path):
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        d = read_table(spark, sf_dir, "documents")
+        # even 3-gram positions (the stride-2 sampling dial); Spark
+        # arrays are 0-based where DuckDB lists are 1-based, so the
+        # shared position i reads wh[i..i+2] here and wh[i+1..i+3]
+        # in the oracle.  sequence(0, negative) counts DOWN in Spark —
+        # the size guard is load-bearing, not defensive.
+        pos = (
+            "CASE WHEN size(wh) >= 3 THEN "
+            "filter(sequence(0, size(wh) - 3), i -> i % 2 = 0) "
+            "ELSE array() END"
+        )
+        frames = (
+            dedup.with_token_hashes(d.select("doc_id", "text"))
+            .select("doc_id", "wh", F.explode(F.expr(pos)).alias("i"))
+            .select(
+                "doc_id",
+                F.col("i").cast("int").alias("frame_idx"),
+                F.expr(
+                    f"shiftleft(({_FRAME_GH}) % 4294967296, 32) "
+                    f"| (({_FRAME_GH}) * 48271) % 4294967291"
+                ).alias("fp"),
+            )
+        )
+        frames.write.mode("overwrite").parquet(path)
+        _FRAME_FP_BUILT.add(tag)
+    store = spark.read.parquet(path)
+    # probe the whole corpus against itself: every doc is both a
+    # potential excerpt and a potential compilation; self pairs are
+    # excluded inside the rollup
+    return video_containment_pairs(
+        store, store, max_hamming=3, n_bands=4, min_frac=0.6
+    )
+
+
 @register(
     "ngram_jaccard_pairs",
     f"""

@@ -279,3 +279,96 @@ def test_video_excerpt_is_not_a_near_dup(spark):
     pairs = [(r["doc_a"], r["doc_b"])
              for r in multimodal.video_near_dups(df).collect()]
     assert pairs == [(1, 2)]           # trim pairs; excerpt does not
+
+
+def test_video_excerpt_is_contained(spark):
+    """Round 14 (r13 verdict #1): the retrieval sibling of the excerpt
+    decision.  The tail excerpt that ``video_near_dups`` correctly
+    refuses to pair (test above) IS reported by the per-frame
+    containment query — every excerpt frame appears verbatim in the
+    source (Y4M is lossless → hamming 0), so frac = 1.0 — while a
+    distinct clip sharing no pictures reports nothing."""
+    a = _planes(7, n=1)[0]
+    b = _planes(99, n=1)[0]
+    c = _planes(123, n=1)[0]
+    rows = [
+        (1, bytearray(_y4m_clip([a] * 9 + [b] * 3))),   # the source
+        (3, bytearray(_y4m_clip([a] + [b] * 3))),       # tail excerpt
+        (4, bytearray(_y4m_clip([c] * 4))),             # distinct clip
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    frames = multimodal.video_frame_fingerprints(df)
+    # index = whole corpus; probe = the excerpt and the distinct clip
+    probe = frames.filter("doc_id IN (3, 4)")
+    got = {
+        (r["doc_probe"], r["doc_index"]):
+            (r["matched_frames"], r["probe_frames"], r["frac"])
+        for r in multimodal.video_containment_pairs(
+            probe, frames, max_hamming=6, n_bands=8, min_frac=0.9
+        ).collect()
+    }
+    assert got == {(3, 1): (4, 4, 1.0)}
+    # the dedup boundary still holds: the excerpt is NOT a near-dup
+    pairs = [(r["doc_a"], r["doc_b"])
+             for r in multimodal.video_near_dups(df).collect()]
+    assert (1, 3) not in pairs and (3, 1) not in pairs
+
+
+def test_video_containment_partial_and_threshold(spark):
+    """min_frac is an exact integer-arithmetic boundary: a probe with
+    half its frames in the index passes at 0.5 and fails just above;
+    a probe frame matching MANY index frames still counts once."""
+    a = _planes(7, n=1)[0]
+    b = _planes(99, n=1)[0]
+    c = _planes(123, n=1)[0]
+    rows = [
+        # index doc: many copies of a (multi-match for one probe frame)
+        (1, bytearray(_y4m_clip([a] * 6))),
+        # probe: half a-frames, half c-frames (c not in the index)
+        (2, bytearray(_y4m_clip([a, c] * 2))),
+        (3, bytearray(_y4m_clip([b] * 2))),             # unrelated
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    frames = multimodal.video_frame_fingerprints(df)
+    probe = frames.filter("doc_id = 2")
+    index = frames.filter("doc_id != 2")
+
+    def run(frac):
+        return {
+            (r["doc_probe"], r["doc_index"]): r["matched_frames"]
+            for r in multimodal.video_containment_pairs(
+                probe, index, max_hamming=6, n_bands=8, min_frac=frac
+            ).collect()
+        }
+
+    assert run(0.5) == {(2, 1): 2}   # exactly half covered, once each
+    assert run(0.500001) == {}       # strictly above the boundary
+    with pytest.raises(ValueError, match="min_frac"):
+        multimodal.video_containment_pairs(
+            probe, index, min_frac=0.0
+        )
+
+
+def test_video_frame_fingerprints_relation(spark):
+    """The unfolded relation: demux-indexed (pre-stride) frame_idx,
+    stride sampling, opaque docs emit nothing, and the per-frame
+    hashes equal the direct decode path's."""
+    a = _planes(7, n=1)[0]
+    b = _planes(99, n=1)[0]
+    df = spark.createDataFrame(
+        [(1, bytearray(_y4m_clip([a, b, a, b]))),
+         (2, bytearray(b"not a video"))],
+        SCHEMA,
+    )
+    dhash = multimodal._dhash_fn()
+    parse = multimodal._media_parser(pixels=True)
+    demux = multimodal._y4m_demuxer()
+    fa = dhash(parse(demux(_y4m_clip([a]))[0])[6])
+    fb = dhash(parse(demux(_y4m_clip([b]))[0])[6])
+
+    rows = multimodal.video_frame_fingerprints(df).collect()
+    got = {(r["doc_id"], r["frame_idx"]): r["fp"] for r in rows}
+    assert got == {(1, 0): fa, (1, 1): fb, (1, 2): fa, (1, 3): fb}
+    strided = multimodal.video_frame_fingerprints(df, stride=2).collect()
+    assert {(r["doc_id"], r["frame_idx"]) for r in strided} \
+        == {(1, 0), (1, 2)}
