@@ -733,6 +733,62 @@ def _build_parser() -> argparse.ArgumentParser:
         "the admitted media corpus' data card and write it as JSON "
         "at this path",
     )
+    mst.add_argument(
+        "--frame-index-dir", default=None,
+        help="video kind only: also maintain the per-frame fingerprint "
+        "index (doc_id, frame_idx, fp) over admitted clips — the "
+        "relation video-contain probes for sub-clip containment",
+    )
+    mst.add_argument(
+        "--frame-stride", type=int, default=1,
+        help="sample every k-th frame into the frame index (decode "
+        "cost dial)",
+    )
+
+    vix = sub.add_parser(
+        "video-index",
+        help="build the per-frame fingerprint index of a video corpus: "
+        "one (doc_id, frame_idx, fp) row per decodable sampled frame — "
+        "the relation video-contain probes for sub-clip containment",
+    )
+    vix.add_argument("--in", dest="in_dir", required=True,
+                     help="parquet with (id, media) columns")
+    vix.add_argument("--out", required=True,
+                     help="frame-fingerprint parquet output")
+    vix.add_argument("--stride", type=int, default=1,
+                     help="sample every k-th frame (decode cost dial)")
+    vix.add_argument("--id-col", default="doc_id")
+    vix.add_argument("--media-col", default="media")
+
+    vct = sub.add_parser(
+        "video-contain",
+        help="sub-clip containment: probe clips against a per-frame "
+        "fingerprint index (video-index output) — reports every probe "
+        "whose frames are >= --min-frac covered by near frames of one "
+        "indexed clip (the excerpt-in-compilation case the majority "
+        "fingerprint deliberately does not pair)",
+    )
+    vct.add_argument("--index", required=True,
+                     help="frame-fingerprint parquet (video-index "
+                     "output or the stream's --frame-index-dir)")
+    vct.add_argument("--probe", required=True,
+                     help="parquet of probe clips with (id, media) "
+                     "columns (decoded here), OR a frame-fingerprint "
+                     "parquet when --probe-is-index is set")
+    vct.add_argument("--out", required=True,
+                     help="containment pairs parquet (doc_probe, "
+                     "doc_index, matched_frames, probe_frames, frac)")
+    vct.add_argument(
+        "--probe-is-index", action="store_true",
+        help="treat --probe as an already-built frame-fingerprint "
+        "parquet instead of decoding media",
+    )
+    vct.add_argument("--min-frac", type=float, default=0.5)
+    vct.add_argument("--max-hamming", type=int, default=6)
+    vct.add_argument("--n-bands", type=int, default=8)
+    vct.add_argument("--stride", type=int, default=1)
+    vct.add_argument("--id-col", default="doc_id")
+    vct.add_argument("--media-col", default="media")
     for sub_p in (med, mst):
         # pre-store quality gates (round 12): floors over the decode
         # metadata, evaluated on the SAME pass that fingerprints —
@@ -1769,6 +1825,8 @@ def main(argv: list[str] | None = None) -> int:
                 n_bands=args.n_bands,
                 gates=_media_gates_from_args(args),
                 stats_dir=args.media_stats_dir,
+                frame_index_dir=args.frame_index_dir,
+                frame_stride=args.frame_stride,
             )
         except ValueError as e:  # gate/banding config error: exit 2
             raise SystemExit(str(e))
@@ -1917,6 +1975,79 @@ def main(argv: list[str] | None = None) -> int:
         fps.unpersist()
         print(json.dumps({"command": "media-dedup", "kind": args.kind,
                           **counts}))
+        return 0
+
+    if args.command == "video-index":
+        from pyspark.sql import functions as F
+
+        from etl_olho_vivo_spark.operators.multimodal import (
+            video_frame_fingerprints,
+        )
+
+        if args.stride <= 0:
+            raise SystemExit(f"--stride must be positive, got {args.stride}")
+        src = spark.read.parquet(args.in_dir)
+        for col in (args.id_col, args.media_col):
+            if col not in src.columns:
+                raise SystemExit(
+                    f"input at {args.in_dir} lacks column {col!r}"
+                )
+        frames = video_frame_fingerprints(
+            src.select(
+                F.col(args.id_col).alias("doc_id"),
+                F.col(args.media_col).alias("media"),
+            ),
+            stride=args.stride,
+        )
+        frames.write.mode("overwrite").parquet(args.out)
+        back = spark.read.parquet(args.out)
+        print(json.dumps({
+            "command": "video-index",
+            "frames": back.count(),
+            "clips": back.select("doc_id").distinct().count(),
+            "out": args.out,
+        }))
+        return 0
+
+    if args.command == "video-contain":
+        from pyspark.sql import functions as F
+
+        from etl_olho_vivo_spark.operators.multimodal import (
+            video_containment_pairs,
+            video_frame_fingerprints,
+        )
+
+        index = spark.read.parquet(args.index)
+        if args.probe_is_index:
+            probe = spark.read.parquet(args.probe)
+        else:
+            src = spark.read.parquet(args.probe)
+            for col in (args.id_col, args.media_col):
+                if col not in src.columns:
+                    raise SystemExit(
+                        f"probe at {args.probe} lacks column {col!r}"
+                    )
+            probe = video_frame_fingerprints(
+                src.select(
+                    F.col(args.id_col).alias("doc_id"),
+                    F.col(args.media_col).alias("media"),
+                ),
+                stride=args.stride,
+            )
+        try:
+            pairs = video_containment_pairs(
+                probe, index,
+                max_hamming=args.max_hamming, n_bands=args.n_bands,
+                min_frac=args.min_frac,
+            )
+        except ValueError as e:  # banding/min_frac config error
+            raise SystemExit(str(e))
+        pairs.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({
+            "command": "video-contain",
+            "containments": spark.read.parquet(args.out).count(),
+            "out": args.out,
+        }))
         return 0
 
     raise AssertionError(f"unhandled command {args.command!r}")

@@ -59,7 +59,7 @@ one mistyped coefficient yields plausible-but-wrong PCM that
 round-trips its own encoder perfectly and silently corrupts every
 downstream fingerprint.  Absent an authoritative in-container source
 to diff the table against (no libav, no mpg123/mad/lame — re-probed
-round 13, 2026-08-16, via importlib + ctypes.util.find_library +
+round 14, 2026-08-16, via importlib + ctypes.util.find_library +
 shutil.which over av/cv2/soundfile/librosa/ffmpeg/ffprobe/avcodec/
 avformat/mpg123/mad/mp3lame: all absent), honest coverage means
 opaque fallback.  Revisit the moment a libav

@@ -209,12 +209,26 @@ def admit_media_batch(
     n_bands: int = 8,
     gates: dict | None = None,
     stats_dir: str | None = None,
+    frame_index_dir: str | None = None,
+    frame_stride: int = 1,
 ) -> None:
     """Admit one micro-batch of (doc_id, media, ...) rows: quality
     gates (``apply_media_gates`` — BEFORE any pairing; gated rows
     never reach the corpus or the store), perceptual dedup in-batch +
     vs store, append survivors.  See the module docstring for the
     step/contract inventory.
+
+    ``frame_index_dir`` (round 14, video kind only): also maintain the
+    PER-FRAME fingerprint index (``multimodal.video_frame_fingerprints``
+    — (doc_id, frame_idx, fp) for every admitted clip) that
+    ``video_containment_pairs`` probes for sub-clip containment — the
+    retrieval query the majority fingerprint deliberately cannot
+    answer.  This is a SECOND decode pass, over the batch's SURVIVORS
+    only (cost ∝ admitted batch, never the corpus): the majority
+    fingerprint's decode discards per-frame hashes inside the Arrow
+    worker, and keeping the index optional means non-video streams
+    and containment-indifferent corpora never pay it.  Same
+    per-partition-overwrite replay idempotence as every other store.
 
     ``stats_dir`` (round 14 — the media sibling of the text loop's
     incremental data card): also write one bounded (dim, key, docs)
@@ -230,6 +244,11 @@ def admit_media_batch(
     from etl_olho_vivo_spark.operators.dedup import connected_components
 
     _hamming_validate(FP_BITS, max_hamming, n_bands)
+    if frame_index_dir is not None and kind != "video":
+        raise ValueError(
+            f"frame_index_dir is the per-frame VIDEO containment "
+            f"index; stream kind is {kind!r}"
+        )
     assert_no_pending_swap(spark, store_dir)
 
     # one decode pass, four consumers (gates, self-join, store join,
@@ -304,6 +323,16 @@ def admit_media_batch(
         surv_fps.write.mode("overwrite").parquet(
             f"{store_dir}/ingest_batch_id={batch_id}"
         )
+        if frame_index_dir is not None:
+            from etl_olho_vivo_spark.operators.multimodal import (
+                video_frame_fingerprints,
+            )
+
+            video_frame_fingerprints(
+                survivors.select("doc_id", "media"), stride=frame_stride
+            ).write.mode("overwrite").parquet(
+                f"{frame_index_dir}/ingest_batch_id={batch_id}"
+            )
         if stats_dir is not None:
             from etl_olho_vivo_spark.operators.datacard import media_stats
 
@@ -397,17 +426,27 @@ def run_media_stream(
     n_bands: int = 8,
     gates: dict | None = None,
     stats_dir: str | None = None,
+    frame_index_dir: str | None = None,
+    frame_stride: int = 1,
     available_now: bool = True,
 ):
     """Start the continuous media-ingestion query over a streaming
     frame with (doc_id, media) columns.  Config errors (unknown kind,
     an unsatisfiable banding, a gate dial that cannot apply to the
-    kind) fail HERE at start-up, not inside the first foreachBatch."""
+    kind, a frame index on a non-video stream) fail HERE at start-up,
+    not inside the first foreachBatch."""
     _hamming_validate(FP_BITS, max_hamming, n_bands)
     if kind not in MEDIA_KINDS:
         raise ValueError(
             f"kind must be one of {'|'.join(MEDIA_KINDS)}, got {kind!r}"
         )
+    if frame_index_dir is not None and kind != "video":
+        raise ValueError(
+            f"frame_index_dir is the per-frame VIDEO containment "
+            f"index; stream kind is {kind!r}"
+        )
+    if frame_stride <= 0:
+        raise ValueError(f"frame_stride must be positive, got {frame_stride}")
     validate_media_gates(kind, gates)
     spark = media_stream.sparkSession
 
@@ -416,6 +455,7 @@ def run_media_stream(
             spark, batch, batch_id, corpus_dir, store_dir,
             kind=kind, max_hamming=max_hamming, n_bands=n_bands,
             gates=gates, stats_dir=stats_dir,
+            frame_index_dir=frame_index_dir, frame_stride=frame_stride,
         )
 
     writer = (

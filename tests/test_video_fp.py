@@ -372,3 +372,106 @@ def test_video_frame_fingerprints_relation(spark):
     strided = multimodal.video_frame_fingerprints(df, stride=2).collect()
     assert {(r["doc_id"], r["frame_idx"]) for r in strided} \
         == {(1, 0), (1, 2)}
+
+
+@pytest.mark.sweep
+def test_media_stream_maintains_frame_index(spark, tmp_path):
+    """frame_index_dir on the video admit loop: the incremental
+    per-frame index over admitted clips equals a one-shot
+    video_frame_fingerprints over the admitted corpus, a replay
+    replaces its partition, and the containment query answers from
+    the index alone (no corpus re-decode)."""
+    from etl_olho_vivo_spark.streaming.media_stream import (
+        admit_media_batch,
+        run_media_stream,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    fidx = str(tmp_path / "frame_index")
+    a = _planes(7, n=1)[0]
+    b = _planes(99, n=1)[0]
+    c = _planes(123, n=1)[0]
+    b0 = spark.createDataFrame(
+        [(1, bytearray(_y4m_clip([a] * 9 + [b] * 3))),  # the source
+         (2, bytearray(_y4m_clip([c] * 4)))], SCHEMA
+    )
+    admit_media_batch(spark, b0, 0, corpus, store, kind="video",
+                      frame_index_dir=fidx)
+
+    def rel(df):
+        return sorted(
+            (r["doc_id"], r["frame_idx"], r["fp"]) for r in df.collect()
+        )
+
+    # materialize NOW: the replay below rewrites the corpus partition
+    # files this lazy plan would otherwise read too late
+    one_shot = rel(multimodal.video_frame_fingerprints(
+        spark.read.parquet(corpus).select("doc_id", "media")
+    ))
+    idx = spark.read.parquet(fidx).select("doc_id", "frame_idx", "fp")
+    assert rel(idx) == one_shot
+    # replay: partition replaced, not appended
+    admit_media_batch(spark, b0, 0, corpus, store, kind="video",
+                      frame_index_dir=fidx)
+    assert rel(spark.read.parquet(fidx)
+               .select("doc_id", "frame_idx", "fp")) == one_shot
+    # the excerpt probes the INDEX — the corpus is never re-decoded
+    probe = multimodal.video_frame_fingerprints(
+        spark.createDataFrame(
+            [(30, bytearray(_y4m_clip([a] + [b] * 3)))], SCHEMA
+        )
+    )
+    idx_fresh = spark.read.parquet(fidx).select(
+        "doc_id", "frame_idx", "fp"
+    )  # the replay replaced the files idx's lazy plan listed
+    got = [(r["doc_probe"], r["doc_index"], r["frac"])
+           for r in multimodal.video_containment_pairs(
+               probe, idx_fresh, min_frac=0.9).collect()]
+    assert got == [(30, 1, 1.0)]
+    # a non-video stream must reject the dial at start-up
+    with pytest.raises(ValueError, match="frame_index_dir"):
+        run_media_stream(
+            spark.readStream.format("rate").load(),
+            corpus, store, str(tmp_path / "ck"),
+            kind="image", frame_index_dir=fidx,
+        )
+
+
+@pytest.mark.sweep
+def test_video_index_and_contain_cli(spark, tmp_path, capsys):
+    """video-index + video-contain end to end: index a corpus of
+    clips, probe with an excerpt and a stranger — exactly the excerpt
+    is reported, against the index parquet alone."""
+    from etl_olho_vivo_spark.__main__ import main
+
+    a = _planes(7, n=1)[0]
+    b = _planes(99, n=1)[0]
+    c = _planes(123, n=1)[0]
+    corpus = str(tmp_path / "videos")
+    spark.createDataFrame(
+        [(1, bytearray(_y4m_clip([a] * 9 + [b] * 3))),
+         (2, bytearray(_y4m_clip([c] * 4))),
+         (3, bytearray(b"opaque"))], SCHEMA
+    ).write.parquet(corpus)
+    probes = str(tmp_path / "probes")
+    spark.createDataFrame(
+        [(30, bytearray(_y4m_clip([a] + [b] * 3))),   # excerpt of 1
+         (31, bytearray(_y4m_clip([_planes(55, n=1)[0]] * 2)))],
+        SCHEMA,
+    ).write.parquet(probes)
+
+    idx_out = str(tmp_path / "frame_idx")
+    assert main(["video-index", "--in", corpus, "--out", idx_out]) == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["clips"] == 2 and line["frames"] == 16  # opaque: none
+
+    pairs_out = str(tmp_path / "contained")
+    assert main([
+        "video-contain", "--index", idx_out, "--probe", probes,
+        "--out", pairs_out, "--min-frac", "0.9",
+    ]) == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["containments"] == 1
+    (row,) = spark.read.parquet(pairs_out).collect()
+    assert (row["doc_probe"], row["doc_index"], row["frac"]) == (30, 1, 1.0)
