@@ -24,8 +24,14 @@ dict, BENCH_r08 the warm dict's first key, all to front-truncation):
         1995).  The degradation contract is now explicit in
         tests/test_bench_scale.py: the whole block SHOULD fit (asserted
         at realistic value widths against the live registry), the
-        summary plus the most-expensive chunk MUST fit, and an
-        overflow may cost at most the single cheapest chunk.
+        summary plus the most-expensive chunk MUST fit, and (round 14,
+        after the 68th registry row reached the window's capacity)
+        growth past the window clips the CHEAPEST rows one at a time,
+        LOUDLY — "warm_clipped": N on the tail-guaranteed summary, the
+        clipped names + full values on the sacrificial cold line —
+        never a silent chunk straddle.  The summary also serializes
+        compact (",", ":") since round 14: the default separators
+        spent ~70 chars of the shared window on whitespace.
     {"metric": "headline_total_wall", "value": <total sec>, "unit": "sec",
      "queries": {<headline 7, 3-dp>}, "calib_s": [b, a],
      "calib_py_s": p, "gate_margin": m, "sf": <sf>}                # LAST
@@ -181,8 +187,12 @@ SCALE_EXTRA = [
 # per-chunk cap only bounds straddle loss IF the registry ever outgrows
 # the window again — and per-part overhead (~45 chars) counts against
 # the whole-tail budget, so chunks are sized large (round 11: 450-char
-# chunks × 5 parts was part of why BENCH_r10's block overflowed).
-WARM_CHUNK_CHARS = 900
+# chunks × 5 parts was part of why BENCH_r10's block overflowed; round
+# 14: 900-char chunks made THREE of them at 68 rows and the third
+# chunk's overhead pushed the block past the window — two ~1250-char
+# chunks carry the same rows with one overhead fewer, and tier 2
+# (chunk + summary co-fit) still clears 2000 by ~400 chars).
+WARM_CHUNK_CHARS = 1250
 TAIL_WINDOW_CHARS = 2000
 
 
@@ -287,14 +297,26 @@ def _calibrate_py(runs: int = 3) -> float:
 
 
 def _warm_lines(
-    timings: dict[str, float], gate_ok: bool = True
-) -> list[str]:
+    timings: dict[str, float],
+    gate_ok: bool = True,
+    block_budget: int | None = None,
+) -> tuple[list[str], list[str]]:
     """Serialize warm per-query times as chunked JSON lines (module
     docstring): the chunks carry ALL non-headline entries at 2-dp —
     headline warm times live only on the summary line, so nothing is
     duplicated into the budget twice.  Chunks are ordered (and filled)
     cheapest-first, so a front truncation of the tail window costs the
-    cheapest chunk."""
+    cheapest chunk.
+
+    ``block_budget`` (round 14 — the 68-row registry reached the
+    2000-char window's capacity): the caller passes how many chars the
+    whole warm block (chunks + separating newlines) may occupy beside
+    the already-serialized summary.  When the entries exceed it, the
+    CHEAPEST rows are dropped one at a time and returned in the second
+    element so the caller can stamp ``warm_clipped`` on the
+    tail-guaranteed summary — registry growth now costs one cheap row
+    at a time, LOUDLY, instead of a whole chunk silently straddling
+    the truncation boundary."""
     compact = {"separators": (",", ":")}
     # cheapest-first: if the tail window ever overflows, the clipped
     # chunk is the one holding the CHEAPEST queries — regressions on
@@ -305,22 +327,26 @@ def _warm_lines(
         ((n, round(t, 2)) for n, t in timings.items() if n not in HEADLINE),
         key=lambda nt: nt[1],
     )
-    chunks: list[dict[str, float]] = []
-    cur: dict[str, float] = {}
     base_overhead = len(json.dumps(
         {"metric": "warm", "queries": {}}, **compact,
-    ))
-    budget = WARM_CHUNK_CHARS - base_overhead
-    used = 0
-    for n, t in rest:
-        cost = len(json.dumps({n: t}, **compact)) + 1
-        if cur and used + cost > budget:
+    )) + (len('"load_gate":"exceeded",') if not gate_ok else 0)
+
+    def pack(entries):
+        chunks: list[dict[str, float]] = []
+        cur: dict[str, float] = {}
+        budget = WARM_CHUNK_CHARS - base_overhead
+        used = 0
+        for n, t in entries:
+            cost = len(json.dumps({n: t}, **compact)) + 1
+            if cur and used + cost > budget:
+                chunks.append(cur)
+                cur, used = {}, 0
+            cur[n] = t
+            used += cost
+        if cur:
             chunks.append(cur)
-            cur, used = {}, 0
-        cur[n] = t
-        used += cost
-    if cur:
-        chunks.append(cur)
+        return chunks
+
     # taint marker on EVERY line (module contract): the artifact is read
     # in tail-truncated form, so a consumer must see the taint on
     # whichever line survives, not only on the summary.  (The calib
@@ -328,12 +354,22 @@ def _warm_lines(
     # calib is ~25 chars/chunk, and the tail-guaranteed summary already
     # carries the pair — module docstring.)
     taint = {} if gate_ok else {"load_gate": "exceeded"}
-    return [
-        json.dumps(
-            {"metric": "warm", "queries": q, **taint}, **compact,
-        )
-        for q in chunks
-    ]
+
+    def render(entries):
+        return [
+            json.dumps(
+                {"metric": "warm", "queries": q, **taint}, **compact,
+            )
+            for q in pack(entries)
+        ]
+
+    clipped: list[str] = []
+    lines = render(rest)
+    if block_budget is not None:
+        while rest and sum(len(ln) + 1 for ln in lines) > block_budget:
+            clipped.append(rest.pop(0)[0])  # cheapest first
+            lines = render(rest)
+    return lines, clipped
 
 
 def scale_enabled() -> bool:
@@ -537,13 +573,6 @@ def main() -> None:
         "calib_s": calib,
         "calib_py_s": calib_py,
     }
-    if not gate_ok:
-        detail["load_gate"] = "exceeded"
-    print(json.dumps(detail))
-    sys.stdout.flush()
-    for line in _warm_lines(timings, gate_ok=gate_ok):
-        print(line)
-        sys.stdout.flush()
     max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
     summary = {
         "metric": "headline_total_wall",
@@ -569,7 +598,32 @@ def main() -> None:
     if missing:
         # a partial total would read as a speedup — flag it loudly
         summary["headline_errors"] = missing
-    print(json.dumps(summary))
+    # the warm block and the summary share the 2000-char tail window:
+    # budget the block against the ACTUAL summary (round 14 — at 68
+    # registry rows the window reached capacity), reserving room for a
+    # warm_clipped stamp so clipping can announce itself
+    warm_budget = (
+        TAIL_WINDOW_CHARS
+        - len(json.dumps(summary, separators=(",", ":")))
+        - 1  # the newline before the summary line
+        - len('"warm_clipped":99,')
+    )
+    warm_lines, clipped = _warm_lines(
+        timings, gate_ok=gate_ok, block_budget=warm_budget
+    )
+    if clipped:
+        # clipped rows' full values remain on the sacrificial cold
+        # line; the tail-guaranteed summary carries the loud count
+        summary["warm_clipped"] = len(clipped)
+        detail["warm_clipped_queries"] = clipped
+    if not gate_ok:
+        detail["load_gate"] = "exceeded"
+    print(json.dumps(detail))
+    sys.stdout.flush()
+    for line in warm_lines:
+        print(line)
+        sys.stdout.flush()
+    print(json.dumps(summary, separators=(",", ":")))
     sys.stdout.flush()
     if not gate_ok:
         # distinct rc: the driver records the artifact as load-tainted

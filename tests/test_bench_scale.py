@@ -43,11 +43,14 @@ def test_warm_lines_survive_2000_char_tail_capture():
     here covers every real one):
 
     1. the whole block fits the window (full recovery — the healthy
-       state);
+       state; nothing clipped at the live registry);
     2. even if the registry outgrows (1), summary + the
        most-expensive chunk must ALWAYS fit together (the regression
        signal is non-negotiable);
-    3. an overflow may cost at most the single cheapest chunk."""
+    3. growth past the window clips the CHEAPEST rows one at a time,
+       LOUDLY (warm_clipped on the summary, names on the cold line) —
+       round 14 replaced the old silent-chunk-straddle worst case
+       after the 68th registry row reached the window's capacity."""
     import bench
 
     from etl_olho_vivo_spark import registry
@@ -59,23 +62,38 @@ def test_warm_lines_survive_2000_char_tail_capture():
         n: (9.999 if n in bench.HEADLINE else 9.99) for n in names
     }
     calib = [11.234, 11.256]  # worst-case host-speed stamp widths
-    lines = bench._warm_lines(timings)
-    for ln in lines:
-        assert len(ln) <= bench.WARM_CHUNK_CHARS, len(ln)
     headline = json.dumps({
         "metric": "headline_total_wall", "value": 99.999, "unit": "sec",
         "queries": {n: timings[n] for n in bench.HEADLINE},
         "sf": "0.1", "calib_s": calib,
         "calib_py_s": 10.312, "gate_margin": -10.73,
     }, separators=(",", ":"))
+    budget = (bench.TAIL_WINDOW_CHARS - len(headline) - 1
+              - len('"warm_clipped":99,'))
+    lines, clipped = bench._warm_lines(timings, block_budget=budget)
+    for ln in lines:
+        assert len(ln) <= bench.WARM_CHUNK_CHARS, len(ln)
+    # tier 1: full recovery at worst-case widths — the LIVE registry
+    # must clip NOTHING (a registration that would clip fails here and
+    # forces an explicit rebalance decision, round 14)
+    assert clipped == [], clipped
     block = "\n".join(lines + [headline]) + "\n"
-    # tier 1: full recovery at worst-case widths
     assert len(block) <= bench.TAIL_WINDOW_CHARS, len(block)
     # tier 2: summary + most-expensive chunk always together
     assert len(lines[-1]) + len(headline) + 2 <= bench.TAIL_WINDOW_CHARS
-    # tier 3: losing the cheapest chunk is the WORST allowed outcome
-    assert len("\n".join(lines[1:] + [headline])) + 1 \
-        <= bench.TAIL_WINDOW_CHARS
+    # tier 3: growth past the window clips the CHEAPEST rows one at a
+    # time, loudly — never a silent straddle (synthetic overgrowth)
+    grown = dict(timings)
+    grown.update({f"extra_operator_row_{i:02d}": 9.99 for i in range(6)})
+    glines, gclipped = bench._warm_lines(grown, block_budget=budget)
+    assert gclipped, "overgrowth must clip"
+    gblock = "\n".join(glines + [headline]) + "\n"
+    assert len(gblock) <= bench.TAIL_WINDOW_CHARS, len(gblock)
+    survived = {k for ln in glines for k in json.loads(ln)["queries"]}
+    assert not survived & set(gclipped)
+    # clipped rows are the cheapest — every survivor costs >= them
+    assert all(grown[c] <= min(grown[s] for s in survived)
+               for c in gclipped)
     stream = "x" * 5000 + "\n" + block
     recovered: dict[str, float] = {}
     for ln in stream[-2000:].splitlines():
@@ -128,7 +146,7 @@ def test_warm_lines_clip_cheapest_first():
 
     names = bench.HEADLINE + [f"q{i:03d}" for i in range(60)]
     timings = {n: round(0.1 + i * 0.05, 3) for i, n in enumerate(names)}
-    lines = bench._warm_lines(timings)
+    lines, _ = bench._warm_lines(timings)
     seen: list[float] = []
     for ln in lines:
         q = json.loads(ln)["queries"]
@@ -147,7 +165,7 @@ def test_warm_lines_carry_each_key_exactly_once_no_pad():
         f"long_operator_query_name_{i:03d}" for i in range(80)
     ]
     timings = {n: round(0.1 + i * 0.05, 3) for i, n in enumerate(names)}
-    lines = bench._warm_lines(timings)
+    lines, _ = bench._warm_lines(timings)
     assert len(lines) >= 2
     for ln in lines:
         assert len(ln) <= bench.WARM_CHUNK_CHARS, len(ln)
@@ -239,10 +257,10 @@ def test_warm_lines_carry_taint_on_every_line():
     timings = {f"long_operator_query_name_{i:03d}": 0.1 * i
                for i in range(80)}
     timings.update({n: 0.5 for n in bench.HEADLINE})
-    tainted = bench._warm_lines(timings, gate_ok=False)
+    tainted, _ = bench._warm_lines(timings, gate_ok=False)
     assert len(tainted) >= 2
     for line in tainted:
         assert _json.loads(line)["load_gate"] == "exceeded"
-    clean = bench._warm_lines(timings, gate_ok=True)
+    clean, _ = bench._warm_lines(timings, gate_ok=True)
     for line in clean:
         assert "load_gate" not in _json.loads(line)
