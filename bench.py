@@ -177,6 +177,14 @@ SCALE_EXTRA = [
     # sub-linear wall (store build is once per (sf_dir, pid), so the
     # min-of-3 times the read+pair path the row exists to measure)
     "media_fp_pairs",
+    # round-14 addition: sub-clip containment — frame-granular
+    # pigeonhole pairing + matched-frame-fraction rollup over the
+    # persisted frame store.  The verbatim document replicas multiply
+    # frame rows ~Nx AND true cross-replica frame matches ~N²x (every
+    # replica family shares identical gram frames), so like
+    # media_fp_pairs the expected wall is super-linear in DATA while
+    # staying linear in verified output pairs
+    "video_frame_containment",
 ]
 
 
