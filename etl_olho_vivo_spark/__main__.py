@@ -2013,7 +2013,7 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
 
         from etl_olho_vivo_spark.operators.multimodal import (
-            video_containment_pairs,
+            media_containment_pairs,
             video_frame_fingerprints,
         )
 
@@ -2035,7 +2035,7 @@ def main(argv: list[str] | None = None) -> int:
                 stride=args.stride,
             )
         try:
-            pairs = video_containment_pairs(
+            pairs = media_containment_pairs(
                 probe, index,
                 max_hamming=args.max_hamming, n_bands=args.n_bands,
                 min_frac=args.min_frac,

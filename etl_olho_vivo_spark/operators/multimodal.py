@@ -2009,6 +2009,75 @@ def audio_fingerprint(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "media").mapInPandas(batches, AFP_SCHEMA)
 
 
+def audio_window_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    window_s: float = 1.0,
+    hop_s: float | None = None,
+) -> DataFrame:
+    """(doc_id, frame_idx, fp) — one spectral fingerprint per fixed-
+    DURATION window of the decoded mono samples: the audio sibling of
+    ``video_frame_fingerprints``, enabling excerpt-in-longer-track
+    containment through the same ``media_containment_pairs`` query
+    (the whole-clip ``audio_fingerprint`` time-segments the ENTIRE
+    signal into 9 equal parts, so an excerpt's segments cover
+    different audio and its fingerprint legitimately diverges — same
+    boundary as the video majority fold, same retrieval-side answer).
+
+    Windows are absolute-time anchored (``window_s`` seconds at the
+    clip's own sample rate, hop default window_s/2 = 50% overlap) so
+    an excerpt cut NEAR a hop boundary still shares most interior
+    windows with its source sample-exactly; ``frame_idx`` is the
+    window ordinal on the hop grid.  Containment recall degrades with
+    cut-point misalignment beyond ~hop/2 — the hop is the dial
+    (halving it doubles rows and decode-side FFT work).  Trailing
+    partial windows are dropped (a partial window's spectrum matches
+    nothing).  Opaque/undecodable/too-short media emit no rows.
+
+    100 TB shape: identical to the video frame relation — decode +
+    per-window FFT is the embarrassingly-parallel Arrow stage, only
+    slim 20-byte rows shuffle, and the relation persists as the
+    containment index the probes never re-decode."""
+    if window_s <= 0:
+        raise ValueError(f"window_s must be positive, got {window_s}")
+    hop_s = window_s / 2 if hop_s is None else hop_s
+    if hop_s <= 0:
+        raise ValueError(f"hop_s must be positive, got {hop_s}")
+    parse = _audio_parser(samples=True)
+    afp = _afp_fn()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, fps = [], [], []
+            for doc_id, media in zip(
+                pdf[id_col].astype("int64"), pdf["media"]
+            ):
+                r = parse(media)
+                mono, sr = r[8], r[3]
+                if mono is None or not sr:
+                    continue
+                win = int(round(window_s * sr))
+                hop = max(int(round(hop_s * sr)), 1)
+                for k, start in enumerate(
+                    range(0, len(mono) - win + 1, hop)
+                ):
+                    h = afp(mono[start:start + win])
+                    if h is None:
+                        continue
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    fps.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "fp": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(batches, FRAME_FP_SCHEMA)
+
+
 VFP_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -2052,7 +2121,7 @@ def _vfp_votes_fn():
       sub-clip containment is retrieval's job (ANN over per-frame
       hashes), not dedup's.  That retrieval side exists since round
       14: ``video_frame_fingerprints`` (the unfolded per-frame
-      relation, same decode pass) + ``video_containment_pairs``
+      relation, same decode pass) + ``media_containment_pairs``
       (pigeonhole pairing + matched-frame-fraction rollup) report
       the excerpt this fold correctly refuses to pair.
 
@@ -2187,7 +2256,7 @@ def video_frame_fingerprints(
     fp) rows — ~1000× smaller than the frames.  The relation is
     frames-per-video × corpus-sized: persist it partitioned like the
     fingerprint store (the caller's one-decode index) and query it
-    with ``video_containment_pairs`` (probe-scaled, never re-decodes).
+    with ``media_containment_pairs`` (probe-scaled, never re-decodes).
     """
     if stride <= 0:
         raise ValueError(f"stride must be positive, got {stride}")
@@ -2228,7 +2297,7 @@ def video_frame_fingerprints(
     return df.select(id_col, "media").mapInPandas(batches, FRAME_FP_SCHEMA)
 
 
-def video_containment_pairs(
+def media_containment_pairs(
     probe_frames: DataFrame,
     index_frames: DataFrame,
     *,
@@ -2236,14 +2305,16 @@ def video_containment_pairs(
     n_bands: int = 8,
     min_frac: float = 0.5,
 ) -> DataFrame:
-    """Sub-clip containment over per-frame fingerprint relations
-    (``video_frame_fingerprints`` output, typically the index side
-    read back from its persisted parquet): report (doc_probe,
+    """Sub-clip containment over per-frame fingerprint relations —
+    MEDIA-AGNOSTIC: any (doc_id, frame_idx, fp) relation qualifies,
+    video frames (``video_frame_fingerprints``) and audio windows
+    (``audio_window_fingerprints``) alike, typically with the index
+    side read back from its persisted parquet.  Reports (doc_probe,
     doc_index, matched_frames, probe_frames, frac) for every probe
     clip whose frames are ≥ ``min_frac`` covered by near frames
     (Hamming ≤ ``max_hamming``) of one index clip — the 10-s-excerpt-
-    in-a-2-min-compilation case the majority fingerprint cannot and
-    must not see (round-13 decision, ``_vfp_votes_fn``).
+    in-a-2-min-compilation case the whole-clip fingerprints cannot
+    and must not see (round-13 decision, ``_vfp_votes_fn``).
 
     Mechanics: the frame pairing is the SAME pigeonhole machinery
     every fingerprint kind rides (``hamming_near_dups_incremental``

@@ -604,7 +604,7 @@ FROM m JOIN n ON n.doc_id = m.doc_probe
 WHERE m.matched_frames * 1000000 >= 600000 * n.n_frames
 """,
     doc="Sub-clip containment end-to-end under a local oracle (round "
-    "14, r13 verdict #1): multimodal.video_containment_pairs — the "
+    "14, r13 verdict #1): multimodal.media_containment_pairs — the "
     "retrieval sibling of the video majority fingerprint's pinned "
     "excerpt boundary ('sub-clip containment is retrieval's job: ANN "
     "over per-frame hashes') — probing a PERSISTED per-frame "
@@ -634,7 +634,7 @@ def q_video_frame_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from etl_olho_vivo_spark.operators.multimodal import (
-        video_containment_pairs,
+        media_containment_pairs,
     )
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8] + f"_{os.getpid()}"
@@ -670,7 +670,7 @@ def q_video_frame_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe the whole corpus against itself: every doc is both a
     # potential excerpt and a potential compilation; self pairs are
     # excluded inside the rollup
-    return video_containment_pairs(
+    return media_containment_pairs(
         store, store, max_hamming=3, n_bands=4, min_frac=0.6
     )
 

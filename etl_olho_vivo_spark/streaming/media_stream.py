@@ -221,7 +221,7 @@ def admit_media_batch(
     ``frame_index_dir`` (round 14, video kind only): also maintain the
     PER-FRAME fingerprint index (``multimodal.video_frame_fingerprints``
     — (doc_id, frame_idx, fp) for every admitted clip) that
-    ``video_containment_pairs`` probes for sub-clip containment — the
+    ``media_containment_pairs`` probes for sub-clip containment — the
     retrieval query the majority fingerprint deliberately cannot
     answer.  This is a SECOND decode pass, over the batch's SURVIVORS
     only (cost ∝ admitted batch, never the corpus): the majority

@@ -3176,3 +3176,82 @@ def test_image_near_dups_exact_mode_single_band(spark):
         ).collect()
     ]
     assert got == [(1, 2, 0)], got
+
+
+def test_audio_excerpt_containment(spark):
+    """Round 14: the audio sibling of sub-clip video containment.  An
+    excerpt cut ON the hop grid shares its source's windows sample-
+    exactly (fp hamming 0), so media_containment_pairs reports it at
+    frac 1.0, while a spectrally-distinct clip reports nothing — and
+    the whole-clip audio_fingerprint legitimately diverges on the
+    excerpt (it time-segments the WHOLE signal), which is exactly the
+    boundary the window relation exists to cross."""
+    import struct
+
+    import numpy as np
+
+    sr = 8000
+    rng = np.random.RandomState(7)
+    src = rng.randint(-20000, 20000, 10 * sr).astype("<i2")
+    other = np.random.RandomState(99).randint(
+        -20000, 20000, 3 * sr
+    ).astype("<i2")
+
+    def wav(samples):
+        return bytearray(_make_wav(1, 2, sr, samples.tobytes()))
+
+    rows = [
+        (1, wav(src)),                       # 10 s source
+        (2, wav(src[4 * sr:8 * sr])),        # 4 s excerpt, on-grid cut
+        (3, wav(other)),                     # distinct audio
+        (4, bytearray(b"not audio")),        # opaque
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    frames = multimodal.audio_window_fingerprints(
+        df, window_s=1.0
+    )  # hop 0.5 s; 4 s cut = 8 hops -> window grids coincide
+    probe = frames.filter("doc_id IN (2, 3)")
+    index = frames.filter("doc_id = 1")
+    got = {
+        (r["doc_probe"], r["doc_index"]): r["frac"]
+        for r in multimodal.media_containment_pairs(
+            probe, index, min_frac=0.9
+        ).collect()
+    }
+    assert got == {(2, 1): 1.0}
+    # opaque rows emit no window rows at all
+    assert frames.filter("doc_id = 4").count() == 0
+    # the per-clip fingerprints diverge on the excerpt — containment
+    # is the window relation's job, not the whole-clip hash's
+    fps = {r["doc_id"]: r["afp"]
+           for r in multimodal.audio_fingerprint(df).collect()}
+    diff = bin((fps[1] ^ fps[2]) & ((1 << 64) - 1)).count("1")
+    assert diff > 6, diff
+
+
+def test_audio_window_fingerprints_grid_and_dials(spark):
+    """Window mechanics: ordinals on the hop grid, trailing partial
+    window dropped, hop dial changes row count, bad dials rejected."""
+    import numpy as np
+
+    sr = 8000
+    samples = np.random.RandomState(3).randint(
+        -10000, 10000, int(2.6 * sr)
+    ).astype("<i2")
+    df = spark.createDataFrame(
+        [(1, bytearray(_make_wav(1, 2, sr, samples.tobytes())))],
+        "doc_id long, media binary",
+    )
+    rows = multimodal.audio_window_fingerprints(df, window_s=1.0).collect()
+    # 2.6 s at win 1.0 / hop 0.5: starts 0.0-1.5 -> 4 full windows
+    assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] \
+        == [0, 1, 2, 3]
+    dense = multimodal.audio_window_fingerprints(
+        df, window_s=1.0, hop_s=0.25
+    ).collect()
+    assert len(dense) == 7  # starts 0.0-1.5 at 0.25 s
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="window_s"):
+        multimodal.audio_window_fingerprints(df, window_s=0)
+    with _pytest.raises(ValueError, match="hop_s"):
+        multimodal.audio_window_fingerprints(df, hop_s=-1)

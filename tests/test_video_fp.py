@@ -303,7 +303,7 @@ def test_video_excerpt_is_contained(spark):
     got = {
         (r["doc_probe"], r["doc_index"]):
             (r["matched_frames"], r["probe_frames"], r["frac"])
-        for r in multimodal.video_containment_pairs(
+        for r in multimodal.media_containment_pairs(
             probe, frames, max_hamming=6, n_bands=8, min_frac=0.9
         ).collect()
     }
@@ -336,7 +336,7 @@ def test_video_containment_partial_and_threshold(spark):
     def run(frac):
         return {
             (r["doc_probe"], r["doc_index"]): r["matched_frames"]
-            for r in multimodal.video_containment_pairs(
+            for r in multimodal.media_containment_pairs(
                 probe, index, max_hamming=6, n_bands=8, min_frac=frac
             ).collect()
         }
@@ -344,7 +344,7 @@ def test_video_containment_partial_and_threshold(spark):
     assert run(0.5) == {(2, 1): 2}   # exactly half covered, once each
     assert run(0.500001) == {}       # strictly above the boundary
     with pytest.raises(ValueError, match="min_frac"):
-        multimodal.video_containment_pairs(
+        multimodal.media_containment_pairs(
             probe, index, min_frac=0.0
         )
 
@@ -426,7 +426,7 @@ def test_media_stream_maintains_frame_index(spark, tmp_path):
         "doc_id", "frame_idx", "fp"
     )  # the replay replaced the files idx's lazy plan listed
     got = [(r["doc_probe"], r["doc_index"], r["frac"])
-           for r in multimodal.video_containment_pairs(
+           for r in multimodal.media_containment_pairs(
                probe, idx_fresh, min_frac=0.9).collect()]
     assert got == [(30, 1, 1.0)]
     # a non-video stream must reject the dial at start-up
