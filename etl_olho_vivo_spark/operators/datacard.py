@@ -294,9 +294,24 @@ def diff_datacards(old: dict, new: dict, top_k: int = 10) -> dict:
     between crawls (a source suddenly contributing 3x its share, a
     language draining away).  Shares are compared as fractions of
     each card's own total, so the report is meaningful even when the
-    corpus grew — absolute deltas are reported alongside."""
+    corpus grew — absolute deltas are reported alongside.
+
+    MEDIA cards diff too (round 14): they carry no token counts, so
+    when NEITHER side of an entry pair has a ``token_frac`` the share
+    shift falls back to ``doc_frac`` — without the fallback a
+    media-card diff reported every shift as 0.0.  The fallback is
+    decided per entry PAIR (token_frac if either side has one), so a
+    doc share is never compared against a token share."""
     def rel(a: int, b: int) -> float | None:
         return round((b - a) / a, 6) if a else None
+
+    def shares(old_e: dict | None, new_e: dict | None) -> tuple:
+        o, n = old_e or {}, new_e or {}
+        if o.get("token_frac") is None and n.get("token_frac") is None:
+            key = "doc_frac"
+        else:
+            key = "token_frac"
+        return (o.get(key) or 0.0), (n.get(key) or 0.0)
 
     out: dict = {
         "totals": {
@@ -318,8 +333,7 @@ def diff_datacards(old: dict, new: dict, top_k: int = 10) -> dict:
                        "removed": sorted(set(o) - set(n)), "keys": {}}
         for k in keys:
             ok, nk = o.get(k), n.get(k)
-            of = (ok or {}).get("token_frac") or 0.0
-            nf = (nk or {}).get("token_frac") or 0.0
+            of, nf = shares(ok, nk)
             entry["keys"][k] = {
                 "docs_delta": (nk or {}).get("docs", 0)
                 - (ok or {}).get("docs", 0),
@@ -335,11 +349,8 @@ def diff_datacards(old: dict, new: dict, top_k: int = 10) -> dict:
         out["len_log2_histogram"][b] = nh.get(b, 0) - oh.get(b, 0)
     shifts.sort(key=lambda s: (-s[0], s[1], s[2]))
     out["top_shifts"] = [
-        {"dim": d, "key": k, "token_frac_shift": round(
-            (new.get("by", {}).get(d, {}).get(k, {}).get("token_frac")
-             or 0.0)
-            - (old.get("by", {}).get(d, {}).get(k, {}).get("token_frac")
-               or 0.0), 6)}
+        {"dim": d, "key": k,
+         "token_frac_shift": out["by"][d]["keys"][k]["token_frac_shift"]}
         for _, d, k in shifts[:top_k]
     ]
     return out

@@ -307,3 +307,25 @@ def test_stats_store_midlife_undercount_is_loud(spark, tmp_path):
     full = dc.card_from_stats_store(spark, stats, corpus_dir=corpus)
     assert "partial" not in full and "missing_batch_ids" not in full
     assert full["docs"] == 5
+
+
+def test_diff_datacards_media_cards_fall_back_to_doc_share():
+    """Media cards carry no token counts — the share shift falls back
+    to doc_frac per entry pair (round 14); without it every media
+    shift reported 0.0.  The field keeps its token_frac_shift name
+    for schema stability (documented in diff_datacards)."""
+    def mcard(by_decoded, total):
+        return {"kind": "image", "docs": total, "by": {"decoded": {
+            k: {"docs": d, "doc_frac": round(d / total, 6)}
+            for k, d in by_decoded.items()}}}
+
+    old = mcard({"true": 8, "false": 2}, 10)
+    new = mcard({"true": 9, "false": 11}, 20)
+    d = dc.diff_datacards(old, new)
+    ent = d["by"]["decoded"]["keys"]
+    assert ent["true"]["token_frac_shift"] == round(9 / 20 - 8 / 10, 6)
+    assert ent["false"]["token_frac_shift"] == round(11 / 20 - 2 / 10, 6)
+    assert d["top_shifts"][0] == {
+        "dim": "decoded", "key": "false",
+        "token_frac_shift": round(11 / 20 - 2 / 10, 6)}
+    assert d["totals"]["docs"]["delta"] == 10
