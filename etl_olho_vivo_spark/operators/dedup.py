@@ -941,6 +941,7 @@ def hamming_near_dups_incremental(
     max_hamming: int,
     n_bands: int,
     id_col: str = "doc_id",
+    dedup_pairs: bool = True,
 ) -> DataFrame:
     """Hamming near-dup pairs between a NEW batch of fingerprints and a
     persisted fingerprint store — the pigeonhole sibling of
@@ -958,7 +959,16 @@ def hamming_near_dups_incremental(
     back to a spillable sort-merge join.  The ``doc_new != doc_old``
     identity guard keeps an at-least-once replay (own earlier write
     already folded into a compacted store base) from matching itself.
-    """
+
+    ``dedup_pairs=False`` (round 14) skips the (doc_new, doc_old)
+    dropDuplicates — a whole extra exchange+aggregate over the
+    candidate volume — when the CALLER already de-duplicates
+    downstream at its own granularity: a pair agreeing on k bands
+    emerges k times, each copy verifies to the same hamming, and
+    ``media_containment_pairs``'s rollup collapses them at the
+    (probe doc, probe frame, index doc) triple anyway.  Admit loops
+    keep the default: their consumers treat each pair row as one
+    near-dup fact."""
     _hamming_validate(bits, max_hamming, n_bands)
     new_sims = new_hashes.select(
         F.col(id_col).alias("doc_id"), F.col(hash_col).alias("__h__")
@@ -974,8 +984,9 @@ def hamming_near_dups_incremental(
         new_b.join(old_b, ["band", "seg"])
         .filter(F.col("doc_new") != F.col("doc_old"))
         .select("doc_new", "doc_old")
-        .dropDuplicates(["doc_new", "doc_old"])
     )
+    if dedup_pairs:
+        pairs = pairs.dropDuplicates(["doc_new", "doc_old"])
     h_new = new_sims.select(
         F.col("doc_id").alias("doc_new"), F.col("__h__").alias("ha")
     )

@@ -652,8 +652,15 @@ def q_video_frame_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "filter(sequence(0, size(wh) - 3), i -> i % 2 = 0) "
             "ELSE array() END"
         )
+        # spread the md5 token-hashing AND the store layout across
+        # cores: a single-file scan is one input split, and a 1-file
+        # store would serialize every downstream band join until its
+        # first shuffle (the ngram_jaccard_pairs lesson)
+        par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         frames = (
-            dedup.with_token_hashes(d.select("doc_id", "text"))
+            dedup.with_token_hashes(
+                d.select("doc_id", "text").repartition(par, "doc_id")
+            )
             .select("doc_id", "wh", F.explode(F.expr(pos)).alias("i"))
             .select(
                 "doc_id",
