@@ -117,10 +117,17 @@ def _grouping_stats(
     NULL_KEY sentinel so the card dict never carries a None key."""
     # Column objects, not name strings, inside the grouping sets too —
     # bare strings there go through the attribute-name parser
+    reserved = {"dim", "key", "__gid__", *aggs}
+    clash = sorted(reserved & set(cols))
+    if clash:
+        raise ValueError(
+            f"dims column name(s) {clash} collide with the stats "
+            f"frame's own output columns; rename or alias them first"
+        )
     sets = [[F.col(_bt(c))] for c in cols] + [[]]
     grouped = prof.groupingSets(sets, *[F.col(_bt(c)) for c in cols]).agg(
         *[expr.alias(name) for name, expr in aggs.items()],
-        F.grouping_id().alias("gid"),
+        F.grouping_id().alias("__gid__"),
     )
     # grouping_id: bit i (MSB-first over ``cols``) is SET when the
     # column is aggregated away, so the set keeping col i alone is
@@ -130,7 +137,7 @@ def _grouping_stats(
     dim_col = key_col = None
     for i, c in enumerate(cols):
         gid = gid_all - 2 ** (n - 1 - i)
-        cond = F.col("gid") == gid
+        cond = F.col("__gid__") == gid
         key = F.coalesce(F.col(_bt(c)).cast("string"), F.lit(NULL_KEY))
         dim_col = (F.when(cond, F.lit(c)) if dim_col is None
                    else dim_col.when(cond, F.lit(c)))
