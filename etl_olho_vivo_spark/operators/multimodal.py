@@ -2316,15 +2316,34 @@ def media_containment_pairs(
     in-a-2-min-compilation case the whole-clip fingerprints cannot
     and must not see (round-13 decision, ``_vfp_votes_fn``).
 
-    Mechanics: the frame pairing is the SAME pigeonhole machinery
-    every fingerprint kind rides (``hamming_near_dups_incremental``
-    with a (doc_id, frame_idx) struct id — band equi-join, exact
-    bit_count verify), asymmetric probe-vs-store so AQE broadcasts
-    the probe band keys and the corpus-sized index is only scanned;
-    then a hits-only rollup counts DISTINCT matched probe frames per
-    (probe, index) pair.  A probe frame matching many index frames
-    counts once — containment is "how much of the probe is covered",
-    not match volume.
+    Mechanics — the exact-dup-collapse lesson at fingerprint
+    granularity (the editdist row's shape): repeated content makes
+    IDENTICAL fingerprint values the dominant match mass (the same
+    establishing shot across a series' episodes, a repeated n-gram, a
+    mirrored clip), so the near-match machinery runs over DISTINCT
+    fingerprint VALUES only —
+
+    1. exact value matches are one slim equi-join of the two distinct-
+       value sets (hamming 0, no banding needed);
+    2. near matches (1..max_hamming) run the pigeonhole pairing
+       (``hamming_near_dups_incremental``) between distinct values,
+       where its identity guard excludes exactly the hamming-0 pairs
+       leg 1 already has;
+    3. the matched VALUE pairs expand back to (probe doc, probe
+       frame, index doc) through two slim fp equi-joins — the index
+       side pre-collapsed to distinct (doc, fp), since "how many
+       index frames carry the value" is irrelevant to coverage — and
+       collapse immediately inside ONE partial-aggregated
+       count_distinct on the rollup key.
+
+    Measured rationale: the naive frame-pair formulation paid the
+    banded join and the exact verify per frame PAIR — under 10×
+    verbatim replicas (identical fps across every replica family)
+    that is ~100× candidate volume for ~unchanged distinct-value
+    work, 74 s vs this form's pairing cost that tracks distinct
+    values.  A probe frame matching many index frames still counts
+    once — containment is "how much of the probe is covered", not
+    match volume.
 
     The threshold compares in exact integer arithmetic
     (``matched * 1e6 >= round(min_frac * 1e6) * total``): a float
@@ -2333,39 +2352,42 @@ def media_containment_pairs(
     (probe doc present in the index) are excluded — every clip
     trivially contains itself."""
     from etl_olho_vivo_spark.operators.dedup import (
+        _hamming_validate,
         hamming_near_dups_incremental,
     )
 
     if not 0 < min_frac <= 1:
         raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
+    _hamming_validate(64, max_hamming, n_bands)
     thr_ppm = round(min_frac * 1_000_000)
-    pf = probe_frames.select(
-        F.struct("doc_id", "frame_idx").alias("fid"), "fp"
+
+    p_vals = probe_frames.select("fp").distinct()
+    i_vals = index_frames.select("fp").distinct()
+    exact = p_vals.join(i_vals, "fp").select(
+        F.col("fp").alias("pfp"), F.col("fp").alias("ifp")
     )
-    xf = index_frames.select(
-        F.struct("doc_id", "frame_idx").alias("fid"), "fp"
-    )
-    pairs = hamming_near_dups_incremental(
-        pf, xf, hash_col="fp", bits=64,
-        max_hamming=max_hamming, n_bands=n_bands, id_col="fid",
-        # the rollup below de-duplicates at the (probe doc, probe
-        # frame, index doc) triple — the pairing's own pair-dedup
-        # would add a whole exchange over the candidate volume for
-        # nothing (measured 131k frames → 4.2M candidates at sf0.1)
+    near = hamming_near_dups_incremental(
+        p_vals, i_vals, hash_col="fp", bits=64,
+        max_hamming=max_hamming, n_bands=n_bands, id_col="fp",
+        # downstream collapses at the rollup key — the pairing's own
+        # pair-dedup would add an exchange over the candidates for
+        # nothing (multi-band duplicates verify to the same hamming)
         dedup_pairs=False,
+    ).select(F.col("doc_new").alias("pfp"), F.col("doc_old").alias("ifp"))
+    vpairs = exact.unionByName(near)
+
+    i_docs = index_frames.select(
+        F.col("fp").alias("ifp"), F.col("doc_id").alias("doc_index")
+    ).dropDuplicates()
+    p_rows = probe_frames.select(
+        F.col("fp").alias("pfp"),
+        F.col("doc_id").alias("doc_probe"),
+        F.col("frame_idx").alias("pframe"),
     )
     matched = (
-        pairs.select(
-            F.col("doc_new.doc_id").alias("doc_probe"),
-            F.col("doc_new.frame_idx").alias("pframe"),
-            F.col("doc_old.doc_id").alias("doc_index"),
-        )
+        vpairs.join(p_rows, "pfp")
+        .join(i_docs, "ifp")
         .filter(F.col("doc_probe") != F.col("doc_index"))
-        # count_distinct fuses the de-dup and the count into ONE
-        # aggregation on the rollup key (partial-aggregated, so the
-        # multi-band candidate duplicates collapse map-side) — the
-        # dropDuplicates→groupBy form paid two exchanges on different
-        # keys over the full candidate volume
         .groupBy("doc_probe", "doc_index")
         .agg(F.count_distinct("pframe").alias("matched_frames"))
     )

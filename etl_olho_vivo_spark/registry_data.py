@@ -609,9 +609,11 @@ WHERE m.matched_frames * 1000000 >= 600000 * n.n_frames
     "excerpt boundary ('sub-clip containment is retrieval's job: ANN "
     "over per-frame hashes') — probing a PERSISTED per-frame "
     "fingerprint relation (the video_frame_fingerprints store shape; "
-    "signed-long parquet round-trip included) through the pigeonhole "
-    "pairing with a (doc_id, frame_idx) struct id, then the hits-only "
-    "matched-frame-fraction rollup.  The corpus has no real video, so "
+    "signed-long parquet round-trip included) through the VALUE-"
+    "collapsed containment query (exact-dup collapse at fingerprint "
+    "granularity: distinct-value equi-join for hamming 0 + pigeonhole "
+    "pairing between distinct values for 1..max_hamming, expansion to "
+    "docs/frames only inside one count_distinct rollup).  The corpus has no real video, so "
     "frame fps are a deterministic text surrogate DuckDB recomputes "
     "from the documents view: one frame per even word-3-gram "
     "position, 64-bit fp = (gram mod 2^32) ‖ prime remix — near-dup "
