@@ -786,6 +786,13 @@ def _build_parser() -> argparse.ArgumentParser:
     vct.add_argument("--min-frac", type=float, default=0.5)
     vct.add_argument("--max-hamming", type=int, default=6)
     vct.add_argument("--n-bands", type=int, default=8)
+    vct.add_argument(
+        "--max-index-df", type=int, default=None,
+        help="stop-frame dial: drop fingerprint values carried by more "
+        "than this many distinct index clips (logo cards, silence, "
+        "black frames) — they assert containment in everything and "
+        "carry no discriminative signal",
+    )
     vct.add_argument("--stride", type=int, default=1)
     vct.add_argument("--id-col", default="doc_id")
     vct.add_argument("--media-col", default="media")
@@ -2038,7 +2045,7 @@ def main(argv: list[str] | None = None) -> int:
             pairs = media_containment_pairs(
                 probe, index,
                 max_hamming=args.max_hamming, n_bands=args.n_bands,
-                min_frac=args.min_frac,
+                min_frac=args.min_frac, max_index_df=args.max_index_df,
             )
         except ValueError as e:  # banding/min_frac config error
             raise SystemExit(str(e))

@@ -2304,6 +2304,7 @@ def media_containment_pairs(
     max_hamming: int = 6,
     n_bands: int = 8,
     min_frac: float = 0.5,
+    max_index_df: int | None = None,
 ) -> DataFrame:
     """Sub-clip containment over per-frame fingerprint relations —
     MEDIA-AGNOSTIC: any (doc_id, frame_idx, fp) relation qualifies,
@@ -2350,7 +2351,18 @@ def media_containment_pairs(
     ``0.6 * n`` boundary is engine-dependent (DECIMAL vs IEEE), and
     cross-engine oracles must agree on boundary pairs.  Self pairs
     (probe doc present in the index) are excluded — every clip
-    trivially contains itself."""
+    trivially contains itself.
+
+    ``max_index_df`` is the STOP-FRAME dial (the stopword/IDF idea at
+    frame granularity): a fingerprint value carried by more than this
+    many DISTINCT index docs — a network logo card, a silence window,
+    a black frame, a stopword n-gram in text surrogates — asserts
+    containment in everything and carries no discriminative signal,
+    so it is dropped from the INDEX side before any pairing.  Probe
+    totals still count every probe frame, so the dial is conservative:
+    a probe consisting mostly of stop-frames reports nothing rather
+    than reporting everything.  Default None = exact semantics (every
+    match counts — what the registry oracle pins)."""
     from etl_olho_vivo_spark.operators.dedup import (
         _hamming_validate,
         hamming_near_dups_incremental,
@@ -2358,11 +2370,25 @@ def media_containment_pairs(
 
     if not 0 < min_frac <= 1:
         raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
+    if max_index_df is not None and max_index_df < 1:
+        raise ValueError(f"max_index_df must be >= 1, got {max_index_df}")
     _hamming_validate(64, max_hamming, n_bands)
     thr_ppm = round(min_frac * 1_000_000)
 
+    i_docs = index_frames.select(
+        F.col("fp").alias("ifp"), F.col("doc_id").alias("doc_index")
+    ).dropDuplicates()
+    if max_index_df is not None:
+        keep = (
+            i_docs.groupBy("ifp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_index_df)
+            .select("ifp")
+        )
+        i_docs = i_docs.join(keep, "ifp", "left_semi")
+
     p_vals = probe_frames.select("fp").distinct()
-    i_vals = index_frames.select("fp").distinct()
+    i_vals = i_docs.select(F.col("ifp").alias("fp")).distinct()
     exact = p_vals.join(i_vals, "fp").select(
         F.col("fp").alias("pfp"), F.col("fp").alias("ifp")
     )
@@ -2376,9 +2402,6 @@ def media_containment_pairs(
     ).select(F.col("doc_new").alias("pfp"), F.col("doc_old").alias("ifp"))
     vpairs = exact.unionByName(near)
 
-    i_docs = index_frames.select(
-        F.col("fp").alias("ifp"), F.col("doc_id").alias("doc_index")
-    ).dropDuplicates()
     p_rows = probe_frames.select(
         F.col("fp").alias("pfp"),
         F.col("doc_id").alias("doc_probe"),

@@ -475,3 +475,41 @@ def test_video_index_and_contain_cli(spark, tmp_path, capsys):
     assert line["containments"] == 1
     (row,) = spark.read.parquet(pairs_out).collect()
     assert (row["doc_probe"], row["doc_index"], row["frac"]) == (30, 1, 1.0)
+
+
+def test_containment_stop_frame_dial(spark):
+    """max_index_df drops fingerprint values carried by too many index
+    clips: a probe made of a ubiquitous frame (a logo card) reports
+    nothing with the dial set — instead of reporting containment in
+    EVERY clip carrying the logo — while a discriminative probe still
+    matches its source; the dial validates driver-side."""
+    logo = _planes(7, n=1)[0]
+    uniq = _planes(99, n=1)[0]
+    rows = [(i, bytearray(_y4m_clip([logo] * 2))) for i in (1, 2, 3, 4)]
+    rows.append((5, bytearray(_y4m_clip([uniq] * 2 + [logo]))))
+    df = spark.createDataFrame(rows, SCHEMA)
+    frames = multimodal.video_frame_fingerprints(df)
+    index = frames.filter("doc_id <= 5")
+    logo_probe = multimodal.video_frame_fingerprints(
+        spark.createDataFrame([(30, bytearray(_y4m_clip([logo] * 2)))],
+                              SCHEMA))
+    uniq_probe = multimodal.video_frame_fingerprints(
+        spark.createDataFrame([(31, bytearray(_y4m_clip([uniq] * 2)))],
+                              SCHEMA))
+
+    def run(probe, **kw):
+        return sorted(
+            (r["doc_probe"], r["doc_index"])
+            for r in multimodal.media_containment_pairs(
+                probe, index, min_frac=0.9, **kw).collect()
+        )
+
+    # without the dial: the logo probe is "contained" in all 5 clips
+    assert run(logo_probe) == [(30, i) for i in (1, 2, 3, 4, 5)]
+    # logo fp appears in 5 distinct index docs > 4 -> dropped; the
+    # discriminative probe still matches clip 5 (uniq df = 1)
+    assert run(logo_probe, max_index_df=4) == []
+    assert run(uniq_probe, max_index_df=4) == [(31, 5)]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_index_df"):
+        run(logo_probe, max_index_df=0)
