@@ -472,6 +472,32 @@ _FP_REMIX = "x -> (x * 48271) % 4294967291"
 _MEDIA_FP_BUILT: set[str] = set()
 
 
+def _sweep_dead_scratch(root: str) -> None:
+    """Remove sibling scratch stores left by DEAD processes — atexit
+    handles normal exits, but a SIGKILLed driver never runs it, so
+    every builder also sweeps the shared root: dir names end in
+    ``_<pid>``, and a pid that no longer exists owns garbage.  A pid
+    that exists but belongs to another user (PermissionError on the
+    probe signal) is left alone — it may be a live driver."""
+    import os
+    import shutil
+
+    try:
+        entries = os.listdir(root)
+    except FileNotFoundError:
+        return
+    for name in entries:
+        pid = name.rsplit("_", 1)[-1]
+        if not pid.isdigit() or int(pid) == os.getpid():
+            continue
+        try:
+            os.kill(int(pid), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        except PermissionError:
+            pass
+
+
 @register(
     "media_fp_pairs",
     f"""
@@ -531,12 +557,15 @@ def q_media_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8] + f"_{os.getpid()}"
-    path = f"{tempfile.gettempdir()}/etl_olho_vivo_media_fp/{tag}"
+    root = f"{tempfile.gettempdir()}/etl_olho_vivo_media_fp"
+    path = f"{root}/{tag}"
     if tag not in _MEDIA_FP_BUILT or not os.path.exists(path):
         # scratch hygiene (r13 verdict): the store is per-(sf_dir, pid)
         # — without cleanup every driver process leaves one parquet dir
         # in $TMPDIR forever.  Registered once per tag, before the
-        # write, so a build that crashes mid-write is swept too.
+        # write, so a build that crashes mid-write is swept too; dirs
+        # of SIGKILLed siblings (atexit never ran) are swept here.
+        _sweep_dead_scratch(root)
         atexit.register(shutil.rmtree, path, ignore_errors=True)
         d = read_table(spark, sf_dir, "documents")
         hi = dedup.simhash_expr("wh", 32)
@@ -640,8 +669,10 @@ def q_video_frame_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8] + f"_{os.getpid()}"
-    path = f"{tempfile.gettempdir()}/etl_olho_vivo_frame_fp/{tag}"
+    root = f"{tempfile.gettempdir()}/etl_olho_vivo_frame_fp"
+    path = f"{root}/{tag}"
     if tag not in _FRAME_FP_BUILT or not os.path.exists(path):
+        _sweep_dead_scratch(root)
         atexit.register(shutil.rmtree, path, ignore_errors=True)
         d = read_table(spark, sf_dir, "documents")
         # even 3-gram positions (the stride-2 sampling dial); Spark

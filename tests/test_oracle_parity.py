@@ -144,3 +144,28 @@ def test_media_fp_remix_covers_full_32_bit_range():
     assert min(vals) < 2 ** 31
     # bounds discipline: intermediate < 2^48, well inside BIGINT
     assert max(token_hash(f"w{i}") for i in range(256)) * 48271 < 2 ** 48
+
+
+def test_dead_scratch_sweep(tmp_path):
+    """Scratch hygiene for the per-(sf_dir, pid) fingerprint stores:
+    atexit covers normal exits, this sweep covers SIGKILLed siblings —
+    a dir suffixed by a dead pid is removed, a live pid's dir and
+    non-pid names survive."""
+    import os
+    import subprocess
+
+    from etl_olho_vivo_spark.registry_data import _sweep_dead_scratch
+
+    # a guaranteed-dead pid: spawn a trivial child and reap it
+    child = subprocess.Popen(["true"])
+    child.wait()
+    root = tmp_path / "scratch"
+    root.mkdir()
+    (root / f"aaaa_{child.pid}").mkdir()    # dead pid
+    (root / f"bbbb_{os.getpid()}").mkdir()  # this (live) process
+    (root / "not_a_pid_dir").mkdir()        # no pid suffix
+    _sweep_dead_scratch(str(root))
+    assert sorted(p.name for p in root.iterdir()) == [
+        f"bbbb_{os.getpid()}", "not_a_pid_dir",
+    ]
+    _sweep_dead_scratch(str(root / "missing"))  # absent root: no-op
