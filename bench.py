@@ -608,18 +608,26 @@ def main() -> None:
         summary["headline_errors"] = missing
     # the warm block and the summary share the 2000-char tail window:
     # budget the block against the ACTUAL summary (round 14 — at 68
-    # registry rows the window reached capacity), reserving room for a
-    # warm_clipped stamp so clipping can announce itself
+    # registry rows the window reached capacity).  Two-pass (round 15,
+    # the 69th row's rebalance): the warm_clipped stamp costs 18 chars
+    # of window, but it is only EMITTED when clipping occurs — so the
+    # first pass budgets without the reserve (the healthy state keeps
+    # those 18 chars as row capacity), and only an overflow re-clips
+    # with the stamp's room reserved.  The stamp can therefore never
+    # be squeezed out by the very rows it announces.
     warm_budget = (
         TAIL_WINDOW_CHARS
         - len(json.dumps(summary, separators=(",", ":")))
         - 1  # the newline before the summary line
-        - len('"warm_clipped":99,')
     )
     warm_lines, clipped = _warm_lines(
         timings, gate_ok=gate_ok, block_budget=warm_budget
     )
     if clipped:
+        warm_lines, clipped = _warm_lines(
+            timings, gate_ok=gate_ok,
+            block_budget=warm_budget - len('"warm_clipped":99,'),
+        )
         # clipped rows' full values remain on the sacrificial cold
         # line; the tail-guaranteed summary carries the loud count
         summary["warm_clipped"] = len(clipped)

@@ -1864,6 +1864,17 @@ def main(argv: list[str] | None = None) -> int:
         # compaction dial in the job artifact: partition growth taxes
         # every future admit with per-file open cost
         out["store"] = media_store_stats(spark, args.store)
+        if args.frame_index_dir:
+            from etl_olho_vivo_spark.streaming.media_stream import (
+                frame_index_coverage,
+            )
+
+            # mid-life enablement is LOUD, like the stats store's
+            # partial stamp: an index that misses corpus batches
+            # makes video-contain silently incomplete
+            out["frame_index"] = frame_index_coverage(
+                spark, args.frame_index_dir, args.corpus
+            )
         if args.media_datacard:
             from etl_olho_vivo_spark.operators.datacard import (
                 media_card_from_stats_store,
@@ -2024,6 +2035,10 @@ def main(argv: list[str] | None = None) -> int:
             video_frame_fingerprints,
         )
 
+        # same guard as video-index: a config error exits 2 with the
+        # message, never an uncaught traceback from the probe build
+        if args.stride <= 0:
+            raise SystemExit(f"--stride must be positive, got {args.stride}")
         index = spark.read.parquet(args.index)
         if args.probe_is_index:
             probe = spark.read.parquet(args.probe)

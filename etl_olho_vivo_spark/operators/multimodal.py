@@ -59,7 +59,7 @@ one mistyped coefficient yields plausible-but-wrong PCM that
 round-trips its own encoder perfectly and silently corrupts every
 downstream fingerprint.  Absent an authoritative in-container source
 to diff the table against (no libav, no mpg123/mad/lame — re-probed
-round 14, 2026-08-16, via importlib + ctypes.util.find_library +
+round 15, 2026-08-16, via importlib + ctypes.util.find_library +
 shutil.which over av/cv2/soundfile/librosa/ffmpeg/ffprobe/avcodec/
 avformat/mpg123/mad/mp3lame: all absent), honest coverage means
 opaque fallback.  Revisit the moment a libav
@@ -2414,10 +2414,14 @@ def media_containment_pairs(
         .groupBy("doc_probe", "doc_index")
         .agg(F.count_distinct("pframe").alias("matched_frames"))
     )
-    # probe-scaled relation: one row per probe doc — AQE broadcasts it
+    # probe-scaled relation: one row per probe doc — AQE broadcasts it.
+    # count_distinct, not count: matched_frames counts DISTINCT probe
+    # frame_idx, so a probe relation carrying duplicate (doc_id,
+    # frame_idx) rows (video-contain --probe-is-index over unioned
+    # parquet) must not inflate the denominator and deflate frac.
     totals = probe_frames.groupBy(
         F.col("doc_id").alias("doc_probe")
-    ).agg(F.count(F.lit(1)).alias("probe_frames"))
+    ).agg(F.count_distinct("frame_idx").alias("probe_frames"))
     return (
         matched.join(totals, "doc_probe")
         .filter(

@@ -653,9 +653,11 @@ WHERE m.matched_frames * 1000000 >= 600000 * n.n_frames
     "bit_count(xor) oracle at frame granularity.  The fraction "
     "threshold compares in exact integer ppm arithmetic on BOTH "
     "sides — a float 0.6*n boundary is DECIMAL in DuckDB and IEEE in "
-    "Spark, an engine-dependent boundary.  driver=False: the 50-row "
-    "window is full — parity runs in the local oracle sweep.",
-    driver=False,
+    "Spark, an engine-dependent boundary.  driver=True since round 15 "
+    "(r14 verdict #1): the round-14 flagship rotated INTO the driver's "
+    "50-row correctness window; quantity_quantiles yielded its slot "
+    "(its family stays driver-covered via groupby_extensions + "
+    "bucketed_order_rollup, and it keeps its local parity sweep).",
 )
 def q_video_frame_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     import atexit

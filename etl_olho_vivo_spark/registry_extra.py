@@ -156,7 +156,12 @@ FROM lineitem GROUP BY l_returnflag
     doc="Exact interpolated quantiles per group (SQL PERCENTILE_CONT "
     "semantics in both engines).  The exact form sorts within each group; "
     "the documented scale path swaps in approx_percentile (t-digest) when "
-    "a group no longer fits a partition.",
+    "a group no longer fits a partition.  driver=False since round 15 "
+    "(rotation, r14 verdict #1): yielded its driver slot to "
+    "video_frame_containment; the aggregate family stays driver-checked "
+    "via groupby_extensions + bucketed_order_rollup, and this row keeps "
+    "its local oracle sweep.",
+    driver=False,
 )
 def q_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")

@@ -415,6 +415,40 @@ def compact_media_store(spark: SparkSession, store_dir: str) -> int:
     return spark.read.parquet(store_dir).count()
 
 
+def frame_index_coverage(
+    spark: SparkSession, frame_index_dir: str, corpus_dir: str
+) -> dict:
+    """Coverage report for the per-frame containment index vs the
+    corpus — the frame-index twin of the stats store's
+    ``_stamp_if_partial`` (round-15, r14 advisor): a
+    ``--frame-index-dir`` enabled AFTER the first drain silently lacks
+    the earlier admitted clips, so ``video-contain`` would quietly
+    miss containments in them.  Same mechanism: one partition-set
+    listing per directory, ``partial=true`` + the missing batch ids
+    when the index misses corpus ``ingest_batch_id=`` partitions, with
+    the backfill pointer (``video-index`` over the corpus).  Costs two
+    directory listings — safe to emit after every drain."""
+    from etl_olho_vivo_spark.operators.datacard import (
+        _batch_id_partitions,
+    )
+
+    corpus_ids = _batch_id_partitions(spark, corpus_dir) or set()
+    index_ids = _batch_id_partitions(spark, frame_index_dir) or set()
+    missing = corpus_ids - index_ids
+    cov = {"partial": bool(missing)}
+    if missing:
+        cov["missing_batch_ids"] = sorted(
+            missing, key=lambda s: (len(s), s)
+        )
+        cov["note"] = (
+            "frame index misses corpus batches (frame-index-dir "
+            "enabled mid-life?); video-contain would miss containments "
+            "in them — backfill with video-index over the corpus, "
+            "then resume"
+        )
+    return cov
+
+
 def run_media_stream(
     media_stream: DataFrame,
     corpus_dir: str,

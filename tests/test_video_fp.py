@@ -513,3 +513,88 @@ def test_containment_stop_frame_dial(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="max_index_df"):
         run(logo_probe, max_index_df=0)
+
+
+def test_containment_probe_duplicate_rows_granularity(spark):
+    """Both sides of the containment fraction share DISTINCT-frame
+    granularity (round-15, r14 advisor): a probe relation carrying
+    duplicate (doc_id, frame_idx) rows — video-contain
+    --probe-is-index over unioned parquet — must report the SAME
+    pairs and frac as the deduplicated relation, not a deflated frac
+    that silently drops true containments."""
+    a = _planes(7, n=1)[0]
+    b = _planes(99, n=1)[0]
+    index = multimodal.video_frame_fingerprints(spark.createDataFrame(
+        [(1, bytearray(_y4m_clip([a] * 9 + [b] * 3)))], SCHEMA))
+    probe = multimodal.video_frame_fingerprints(spark.createDataFrame(
+        [(30, bytearray(_y4m_clip([a] + [b] * 3)))], SCHEMA))
+
+    def run(p):
+        return sorted(
+            (r["doc_probe"], r["doc_index"], r["matched_frames"],
+             r["probe_frames"], r["frac"])
+            for r in multimodal.media_containment_pairs(
+                p, index, min_frac=0.9).collect()
+        )
+
+    clean = run(probe)
+    assert clean == [(30, 1, 4, 4, 1.0)]
+    # tripled rows: same doc/frame set, 3x the row count
+    assert run(probe.unionAll(probe).unionAll(probe)) == clean
+
+
+def test_video_contain_cli_rejects_bad_stride(spark, tmp_path):
+    """video-contain validates --stride like video-index does: a
+    non-positive stride exits with the clean SystemExit message, not
+    an uncaught ValueError traceback from the probe build."""
+    from etl_olho_vivo_spark.__main__ import main
+
+    a = _planes(7, n=1)[0]
+    corpus = str(tmp_path / "videos")
+    spark.createDataFrame(
+        [(1, bytearray(_y4m_clip([a] * 4)))], SCHEMA
+    ).write.parquet(corpus)
+    idx_out = str(tmp_path / "frame_idx")
+    assert main(["video-index", "--in", corpus, "--out", idx_out]) == 0
+    with pytest.raises(SystemExit, match="--stride must be positive"):
+        main([
+            "video-contain", "--index", idx_out, "--probe", corpus,
+            "--out", str(tmp_path / "pairs"), "--stride", "0",
+        ])
+
+
+def test_frame_index_midlife_coverage(spark, tmp_path):
+    """frame-index-dir enabled AFTER the first drain is LOUD (round-15,
+    r14 advisor — the frame-index twin of the stats store's partial
+    stamp): coverage reports partial=true + the missing batch ids +
+    the video-index backfill pointer; a backfill of the missing
+    partition clears it."""
+    from etl_olho_vivo_spark.streaming.media_stream import (
+        admit_media_batch,
+        frame_index_coverage,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    fidx = str(tmp_path / "frame_index")
+    b0 = spark.createDataFrame(
+        [(1, bytearray(_y4m_clip(_planes(7, n=4))))], SCHEMA)
+    b1 = spark.createDataFrame(
+        [(2, bytearray(_y4m_clip(_planes(99, n=4))))], SCHEMA)
+    # batch 0 admitted WITHOUT the frame index; batch 1 with it
+    admit_media_batch(spark, b0, 0, corpus, store, kind="video")
+    admit_media_batch(spark, b1, 1, corpus, store, kind="video",
+                      frame_index_dir=fidx)
+
+    cov = frame_index_coverage(spark, fidx, corpus)
+    assert cov["partial"] is True
+    assert cov["missing_batch_ids"] == ["0"]
+    assert "video-index" in cov["note"]
+
+    # backfill: re-admit batch 0 with the index enabled (the
+    # per-partition overwrite makes this replay-idempotent)
+    admit_media_batch(spark, b0, 0, corpus, store, kind="video",
+                      frame_index_dir=fidx)
+    assert frame_index_coverage(spark, fidx, corpus) == {
+        "partial": False
+    }
