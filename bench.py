@@ -548,6 +548,11 @@ def main() -> None:
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, q in registry.REGISTRY.items():
+        if not q.bench:
+            # perf-twin rows (registry.Query.bench docstring): parity
+            # runs in the oracle sweep; the plan is already timed
+            # under its sibling's name
+            continue
         runs = []
         try:
             for _ in range(2):

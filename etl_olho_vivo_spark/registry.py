@@ -44,20 +44,45 @@ class Query:
     harness records rows for the first 50 registered queries only, so
     a pattern already oracle-checked by a sibling query can yield its
     slot to a new operator without losing its own oracle coverage
-    (tests still compare it against ``Query.oracle`` directly)."""
+    (tests still compare it against ``Query.oracle`` directly).
+
+    ``bench=False`` (round 15) additionally exempts a row from the
+    bench.py warm sweep: for a PERF-TWIN row whose post-setup plan is
+    identical to a sibling's (audio_containment reruns
+    video_frame_containment's store-probe plan on a different
+    surrogate fold), timing it twice measures the same plan twice
+    while costing sweep wall AND 2000-char tail-window budget.  A
+    bench-exempt row MUST carry an oracle (enforced below): its value
+    is parity, so losing the perf row without the parity row would
+    make it dead weight."""
 
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     doc: str = ""
     driver: bool = True
+    bench: bool = True
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = "", driver: bool = True):
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    driver: bool = True,
+    bench: bool = True,
+):
+    if not bench and oracle is None:
+        raise ValueError(
+            f"{name}: bench=False requires an oracle — a row exempt "
+            f"from the perf sweep must still be parity-verified"
+        )
+
     def deco(fn):
-        REGISTRY[name] = Query(fn=fn, oracle=oracle, doc=doc, driver=driver)
+        REGISTRY[name] = Query(
+            fn=fn, oracle=oracle, doc=doc, driver=driver, bench=bench
+        )
         return fn
 
     return deco
