@@ -435,28 +435,23 @@ def scale_tier(spark, sf_dir: str) -> None:
 
             return dedup_lines(read_table(spark, d, "documents"))
 
-        # the embedding near-dup DIAL row (round 11): same operator as
-        # embedding_near_dup_pairs but with n_cells ∝ corpus (constant
-        # per-cell density — the production parameterization), so the
-        # tier shows the near-linear wall the 100 TB design claims,
-        # next to the fixed-16-cell row that documents the density
-        # effect (that row's pin is the DuckDB oracle's).
-        from etl_olho_vivo_spark.sources.tables import read_table as _rt
-
-        base_rows = _rt(spark, sf_dir, "embeddings").count()
-
-        def _embedding_dial_fn(spark, d):
+        # the embedding near-dup DEFAULT row (round 15, formerly the
+        # explicit "dial" row): the operator's own no-argument default
+        # now derives n_cells ∝ corpus from DEFAULT_CELL_OCCUPANCY, so
+        # this row measures exactly what a caller gets without passing
+        # a grid — next to the fixed-16-cell registry row that
+        # documents the density effect (that row's pin is the DuckDB
+        # oracle's).
+        def _embedding_default_fn(spark, d):
             from etl_olho_vivo_spark.registry_extra import (
                 embedding_near_dup_frame,
             )
 
-            rows = _rt(spark, d, "embeddings").count()
-            cells = max(16, int(round(16 * rows / base_rows)))
-            return embedding_near_dup_frame(spark, d, n_cells=cells)
+            return embedding_near_dup_frame(spark, d)
 
         adhoc = {
             "dedup_lines": _dedup_lines_fn,
-            "embedding_near_dup_dial": _embedding_dial_fn,
+            "embedding_near_dup_default": _embedding_default_fn,
         }
         out: dict[str, dict] = {}
         errors: dict[str, str] = {}

@@ -1319,7 +1319,12 @@ def main(argv: list[str] | None = None) -> int:
         if bid is not None:
             out["batch_id"] = bid
         if args.compact:
-            out["compacted"] = compact_ivf_index(spark, args.index)
+            # the fold carries the default occupancy posture (round
+            # 15): a density/skew breach re-quantizes right here, and
+            # the cell_stats emitted below show the post-repair state
+            out["compacted"] = compact_ivf_index(
+                spark, args.index, use_kmeans=not args.seeded
+            )
         if args.rebuild_if_skewed:
             from etl_olho_vivo_spark.io.ann_index import (
                 maybe_rebuild_ivf_index,

@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 
 from etl_olho_vivo_spark.io.fsutil import assert_no_pending_swap
 from etl_olho_vivo_spark.operators.similarity import (
+    DEFAULT_CELL_OCCUPANCY,
     QUANT,
     _default_centroids,
     _dot_int,
@@ -326,11 +327,38 @@ def append_to_ivf_index(
     return True
 
 
-def compact_ivf_index(spark: SparkSession, path: str) -> int:
+def compact_ivf_index(
+    spark: SparkSession,
+    path: str,
+    auto_rebuild: bool = True,
+    max_skew: float = 4.0,
+    max_occupancy: float | None = None,
+    use_kmeans: bool = True,
+) -> int:
     """Fold accumulated per-batch partitions into the single base
     partition (``ingest_batch_id = -1``) — the append-then-compact
     lifecycle of the dedup signature store.  Assignment-sized job;
-    embeddings are never re-quantized.
+    embeddings are never re-quantized by the fold itself.
+
+    ``auto_rebuild`` (round 15, r14 verdict #4 — the DEFAULT posture):
+    after the fold, the occupancy telemetry is CHECKED, not merely
+    emitted — a skew breach (hot cells, ``max_skew``) or a density
+    breach (uniform growth past ``max_occupancy``, default
+    ``DEFAULT_CELL_OCCUPANCY``) triggers ``maybe_rebuild_ivf_index``'s
+    retrain/re-quantize right here, at the one lifecycle point that
+    already pays a full-index rewrite.  A healthy index pays one
+    bounded per-cell count — no retrain, centroids untouched.  Opt out
+    (``auto_rebuild=False``) for pipelines that schedule rebuilds
+    explicitly; the fixed-grid degradation the 10× scale tier measured
+    is then the caller's documented responsibility.
+
+    Generation interaction: a triggered rebuild resets the watermark
+    to -1 (fresh index generation — ``maybe_rebuild_ivf_index``'s
+    long-standing contract, same as the explicit CLI
+    ``--compact --rebuild-if-skewed`` sequence), so pre-rebuild batch
+    ids must not be replayed afterward; their rows already live in the
+    rebuilt base.  Callers needing the fold's watermark semantics in
+    isolation pass ``auto_rebuild=False``.
 
     Durability: the merged rows are first written to a SIDE directory
     (``cells_compacting``), then swapped in under a persistent marker
@@ -376,7 +404,17 @@ def compact_ivf_index(spark: SparkSession, path: str) -> int:
     if max_id is not None and max_id > _read_watermark(spark, path):
         _write_watermark(spark, path, int(max_id))
     swap_dir(spark, tmp_dir, cells_dir)
-    return spark.read.parquet(cells_dir).count()
+    n = spark.read.parquet(cells_dir).count()
+    if auto_rebuild:
+        if max_occupancy is None:
+            max_occupancy = DEFAULT_CELL_OCCUPANCY
+        # row count is invariant under the rebuild (every resident
+        # survives — the rebuild test pins it), so n stays correct
+        maybe_rebuild_ivf_index(
+            spark, path, max_skew=max_skew,
+            max_occupancy=max_occupancy, use_kmeans=use_kmeans,
+        )
+    return n
 
 
 def occupancy_stats(counts: list[int]) -> dict:
@@ -427,6 +465,10 @@ def cell_stats(spark: SparkSession, path: str) -> dict:
         "max_cell": s["max"],
         "mean_cell": s["mean"],
         "skew_ratio": s["skew_ratio"],
+        # exact resident count (sum of the same per-cell counts, no
+        # extra job) — the density trigger's n_cells ∝ corpus input;
+        # the rounded mean is too coarse to reconstruct it
+        "total_vectors": sum(counts),
     }
 
 
@@ -459,6 +501,7 @@ def maybe_rebuild_ivf_index(
     max_skew: float = 4.0,
     n_cells: int | None = None,
     use_kmeans: bool = True,
+    max_occupancy: float | None = None,
     **kmeans_kwargs,
 ) -> dict:
     """The occupancy rebuild trigger — ``cell_stats``'s documented
@@ -469,9 +512,24 @@ def maybe_rebuild_ivf_index(
     from.  Appends never retrain (their docstring says why), so this is
     the one sanctioned retraining path.
 
-    ``n_cells=None`` keeps the stamped cell count; pass a larger value
-    as the corpus grows (n_cells ∝ corpus keeps per-cell density — and
-    probe cost — constant).
+    ``max_occupancy`` (round 15, r14 verdict #4) adds the DENSITY
+    trigger the skew ratio is blind to: a corpus that grows uniformly
+    keeps skew ≈ 1 while every cell — and so every probe, and the
+    near-dup stage's within-cell quadratic work — fattens toward the
+    density wall the 10× scale tier measured on the fixed grid.  When
+    ``mean_cell`` exceeds the bound, the rebuild RE-QUANTIZES with
+    ``n_cells = ceil(total / (max_occupancy/2))`` (hysteresis: density
+    lands at half the bound, so steady growth re-triggers only per
+    corpus doubling, not per compaction) — n_cells ∝ corpus, per-cell
+    density constant.  ``compact_ivf_index`` passes
+    ``DEFAULT_CELL_OCCUPANCY`` by default, making
+    re-quantization-on-density-breach the maintenance path's default
+    posture rather than an operator argument.
+
+    ``n_cells=None`` keeps the stamped cell count (unless the density
+    trigger grows it); pass a larger value as the corpus grows
+    (n_cells ∝ corpus keeps per-cell density — and probe cost —
+    constant).
 
     Crash safety (snapshot-then-rebuild): residents are first exported
     to ``<path>/rebuild_src`` (dequantized — see ``dequantized_cells``),
@@ -500,7 +558,15 @@ def maybe_rebuild_ivf_index(
     if not resuming:
         assert_no_pending_swap(spark, f"{path}/cells")
         before = cell_stats(spark, path)
-        if before["skew_ratio"] is None or before["skew_ratio"] <= max_skew:
+        skew_breach = (
+            before["skew_ratio"] is not None
+            and before["skew_ratio"] > max_skew
+        )
+        dens_breach = (
+            max_occupancy is not None
+            and before["mean_cell"] > max_occupancy
+        )
+        if not (skew_breach or dens_breach):
             return {"rebuilt": False, "stats": before}
         # stamp the cell count INTO the snapshot so a crash-resume does
         # not depend on the (possibly half-overwritten) centroid table.
@@ -511,6 +577,14 @@ def maybe_rebuild_ivf_index(
             spark.read.parquet(f"{path}/centroids")
             .select("n_cells").first()["n_cells"]
         )
+        if n_cells is None and dens_breach:
+            # density growth path: re-quantize to half the bound
+            # (hysteresis), never shrink below the stamped grid
+            import math
+
+            stamped = max(stamped, math.ceil(
+                before["total_vectors"] / (max_occupancy / 2)
+            ))
         m_sub, k_codes = -1, -1
         _, pq_p = hadoop_fs(spark, f"{path}/{_PQ_DIR}")
         if fs.exists(pq_p):

