@@ -890,6 +890,7 @@ def test_compact_healthy_index_never_retrains(spark, emb, tmp_path):
     assert sorted((c, tuple(q)) for c, q in idx2.centroids) == c2
 
 
+@pytest.mark.sweep
 def test_embedding_near_dup_default_is_density_adaptive(spark, tmp_path):
     """embedding_near_dup_frame's no-argument default derives the cell
     grid from the corpus (round 15): at the test corpus (500 rows)

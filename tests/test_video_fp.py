@@ -543,6 +543,7 @@ def test_containment_probe_duplicate_rows_granularity(spark):
     assert run(probe.unionAll(probe).unionAll(probe)) == clean
 
 
+@pytest.mark.sweep
 def test_video_contain_cli_rejects_bad_stride(spark, tmp_path):
     """video-contain validates --stride like video-index does: a
     non-positive stride exits with the clean SystemExit message, not
@@ -563,6 +564,7 @@ def test_video_contain_cli_rejects_bad_stride(spark, tmp_path):
         ])
 
 
+@pytest.mark.sweep
 def test_frame_index_midlife_coverage(spark, tmp_path):
     """frame-index-dir enabled AFTER the first drain is LOUD (round-15,
     r14 advisor — the frame-index twin of the stats store's partial
