@@ -817,8 +817,9 @@ _AUDIO_FP_BUILT: set[str] = set()
     f"""
 WITH w AS (SELECT doc_id, {_D_WH} AS wh FROM documents),
 pos AS (SELECT doc_id, wh,
-               unnest(range(0, greatest((len(wh) - 4) // 2 + 1, 0)))
-                 AS k
+               unnest(range(0, CASE WHEN len(wh) >= 4
+                                    THEN (len(wh) - 4) // 2 + 1
+                                    ELSE 0 END)) AS k
         FROM w),
 g AS (SELECT doc_id, CAST(k AS INT) AS frame_idx,
              {_AW_GH_DUCK} AS gh
@@ -859,7 +860,12 @@ WHERE m.matched_frames * 1000000 >= 600000 * n.n_frames
     "means an excerpt cut mid-grid still shares every INTERIOR window "
     "with its source — the audio operator's cut-point-misalignment "
     "story, verified hash-exactly.  Same integer-ppm threshold, same "
-    "signed-long parquet round-trip through a scratch store.  "
+    "signed-long parquet round-trip through a scratch store.  The "
+    "window-count bound carries an explicit length CASE guard because "
+    "DuckDB's // truncates toward zero ((3-4)//2+1 = 1: one spurious "
+    "NULL-fp window inflating a 3-word doc's totals where Spark's "
+    "size guard emits none) — pinned by the synthetic boundary-length "
+    "parity test, since no test corpus doc is that short.  "
     "driver=False: the 50-row window is full — parity runs in the "
     "local oracle sweep.  bench=False: the post-store plan is the "
     "video_frame_containment plan verbatim (same media_containment_"

@@ -859,6 +859,19 @@ def test_compact_auto_rebuilds_on_density_breach(spark, emb, tmp_path):
     idx2 = ann_index.load_ivf_index(spark, path)
     assert sorted((c, tuple(q)) for c, q in idx2.centroids) == cents
 
+    # opt-out is honored even on a breached index
+    path2 = str(tmp_path / "index2")
+    ann_index.build_ivf_index(emb, path2, n_cells=2, use_kmeans=True)
+    c2 = sorted(
+        (c, tuple(q))
+        for c, q in ann_index.load_ivf_index(spark, path2).centroids
+    )
+    assert ann_index.compact_ivf_index(
+        spark, path2, auto_rebuild=False
+    ) == 500
+    idx3 = ann_index.load_ivf_index(spark, path2)
+    assert sorted((c, tuple(q)) for c, q in idx3.centroids) == c2
+
 
 def test_compact_healthy_index_never_retrains(spark, emb, tmp_path):
     """auto_rebuild is a no-op on a balanced, under-bound index: one
@@ -876,18 +889,6 @@ def test_compact_healthy_index_never_retrains(spark, emb, tmp_path):
     assert ann_index.compact_ivf_index(spark, path) == 200
     idx = ann_index.load_ivf_index(spark, path)
     assert sorted((c, tuple(q)) for c, q in idx.centroids) == cents
-    # opt-out is honored even on a breached index
-    path2 = str(tmp_path / "index2")
-    ann_index.build_ivf_index(emb, path2, n_cells=2, use_kmeans=True)
-    c2 = sorted(
-        (c, tuple(q))
-        for c, q in ann_index.load_ivf_index(spark, path2).centroids
-    )
-    assert ann_index.compact_ivf_index(
-        spark, path2, auto_rebuild=False
-    ) == 500
-    idx2 = ann_index.load_ivf_index(spark, path2)
-    assert sorted((c, tuple(q)) for c, q in idx2.centroids) == c2
 
 
 @pytest.mark.sweep

@@ -139,6 +139,7 @@ def test_end_to_end_histogram_to_segmentation(spark):
     assert "est" + bpe.EOW in seg.collect()[0]["seg"].split(" ")
 
 
+@pytest.mark.sweep
 def test_bpe_apply_parity_with_segment_expr(spark):
     """The mapInPandas production tokenizer (greedy-lowest-rank) must
     segment exactly like the Column-expression path (merge-list replay

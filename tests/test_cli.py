@@ -584,6 +584,7 @@ def test_profile_rejects_out_of_range_rsd():
               "--rsd", "0.9"])
 
 
+@pytest.mark.sweep
 def test_optimize_subcommand(spark, tmp_path, capsys):
     """Z-order rewrite from the CLI: same rows out, and malformed --by
     dies at the contract."""

@@ -319,6 +319,7 @@ def test_compaction_ignores_session_dynamic_overwrite_mode(spark, dirs):
             store.select("ingest_batch_id").distinct().collect()] == [-1]
 
 
+@pytest.mark.sweep
 def test_replay_of_compacted_batch_keeps_it_complete(spark, dirs):
     """The doc-loss scenario: a batch's signatures get folded into the
     compacted base, THEN the batch replays (at-least-once after a

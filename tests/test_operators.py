@@ -811,6 +811,7 @@ def test_sample_frames_fanout(media_df):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.sweep
 def test_connected_components_string_ids_multihop(spark):
     """String doc_ids through a 4-node chain: the fixpoint detector must
     see labels still moving in round 2+ (a numeric-checksum detector gets
@@ -903,6 +904,7 @@ def test_session_bag_releases_registry_query_caches(spark):
     assert _cached_ids(spark) & ours == set()
 
 
+@pytest.mark.sweep
 def test_incremental_matches_parquet_store_roundtrip(spark, tmp_path):
     """The driver-checked minhash_near_dups row feeds an IN-MEMORY store
     slice to incremental_near_duplicates; the production loop reads the
@@ -985,6 +987,7 @@ def test_ivf_kmeans_recall_and_determinism(spark):
         cents.unpersist()
 
 
+@pytest.mark.sweep
 def test_kmeans_seeded_ivf_matches_duckdb_oracle(spark, embeddings):
     """Cross-engine exactness of the IVF machinery under PRODUCTION
     (kmeans||) centroids, not just the demo first-n seeding the static
@@ -1107,6 +1110,7 @@ def test_hot_keys_feeds_salted_agg(spark):
     )
 
 
+@pytest.mark.sweep
 def test_concurrent_queries_shared_session(spark):
     """Two cache-registering queries run CONCURRENTLY on the shared
     session (Thriftserver-style multi-tenancy) must produce exactly
@@ -1236,6 +1240,7 @@ def test_similarity_rejects_missing_query_id(spark, embeddings):
         ivf_topk(embeddings, query_vec_id=10**9)
 
 
+@pytest.mark.sweep
 def test_kmeans_keeps_n_cells_across_refines(spark, embeddings):
     """Empty clusters keep their previous centroid — the centroid count
     never silently shrinks below n_cells at any refine depth."""

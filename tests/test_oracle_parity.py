@@ -169,3 +169,44 @@ def test_dead_scratch_sweep(tmp_path):
         f"bbbb_{os.getpid()}", "not_a_pid_dir",
     ]
     _sweep_dead_scratch(str(root / "missing"))  # absent root: no-op
+
+
+@pytest.mark.sweep
+def test_containment_oracles_agree_on_boundary_length_docs(spark, tmp_path):
+    """Engines must agree BY CONSTRUCTION on the window-count boundary,
+    not by data luck (round 15): DuckDB's // truncates toward zero
+    (-1 // 2 = 0), so the audio oracle's window count for a 3-word doc
+    is (3-4)//2+1 = 1 without its length CASE guard — one spurious
+    window whose out-of-bounds list read yields a NULL fp that inflates
+    the probe-frame totals while Spark's size(wh) >= 4 guard emits no
+    window at all.  The test corpus has no doc under 6 words, so only
+    a synthetic corpus can pin this: every word count 0..8 on near-dup
+    doc pairs, all three containment rows hash-compared."""
+    import duckdb as _duckdb
+
+    rows = []
+    did = 0
+    for n in range(0, 9):
+        base = " ".join(f"w{i}" for i in range(n))
+        rows.append((did, base)); did += 1
+        rows.append((did, base)); did += 1          # exact twin
+        if n >= 2:
+            rows.append((did, " ".join(f"w{i}" for i in range(n - 1))))
+            did += 1                                 # prefix excerpt
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    con = _duckdb.connect()
+    # Spark writes a part-file DIRECTORY under the .parquet name —
+    # glob it for DuckDB (the driver's sf dirs are single files)
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+    for name in ("audio_containment", "video_frame_containment",
+                 "containment_stop_frames"):
+        q = registry.REGISTRY[name]
+        problems = compare(
+            q.fn(spark, str(tmp_path)), con.execute(q.oracle).df()
+        )
+        assert not problems, f"{name}: " + " | ".join(problems)

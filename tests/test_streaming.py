@@ -227,6 +227,7 @@ def test_chained_stateful_speed_window_agg(spark, tmp_path):
     ]
 
 
+@pytest.mark.sweep
 def test_stream_speeds_matches_batch(spark, raw_dir):
     # one file per trigger → state must carry pairs ACROSS micro-batches
     sdf = stream_speeds(
@@ -255,6 +256,7 @@ def test_stream_speeds_matches_batch(spark, raw_dir):
     assert [tuple(r) for r in got] == [tuple(r) for r in batch]
 
 
+@pytest.mark.sweep
 def test_three_slice_replay_drops_oldest_quarter(spark, tmp_path):
     """Single-run two-watermark semantics (pins what the oracle's append
     branch of `streaming_interval_counts` relies on): with the events
@@ -354,6 +356,7 @@ def test_three_slice_replay_drops_oldest_quarter(spark, tmp_path):
         spark.catalog.dropTempView("three_slice_dbg")
 
 
+@pytest.mark.sweep
 def test_stream_dedup_exact_drops_cross_batch_redelivery(spark, tmp_path):
     """At-least-once redelivery: the same event_id arriving again in a
     LATER micro-batch (within the watermark horizon) is dropped; the

@@ -477,6 +477,7 @@ def test_video_index_and_contain_cli(spark, tmp_path, capsys):
     assert (row["doc_probe"], row["doc_index"], row["frac"]) == (30, 1, 1.0)
 
 
+@pytest.mark.sweep
 def test_containment_stop_frame_dial(spark):
     """max_index_df drops fingerprint values carried by too many index
     clips: a probe made of a ubiquitous frame (a logo card) reports
