@@ -23,7 +23,7 @@ def test_scale_tier_emits_complete_ratio_line(spark, capsys, monkeypatch):
     assert "errors" not in line, line.get("errors")
     assert set(line["queries"]) == set(
         bench.HEADLINE + bench.PAIR_HEAVY + bench.SCALE_EXTRA
-        + ["dedup_lines", "embedding_near_dup_dial"]
+        + ["dedup_lines", "embedding_near_dup_default"]
     )
     for name, rec in line["queries"].items():
         assert rec["t1"] > 0 and rec["t2"] > 0, (name, rec)
