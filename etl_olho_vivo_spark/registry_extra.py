@@ -356,6 +356,80 @@ def q_clicks_near_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pair_haversine_sql() -> str:
+    """The engine's byte-parity haversine fragment (registry.py
+    ``_SQL_HAVERSINE``) re-aliased for a pair join: lat1/lon1 = a.*,
+    lat2/lon2 = b.* — longest names replaced first so the bare
+    ``radians(py)`` forms are untouched by the anterior substitutions."""
+    from etl_olho_vivo_spark.registry import _SQL_HAVERSINE
+
+    return (
+        _SQL_HAVERSINE
+        .replace("py_anterior", "a.py").replace("px_anterior", "a.px")
+        .replace("radians(py)", "radians(b.py)")
+        .replace("radians(px)", "radians(b.px)")
+    )
+
+
+def _register_geo_pairs() -> None:
+    """Deferred registration: the oracle composes registry.py's
+    haversine fragment, and importing registry at module top would be
+    circular (registry._load_plugins imports this module)."""
+    from etl_olho_vivo_spark.sources.events_adapter import (
+        POSICOES_FROM_EVENTS_SQL,
+    )
+
+    hv = _pair_haversine_sql()
+
+    @register(
+        "geo_pairs",
+        f"""
+WITH p AS ({POSICOES_FROM_EVENTS_SQL}),
+g AS (SELECT prefixo_veiculo, py, px,
+             ("timestamp" // 1800) * 1800 AS bucket
+      FROM p)
+SELECT a.bucket, a.prefixo_veiculo AS vehicle_a,
+       b.prefixo_veiculo AS vehicle_b,
+       CAST(count(*) AS BIGINT) AS n_close,
+       min(round({hv}, 2)) AS min_dist_m
+FROM g a JOIN g b
+  ON a.bucket = b.bucket
+ AND a.prefixo_veiculo < b.prefixo_veiculo
+ AND round({hv}, 2) <= 500.0
+GROUP BY a.bucket, a.prefixo_veiculo, b.prefixo_veiculo
+""",
+        doc="Geo co-location pairs (bus bunching, round 15): vehicles "
+        "within 500 m of each other inside one 30-min tumbling bucket "
+        "— the 2D grid-bucketed radius self-join "
+        "(operators/colocate.py), the spatial sibling of "
+        "clicks_near_signup's 1D time-block explode.  The grid (one "
+        "home cell per ping, probe side exploded to its 3x3 "
+        "neighbors, pure rational cell sizes — no transcendental in "
+        "the candidate generator) finds every qualifying pair exactly "
+        "once with zero dedup exchanges; the ROUNDED haversine "
+        "residual filter is the spec, and this naive per-bucket "
+        "all-pairs oracle proves the grid lossless at the full "
+        "radius.  round-2dp threshold per the engine transcendental "
+        "rule (haversine_pairs' pin).  driver=False: the 50-row "
+        "window is full — parity runs in the local oracle sweep.",
+        driver=False,
+    )
+    def q_geo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from etl_olho_vivo_spark.operators.colocate import (
+            colocation_pairs,
+        )
+        from etl_olho_vivo_spark.sources.events_adapter import (
+            posicoes_from_events,
+        )
+
+        return colocation_pairs(
+            posicoes_from_events(spark, sf_dir), radius_m=500.0
+        )
+
+
+_register_geo_pairs()
+
+
 @register(
     "session_window_stats",
     """
