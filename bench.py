@@ -185,6 +185,14 @@ SCALE_EXTRA = [
     # media_fp_pairs the expected wall is super-linear in DATA while
     # staying linear in verified output pairs
     "video_frame_containment",
+    # round-15 addition: the 2D grid radius self-join.  Replicated
+    # events add new vehicles at NEW pseudo-positions (px/py derive
+    # from the shifted event_id), so per-bucket ping density rises
+    # ~10x and TRUE close pairs grow ~quadratically in density —
+    # expected wall super-linear in data, linear in output pairs,
+    # while the naive all-pairs formulation (the oracle) would grow
+    # 100x in candidates regardless of output
+    "geo_pairs",
 ]
 
 
