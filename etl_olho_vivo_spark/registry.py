@@ -47,11 +47,14 @@ class Query:
     (tests still compare it against ``Query.oracle`` directly).
 
     ``bench=False`` (round 15) additionally exempts a row from the
-    bench.py warm sweep: for a PERF-TWIN row whose post-setup plan is
-    identical to a sibling's (audio_containment reruns
-    video_frame_containment's store-probe plan on a different
-    surrogate fold), timing it twice measures the same plan twice
-    while costing sweep wall AND 2000-char tail-window budget.  A
+    bench.py warm sweep, for rows whose warm time would carry no plan
+    signal: a PERF-TWIN whose post-setup plan is identical to a
+    sibling's (audio_containment reruns video_frame_containment's
+    store-probe plan on a different surrogate fold — timing it twice
+    measures the same plan twice), or a MEASUREMENT-FREE fixture
+    whose wall is dominated by scratch I/O rather than a query plan
+    (orc_roundtrip times tmpfs write speed).  Either way the exempt
+    row costs no sweep wall and no 2000-char tail-window budget.  A
     bench-exempt row MUST carry an oracle (enforced below): its value
     is parity, so losing the perf row without the parity row would
     make it dead weight."""

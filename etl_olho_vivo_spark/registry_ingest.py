@@ -45,6 +45,62 @@ from etl_olho_vivo_spark.sources.tables import read_table
 _STREAM_SEQ = itertools.count()
 
 
+_ORC_BUILT: set[str] = set()
+
+
+@register(
+    "orc_roundtrip",
+    """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       epoch_ms(o_orderdate) AS o_date_ms, o_orderpriority
+FROM orders
+""",
+    doc="ORC format roundtrip (round 15 — source/sink breadth beyond "
+    "the reference's JSON/CSV/parquet): the orders table written to "
+    "an ORC scratch store and read back must hash-equal the original "
+    "parquet values (the oracle never sees ORC — DuckDB reads the "
+    "source parquet, so parity IS losslessness of the roundtrip "
+    "across bigint/varchar/double).  The date column travels as "
+    "epoch MILLISECONDS (bigint), not a timestamp: ORC timestamps "
+    "carry local-wall semantics, and Brazil's pre-2019 DST makes "
+    "some midnight wall times nonexistent under the driver's hostile "
+    "America/Sao_Paulo session — epoch integers are the engine's "
+    "TZ-free discipline (verify SKILL.md).  Scratch store per "
+    "(sf_dir, pid) with the shared dead-sibling sweep.  bench=False: "
+    "warm time here is tmpfs write+read speed, not a query plan "
+    "(registry.Query.bench docstring, the measurement-free case).",
+    driver=False,
+    bench=False,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import hashlib
+    import os
+    import shutil
+
+    from etl_olho_vivo_spark.registry_data import _sweep_dead_scratch
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8] + f"_{os.getpid()}"
+    root = f"{tempfile.gettempdir()}/etl_olho_vivo_orc"
+    path = f"{root}/{tag}"
+    if tag not in _ORC_BUILT or not os.path.exists(path):
+        _sweep_dead_scratch(root)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        (
+            read_table(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice",
+                F.unix_millis(F.col("o_orderdate")).alias("o_date_ms"),
+                "o_orderpriority",
+            )
+            .write.mode("overwrite")
+            .orc(path)
+        )
+        _ORC_BUILT.add(tag)
+    return spark.read.orc(path)
+
+
 @register(
     "olhovivo_source_scan",
     """
