@@ -56,6 +56,59 @@ M_PER_DEG_LAT = 111320.0  # meters per degree of latitude (spherical)
 MIN_COS_LAT = 0.5         # correctness bound: grid valid for |lat| <= 60 deg
 
 
+def grid_project(
+    pos: DataFrame,
+    radius_m: float,
+    *,
+    key: str = "prefixo_veiculo",
+    lat: str = "py",
+    lon: str = "px",
+    ts: str = "timestamp",
+    bucket_s: int = 1800,
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """The shared grid assignment both the batch and the streaming
+    co-location paths build on — ONE definition of the cell sizes and
+    the bucket, so batch/stream parity is by construction (the
+    streaming twin passes ``extra=("event_time",)`` to carry its
+    watermarked column through)."""
+    if radius_m <= 0:
+        raise ValueError(f"radius_m must be positive, got {radius_m}")
+    if bucket_s <= 0:
+        raise ValueError(f"bucket_s must be positive, got {bucket_s}")
+    d_lat = radius_m / M_PER_DEG_LAT
+    d_lon = d_lat / MIN_COS_LAT
+    return pos.select(
+        F.col(key).alias("k"),
+        F.col(lat).alias("la"),
+        F.col(lon).alias("lo"),
+        F.expr(f"(`{ts}` div {bucket_s}) * {bucket_s}").alias("bucket"),
+        F.floor(F.col(lat) / F.lit(d_lat)).alias("cy"),
+        F.floor(F.col(lon) / F.lit(d_lon)).alias("cx"),
+        *[F.col(c) for c in extra],
+    )
+
+
+def neighbor_offsets():
+    """The 3x3 probe-side explode payload — one literal array of
+    (dy, dx) structs, shared by batch and stream."""
+    return F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+    ])
+
+
+def pair_distance():
+    """round(haversine, 2) over the (la_a, lo_a, la_b, lo_b) pair
+    columns — the residual-filter spec, shared by batch and stream."""
+    return F.round(
+        haversine_m(
+            F.col("la_a"), F.col("lo_a"), F.col("la_b"), F.col("lo_b")
+        ),
+        2,
+    )
+
+
 def colocation_pairs(
     pos: DataFrame,
     radius_m: float = 500.0,
@@ -74,27 +127,13 @@ def colocation_pairs(
     what makes min() engine-deterministic over transcendental-derived
     doubles).  ``key_a < key_b`` orders the pair (self pairs excluded
     by the strict inequality)."""
-    if radius_m <= 0:
-        raise ValueError(f"radius_m must be positive, got {radius_m}")
-    if bucket_s <= 0:
-        raise ValueError(f"bucket_s must be positive, got {bucket_s}")
-    d_lat = radius_m / M_PER_DEG_LAT
-    d_lon = d_lat / MIN_COS_LAT
-
-    base = pos.select(
-        F.col(key).alias("k"),
-        F.col(lat).alias("la"),
-        F.col(lon).alias("lo"),
-        F.expr(f"(`{ts}` div {bucket_s}) * {bucket_s}").alias("bucket"),
-        F.floor(F.col(lat) / F.lit(d_lat)).alias("cy"),
-        F.floor(F.col(lon) / F.lit(d_lon)).alias("cx"),
+    base = grid_project(
+        pos, radius_m, key=key, lat=lat, lon=lon, ts=ts,
+        bucket_s=bucket_s,
     )
     # probe side: 3x3 neighbor cells.  explode of a 9-element literal
     # array of structs — no Python, one Generate node
-    offsets = F.array(*[
-        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
-        for dy in (-1, 0, 1) for dx in (-1, 0, 1)
-    ])
+    offsets = neighbor_offsets()
     probe = base.select(
         F.col("k").alias("vehicle_a"),
         F.col("la").alias("la_a"), F.col("lo").alias("lo_a"),
@@ -111,12 +150,7 @@ def colocation_pairs(
         F.col("la").alias("la_b"), F.col("lo").alias("lo_b"),
         "bucket", "cy", "cx",
     )
-    dist = F.round(
-        haversine_m(
-            F.col("la_a"), F.col("lo_a"), F.col("la_b"), F.col("lo_b")
-        ),
-        2,
-    )
+    dist = pair_distance()
     return (
         probe.hint("merge")
         .join(build, ["bucket", "cy", "cx"])

@@ -159,6 +159,72 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
+def stream_colocation_pairs(
+    pos: DataFrame,
+    radius_m: float = 500.0,
+    watermark: str = "1 hour",
+    bucket_s: int = 1800,
+) -> DataFrame:
+    """Streaming geo co-location — the repo's stream-STREAM join: close
+    ping-pair events (bucket, vehicle_a, vehicle_b, dist_m) as they
+    happen, via a watermarked SELF-join of the position stream on the
+    SAME grid the batch operator uses (``operators/colocate.py
+    grid_project`` — one definition of cells and buckets, so parity
+    with the batch rollup is by construction).
+
+    Mechanics: both branches carry the event-time watermark; the join
+    keys are (event-time window, cell_y, cell_x) — window EQUALITY is
+    one of the two state-cleanup conditions Spark's stream-stream
+    inner join accepts (the other being a time-range predicate), so
+    each side's join state is dropped once the watermark passes the
+    window, bounding state by (watermark span × ping rate).  The
+    probe branch explodes to its 3×3 neighbor cells; the build branch
+    keeps home cells; ``vehicle_a < vehicle_b`` makes each qualifying
+    ping pair appear exactly once (the batch operator's exactly-once
+    argument, unchanged).  Append-mode safe: each matched pair is
+    emitted once, no aggregation state — the per-bucket
+    (n_close, min_dist) rollup is a BATCH query over the sink
+    (chaining the aggregation here would stack a second stateful
+    operator for no streaming benefit).
+
+    Late data: pings later than ``watermark`` are dropped by the join
+    state cleanup on BOTH sides — the standard inner-join watermark
+    contract; size the watermark to the feed's real disorder."""
+    e = with_event_time(pos, watermark)
+    from etl_olho_vivo_spark.operators.colocate import (
+        grid_project,
+        neighbor_offsets,
+        pair_distance,
+    )
+
+    base = grid_project(e, radius_m, bucket_s=bucket_s,
+                        extra=("event_time",))
+    win = F.window("event_time", f"{bucket_s} seconds")
+    probe = base.select(
+        F.col("k").alias("vehicle_a"),
+        F.col("la").alias("la_a"), F.col("lo").alias("lo_a"),
+        "bucket", win.alias("w"),
+        F.explode(neighbor_offsets()).alias("o"),
+        "cy", "cx",
+    ).select(
+        "vehicle_a", "la_a", "lo_a", "bucket", "w",
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+    )
+    build = base.select(
+        F.col("k").alias("vehicle_b"),
+        F.col("la").alias("la_b"), F.col("lo").alias("lo_b"),
+        win.alias("w"), "cy", "cx",
+    )
+    return (
+        probe.join(build, ["w", "cy", "cx"])
+        .filter(F.col("vehicle_a") < F.col("vehicle_b"))
+        .withColumn("dist_m", pair_distance())
+        .filter(F.col("dist_m") <= radius_m)
+        .select("bucket", "vehicle_a", "vehicle_b", "dist_m")
+    )
+
+
 def stream_ping_pairs(
     pos: DataFrame,
     tiebreakers: tuple[str, ...] = (),

@@ -602,3 +602,69 @@ def test_stream_sessionize_custom_tiebreaker_column(spark, tmp_path):
     finally:
         spark.catalog.dropTempView("sess_tb")
     assert got == {1: 1, 2: 1}, got
+
+
+def test_stream_colocation_matches_batch(spark, tmp_path):
+    """Stream-STREAM self-join parity (round 15): close ping pairs from
+    the watermarked streaming grid join, rolled up per bucket, equal
+    the batch colocation_pairs output over the same pings — INCLUDING
+    a pair whose two pings arrive in DIFFERENT micro-batches (file-per-
+    trigger), which only survives through the join's watermark-bounded
+    state.  A far vehicle and a distinct-bucket revisit pin the
+    negative space."""
+    from etl_olho_vivo_spark.operators.colocate import colocation_pairs
+    from etl_olho_vivo_spark.streaming.pipeline import (
+        stream_colocation_pairs,
+    )
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    lat = -23.60
+    # ~300 m east at the equator scale used by the conservative grid;
+    # true haversine at this latitude ≈ 300 m * cos adjustments — both
+    # engines compute the same rounded value, the test just needs
+    # "within 500 m"
+    dlon_300 = 300.0 / (111320.0 * 0.9)
+    # file 0: vehicles 1 and 2 close together; vehicle 9 far away
+    (d / "data_0.json").write_text(json.dumps(_doc([
+        (1, 10, _iso(T0 + 10), lat, -46.60),
+        (2, 10, _iso(T0 + 20), lat, -46.60 + dlon_300),
+        (9, 11, _iso(T0 + 30), lat - 0.1, -46.20),
+    ])))
+    # file 1 (second micro-batch): vehicle 3 near vehicle 1, SAME
+    # bucket — the cross-batch pair; vehicle 1 again much later (a
+    # different bucket, pairs with nobody there)
+    (d / "data_1.json").write_text(json.dumps(_doc([
+        (3, 10, _iso(T0 + 40), lat + 1e-4, -46.60),
+        (1, 10, _iso(T0 + 7200), lat, -46.60),
+    ])))
+
+    from pyspark.sql import functions as F
+
+    sdf = stream_colocation_pairs(
+        stream_raw_posicoes(spark, str(d), max_files_per_trigger=1)
+    )
+    _run_to_memory(sdf, "coloc_stream", "append")
+    got = sorted(
+        tuple(r)
+        for r in spark.table("coloc_stream")
+        .groupBy("bucket", "vehicle_a", "vehicle_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_close"),
+            F.min("dist_m").alias("min_dist_m"),
+        )
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in colocation_pairs(
+            ingest_posicoes(spark, str(d))
+        ).collect()
+    )
+    assert got == want
+    # the cross-batch pair (1,3) IS present, and the far vehicle and
+    # the other-bucket revisit are not
+    pairs = {(a, b) for _, a, b, _, _ in got}
+    assert (1, 3) in pairs and (1, 2) in pairs and (2, 3) in pairs
+    assert all(9 not in p for p in pairs)
+    assert len(got) == 3
