@@ -796,6 +796,26 @@ def _build_parser() -> argparse.ArgumentParser:
     vct.add_argument("--stride", type=int, default=1)
     vct.add_argument("--id-col", default="doc_id")
     vct.add_argument("--media-col", default="media")
+
+    clc = sub.add_parser(
+        "colocate",
+        help="geo co-location pairs (bus bunching): vehicle pairs "
+        "within --radius-m of each other inside one tumbling time "
+        "bucket, via the 2D grid radius self-join — one row per "
+        "(bucket, pair) with close-ping count and min distance",
+    )
+    clc.add_argument("--in", dest="in_dir", required=True,
+                     help="posicoes-shaped parquet (key/lat/lon/ts "
+                     "columns, names via the dials below)")
+    clc.add_argument("--out", required=True,
+                     help="pairs parquet (bucket, vehicle_a, "
+                     "vehicle_b, n_close, min_dist_m)")
+    clc.add_argument("--radius-m", type=float, default=500.0)
+    clc.add_argument("--bucket-s", type=int, default=1800)
+    clc.add_argument("--key-col", default="prefixo_veiculo")
+    clc.add_argument("--lat-col", default="py")
+    clc.add_argument("--lon-col", default="px")
+    clc.add_argument("--ts-col", default="timestamp")
     for sub_p in (med, mst):
         # pre-store quality gates (round 12): floors over the decode
         # metadata, evaluated on the SAME pass that fingerprints —
@@ -2073,6 +2093,41 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({
             "command": "video-contain",
             "containments": spark.read.parquet(args.out).count(),
+            "out": args.out,
+        }))
+        return 0
+
+    if args.command == "colocate":
+        from etl_olho_vivo_spark.operators.colocate import (
+            colocation_pairs,
+        )
+
+        src = spark.read.parquet(args.in_dir)
+        missing = [
+            c for c in (args.key_col, args.lat_col, args.lon_col,
+                        args.ts_col)
+            if c not in src.columns
+        ]
+        if missing:
+            raise SystemExit(
+                f"input at {args.in_dir} lacks column(s) "
+                f"{', '.join(repr(c) for c in missing)} — point the "
+                f"--key-col/--lat-col/--lon-col/--ts-col dials at the "
+                f"right names"
+            )
+        try:
+            pairs = colocation_pairs(
+                src, args.radius_m,
+                key=args.key_col, lat=args.lat_col, lon=args.lon_col,
+                ts=args.ts_col, bucket_s=args.bucket_s,
+            )
+        except ValueError as e:  # radius/bucket config error: exit 2
+            raise SystemExit(str(e))
+        pairs.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({
+            "command": "colocate",
+            "pairs": spark.read.parquet(args.out).count(),
+            "radius_m": args.radius_m,
             "out": args.out,
         }))
         return 0

@@ -126,7 +126,11 @@ def colocation_pairs(
     ``min_dist_m`` is the minimum ROUNDED distance (2 dp — rounding is
     what makes min() engine-deterministic over transcendental-derived
     doubles).  ``key_a < key_b`` orders the pair (self pairs excluded
-    by the strict inequality)."""
+    by the strict inequality).  A ping with a NULL coordinate never
+    pairs — its NULL cell never equi-joins and its haversine NULL-
+    propagates past the threshold — which is the semantics a missing
+    position deserves, and what a naive all-pairs SQL oracle computes
+    too (NULL <= R is not true in either engine)."""
     base = grid_project(
         pos, radius_m, key=key, lat=lat, lon=lon, ts=ts,
         bucket_s=bucket_s,

@@ -126,3 +126,54 @@ def test_plan_merge_join_no_dedup_exchange(spark):
     assert "BroadcastHashJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 3, plan[:2000]
     assert plan.count("Generate") == 1  # one 9-cell explode, probe side
+
+
+def test_null_coordinate_pings_never_pair(spark):
+    """A NULL-coordinate ping is dropped by construction (NULL cell
+    never equi-joins; NULL haversine fails the threshold) — it can
+    neither pair nor crash the grid, and valid pings around it still
+    pair normally."""
+    lat = -23.55
+    rows = [
+        (1, lat, -46.62, 1800 * 100),
+        (2, lat + 1e-5, -46.62, 1800 * 100),
+        (3, None, -46.62, 1800 * 100),
+        (4, lat, None, 1800 * 100),
+    ]
+    got = sorted(
+        (r["vehicle_a"], r["vehicle_b"])
+        for r in colocation_pairs(
+            spark.createDataFrame(rows, SCHEMA), 500.0
+        ).collect()
+    )
+    assert got == [(1, 2)]
+
+
+@pytest.mark.sweep
+def test_colocate_cli(spark, tmp_path, capsys):
+    """colocate subcommand end to end: pairs parquet + JSON summary,
+    column-dial validation, config-error exit."""
+    import json
+
+    from etl_olho_vivo_spark.__main__ import main
+
+    lat = -23.55
+    src = str(tmp_path / "pos")
+    spark.createDataFrame(
+        [(1, lat, -46.62, 1800 * 100),
+         (2, lat + 1e-5, -46.62, 1800 * 100),
+         (3, lat - 0.2, -46.10, 1800 * 100)],
+        SCHEMA,
+    ).write.parquet(src)
+    out = str(tmp_path / "pairs")
+    assert main(["colocate", "--in", src, "--out", out]) == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["pairs"] == 1 and line["radius_m"] == 500.0
+    (row,) = spark.read.parquet(out).collect()
+    assert (row["vehicle_a"], row["vehicle_b"], row["n_close"]) == (1, 2, 1)
+    with pytest.raises(SystemExit, match="lacks column"):
+        main(["colocate", "--in", src, "--out", out,
+              "--key-col", "nope"])
+    with pytest.raises(SystemExit, match="radius_m"):
+        main(["colocate", "--in", src, "--out", out,
+              "--radius-m", "0"])
