@@ -871,9 +871,16 @@ def _hamming_validate(bits: int, max_hamming: int, n_bands: int) -> None:
 
 
 def _hamming_band_keys(sims: DataFrame, bits: int, n_bands: int) -> DataFrame:
-    """(doc_id, band, seg) keys for a (doc_id, __h__) frame.  Segment
-    extraction uses ``shiftrightunsigned`` so full-width 64-bit hashes
-    (stored as SIGNED longs, possibly negative) band correctly."""
+    """(doc_id, __h__, band, seg) keys for a (doc_id, __h__) frame.
+    Segment extraction uses ``shiftrightunsigned`` so full-width 64-bit
+    hashes (stored as SIGNED longs, possibly negative) band correctly.
+
+    The full hash rides along (round 15): the verify payload is ONE
+    64-bit value, so carrying it through the band join costs 8 bytes
+    per key row and removes the two merge join-backs (plus their
+    sorts/exchanges) that used to re-attach hashes to candidate pairs
+    — the §8 "shuffle a few bytes of metadata" trade, measured as the
+    dominant cost of the pairing stage."""
     w = bits // n_bands
     # full-width segment (n_bands=1, bits=64): the mask 2^64-1 does not
     # fit a BIGINT literal (Spark parses it as DECIMAL and `&` rejects
@@ -885,8 +892,8 @@ def _hamming_band_keys(sims: DataFrame, bits: int, n_bands: int) -> DataFrame:
         f"& {mask} AS seg))"
     )
     return sims.select(
-        "doc_id", F.explode(F.expr(seg)).alias("bk")
-    ).select("doc_id", "bk.band", "bk.seg")
+        "doc_id", "__h__", F.explode(F.expr(seg)).alias("bk")
+    ).select("doc_id", "__h__", "bk.band", "bk.seg")
 
 
 def hamming_near_dups(
@@ -903,32 +910,39 @@ def hamming_near_dups(
     fingerprint): split the hash into ``n_bands`` contiguous segments,
     equi-join on (band, segment) — any pair within Hamming ≤
     n_bands − 1 agrees on at least one segment — then verify exactly
-    with ``bit_count(a XOR b)``.  Returns (doc_a, doc_b, hamming)."""
+    with ``bit_count(a XOR b)``.  Returns (doc_a, doc_b, hamming).
+
+    Plan shape (round 15): the band keys CARRY the 64-bit hash, so the
+    band join's output is verifiable in place — bit_count is one codegen
+    instruction — and the pair de-dup (a pair agreeing on k segments
+    emerges k times) runs AFTER the Hamming filter, over the verified
+    pairs (a subset of the candidates), instead of before two hash
+    join-backs.  vs the round-14 shape this removes two sort-merge
+    joins and their exchanges (7 exchanges → 3 for the simhash row)
+    and shrinks the de-dup exchange from candidate volume to verified
+    volume, for +8 bytes per band-key row."""
     _hamming_validate(bits, max_hamming, n_bands)
     sims = hashes.select(
         F.col(id_col).alias("doc_id"), F.col(hash_col).alias("__h__")
     )
     banded = _hamming_band_keys(sims, bits, n_bands)
-    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "seg")
-    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "seg")
-    pairs = (
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("__h__").alias("ha"),
+        "band", "seg",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("__h__").alias("hb"),
+        "band", "seg",
+    )
+    hamming = F.bit_count(F.expr("ha ^ hb"))
+    return (
         a.hint("merge")
         .join(b, ["band", "seg"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    sim_a = sims.select(F.col("doc_id").alias("doc_a"), F.col("__h__").alias("ha"))
-    sim_b = sims.select(F.col("doc_id").alias("doc_b"), F.col("__h__").alias("hb"))
-    hamming = F.bit_count(F.expr("ha ^ hb"))
-    return (
-        pairs.hint("merge")
-        .join(sim_a, "doc_a")
-        .hint("merge")
-        .join(sim_b, "doc_b")
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -961,14 +975,20 @@ def hamming_near_dups_incremental(
     already folded into a compacted store base) from matching itself.
 
     ``dedup_pairs=False`` (round 14) skips the (doc_new, doc_old)
-    dropDuplicates — a whole extra exchange+aggregate over the
-    candidate volume — when the CALLER already de-duplicates
-    downstream at its own granularity: a pair agreeing on k bands
-    emerges k times, each copy verifies to the same hamming, and
-    ``media_containment_pairs``'s rollup collapses them at the
-    (probe doc, probe frame, index doc) triple anyway.  Admit loops
-    keep the default: their consumers treat each pair row as one
-    near-dup fact."""
+    dropDuplicates — a whole extra exchange+aggregate — when the
+    CALLER already de-duplicates downstream at its own granularity: a
+    pair agreeing on k bands emerges k times, each copy verifies to
+    the same hamming, and ``media_containment_pairs``'s rollup
+    collapses them at the (probe doc, probe frame, index doc) triple
+    anyway.  Admit loops keep the default: their consumers treat each
+    pair row as one near-dup fact.
+
+    Plan shape (round 15, same as ``hamming_near_dups``): the band
+    keys carry the hash, the band join's output verifies in place, and
+    the optional pair de-dup runs over VERIFIED pairs — the two
+    join-backs that re-attached hashes to candidates are gone (they
+    re-shuffled the corpus-sized store per micro-batch when AQE
+    declined the broadcast)."""
     _hamming_validate(bits, max_hamming, n_bands)
     new_sims = new_hashes.select(
         F.col(id_col).alias("doc_id"), F.col(hash_col).alias("__h__")
@@ -976,32 +996,28 @@ def hamming_near_dups_incremental(
     old_sims = store.select(
         F.col(id_col).alias("doc_id"), F.col(hash_col).alias("__h__")
     )
-    new_b = _hamming_band_keys(new_sims, bits, n_bands) \
-        .withColumnRenamed("doc_id", "doc_new")
-    old_b = _hamming_band_keys(old_sims, bits, n_bands) \
-        .withColumnRenamed("doc_id", "doc_old")
-    pairs = (
+    new_b = _hamming_band_keys(new_sims, bits, n_bands).select(
+        F.col("doc_id").alias("doc_new"), F.col("__h__").alias("ha"),
+        "band", "seg",
+    )
+    old_b = _hamming_band_keys(old_sims, bits, n_bands).select(
+        F.col("doc_id").alias("doc_old"), F.col("__h__").alias("hb"),
+        "band", "seg",
+    )
+    out = (
+        # unhinted: new_b is batch-scaled, old_b corpus-scaled — AQE's
+        # byte-bounded runtime broadcast ships the batch band keys,
+        # while a degenerate corpus-sized catch-up batch falls back to
+        # a spillable sort-merge join
         new_b.join(old_b, ["band", "seg"])
         .filter(F.col("doc_new") != F.col("doc_old"))
-        .select("doc_new", "doc_old")
-    )
-    if dedup_pairs:
-        pairs = pairs.dropDuplicates(["doc_new", "doc_old"])
-    h_new = new_sims.select(
-        F.col("doc_id").alias("doc_new"), F.col("__h__").alias("ha")
-    )
-    h_old = old_sims.select(
-        F.col("doc_id").alias("doc_old"), F.col("__h__").alias("hb")
-    )
-    return (
-        # unhinted like the band join: pairs/h_new are batch-scaled,
-        # h_old is corpus-scaled — AQE broadcasts the small sides
-        pairs.join(h_new, "doc_new")
-        .join(h_old, "doc_old")
         .withColumn("hamming", F.bit_count(F.expr("ha ^ hb")))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_new", "doc_old", "hamming")
     )
+    if dedup_pairs:
+        out = out.dropDuplicates(["doc_new", "doc_old"])
+    return out
 
 
 def simhash_expr(col: str, bits: int) -> str:

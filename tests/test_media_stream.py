@@ -349,13 +349,21 @@ def test_incremental_pairing_broadcasts_batch_not_store(spark, tmp_path):
         F.xxhash64("id").alias("fp"),
     ).write.parquet(store_path)
     store = spark.read.parquet(store_path)
+    # one batch fp copied verbatim from a store row: the single-join
+    # plan (round 15 — hash carried through the band join, no verify
+    # join-backs) must produce at least one surviving pair, or AQE's
+    # empty-relation propagation replaces the whole join with
+    # EmptyRelation and the strategy assertion below becomes vacuous
     batch = spark.range(10).select(
-        F.col("id").alias("doc_id"), F.xxhash64("id", "id").alias("fp")
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 0, F.xxhash64(F.lit(7).cast("long")))
+        .otherwise(F.xxhash64("id", "id")).alias("fp"),
     )
     out = hamming_near_dups_incremental(
         batch, store, hash_col="fp", bits=64, max_hamming=6, n_bands=8
     )
-    out.collect()  # finalize the adaptive plan
+    rows = out.collect()  # finalize the adaptive plan
+    assert rows, "expected the planted exact-fp pair to survive"
     final = out._jdf.queryExecution().executedPlan().toString().split(
         "== Initial Plan =="
     )[0]
