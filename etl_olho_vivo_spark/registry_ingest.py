@@ -246,13 +246,17 @@ def q_doc_editdist_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = _EDITDIST_T + 1
 
     # stage 1: exact-dup collapse (fingerprint identity, skew-safe
-    # groupBy aggregate — never a window over the text hash)
+    # groupBy aggregate — never a window over the text hash).
+    # n_members rides the same partial aggregate for free: stage 3's
+    # diagonal leg only needs groups that actually have within-group
+    # pairs, and count(*) here is what lets it skip the singletons.
     fp = d.select(
         "lang", "source", "doc_id", "text", F.md5("text").alias("fp")
     )
     groups = SESSION_BAG.add(
         fp.groupBy("lang", "source", "fp").agg(
-            F.min("doc_id").alias("gid"), F.first("text").alias("text")
+            F.min("doc_id").alias("gid"), F.first("text").alias("text"),
+            F.count(F.lit(1)).alias("n_members"),
         )
     )
     members = SESSION_BAG.add(
@@ -264,30 +268,60 @@ def q_doc_editdist_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gid", "doc_id")
     )
 
-    # stage 2: banded DP over distinct-text representatives only
+    # stage 2: banded DP over distinct-text representatives only.
+    # Round 15 — two measured fixes to WHERE the DP runs:
+    # (1) the cheap predicates (pair orientation, Levenshtein length
+    #     lower bound) live in the JOIN CONDITION, written BEFORE any
+    #     DP expression exists: the round-14 shape let Catalyst fold
+    #     the pushed dist>=0 filter into the join condition AHEAD of
+    #     gid_a < gid_b, so every wrongly-ordered candidate (half of
+    #     them, plus self pairs) paid the O(len·T) DP first and was
+    #     discarded after;
+    # (2) levenshtein evaluates ONCE, in a projection above the join,
+    #     wrapped in explode_outer(filter(array(·))) — a plain
+    #     .filter(dist >= 0) on the alias gets pushed below the project
+    #     with the expression SUBSTITUTED (the same mechanism as the
+    #     guide's UDF-duplication case), re-running the DP in the join
+    #     condition and again in the projection.  The outer generator
+    #     is the documented pushdown barrier (InferFiltersFromGenerate
+    #     skips outer generates), and the residual NULL-drop filters on
+    #     the GENERATED attribute, which cannot be pushed below it.
     band = (F.length("text") / width).cast("int")
     a = groups.select(
         F.col("lang"), F.col("source"), band.alias("band"),
         F.col("gid").alias("gid_a"),
         F.length("text").alias("la"), F.col("text").alias("ta"),
-    ).repartition(par, "lang", "source", "band")
+    ).repartition(par, "lang", "source", "band").alias("A")
     b = groups.select(
-        F.col("lang"), F.col("source"),
+        F.col("lang").alias("lang_b"), F.col("source").alias("source_b"),
         F.explode(
             F.array(band - 1, band, band + 1)
-        ).alias("band"),
+        ).alias("band_b"),
         F.col("gid").alias("gid_b"),
         F.length("text").alias("lb"), F.col("text").alias("tb"),
+    ).alias("B")
+    cond = (
+        (F.col("A.lang") == F.col("B.lang_b"))
+        & (F.col("A.source") == F.col("B.source_b"))
+        & (F.col("A.band") == F.col("B.band_b"))
+        & (F.col("A.gid_a") < F.col("B.gid_b"))
+        # Levenshtein lower bound: prune before any DP cell is touched
+        & (F.abs(F.col("A.la") - F.col("B.lb")) <= _EDITDIST_T)
     )
     dist = F.levenshtein("ta", "tb", _EDITDIST_T)
     rep_pairs = (
         a.hint("merge")
-        .join(b, on=["lang", "source", "band"])
-        .filter(F.col("gid_a") < F.col("gid_b"))
-        # Levenshtein lower bound: prune before any DP cell is touched
-        .filter(F.abs(F.col("la") - F.col("lb")) <= _EDITDIST_T)
-        .filter(dist >= 0)  # 3-arg levenshtein marks > T as -1
-        .select("gid_a", "gid_b", dist.alias("lev_dist"))
+        .join(b, on=cond)
+        .select(
+            "gid_a", "gid_b",
+            # 3-arg levenshtein marks > T as -1; the 1-element-array
+            # filter keeps qualifying distances, explode_outer turns
+            # the empty array into a NULL row dropped just below
+            F.explode_outer(
+                F.filter(F.array(dist), lambda x: x >= 0)
+            ).alias("lev_dist"),
+        )
+        .filter(F.col("lev_dist").isNotNull())
     )
 
     # stage 3: expand verified representative pairs back to member
@@ -297,7 +331,13 @@ def q_doc_editdist_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every cross-group member pair (ids interleave across groups,
     # least/greatest restores the doc_a < doc_b orientation) and the
     # ordered half of each diagonal block.
-    diag = groups.select(
+    # Only groups with >= 2 members can emit a within-group pair — a
+    # singleton's diagonal row joins to its one member on both sides
+    # and the (da < db) orientation filter drops it.  In a mostly-
+    # singleton corpus the filter removes almost the whole diagonal
+    # leg from the two expansion joins (round 15; n_members is free in
+    # the stage-1 aggregate).
+    diag = groups.filter(F.col("n_members") >= 2).select(
         F.col("gid").alias("gid_a"),
         F.col("gid").alias("gid_b"),
         F.lit(0).alias("lev_dist"),

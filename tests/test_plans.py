@@ -321,16 +321,32 @@ def test_editdist_band_join_is_banded_and_pruned(spark):
     assert "SortMergeJoin" in final, final[:3000]
     assert "BroadcastHashJoin" not in final
     assert "REPARTITION_BY_NUM" in final
-    # round-10 shape: the collapse/expansion SMJs precede the DP join —
-    # find the one carrying the levenshtein condition and pin it
+    # round-15 shape: the DP is NOT a join predicate — the join carries
+    # only the cheap prunes (pair orientation, |len diff| lower bound),
+    # and levenshtein evaluates exactly ONCE, above the join, inside
+    # the outer-generate pushdown barrier.  The round-14 shape let the
+    # pushed dist>=0 filter fold the DP into the join condition ahead
+    # of gid_a < gid_b: every wrongly-ordered candidate paid the
+    # O(len·T) DP, and survivors paid it twice (condition + project).
     join_line = next(
         line
         for line in final.splitlines()
-        if "SortMergeJoin" in line and "levenshtein" in line
+        if "SortMergeJoin" in line and "abs(" in line
     )
-    assert "Some(60)" in join_line, join_line
-    assert "abs(" in join_line, join_line
+    assert "levenshtein" not in join_line, join_line
+    assert "gid_a" in join_line and "gid_b" in join_line, join_line
     assert "band" in join_line, join_line  # band is a JOIN KEY
+    # one evaluation site, threshold-banded (the formatted details
+    # reprint expressions once per operator listing; count the Generate
+    # input, not raw occurrences)
+    lev_lines = [
+        line for line in final.splitlines() if "levenshtein" in line
+    ]
+    assert lev_lines, final[:3000]
+    assert all("Some(60)" in line for line in lev_lines), lev_lines
+    assert all(
+        "Generate" in line or "Project" in line for line in lev_lines
+    ), lev_lines
 
 
 def test_trigram_counts_share_one_cached_windows_aggregate(spark):
