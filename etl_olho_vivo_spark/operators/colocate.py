@@ -23,12 +23,15 @@ product — quadratic in pings per bucket, dead at 100 TB.  Instead:
    transcendental (cos in the cell size would also be an
    engine-dependent constant — the grid stays pure rational
    arithmetic, so the same floats fall in the same cells everywhere).
-2. EXPLODE: the probe side replicates each ping to its 3×3 neighbor
-   cells; the build side keeps home cells only.  Every qualifying pair
-   is found EXACTLY once — (a, b) with ``key_a < key_b`` matches only
-   when a's exploded cell hits b's unique home cell — so no
-   de-duplicating exchange is ever needed (the containment rollup
-   lesson).
+2. EXPLODE: the probe side replicates each ping to its HALF-PLANE
+   neighbor cells — self plus the 4 lexicographically-forward
+   neighbors (round 15; was the full 3×3) — the build side keeps home
+   cells only.  Every qualifying pair is found EXACTLY once: each
+   unordered pair of distinct adjacent cells has exactly one
+   representative offset in the forward half, and same-cell pairs ride
+   (0,0) with the strict key inequality — so no de-duplicating
+   exchange is ever needed (the containment rollup lesson), and the
+   probe shuffle carries 5/9 of the rows the full 3×3 did.
 3. EQUI-JOIN on (bucket, cell_y, cell_x) + exact haversine residual
    filter on the ROUNDED distance (round 2 dp — the engine-wide
    transcendental parity rule; the grid is a candidate generator, the
@@ -90,12 +93,35 @@ def grid_project(
 
 
 def neighbor_offsets():
-    """The 3x3 probe-side explode payload — one literal array of
-    (dy, dx) structs, shared by batch and stream."""
+    """The probe-side explode payload — one literal array of (dy, dx)
+    structs, shared by batch and stream.
+
+    HALF-PLANE set (round 15): {(0,0), (0,1), (1,-1), (1,0), (1,1)} —
+    self plus the lexicographically-forward half of the 3×3
+    neighborhood.  For any unordered pair of distinct adjacent cells,
+    exactly ONE of (c2−c1) / (c1−c2) lies in the forward half, so each
+    cross-cell pair is generated exactly once (keys then reordered with
+    least/greatest); same-cell pairs ride (0,0) with the strict key
+    inequality.  vs the full 3×3 this shuffles 5/9 of the probe rows
+    and emits half the cross-cell join rows for the SAME result —
+    guide §2.3, shuffle fewer bytes."""
     return F.array(*[
         F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
-        for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        for dy, dx in ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
     ])
+
+
+def pair_orientation_filter():
+    """The exactly-once + no-self-pair predicate over half-plane join
+    rows: same-cell candidates (offset (0,0), flagged ``same``) keep
+    the strictly-ordered direction only — both directions emerge from
+    the join; cross-cell candidates emerge once and only need the
+    self-vehicle guard.  NULL keys never pair (every branch is a
+    NULL-propagating comparison), preserving the pinned NULL-ping
+    semantics."""
+    return F.when(
+        F.col("same"), F.col("ka") < F.col("kb")
+    ).otherwise(F.col("ka") != F.col("kb"))
 
 
 def pair_distance():
@@ -135,22 +161,24 @@ def colocation_pairs(
         pos, radius_m, key=key, lat=lat, lon=lon, ts=ts,
         bucket_s=bucket_s,
     )
-    # probe side: 3x3 neighbor cells.  explode of a 9-element literal
+    # probe side: self + forward-half neighbor cells (the half-plane
+    # explode — see neighbor_offsets).  explode of a 5-element literal
     # array of structs — no Python, one Generate node
     offsets = neighbor_offsets()
     probe = base.select(
-        F.col("k").alias("vehicle_a"),
+        F.col("k").alias("ka"),
         F.col("la").alias("la_a"), F.col("lo").alias("lo_a"),
         "bucket",
         F.explode(offsets).alias("o"),
         "cy", "cx",
     ).select(
-        "vehicle_a", "la_a", "lo_a", "bucket",
+        "ka", "la_a", "lo_a", "bucket",
         (F.col("cy") + F.col("o.dy")).alias("cy"),
         (F.col("cx") + F.col("o.dx")).alias("cx"),
+        ((F.col("o.dy") == 0) & (F.col("o.dx") == 0)).alias("same"),
     )
     build = base.select(
-        F.col("k").alias("vehicle_b"),
+        F.col("k").alias("kb"),
         F.col("la").alias("la_b"), F.col("lo").alias("lo_b"),
         "bucket", "cy", "cx",
     )
@@ -158,10 +186,17 @@ def colocation_pairs(
     return (
         probe.hint("merge")
         .join(build, ["bucket", "cy", "cx"])
-        .filter(F.col("vehicle_a") < F.col("vehicle_b"))
+        .filter(pair_orientation_filter())
         .withColumn("dist_m", dist)
         .filter(F.col("dist_m") <= radius_m)
-        .groupBy("bucket", "vehicle_a", "vehicle_b")
+        # cross-cell rows arrive in grid order, not key order — restore
+        # the unordered-pair orientation on the keys (distance is
+        # symmetric, so dist_m needs no swap)
+        .groupBy(
+            "bucket",
+            F.least("ka", "kb").alias("vehicle_a"),
+            F.greatest("ka", "kb").alias("vehicle_b"),
+        )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_close"),
             F.min("dist_m").alias("min_dist_m"),

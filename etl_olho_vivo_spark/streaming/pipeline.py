@@ -178,10 +178,11 @@ def stream_colocation_pairs(
     inner join accepts (the other being a time-range predicate), so
     each side's join state is dropped once the watermark passes the
     window, bounding state by (watermark span × ping rate).  The
-    probe branch explodes to its 3×3 neighbor cells; the build branch
-    keeps home cells; ``vehicle_a < vehicle_b`` makes each qualifying
-    ping pair appear exactly once (the batch operator's exactly-once
-    argument, unchanged).  Append-mode safe: each matched pair is
+    probe branch explodes to its half-plane neighbor cells; the build
+    branch keeps home cells; the shared orientation filter plus the
+    least/greatest key reorder makes each qualifying ping pair appear
+    exactly once (the batch operator's exactly-once argument,
+    unchanged).  Append-mode safe: each matched pair is
     emitted once, no aggregation state — the per-bucket
     (n_close, min_dist) rollup is a BATCH query over the sink
     (chaining the aggregation here would stack a second stateful
@@ -195,33 +196,43 @@ def stream_colocation_pairs(
         grid_project,
         neighbor_offsets,
         pair_distance,
+        pair_orientation_filter,
     )
 
     base = grid_project(e, radius_m, bucket_s=bucket_s,
                         extra=("event_time",))
     win = F.window("event_time", f"{bucket_s} seconds")
+    # half-plane probe explode + orientation filter + least/greatest
+    # key reorder — the batch operator's round-15 shape, one shared
+    # definition (see colocate.neighbor_offsets)
     probe = base.select(
-        F.col("k").alias("vehicle_a"),
+        F.col("k").alias("ka"),
         F.col("la").alias("la_a"), F.col("lo").alias("lo_a"),
         "bucket", win.alias("w"),
         F.explode(neighbor_offsets()).alias("o"),
         "cy", "cx",
     ).select(
-        "vehicle_a", "la_a", "lo_a", "bucket", "w",
+        "ka", "la_a", "lo_a", "bucket", "w",
         (F.col("cy") + F.col("o.dy")).alias("cy"),
         (F.col("cx") + F.col("o.dx")).alias("cx"),
+        ((F.col("o.dy") == 0) & (F.col("o.dx") == 0)).alias("same"),
     )
     build = base.select(
-        F.col("k").alias("vehicle_b"),
+        F.col("k").alias("kb"),
         F.col("la").alias("la_b"), F.col("lo").alias("lo_b"),
         win.alias("w"), "cy", "cx",
     )
     return (
         probe.join(build, ["w", "cy", "cx"])
-        .filter(F.col("vehicle_a") < F.col("vehicle_b"))
+        .filter(pair_orientation_filter())
         .withColumn("dist_m", pair_distance())
         .filter(F.col("dist_m") <= radius_m)
-        .select("bucket", "vehicle_a", "vehicle_b", "dist_m")
+        .select(
+            "bucket",
+            F.least("ka", "kb").alias("vehicle_a"),
+            F.greatest("ka", "kb").alias("vehicle_b"),
+            "dist_m",
+        )
     )
 
 
