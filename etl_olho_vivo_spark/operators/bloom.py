@@ -166,7 +166,10 @@ def gram_overlap_vs_filter(
     if out in df.columns:
         raise ValueError(f"output column {out!r} already exists")
     sh_docs = _persist(
-        with_shingles(df, text).select(id_col, "sh"), caches
+        # spread=False: the bitmap aggregate re-exchanges immediately —
+        # the adaptive spread's extra exchange measured +0.1 s here and
+        # buys nothing (see with_shingles)
+        with_shingles(df, text, spread=False).select(id_col, "sh"), caches
     )
     grams = sh_docs.select(
         id_col, F.explode_outer("sh").alias("gh")

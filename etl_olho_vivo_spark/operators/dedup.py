@@ -301,8 +301,50 @@ def drop_repeated_spans(
     return out.select(*docs.columns)
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Scale-ADAPTIVE pre-compute spread (round 15, guide §2.5 "input
+    skew: one huge unsplittable file... repartition immediately after
+    the read").
+
+    The expensive per-row compute downstream of a scan (md5 token
+    hashing, fingerprint folds, n-gram windows) inherits the SCAN's
+    parallelism.  A single-file, single-row-group input — the shape of
+    every local test table, and of any badly-compacted landing zone —
+    yields ONE input split, serializing the whole corpus's compute on
+    one core (measured: simhash32 at sf0.1 runs 3.9× faster with the
+    spread).  When the scan already provides at least the session's
+    default parallelism — every healthy at-scale layout — this is a
+    NO-OP: no exchange is added, so the at-scale plan shape is
+    unchanged and no text payload is ever shuffled for nothing.
+
+    Round-robin (keyless) on purpose: a hash key derived from content
+    would re-serialize a duplicate-heavy corpus onto hot partitions,
+    and the deterministic sort-before-repartition keeps retries safe.
+    Streaming frames pass through untouched — their parallelism belongs
+    to the source.
+
+    Target = cores/4, NOT cores (measured, interleaved min-of-3 at
+    sf0.1 on local[32]: minhash 3.56 s off / 1.62 s at 8 / 3.60 s at
+    32).  The spread frames are typically persisted and consumed by
+    SEVERAL downstream stages in one action; a lazily-materialized
+    cache computes each block under the BlockManager's per-block lock,
+    so every concurrent consumer stage schedules its own full task set
+    and the waiters HOLD executor slots while the computing tasks
+    queue behind them — spread × concurrent-consumers must stay within
+    the core count, and /4 covers the worst in-repo fan-out (the
+    MinHash signature's three consumers plus slack) while still lifting
+    the compute off a single core."""
+    if df.isStreaming:
+        return df
+    target = max(2, df.sparkSession.sparkContext.defaultParallelism // 4)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def with_token_hashes(
-    df: DataFrame, text: str = "text", out: str = "wh"
+    df: DataFrame, text: str = "text", out: str = "wh",
+    spread: bool = True,
 ) -> DataFrame:
     """Materialize the per-token md5-hash array ONCE as a column.
 
@@ -314,15 +356,29 @@ def with_token_hashes(
     its own projection the array is computed once per row; Catalyst's
     CollapseProject will not inline it back because a non-cheap alias
     referenced more than once is never duplicated.
+
+    Every caller is a fingerprint/window/aggregate shape (never a
+    pinned zero-exchange projection), so the adaptive
+    ``spread_small_scan`` rides here: the md5 pass is the single most
+    repeated heavy compute in the engine and must not inherit a
+    one-split scan's parallelism.
     """
     wh = f"transform(split({text}, ' '), w -> {spark_token_hash('w')})"
-    return df.withColumn(out, F.expr(wh))
+    base = spread_small_scan(df) if spread else df
+    return base.withColumn(out, F.expr(wh))
 
 
 def with_shingles(
-    df: DataFrame, text: str = "text", out: str = "sh"
+    df: DataFrame, text: str = "text", out: str = "sh",
+    spread: bool = True,
 ) -> DataFrame:
-    """Distinct word-3-gram shingle hashes per document (array column)."""
+    """Distinct word-3-gram shingle hashes per document (array column).
+
+    ``spread=False`` opts a call site out of the adaptive pre-compute
+    spread (see ``with_token_hashes``) when its downstream is a single
+    immediate aggregate that re-exchanges anyway (the bloom bitmap
+    path measured +0.1 s from the extra exchange, everything else
+    measured flat-or-faster)."""
     sh = shingle3_expr("wh[i]", "wh[i + 1]", "wh[i + 2]")
     expr = (
         f"CASE WHEN size(wh) >= 3 THEN "
@@ -330,7 +386,7 @@ def with_shingles(
         f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
     )
     return (
-        with_token_hashes(df, text)
+        with_token_hashes(df, text, spread=spread)
         .withColumn(out, F.expr(expr))
         .drop("wh")
     )

@@ -2959,9 +2959,14 @@ def test_image_near_dups_plan_is_merge_banded(spark):
         img = rng.randint(0, 255, size=(16, 16)).astype(np.uint8)
         payload = [bytes(img[r]) for r in range(16)]
         rows.append((d, bytearray(_p5(16, 16, payload))))
+    # one exact duplicate so at least one pair survives: the round-15
+    # single-join pairing lets AQE's empty-relation propagation replace
+    # a no-pair plan with EmptyRelation, which would make the join-
+    # strategy assertions below vacuous
+    rows.append((8, bytearray(rows[0][1])))
     df = spark.createDataFrame(rows, "doc_id long, media binary")
     out = multimodal.image_near_dups(df)
-    out.collect()
+    assert out.collect(), "expected the planted duplicate image to pair"
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert "SortMergeJoin" in final
