@@ -265,10 +265,16 @@ def embedding_near_dup_frame(
             "nrm", F.sqrt(F.expr(f"CAST({norm} AS DOUBLE)"))
         )
     )
+    # exchange pinned by NUMBER (the editdist rule, round 15): the
+    # within-cell pair stage does O(pairs·d) array work over slim
+    # shuffled bytes, and AQE's byte-based coalescing would collapse
+    # the compute-bound join to one task (measured 1.22 s → 0.63 s at
+    # sf0.1 with the pin; byte counts misjudge compute density)
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     x = assigned.select(
         F.col("vec_id").alias("vec_a"), F.col("cell_id"),
         F.col("qv").alias("qa"), F.col("nrm").alias("na"),
-    )
+    ).repartition(par, "cell_id")
     y = assigned.select(
         F.col("vec_id").alias("vec_b"), F.col("cell_id"),
         F.col("qv").alias("qb"), F.col("nrm").alias("nb"),
