@@ -2375,6 +2375,13 @@ def media_containment_pairs(
     _hamming_validate(64, max_hamming, n_bands)
     thr_ppm = round(min_frac * 1_000_000)
 
+    # self-probe (probing a corpus against itself — the registry rows
+    # and any corpus-wide audit): every index value IS a probe value,
+    # so the exact leg's distinct-value equi-join is algebraically the
+    # index value set itself — the join (and, with no stop-frame dial,
+    # the second distinct) drops out of the plan (round 15)
+    self_probe = probe_frames is index_frames
+
     i_docs = index_frames.select(
         F.col("fp").alias("ifp"), F.col("doc_id").alias("doc_index")
     ).dropDuplicates()
@@ -2387,11 +2394,19 @@ def media_containment_pairs(
         )
         i_docs = i_docs.join(keep, "ifp", "left_semi")
 
-    p_vals = probe_frames.select("fp").distinct()
     i_vals = i_docs.select(F.col("ifp").alias("fp")).distinct()
-    exact = p_vals.join(i_vals, "fp").select(
-        F.col("fp").alias("pfp"), F.col("fp").alias("ifp")
-    )
+    if self_probe:
+        # i_vals ⊆ p_vals, so p_vals ∩ i_vals = i_vals
+        p_vals = i_vals if max_index_df is None \
+            else probe_frames.select("fp").distinct()
+        exact = i_vals.select(
+            F.col("fp").alias("pfp"), F.col("fp").alias("ifp")
+        )
+    else:
+        p_vals = probe_frames.select("fp").distinct()
+        exact = p_vals.join(i_vals, "fp").select(
+            F.col("fp").alias("pfp"), F.col("fp").alias("ifp")
+        )
     near = hamming_near_dups_incremental(
         p_vals, i_vals, hash_col="fp", bits=64,
         max_hamming=max_hamming, n_bands=n_bands, id_col="fp",
