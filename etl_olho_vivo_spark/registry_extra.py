@@ -409,7 +409,7 @@ GROUP BY a.bucket, a.prefixo_veiculo, b.prefixo_veiculo
         "— the 2D grid-bucketed radius self-join "
         "(operators/colocate.py), the spatial sibling of "
         "clicks_near_signup's 1D time-block explode.  The grid (one "
-        "home cell per ping, probe side exploded to its 3x3 "
+        "home cell per ping, probe side exploded to its half-plane "
         "neighbors, pure rational cell sizes — no transcendental in "
         "the candidate generator) finds every qualifying pair exactly "
         "once with zero dedup exchanges; the ROUNDED haversine "
