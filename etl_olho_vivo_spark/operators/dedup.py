@@ -544,12 +544,12 @@ def connected_components(
     graph diameter, and near-dup clusters are shallow (pairs chain
     through shared content), so convergence is typically 2-4 rounds.
     Deterministic: min() over any orderable id type, no seeds.  Works
-    for string ids too: the fixpoint is detected by joining old/new
-    labels and counting changed rows (an earlier sum()-based check was
-    numeric-only and would NULL out — declaring false convergence — on
-    non-numeric ids).  Raises if the graph hasn't converged after
-    ``max_iter`` rounds rather than returning a silently-wrong
-    clustering.
+    for string ids too: the fixpoint is detected by comparing each
+    node's new min-label against its old one inside the propagation
+    aggregate (an earlier sum()-based check was numeric-only and would
+    NULL out — declaring false convergence — on non-numeric ids).
+    Raises if the graph hasn't converged after ``max_iter`` rounds
+    rather than returning a silently-wrong clustering.
 
     This is the exact resolution whose cheap approximation is the corpus
     pipeline's edge-greedy drop (plans/corpus.py): greedy keeps a doc
@@ -557,8 +557,10 @@ def connected_components(
     not.
 
     Result lifecycle: the labels are materialized eagerly (so the
-    iteration caches can be released before returning) into a persisted
-    frame tracked in ``caches`` when provided — the caller unpersists
+    iteration caches can be released before returning); the FINAL
+    round's persisted frame is handed to ``caches`` (or the session
+    bag) directly — it is already materialized by that round's own
+    action, so no copy is made — and the caller unpersists
     deterministically after consuming.  An earlier version returned a
     ``localCheckpoint`` instead; its backing RDD cannot be unpersisted
     safely (truncated lineage → data loss on release) and lingers until
@@ -566,6 +568,19 @@ def connected_components(
     soft leak under repeated pipeline runs.  A bag-tracked persist is
     both releasable and recomputable (the full label-propagation plan
     stays attached, so an evicted block re-derives instead of failing).
+
+    Per-round cost (round 16): ONE job.  The fixpoint check rides the
+    propagation aggregate itself — the old label is one tagged branch
+    of the union the groupBy already consumes, so ``min(comp)`` (the
+    new label) and ``min(comp) WHERE old`` (the old label; exactly one
+    old row per node) come out of the SAME partial-aggregating shuffle,
+    and ``changed`` is a scan-of-cache aggregate over the frame the
+    round materializes anyway.  Label-type agnostic (min/< work for
+    string ids; a sum()-based checksum would NULL out).  This is NOT
+    the round-9 experiment that measured worse: that one attached the
+    old label with an extra per-round JOIN, which defeated AQE's
+    post-shuffle coalescing — here no join is added, one whole
+    comparison job (broadcast + join + limit) is removed per round.
     """
     edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     nodes = (
@@ -578,60 +593,50 @@ def connected_components(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
     try:
-        for it in range(max_iter):
+        for _ in range(max_iter):
             msgs = both.join(
                 labels, both.src == labels.node
-            ).select(F.col("dst").alias("node"), "comp")
-            new_labels = (
-                labels.select("node", "comp")
+            ).select(
+                F.col("dst").alias("node"), "comp",
+                F.lit(False).alias("old"),
+            )
+            stepped = (
+                labels.select("node", "comp", F.lit(True).alias("old"))
                 .union(msgs)
                 .groupBy("node")
-                .agg(F.min("comp").alias("comp"))
-                .persist()
+                .agg(
+                    F.min("comp").alias("comp"),
+                    # every node has exactly ONE old row (labels covers
+                    # the full node set; msgs only re-mentions nodes),
+                    # so min() recovers its value exactly
+                    F.min(F.when(F.col("old"), F.col("comp"))).alias(
+                        "__old_comp__"
+                    ),
+                )
             )
-            # fixpoint = zero rows whose label moved this round.  The
-            # comparison is a node-keyed join of two persisted frames
-            # (both already hash-partitioned by node) and is label-type
-            # agnostic — unlike a sum()-based checksum, which is NULL
-            # for string ids and would falsely declare convergence.
-            # (A round-9 experiment folded this check into the stepped
-            # frame as an old-vs-new flag column to save the action —
-            # the extra join defeated AQE's post-shuffle coalescing and
-            # cost MORE per round than the action it removed; keep the
-            # two-action form.)
-            if it == 0 and max_iter > 1:
-                # round 1 always moves a label on an a<b pair graph
-                # (every edge's larger endpoint adopts a smaller one) —
-                # materialize the cache with a plain count and skip the
-                # comparison job.  Worst case (degenerate all-self-loop
-                # input) this costs one extra round, never wrong labels.
-                # (max_iter == 1 must still run the real check: forcing
-                # changed=1 there would turn a trivially-converged
-                # graph into a spurious convergence failure.)
-                new_labels.count()
-                changed = 1
-            else:
-                changed = (
-                    new_labels.alias("n")
-                    .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-                    .filter(F.col("n.comp") != F.col("o.comp"))
-                    .limit(1)
-                    .count()
+            new_labels = stepped.select(
+                "node", "comp",
+                # min-labels are monotone ↓: moved ⇔ strictly smaller
+                (F.col("comp") < F.col("__old_comp__")).alias("__chg__"),
+            ).persist()
+            # ONE action: the full-scan aggregate materializes the
+            # round's cache AND returns the fixpoint flag (None on an
+            # empty graph = trivially converged)
+            changed = bool(
+                new_labels.agg(F.max("__chg__")).collect()[0][0]
+            )
+            if not changed:  # fixpoint
+                # hand the final round's frame (already materialized by
+                # the action above) to the bag — no second persist+copy;
+                # ``labels`` still names the PREVIOUS round's frame, so
+                # the finally block below releases exactly the
+                # iteration caches and never this result
+                return _persist(new_labels, caches).select(
+                    F.col("node").alias("doc_id"),
+                    F.col("comp").alias("component"),
                 )
             labels.unpersist()
             labels = new_labels
-            if changed == 0:  # min-labels are monotone ↓: fixpoint
-                # eager persist (bounded by the pair graph's node count)
-                # so the iteration caches can be released on return
-                out = _persist(
-                    labels.select(
-                        F.col("node").alias("doc_id"),
-                        F.col("comp").alias("component"),
-                    ),
-                    caches,
-                )
-                out.count()
-                return out
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(graph diameter exceeds max_iter — raise it)"
