@@ -65,12 +65,45 @@ if TYPE_CHECKING:
     from etl_olho_vivo_spark.caching import CacheBag
 
 
-def _doc_bigrams(docs: DataFrame, id_col: str, text: str) -> DataFrame:
+def _ref_token_frame(
+    ref_docs: DataFrame,
+    id_col: str,
+    text: str,
+    caches: "CacheBag | None",
+) -> DataFrame:
+    """ONE (id, wh) token-hash frame for a reference corpus (round 16).
+
+    Model training traverses the reference corpus several times (one
+    window pass per n-gram order, the unigram/vocabulary pass, the
+    leaf-scalar pass) and the md5 tokenize is the dominant per-row cost
+    of every one of those scans — so the training paths share a single
+    cached materialization of the token arrays instead of re-hashing
+    the corpus per pass (guide §5: cache what is reused AND expensive
+    to recompute; §1.2: remove redundant passes first).  The frame is
+    corpus-sized, but MEMORY_AND_DISK spills rather than recomputes,
+    and a reference corpus is the small, curated side of a quality
+    gate.  Two builders called with the same inputs produce the same
+    canonical plan, so the CacheManager reuses one entry across them.
+    With no bag the frame is returned lazily (correct, re-derived per
+    consumer) — this helper never raw-persists.
+    """
+    toks = with_token_hashes(ref_docs.select(id_col, text), text).select(
+        id_col, "wh"
+    )
+    return caches.add(toks) if caches is not None else toks
+
+
+def _doc_bigrams(
+    docs: DataFrame, id_col: str, text: str, *, pretokenized: bool = False
+) -> DataFrame:
     """(id, w1h, w2h) — one slim row per in-doc bigram.
 
     ``posexplode_outer`` for the InferFiltersFromGenerate reason
     documented in decontam.py: a plain explode of the pair array would
     re-inline the token-hash transform O(tokens²) per row.
+
+    ``pretokenized``: ``docs`` already carries the ``wh`` array (a
+    ``_ref_token_frame``) — skip the hashing pass.
     """
     pairs = (
         "CASE WHEN size(wh) >= 2 THEN "
@@ -78,8 +111,12 @@ def _doc_bigrams(docs: DataFrame, id_col: str, text: str) -> DataFrame:
         "i -> struct(wh[i] AS w1h, wh[i + 1] AS w2h)) "
         "ELSE CAST(array() AS ARRAY<STRUCT<w1h: BIGINT, w2h: BIGINT>>) END"
     )
+    base = (
+        docs if pretokenized
+        else with_token_hashes(docs.select(id_col, text), text)
+    )
     return (
-        with_token_hashes(docs.select(id_col, text), text)
+        base
         .withColumn("__bg__", F.expr(pairs))
         .select(id_col, F.posexplode_outer("__bg__").alias("__i__", "bg"))
         .filter(F.col("bg").isNotNull())
@@ -92,25 +129,27 @@ def bigram_counts(
     *,
     text: str = "text",
     top_k: int = 1_000_000,
+    caches: "CacheBag | None" = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(unigram, bigram) count relations from the reference corpus.
 
     unigram: (w1h, u_n);  bigram: (w1h, w2h, b_n) — exact integer
     counts, each truncated to its ``top_k`` most frequent entries
     (deterministic hash tiebreak) so the model relations are bounded
-    regardless of corpus size.
+    regardless of corpus size.  Pass ``caches`` so the unigram and
+    bigram passes share ONE tokenize of the reference corpus
+    (``_ref_token_frame``) instead of hashing it twice.
     """
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
     # counts never group by document — a constant id keeps the helper shared
-    bg = _doc_bigrams(
+    toks = _ref_token_frame(
         ref_docs.select(text).withColumn("__rid__", F.lit(0)),
-        "__rid__",
-        text,
+        "__rid__", text, caches,
     )
+    bg = _doc_bigrams(toks, "__rid__", text, pretokenized=True)
     uni = (
-        with_token_hashes(ref_docs.select(text), text)
-        .select(F.explode_outer("wh").alias("w1h"))
+        toks.select(F.explode_outer("wh").alias("w1h"))
         .filter(F.col("w1h").isNotNull())
         .groupBy("w1h")
         .agg(F.count(F.lit(1)).alias("u_n"))
@@ -212,6 +251,7 @@ def _doc_windows(
     width: int,
     with_next: bool,
     terminal_nulls: bool = False,
+    pretokenized: bool = False,
 ) -> DataFrame:
     """Slim per-document sliding windows over the token-hash array.
 
@@ -255,8 +295,12 @@ def _doc_windows(
         f"ELSE {empty} END"
     )
     cols = [id_col, "g.ctx_h"] + (["g.w_h"] if with_next else [])
+    base = (
+        docs if pretokenized
+        else with_token_hashes(docs.select(id_col, text), text)
+    )
     return (
-        with_token_hashes(docs.select(id_col, text), text)
+        base
         .withColumn("__g__", F.expr(grams))
         .select(id_col, F.posexplode_outer("__g__").alias("__i__", "g"))
         .filter(F.col("g").isNotNull())
@@ -293,16 +337,22 @@ def ngram_counts(
     derivations (and every downstream scoring consumer) reuse one
     materialization instead of re-inlining the corpus scan — the
     aggregate is distinct-n-gram-sized, far smaller than the window
-    occurrences, so it is the right layer to pin.
+    occurrences, so it is the right layer to pin.  With ``caches`` the
+    unigram and windows passes also share ONE tokenize of the corpus
+    (``_ref_token_frame``; round 16) — the md5 pass, the dominant
+    per-row cost, runs once per training corpus, not once per pass,
+    and repeated ``ngram_counts`` calls over the same corpus (the
+    backoff chain trains one model per order) share the same entry via
+    the CacheManager's canonical-plan dedup.
     """
     if order < 2:
         raise ValueError(f"order must be >= 2, got {order}")
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
     ref = ref_docs.select(text).withColumn("__rid__", F.lit(0))
+    toks = _ref_token_frame(ref, "__rid__", text, caches)
     uni = (
-        with_token_hashes(ref_docs.select(text), text)
-        .select(F.explode_outer("wh").alias("w1h"))
+        toks.select(F.explode_outer("wh").alias("w1h"))
         .filter(F.col("w1h").isNotNull())
         .groupBy("w1h")
         .agg(F.count(F.lit(1)).alias("u_n"))
@@ -314,7 +364,8 @@ def ngram_counts(
             F.col("w1h").alias("ctx_h"), F.col("u_n").alias("c_n")
         )
         ng = (
-            _doc_windows(ref, "__rid__", text, order - 1, True)
+            _doc_windows(toks, "__rid__", text, order - 1, True,
+                         pretokenized=True)
             .groupBy("ctx_h", "w_h")
             .agg(F.count(F.lit(1)).alias("g_n"))
             .orderBy(F.desc("g_n"), "ctx_h", "w_h")
@@ -322,8 +373,8 @@ def ngram_counts(
         )
         return ctx, ng, uni
     base = (
-        _doc_windows(ref, "__rid__", text, order - 1, True,
-                     terminal_nulls=True)
+        _doc_windows(toks, "__rid__", text, order - 1, True,
+                     terminal_nulls=True, pretokenized=True)
         .groupBy("ctx_h", "w_h")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -670,7 +721,8 @@ def entropy_cut_points(
 
 
 def _doc_token_windows(
-    docs: DataFrame, id_col: str, text: str, n: int
+    docs: DataFrame, id_col: str, text: str, n: int,
+    pretokenized: bool = False,
 ) -> DataFrame:
     """Per-document ``n``-token windows carrying the RAW token hashes —
     ``(id, h_1 .. h_n)``.  No rolling context hash: Kneser-Ney's
@@ -687,8 +739,12 @@ def _doc_token_windows(
         f"ELSE CAST(array() AS ARRAY<STRUCT<{field_types}>>) END"
     )
     cols = [id_col] + [f"g.h_{j + 1}" for j in range(n)]
+    base = (
+        docs if pretokenized
+        else with_token_hashes(docs.select(id_col, text), text)
+    )
     return (
-        with_token_hashes(docs.select(id_col, text), text)
+        base
         .withColumn("__g__", F.expr(grams))
         .select(id_col, F.posexplode_outer("__g__").alias("__i__", "g"))
         .filter(F.col("g").isNotNull())
@@ -768,12 +824,17 @@ def kneser_ney_counts(
     discipline (and the same oracle-parity convention) as
     ``backoff_counts``.  The per-order window aggregates are the only
     corpus-sized shuffles; pass ``caches`` so each ``m``-gram base
-    aggregate materializes once for its two derivations."""
+    aggregate materializes once for its two derivations AND so every
+    pass (one window pass per order, plus the vocabulary scalar) shares
+    ONE tokenize of the reference corpus (``_ref_token_frame``;
+    round 16 — the vocabulary count was a full re-tokenize of the
+    corpus before)."""
     if order < 2:
         raise ValueError(f"order must be >= 2, got {order}")
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
     ref = ref_docs.select(text).withColumn("__rid__", F.lit(0))
+    toks = _ref_token_frame(ref, "__rid__", text, caches)
 
     def _bound(df, keys, by):
         # the sort column is EXPLICIT: context relations carry both a
@@ -787,7 +848,7 @@ def kneser_ney_counts(
     for m in range(2, order + 1):
         hs = [f"h_{j + 1}" for j in range(m)]
         base = (
-            _doc_token_windows(ref, "__rid__", text, m)
+            _doc_token_windows(toks, "__rid__", text, m, pretokenized=True)
             .groupBy(*hs)
             .agg(F.count(F.lit(1)).alias("n"))
         )
@@ -850,7 +911,7 @@ def kneser_ney_counts(
         F.count(F.lit(1)).alias("t1"),
     ).collect()[0]
     v = (
-        with_token_hashes(ref, text)
+        toks
         .select(F.explode_outer("wh").alias("h"))
         .filter(F.col("h").isNotNull())
         .agg(F.count_distinct("h").alias("v"))

@@ -1118,7 +1118,7 @@ def q_doc_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_olho_vivo_spark.operators import lm
 
     d = read_table(spark, sf_dir, "documents")
-    uni, big = lm.bigram_counts(d)
+    uni, big = lm.bigram_counts(d, caches=SESSION_BAG)
     # SESSION_BAG (not a local bag): the returned frame is lazy and its
     # plan references the cached count relations — same pattern as the
     # signature-store queries above
