@@ -286,25 +286,45 @@ def q_doc_editdist_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     #     is the documented pushdown barrier (InferFiltersFromGenerate
     #     skips outer generates), and the residual NULL-drop filters on
     #     the GENERATED attribute, which cannot be pushed below it.
+    # Round 16 — HALF-PLANE band explode (the colocate r15 lesson in
+    # 1D, guide §2.3 shuffle fewer bytes / §3.3 explode multiplies the
+    # join): the old shape replicated the build side's TEXT payload to
+    # all three bands {b-1, b, b+1} and generated every cross-band
+    # pair twice (once per direction, half killed by gid_a < gid_b in
+    # the join condition).  Now the PROBE side explodes to the forward
+    # half {b, b+1} only: a same-band pair rides offset 0 with the
+    # strict gid order, and a cross-band pair (bands differ by exactly
+    # 1) emerges exactly once — via its lower-band member probing
+    # b + 1 — in grid order, reordered to gid order after the join
+    # (levenshtein is symmetric, so the distance needs no swap).  Text
+    # bytes entering the exchange drop from 4 corpus-copies (1 + the
+    # 3-way explode) to 3, and the join evaluates half the cross-band
+    # candidates for the same emitted pair set.
     band = (F.length("text") / width).cast("int")
     a = groups.select(
-        F.col("lang"), F.col("source"), band.alias("band"),
+        F.col("lang"), F.col("source"),
+        F.explode(F.array(band, band + 1)).alias("band"),
+        band.alias("home_a"),
         F.col("gid").alias("gid_a"),
         F.length("text").alias("la"), F.col("text").alias("ta"),
     ).repartition(par, "lang", "source", "band").alias("A")
     b = groups.select(
         F.col("lang").alias("lang_b"), F.col("source").alias("source_b"),
-        F.explode(
-            F.array(band - 1, band, band + 1)
-        ).alias("band_b"),
+        band.alias("band_b"),
         F.col("gid").alias("gid_b"),
         F.length("text").alias("lb"), F.col("text").alias("tb"),
     ).alias("B")
+    same = F.col("A.home_a") == F.col("B.band_b")
     cond = (
         (F.col("A.lang") == F.col("B.lang_b"))
         & (F.col("A.source") == F.col("B.source_b"))
         & (F.col("A.band") == F.col("B.band_b"))
-        & (F.col("A.gid_a") < F.col("B.gid_b"))
+        # exactly-once orientation: same-band pairs emerge in both
+        # directions (both members probe offset 0) — keep the ordered
+        # one; cross-band pairs emerge once and keep any order
+        & F.when(same, F.col("A.gid_a") < F.col("B.gid_b")).otherwise(
+            F.lit(True)
+        )
         # Levenshtein lower bound: prune before any DP cell is touched
         & (F.abs(F.col("A.la") - F.col("B.lb")) <= _EDITDIST_T)
     )
@@ -313,7 +333,10 @@ def q_doc_editdist_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.hint("merge")
         .join(b, on=cond)
         .select(
-            "gid_a", "gid_b",
+            # cross-band rows arrive in band order — restore the
+            # gid_a < gid_b orientation (distance is symmetric)
+            F.least("gid_a", "gid_b").alias("gid_a"),
+            F.greatest("gid_a", "gid_b").alias("gid_b"),
             # 3-arg levenshtein marks > T as -1; the 1-element-array
             # filter keeps qualifying distances, explode_outer turns
             # the empty array into a NULL row dropped just below
