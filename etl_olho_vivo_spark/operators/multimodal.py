@@ -2330,12 +2330,15 @@ def media_containment_pairs(
        (``hamming_near_dups_incremental``) between distinct values,
        where its identity guard excludes exactly the hamming-0 pairs
        leg 1 already has;
-    3. the matched VALUE pairs expand back to (probe doc, probe
-       frame, index doc) through two slim fp equi-joins — the index
-       side pre-collapsed to distinct (doc, fp), since "how many
-       index frames carry the value" is irrelevant to coverage — and
-       collapse immediately inside ONE partial-aggregated
-       count_distinct on the rollup key.
+    3. the matched VALUE pairs roll up WITHOUT ever expanding to
+       frame-pair rows (round 16): the probe side pre-aggregates to
+       (doc, value, #distinct frames), the match relation collapses
+       to distinct (value, index doc) — the index side pre-collapsed
+       to distinct (doc, fp), since "how many index frames carry the
+       value" is irrelevant to coverage — and matched_frames is the
+       SUM of per-value frame counts (exact because a frame carries
+       exactly one fingerprint value, so the distinct-frame count
+       factors by value).
 
     Measured rationale: the naive frame-pair formulation paid the
     banded join and the exact verify per frame PAIR — under 10×
@@ -2410,24 +2413,44 @@ def media_containment_pairs(
     near = hamming_near_dups_incremental(
         p_vals, i_vals, hash_col="fp", bits=64,
         max_hamming=max_hamming, n_bands=n_bands, id_col="fp",
-        # downstream collapses at the rollup key — the pairing's own
-        # pair-dedup would add an exchange over the candidates for
-        # nothing (multi-band duplicates verify to the same hamming)
+        # downstream collapses at the distinct (value, index doc)
+        # relation — the pairing's own pair-dedup would add an
+        # exchange over the candidates for nothing (multi-band
+        # duplicates verify to the same hamming)
         dedup_pairs=False,
     ).select(F.col("doc_new").alias("pfp"), F.col("doc_old").alias("ifp"))
     vpairs = exact.unionByName(near)
 
-    p_rows = probe_frames.select(
+    # Round 16 — the rollup works at VALUE granularity end to end
+    # (guide §8: decide with small rows; §2.3 aggregate before you
+    # shuffle).  The old shape expanded matched values to one row per
+    # (probe doc, probe FRAME, index doc) and shuffled that frame-pair-
+    # sized relation twice through count_distinct(pframe).  Every
+    # probe frame carries exactly ONE fingerprint (the video/audio
+    # builders construct one fp per (doc_id, frame_idx); duplicate
+    # rows from unioned parquet repeat the same fp), so the distinct-
+    # frame count factors: matched_frames(probe, index) =
+    # Σ over matched values v of #distinct probe frames carrying v.
+    # ``p_cnt`` pre-aggregates the probe side to (doc, value, n) —
+    # count_distinct(frame_idx) keeps duplicate-row inputs from
+    # inflating, the pinned granularity — and ``vd`` de-duplicates the
+    # (value, index doc) match relation so a value matching one index
+    # doc through SEVERAL index values (exact + near) still counts its
+    # frames once.  The frame-pair relation never crosses an exchange.
+    p_cnt = probe_frames.groupBy(
         F.col("fp").alias("pfp"),
         F.col("doc_id").alias("doc_probe"),
-        F.col("frame_idx").alias("pframe"),
+    ).agg(F.count_distinct("frame_idx").alias("__nf__"))
+    vd = (
+        vpairs.join(i_docs, "ifp")
+        .select("pfp", "doc_index")
+        .distinct()
     )
     matched = (
-        vpairs.join(p_rows, "pfp")
-        .join(i_docs, "ifp")
+        vd.join(p_cnt, "pfp")
         .filter(F.col("doc_probe") != F.col("doc_index"))
         .groupBy("doc_probe", "doc_index")
-        .agg(F.count_distinct("pframe").alias("matched_frames"))
+        .agg(F.sum("__nf__").alias("matched_frames"))
     )
     # probe-scaled relation: one row per probe doc — AQE broadcasts it.
     # count_distinct, not count: matched_frames counts DISTINCT probe
