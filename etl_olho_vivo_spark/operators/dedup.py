@@ -333,13 +333,40 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     queue behind them — spread × concurrent-consumers must stay within
     the core count, and /4 covers the worst in-repo fan-out (the
     MinHash signature's three consumers plus slack) while still lifting
-    the compute off a single core."""
+    the compute off a single core.
+
+    The partition-count probe (``df.rdd.getNumPartitions()``) forces
+    physical planning of the input, measured 0.1-0.2 s per fresh scan
+    plan and multi-second on a deep lineage — and the builders rebuild
+    semantically identical plans on every call (bench reruns, the
+    per-order model builders).  The decision is therefore MEMOIZED on
+    the analyzed plan's semantic hash (round 16): a repeat probe costs
+    one py4j hash call (~1 ms) instead of re-planning.  Keyed per
+    session, bounded; a stale entry can only mis-size parallelism for
+    a same-session same-plan input whose underlying files changed —
+    a performance heuristic, never a correctness surface."""
     if df.isStreaming:
         return df
     target = max(2, df.sparkSession.sparkContext.defaultParallelism // 4)
-    if df.rdd.getNumPartitions() >= target:
+    key = (
+        id(df.sparkSession._jsparkSession),
+        df._jdf.queryExecution().analyzed().semanticHash(),
+        target,
+    )
+    wide = _SPREAD_MEMO.get(key)
+    if wide is None:
+        wide = df.rdd.getNumPartitions() >= target
+        if len(_SPREAD_MEMO) >= 4096:  # bound the per-process footprint
+            _SPREAD_MEMO.clear()
+        _SPREAD_MEMO[key] = wide
+    if wide:
         return df
     return df.repartition(target)
+
+
+#: spread_small_scan's memoized (session, plan-hash, target) → "already
+#: wide enough" decisions — see its docstring
+_SPREAD_MEMO: dict[tuple, bool] = {}
 
 
 def with_token_hashes(

@@ -3265,3 +3265,42 @@ def test_audio_window_fingerprints_grid_and_dials(spark):
         multimodal.audio_window_fingerprints(df, window_s=0)
     with _pytest.raises(ValueError, match="hop_s"):
         multimodal.audio_window_fingerprints(df, hop_s=-1)
+
+
+def test_spread_small_scan_memoizes_partition_probe(spark, monkeypatch):
+    """The spread decision is memoized on the analyzed plan's semantic
+    hash (round 16): probing df.rdd.getNumPartitions() forces physical
+    planning — 0.1 s per fresh scan, multi-second on a deep lineage —
+    and builders rebuild semantically identical plans every call, so a
+    repeat call must NOT re-plan.  The spread itself still fires: a
+    one-partition input comes back at the cores/4 target."""
+    import etl_olho_vivo_spark.operators.dedup as dd
+
+    def narrow():
+        return spark.range(0, 10, 1, 1).selectExpr(
+            "cast(id AS string) AS text"
+        )
+
+    dd._SPREAD_MEMO.clear()
+    probes = []
+    cls = type(narrow())  # the concrete DataFrame class (Spark 4 facade)
+    orig = cls.rdd.func  # rdd is a cached_property on the classic class
+    monkeypatch.setattr(
+        cls,
+        "rdd",
+        property(lambda self: (probes.append(1), orig(self))[1]),
+    )
+
+    out = dd.spread_small_scan(narrow())
+    n_first = len(probes)
+    assert n_first >= 1  # the first call probes
+    dd.spread_small_scan(narrow())  # same semantic plan, fresh object
+    assert len(probes) == n_first, "repeat call re-planned the input"
+    monkeypatch.undo()
+    target = max(2, spark.sparkContext.defaultParallelism // 4)
+    assert out.rdd.getNumPartitions() == target
+    # a wide-enough input is returned untouched (and also memoized)
+    wide = spark.range(0, 100, 1, target).selectExpr(
+        "cast(id AS string) AS text"
+    )
+    assert dd.spread_small_scan(wide) is wide
