@@ -2065,8 +2065,17 @@ def main(argv: list[str] | None = None) -> int:
         if args.stride <= 0:
             raise SystemExit(f"--stride must be positive, got {args.stride}")
         index = spark.read.parquet(args.index)
+        self_probe = False
         if args.probe_is_index:
-            probe = spark.read.parquet(args.probe)
+            # probing a store against ITSELF (same resolved path) must
+            # get the collapsed exact leg the registry self-probe rows
+            # get — two reads of one parquet are different DataFrame
+            # objects, so the operator's identity fallback alone would
+            # silently miss it (round 16, advisor item)
+            self_probe = os.path.realpath(args.probe) == os.path.realpath(
+                args.index
+            )
+            probe = index if self_probe else spark.read.parquet(args.probe)
         else:
             src = spark.read.parquet(args.probe)
             for col in (args.id_col, args.media_col):
@@ -2086,6 +2095,7 @@ def main(argv: list[str] | None = None) -> int:
                 probe, index,
                 max_hamming=args.max_hamming, n_bands=args.n_bands,
                 min_frac=args.min_frac, max_index_df=args.max_index_df,
+                self_probe=self_probe,
             )
         except ValueError as e:  # banding/min_frac config error
             raise SystemExit(str(e))

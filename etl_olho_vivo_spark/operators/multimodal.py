@@ -2305,6 +2305,7 @@ def media_containment_pairs(
     n_bands: int = 8,
     min_frac: float = 0.5,
     max_index_df: int | None = None,
+    self_probe: bool | None = None,
 ) -> DataFrame:
     """Sub-clip containment over per-frame fingerprint relations —
     MEDIA-AGNOSTIC: any (doc_id, frame_idx, fp) relation qualifies,
@@ -2382,8 +2383,16 @@ def media_containment_pairs(
     # and any corpus-wide audit): every index value IS a probe value,
     # so the exact leg's distinct-value equi-join is algebraically the
     # index value set itself — the join (and, with no stop-frame dial,
-    # the second distinct) drops out of the plan (round 15)
-    self_probe = probe_frames is index_frames
+    # the second distinct) drops out of the plan (round 15).
+    # ``self_probe`` makes the collapse reachable when the two
+    # relations are the same DATA but different DataFrame objects —
+    # the CLI reading one parquet path twice (round 16, advisor item);
+    # a caller asserting True for genuinely different relations would
+    # get the collapsed (wrong) plan, so only pass it for
+    # provably-identical inputs.  None keeps the object-identity
+    # fallback.
+    if self_probe is None:
+        self_probe = probe_frames is index_frames
 
     i_docs = index_frames.select(
         F.col("fp").alias("ifp"), F.col("doc_id").alias("doc_index")

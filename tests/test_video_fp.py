@@ -601,3 +601,48 @@ def test_frame_index_midlife_coverage(spark, tmp_path):
     assert frame_index_coverage(spark, fidx, corpus) == {
         "partial": False
     }
+
+
+def test_video_contain_cli_self_probe_path(spark, tmp_path, capsys):
+    """--probe-is-index with the SAME parquet path as --index is a
+    corpus self-audit: the CLI must detect it (resolved-path compare)
+    and pass self_probe=True so the exact leg collapses like the
+    registry self-probe rows (round 16, advisor item) — with results
+    identical to the uncollapsed two-read plan."""
+    from etl_olho_vivo_spark.__main__ import main
+
+    a = _planes(7, n=1)[0]
+    b = _planes(99, n=1)[0]
+    corpus = str(tmp_path / "videos")
+    spark.createDataFrame(
+        [(1, bytearray(_y4m_clip([a] * 9 + [b] * 3))),
+         (30, bytearray(_y4m_clip([a] + [b] * 3)))], SCHEMA
+    ).write.parquet(corpus)
+    idx_out = str(tmp_path / "frame_idx")
+    assert main(["video-index", "--in", corpus, "--out", idx_out]) == 0
+    capsys.readouterr()
+
+    pairs_out = str(tmp_path / "self_contained")
+    assert main([
+        "video-contain", "--index", idx_out, "--probe", idx_out,
+        "--probe-is-index", "--out", pairs_out, "--min-frac", "0.9",
+    ]) == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # both directions qualify in this corpus: the excerpt (30) is fully
+    # covered by 1, and 1's frames are all a/b values 30 also carries
+    assert line["containments"] == 2
+    got = sorted(
+        (r["doc_probe"], r["doc_index"], r["frac"])
+        for r in spark.read.parquet(pairs_out).collect()
+    )
+    assert got == [(1, 30, 1.0), (30, 1, 1.0)]
+
+    # the explicit flag and the two-read fallback agree row-for-row
+    p1 = spark.read.parquet(idx_out)
+    p2 = spark.read.parquet(idx_out)
+    collapsed = sorted(map(tuple, multimodal.media_containment_pairs(
+        p1, p2, min_frac=0.9, self_probe=True).collect()))
+    fallback = sorted(map(tuple, multimodal.media_containment_pairs(
+        p1, p2, min_frac=0.9).collect()))
+    assert collapsed == fallback
+    assert {(r[0], r[1]) for r in collapsed} == {(1, 30), (30, 1)}
