@@ -6,8 +6,11 @@ only the last 2000 chars of stdout (measured: len(tail) == 2000 in both
 BENCH_r07 and BENCH_r08), so anything that must survive goes LAST
 (BENCH_r{3,4} lost their headline, BENCH_r07 the entire WARM per-query
 dict, BENCH_r08 the warm dict's first key, all to front-truncation):
-    {"metric": "all_queries_detail", "queries_cold": {...}, ...}   # may
-        lose its front; cold times are the sacrificial detail
+    {"metric": "all_queries_detail", "queries_cold": {...},
+     "queries_fn": {...}, "calib_headline": {...}, ...}           # may
+        lose its front; cold times, per-query fn() construction walls
+        (the setup work the noop sink never times — round 16) and the
+        per-headline-query steal stamps are the sacrificial detail
     {"metric": "warm", "queries": {...}}                           # ALL
         non-headline warm entries (2-dp), chunked CHEAPEST-FIRST so a
         front truncation costs the cheapest chunk, never the expensive
@@ -296,6 +299,22 @@ def _calibrate_jvm(spark, runs: int = 3) -> float:
     return min(out)
 
 
+def _calib_probe(spark) -> float:
+    """ONE unwarmed pass of the calibration job — the per-headline-
+    query steal probe (round 16, additions-only).  The full
+    ``_calibrate_jvm`` pays 2 warmups + min-of-3 (~1 s) for a stable
+    FLOOR; interleaved between headline queries we want the opposite:
+    a cheap instantaneous reading whose EXCURSIONS over the session
+    floor expose steal landing on a specific query's window.  JIT/
+    codegen for this exact plan is already steady after the sweep-
+    start ``_calibrate_jvm``."""
+    t0 = time.perf_counter()
+    spark.range(
+        0, CALIB_RANGE_ROWS, 1, CALIB_RANGE_PARTITIONS
+    ).selectExpr("sum(xxhash64(id) & 1048575) AS h").collect()
+    return time.perf_counter() - t0
+
+
 def _calibrate_py(runs: int = 3) -> float:
     """Single-core pure-Python spin (pinned loop): separates
     interpreter/host drift from JVM-side drift in the artifact."""
@@ -549,6 +568,8 @@ def main() -> None:
     # only compile artifacts carry over.  Cold times are reported too.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    fn_wall: dict[str, float] = {}
+    calib_headline: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, q in registry.REGISTRY.items():
         if not q.bench:
@@ -557,9 +578,17 @@ def main() -> None:
             # under its sibling's name
             continue
         runs = []
+        fns = []
         try:
             for _ in range(2):
+                t_fn = time.perf_counter()
                 df = q.fn(spark, sf_dir)
+                # fn() wall = query CONSTRUCTION, incl. any eager
+                # driver-side actions (model-count collects, iterative
+                # label propagation) the noop sink never times — the
+                # round-15 verdict's bench blind spot (round 16,
+                # additions-only)
+                fns.append(time.perf_counter() - t_fn)
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
@@ -571,6 +600,13 @@ def main() -> None:
             continue
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
+        fn_wall[name] = round(min(fns), 3)
+        if name in HEADLINE:
+            # steal-aware stamp: one cheap calib pass right after each
+            # headline query's window — an excursion over the session
+            # floor attributes a per-query uptick to host steal instead
+            # of leaving it unexplainable (round-15 verdict #8)
+            calib_headline[name] = round(_calib_probe(spark), 3)
 
     calib_after = round(_calibrate_jvm(spark), 3)
     calib = [calib_before, calib_after]
@@ -583,6 +619,14 @@ def main() -> None:
     detail = {
         "metric": "all_queries_detail",
         "queries_cold": cold,
+        # construction wall per query (min-of-2): the fn() phase the
+        # noop sink never times — eager collects, iterative-loop
+        # actions, cache materializations (round 16, additions-only)
+        "queries_fn": fn_wall,
+        # one-shot calib reading taken right after each headline
+        # query: excursions over calib_s attribute per-query upticks
+        # to host steal (round 16, additions-only)
+        "calib_headline": calib_headline,
         "errors": errors,
         "sf": sf,
         "loadavg_start": load,
